@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata (TESTDATA.md / FIXTURES.md).
+  *
+  * One parquet file per table under `$sfDir/`. Two type quirks are
+  * normalized here so every declared query sees clean types:
+  *
+  *  - `events.ts` is written as Parquet TIMESTAMP(NANOS, adjustedToUTC=false),
+  *    which Spark cannot represent natively (µs precision). We read it as a
+  *    raw long (`spark.sql.legacy.parquet.nanosAsLong`) and floor-divide to
+  *    microseconds, yielding a session-UTC-independent TIMESTAMP_NTZ — the
+  *    same value DuckDB produces with `CAST(ts AS TIMESTAMP)`.
+  *  - `o_orderdate` / `l_shipdate` are TIMESTAMP(MILLIS, adjustedToUTC=false)
+  *    and surface as TIMESTAMP_NTZ on Spark 4 (inferTimestampNTZ) — kept
+  *    as-is; DuckDB's naive TIMESTAMP matches exactly.
+  *
+  * At 100 TB these loaders stay a single vectorized parquet scan — the
+  * normalization is one projection, fully codegen'd, no shuffle.
+  */
+object Tables {
+  /** (SparkSession, sfDir) => DataFrame — the driver contract shape. */
+  type QFn = (SparkSession, String) => DataFrame
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String)   = table(s, d, "region")
+  def nation(s: SparkSession, d: String)   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String) = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String) = table(s, d, "supplier")
+  def part(s: SparkSession, d: String)     = table(s, d, "part")
+  def orders(s: SparkSession, d: String)   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String) = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String)  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+
+  /** events with `ts` normalized from ns-long to µs TIMESTAMP_NTZ. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", to_timestamp_ntz(timestamp_micros(expr("ts div 1000"))))
+  }
+}

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Dev-only differential checker mirroring the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over <sfDir>'s parquet
+tables, sorts columns by name, and compares row counts + values.
+
+This script is NOT part of the engine (driver-side python is allowed for
+verification only); the shipped library is pure Scala/Spark.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    return repr(v)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    failed = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_cols = sorted(spark_rel.columns)
+            spark_rows = con.sql(
+                "SELECT " + ", ".join(f'"{c}"' for c in spark_cols) +
+                f" FROM '{out_dir}/{name}/*.parquet'").fetchall()
+        except Exception as e:
+            failed.append((name, f"spark output unreadable: {e}"))
+            continue
+        try:
+            oracle_rel = con.sql(sql)
+            ocols = oracle_rel.columns
+            order = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            oracle_cols = [ocols[i] for i in order]
+            oracle_rows = [tuple(r[i] for i in order)
+                           for r in oracle_rel.fetchall()]
+        except Exception as e:
+            failed.append((name, f"oracle failed: {e}"))
+            continue
+        if spark_cols != oracle_cols:
+            failed.append((name, f"columns {spark_cols} != {oracle_cols}"))
+            continue
+        if len(spark_rows) != len(oracle_rows):
+            failed.append(
+                (name, f"rows {len(spark_rows)} != {len(oracle_rows)}"))
+            continue
+        mism = 0
+        first = None
+        for a, b in zip(spark_rows, oracle_rows):
+            if tuple(map(norm, a)) != tuple(map(norm, b)):
+                mism += 1
+                if first is None:
+                    first = (a, b)
+        if mism:
+            failed.append((name, f"{mism} value mismatches; first: "
+                           f"spark={first[0]} oracle={first[1]}"))
+        else:
+            print(f"OK    {name} ({len(spark_rows)} rows)")
+    for name, why in failed:
+        print(f"FAIL  {name}: {why}")
+    print(f"\n{len(oracles) - len(failed)}/{len(oracles)} oracle queries match")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
