@@ -21,12 +21,21 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.Windows.queries ++
-    graft.queries.Scalars.queries
+    graft.queries.Scalars.queries ++
+    graft.queries.Extensions.queries ++
+    graft.queries.Meta.queries ++
+    graft.queries.Etl.queries ++
+    graft.streaming.Streaming.queries ++
+    graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
     graft.queries.Windows.oracles ++
-    graft.queries.Scalars.oracles
+    graft.queries.Scalars.oracles ++
+    graft.queries.Extensions.oracles ++
+    graft.queries.Meta.oracles ++
+    graft.queries.Etl.oracles ++
+    graft.multimodal.Multimodal.oracles
 }

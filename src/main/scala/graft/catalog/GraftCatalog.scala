@@ -1,0 +1,244 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** One registered data file: exactly the fields the reference's importer
+  * records per file (`/root/reference/src/main/java/com/example/
+  * ImportParquetFolders.java:105-115` — path, size in bytes, record count,
+  * format=PARQUET).
+  */
+case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long)
+
+/** One append snapshot: id (1-based ordinal), wall-clock, and the files
+  * ADDED by this snapshot (append-only ⇒ table state at snapshot N is the
+  * union of added files of snapshots 1..N, which is how Iceberg's
+  * cumulative manifests behave for a pure-append table).
+  */
+case class SnapshotMeta(id: Long, timestampMs: Long, operation: String,
+                        addedFiles: List[DataFileMeta])
+
+/** Full table metadata document, persisted as versioned JSON. */
+case class TableMeta(namespace: String, name: String, schemaDdl: String,
+                     currentSnapshotId: Long, snapshots: List[SnapshotMeta]) {
+  def schema: StructType = StructType.fromDDL(schemaDdl)
+  def filesAsOf(asOf: Option[Long]): List[DataFileMeta] = {
+    val cut = asOf.getOrElse(currentSnapshotId)
+    snapshots.filter(_.id <= cut).flatMap(_.addedFiles)
+  }
+}
+
+/** Import result row, mirroring the reference's per-table summary
+  * (`ImportParquetFolders.java:118-119`). */
+case class ImportSummary(namespace: String, table: String, files: Long, rows: Long)
+
+/** Native table-metadata layer (SURVEY.md §7.2) re-implementing, without
+  * any Iceberg dependency, the slice of Iceberg the reference uses
+  * (HadoopCatalog + unpartitioned create + metadata-only append + load +
+  * drop-purge + snapshot listing + time travel):
+  *
+  *  - warehouse layout: `<warehouse>/<ns>/<table>/metadata/v<N>.json` with a
+  *    `version-hint.text` pointer, committed by atomic rename — the same
+  *    commit protocol as Iceberg's HadoopCatalog
+  *    (`ImportParquetFolders.java:36-40` uses `hadoop` catalog type).
+  *  - table = folder of Parquet registered by reference, never rewritten
+  *    (`ImportParquetFolders.java:75-120`).
+  *  - schema inferred once from the FIRST file's footer, fixed thereafter,
+  *    no merge (`ImportParquetFolders.java:93-100`, `:128-138`).
+  *
+  * Scale note: all catalog operations are metadata-only (driver-side JSON,
+  * no data movement); the read path hands Spark an explicit file list, so
+  * file pruning for time travel happens before the scan is planned, and
+  * everything downstream (vectorized parquet, pushdown, AQE) is stock
+  * Spark — exactly how Iceberg's planner integrates.
+  */
+class GraftCatalog(val warehouse: String) {
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def nsDir(ns: String): Path = Paths.get(warehouse, ns)
+  private def tableDir(ns: String, t: String): Path = nsDir(ns).resolve(t)
+  private def metaDir(ns: String, t: String): Path = tableDir(ns, t).resolve("metadata")
+  private def hintFile(ns: String, t: String): Path =
+    metaDir(ns, t).resolve("version-hint.text")
+
+  // ------------------------------------------------------------ namespaces
+
+  /** Idempotent, like the reference's create-if-missing
+    * (`ImportParquetFolders.java:52-61`). */
+  def createNamespace(ns: String): Unit = Files.createDirectories(nsDir(ns))
+  def namespaceExists(ns: String): Boolean = Files.isDirectory(nsDir(ns))
+  def listNamespaces(): Seq[String] =
+    if (!Files.isDirectory(Paths.get(warehouse))) Seq.empty
+    else Files.list(Paths.get(warehouse)).iterator.asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+
+  // ---------------------------------------------------------------- tables
+
+  def tableExists(ns: String, t: String): Boolean = Files.exists(hintFile(ns, t))
+
+  def listTables(ns: String): Seq[String] =
+    if (!namespaceExists(ns)) Seq.empty
+    else Files.list(nsDir(ns)).iterator.asScala
+      .filter(p => Files.exists(p.resolve("metadata").resolve("version-hint.text")))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  /** Create unpartitioned table with a fixed schema
+    * (`ImportParquetFolders.java:93-100`, PartitionSpec.unpartitioned at `:99`). */
+  def createTable(ns: String, t: String, schema: StructType): TableMeta = {
+    require(!tableExists(ns, t), s"table $ns.$t already exists")
+    createNamespace(ns)
+    val meta = TableMeta(ns, t, schema.toDDL, currentSnapshotId = 0L, snapshots = Nil)
+    commit(meta, expectedVersion = 0)
+    meta
+  }
+
+  def loadTable(ns: String, t: String): TableMeta = {
+    val v = currentVersion(ns, t)
+    require(v > 0, s"table $ns.$t does not exist")
+    val json = Files.readString(metaDir(ns, t).resolve(s"v$v.json"))
+    JsonMethods.parse(json).extract[TableMeta]
+  }
+
+  /** Drop with purge=true semantics (`/root/reference/src/archive/App.java:29-33`):
+    * removes all table metadata (data files are never owned by the catalog,
+    * matching the reference's external-file model). */
+  def dropTable(ns: String, t: String): Boolean = {
+    val dir = tableDir(ns, t)
+    if (!Files.exists(dir)) false
+    else {
+      Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      true
+    }
+  }
+
+  /** Metadata-only append commit: one atomic snapshot registering N files,
+    * no data rewrite (`ImportParquetFolders.java:102-117`). */
+  def append(ns: String, t: String, files: Seq[DataFileMeta]): TableMeta = {
+    val meta = loadTable(ns, t)
+    val snap = SnapshotMeta(meta.currentSnapshotId + 1, System.currentTimeMillis(),
+      "append", files.toList)
+    val next = meta.copy(currentSnapshotId = snap.id,
+      snapshots = meta.snapshots :+ snap)
+    commit(next, expectedVersion = currentVersion(ns, t))
+    next
+  }
+
+  def snapshots(ns: String, t: String): Seq[SnapshotMeta] = loadTable(ns, t).snapshots
+
+  /** Current (or as-of) file listing — the Iceberg `files` metadata table. */
+  def files(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileMeta] =
+    loadTable(ns, t).filesAsOf(asOf)
+
+  /** Read the table, optionally time-traveling to a snapshot id
+    * ("AS OF snapshot" — served by the reference via Iceberg extensions,
+    * `/root/reference/conf/spark-defaults.conf:1-5`). File pruning happens
+    * here, before Spark ever plans the scan. */
+  def readTable(spark: SparkSession, ns: String, t: String,
+                asOf: Option[Long] = None): DataFrame = {
+    val meta = loadTable(ns, t)
+    val fs = meta.filesAsOf(asOf).map(_.path)
+    if (fs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    else spark.read.schema(meta.schema).parquet(fs: _*)
+  }
+
+  // ---------------------------------------------------------------- import
+
+  /** Recursive parquet discovery: `.parquet`/`.prq`, case-insensitive
+    * (`ImportParquetFolders.java:78-88`, `:122-126`). */
+  private[catalog] def findParquet(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator.asScala.filter { p =>
+      val n = p.getFileName.toString.toLowerCase
+      Files.isRegularFile(p) && (n.endsWith(".parquet") || n.endsWith(".prq"))
+    }.toSeq.sortBy(_.toString)
+
+  /** Exact per-file row count from the Parquet footer
+    * (`ImportParquetFolders.java:140-146`). */
+  private[catalog] def footerRowCount(p: Path): Long = {
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Walk `<dataDir>/<table>/` folders and register each as a table by
+    * metadata-only append — the reference's entire importer main
+    * (`ImportParquetFolders.java:42-120`):
+    * folder→table name lower-cased (`:90-91`), empty folders skipped
+    * (`:85-88`), per-folder error isolation (`:64-72`), schema from first
+    * file (`:128-138`), one append commit per folder (`:117`).
+    */
+  def importFolders(spark: SparkSession, dataDir: String,
+                    ns: String = "nyc"): Seq[ImportSummary] = {
+    createNamespace(ns)
+    createNamespace("default") // for BI enumeration, ImportParquetFolders.java:58-61
+    val root = Paths.get(dataDir)
+    val subdirs = Files.list(root).iterator.asScala.filter(Files.isDirectory(_))
+      .toSeq.sortBy(_.toString)
+    subdirs.flatMap { dir =>
+      try {
+        val files = findParquet(dir)
+        if (files.isEmpty) None // empty-folder skip
+        else {
+          val tname = dir.getFileName.toString.toLowerCase
+          if (!tableExists(ns, tname)) {
+            val schema = spark.read.parquet(files.head.toString).schema
+            createTable(ns, tname, schema)
+          }
+          val metas = files.map(f =>
+            DataFileMeta(f.toAbsolutePath.toString, Files.size(f), footerRowCount(f)))
+          append(ns, tname, metas)
+          Some(ImportSummary(ns, tname, metas.size.toLong, metas.map(_.rowCount).sum))
+        }
+      } catch {
+        case NonFatal(e) => // per-folder isolation: log and continue
+          System.err.println(s"[graft-catalog] skipping ${dir.getFileName}: ${e.getMessage}")
+          None
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- commit
+
+  private def currentVersion(ns: String, t: String): Int = {
+    val hint = hintFile(ns, t)
+    if (Files.exists(hint)) Files.readString(hint).trim.toInt else 0
+  }
+
+  /** HadoopCatalog-style optimistic commit: write vN+1.json to a temp name,
+    * atomically move into place, then swap the version hint. A concurrent
+    * writer that observed the same base version loses the rename race. */
+  private def commit(meta: TableMeta, expectedVersion: Int): Unit = {
+    val md = metaDir(meta.namespace, meta.name)
+    Files.createDirectories(md)
+    val next = expectedVersion + 1
+    val target = md.resolve(s"v$next.json")
+    val tmp = Files.createTempFile(md, s".v$next", ".json.tmp")
+    Files.writeString(tmp, Serialization.write(meta))
+    // Claim the version slot with an exclusive create (O_EXCL) — rename(2)
+    // silently replaces an existing target, so ATOMIC_MOVE alone cannot
+    // detect a racing writer that already produced vN+1.
+    try Files.createFile(target)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new IllegalStateException(
+        s"concurrent commit detected for ${meta.namespace}.${meta.name} v$next")
+    }
+    Files.move(tmp, target,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    val hintTmp = Files.createTempFile(md, ".hint", ".tmp")
+    Files.writeString(hintTmp, next.toString)
+    Files.move(hintTmp, hintFile(meta.namespace, meta.name),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+}

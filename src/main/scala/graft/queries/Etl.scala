@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.Tables.QFn
+import graft.etl.{Compact, Sanitize}
+
+/** ETL declared queries (SURVEY.md §2.B / §2.9). The uint64 fixtures are
+  * synthesized in-flight (Spark can't write unsigned parquet, so the
+  * decimal(20,0) surrogate is the honest representation — it's exactly what
+  * Spark's reader yields for UINT64 parquet).
+  */
+object Etl {
+
+  /** Fixture shaped like the reference's problem input: a decimal(20,0)
+    * `counter` (uint64 surrogate) + a decimal(20,0) epoch-µs `timestamp` +
+    * an untouched string, derived deterministically from events. */
+  private def uintFixture(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "events") // raw read: ts is ns-long via Tables.events conf
+      .select(col("event_id"),
+        col("event_id").cast(DecimalType(20, 0)).as("counter"),
+        expr("ts div 1000").cast(DecimalType(20, 0)).as("timestamp"),
+        col("event_type"))
+
+  /** etl_sanitize_uint64 (non-oracle): rule B1 — unsigned column
+    * normalized to DECIMAL(20,0), name rule NOT applied to non-`timestamp`
+    * columns. */
+  private def etlSanitizeUint64: QFn = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = Tables.table(s, d, "events")
+      .select(col("event_id"),
+        col("event_id").cast("long").as("counter"),
+        col("user_id").cast("long").as("other_ts"),
+        col("event_type"))
+    Sanitize.sanitize(df, unsignedHints = Set("counter", "other_ts"))
+      .orderBy("event_id")
+  }
+
+  /** etl_sanitize_ts: rule B2 — decimal(20,0) epoch-µs column named
+    * `timestamp` → TIMESTAMP (oracle: DuckDB casts the original ns value). */
+  private def etlSanitizeTs: QFn = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Sanitize.sanitize(uintFixture(s, d))
+      .select(col("event_id"),
+        col("timestamp").cast("timestamp_ntz").as("sanitized_ts"))
+      .orderBy("event_id")
+  }
+
+  /** etl_sanitize_report (non-oracle): the B4 dry-run changed-column report. */
+  private def etlSanitizeReport: QFn = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Sanitize.report(uintFixture(s, d), unsignedHints = Set("counter"))
+      .orderBy("column_name")
+  }
+
+  /** etl_compact: many-files→one, then verify content equivalence by
+    * aggregate checksum over the re-read output (oracle computes the same
+    * from the original). */
+  private def etlCompact: QFn = (s, d) => {
+    val outDir = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "compact")
+    val stats = Compact.compact(s, Seq(s"$d/lineitem.parquet"),
+      outDir.toString, codec = "zstd", overwrite = true)
+    s.read.parquet(stats.outPath)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "etl_sanitize_uint64" -> etlSanitizeUint64,
+    "etl_sanitize_ts"     -> etlSanitizeTs,
+    "etl_sanitize_report" -> etlSanitizeReport,
+    "etl_compact"         -> etlCompact,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "etl_sanitize_ts" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS sanitized_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    "etl_compact" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+  )
+}

@@ -1,0 +1,465 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.QFn
+
+/** Training-data-pipeline extension operators (SURVEY.md §2.J/§2.K):
+  * exact + near deduplication (MinHash-LSH, SimHash, n-gram Jaccard,
+  * embedding cosine), similarity search, text analysis (tokenize, quality,
+  * language-ID, fingerprint), and the UDF/UDAF surface.
+  *
+  * Cross-engine determinism trick: every "hash" in the dedup family is
+  * md5-of-string, which DuckDB computes identically — so MinHash signatures
+  * and SimHash bits hash-match the oracle exactly.
+  *
+  * Scale design (100 TB):
+  *  - token/shingle explosion is a flat map — embarrassingly parallel;
+  *  - MinHash signatures reduce each doc to a constant-size row before any
+  *    join; LSH banding turns all-pairs into an equi-join on band key;
+  *  - the length-band near-dup join is an *equi*-join on (lang, banded
+  *    n_chars) via delta explosion — never a cross join;
+  *  - kNN keeps the probe on the driver (a parameter, not data) and scans
+  *    once — the IVF variant prunes by centroid first.
+  */
+object Extensions {
+
+  /** tokens: lower-cased alnum runs, empties dropped (SQL-lambda form so
+    * the same expression text documents the DuckDB twin). */
+  private val tokensExpr = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+  private val tokensSql =
+    """SELECT doc_id, unnest(list_distinct(list_filter(
+      |         string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS token
+      |FROM documents""".stripMargin
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(s"array_distinct($tokensExpr)")).as("token"))
+
+  // ------------------------------------------------------------ text ops
+
+  private def qTextDedup: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("h")
+
+  private def qTextTokens: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(expr(tokensExpr)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy("token")
+
+  private def qDocStats: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "source")
+
+  /** Per-doc quality scoring: token count, alnum density, mean word length. */
+  private def qTextQuality: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(expr(tokensExpr)).as("n_words"),
+        length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("n_alnum"),
+        length(col("text")).as("n_len"))
+      .withColumn("avg_word_len",
+        when(col("n_words") > 0,
+          round(col("n_alnum").cast("double") / col("n_words"), 4)))
+      .withColumn("alnum_ratio",
+        round(col("n_alnum").cast("double") / col("n_len"), 4))
+      .select("doc_id", "n_words", "avg_word_len", "alnum_ratio")
+      .orderBy("doc_id")
+
+  /** Marker-token language ID (n-gram heuristic family, deterministic). */
+  private def qTextLangid: QFn = (s, d) => {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        when(padded.like("% the %") || padded.like("% and %"), "en")
+          .when(padded.like("% le %") || padded.like("% la %"), "fr")
+          .when(padded.like("% el %") || padded.like("% los %"), "es")
+          .when(padded.like("% der %") || padded.like("% und %"), "de")
+          .otherwise("und").as("pred_lang"))
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over the 8 smallest distinct tokens —
+    * a deterministic, order-insensitive content signature. */
+  private def qTextFingerprint: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(array_join(slice(array_sort(expr(s"array_distinct($tokensExpr)")), 1, 8),
+          " ")).as("fp"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------- dedup family
+
+  /** MinHash(4) + single-band LSH: doc → 4 min-md5 signature → band key.
+    * Docs sharing a band are near-dup candidates. At 100 TB the band
+    * group-by is the only shuffle and its payload is 1 row/doc. */
+  private def qDedupMinhash: QFn = (s, d) =>
+    tokens(s, d)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("token")))).as("s0"),
+        min(md5(concat(lit("1:"), col("token")))).as("s1"),
+        min(md5(concat(lit("2:"), col("token")))).as("s2"),
+        min(md5(concat(lit("3:"), col("token")))).as("s3"))
+      .groupBy(md5(concat_ws("|", col("s0"), col("s1"), col("s2"), col("s3"))).as("band"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("band")
+
+  /** 8-bit SimHash: bit i votes +1/-1 per token on whether hex digit i of
+    * md5(token) has its high bit set; positive sum → bit set. */
+  private def qDedupSimhash: QFn = (s, d) => {
+    val bitSums = (0 until 8).map { i =>
+      sum(when(expr(s"instr('89abcdef', substring(md5(token), ${i + 1}, 1)) > 0"), 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val simhash = (0 until 8).map { i =>
+      when(col(s"b$i") > 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+    tokens(s, d)
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Length-band candidate pairs as an EQUI-join: the ±2-char band is
+    * explosion of 5 deltas on one side, so Spark plans a hash join on
+    * (lang, n_chars) — the scalable banding shape, never a theta join. */
+  private def bandedPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val left = docs.select(col("doc_id").as("d1"), col("lang"), col("n_chars"))
+      .withColumn("delta", explode(lit((-2 to 2).toArray)))
+      .withColumn("band_chars", col("n_chars") + col("delta"))
+    val right = docs.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+      col("n_chars").as("band_chars2"))
+    left.join(right,
+        col("lang") === col("lang2") && col("band_chars") === col("band_chars2") &&
+        col("d1") < col("d2"))
+      .select("d1", "d2", "lang")
+  }
+
+  private def qNeardupBand: QFn = (s, d) =>
+    bandedPairs(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("lang")
+
+  /** n-gram (token-set) Jaccard over banded candidate pairs; pairs sharing
+    * at least one token are scored. */
+  private def qDedupNgram: QFn = (s, d) => {
+    val tok = tokens(s, d)
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val pairs = bandedPairs(s, d)
+    val inter = pairs
+      .join(tok.select(col("doc_id").as("d1"), col("token")), "d1")
+      .join(tok.select(col("doc_id").as("d2"), col("token")), Seq("d2", "token"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n_tok").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_tok").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")), 4)
+          .as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  // ------------------------------------------------------ vector similarity
+
+  /** Cosine similarity between `v` and the driver-side probe literal, in
+    * double precision, folding in list order (bit-compatible with the
+    * DuckDB parallel-unnest oracle). */
+  private def cosineTo(v: Column, probe: Column): Column = {
+    def dot(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dot(v, probe) / (sqrt(dot(v, v)) * sqrt(dot(probe, probe)))
+  }
+
+  /** The probe is the embedding of the smallest vec_id — a query parameter
+    * (one collected row), not distributed data. */
+  private def probeLit(s: SparkSession, d: String): Column = {
+    val row = Tables.embeddings(s, d).orderBy("vec_id").select("embedding").head()
+    typedLit(row.getSeq[Float](0))
+  }
+
+  private def qVecCosine: QFn = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(cosineTo(col("embedding"), probeLit(s, d)), 4).as("cos_sim"))
+      .orderBy("vec_id")
+
+  /** Brute-force top-k cosine — the exact baseline every ANN variant is
+    * judged against. One scan, one TakeOrderedAndProject. */
+  private def qVecKnn: QFn = (s, d) => {
+    val probe = probeLit(s, d)
+    val probeId = Tables.embeddings(s, d).agg(min("vec_id")).head().getLong(0)
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), round(cosineTo(col("embedding"), probe), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF-style ANN (non-oracle): coarse-quantize by per-label centroid,
+    * probe the 2 nearest cells, brute-force inside them. At 100 TB the
+    * centroid table is tiny (broadcast) and the scan prunes to the probed
+    * cells — the standard IVF trade. */
+  private def qVecKnnIvf: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v")).as("cv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+        .as("centroid"))
+    val probe = probeLit(s, d)
+    val topCells = centroids
+      .select(col("label"), cosineTo(col("centroid").cast("array<float>"), probe).as("c_sim"))
+      .orderBy(desc("c_sim"), asc("label"))
+      .limit(2)
+      .select("label")
+    val probeId = emb.agg(min("vec_id")).head().getLong(0)
+    emb.join(broadcast(topCells), "label")
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("label"),
+        round(cosineTo(col("embedding"), probe), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-dup: label-blocked pairs (the blocking key is
+    * the ANN cell stand-in), per-label pair counts + high-sim counts. */
+  private def qEmbedNeardup: QFn = (s, d) => {
+    val a = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = Tables.embeddings(s, d)
+      .select(col("label").as("label2"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+      .select(col("label"),
+        round(cosineTo2(col("e1"), col("e2")), 4).as("cos_sim"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cos_sim") >= 0.8, 1L).otherwise(0L)).as("n_similar"))
+      .orderBy("label")
+  }
+
+  private def cosineTo2(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  // ------------------------------------------------------------- UDF / UDAF
+
+  /** Scalar UDF surface demo (K1). A native column expression would codegen
+    * better — this exists to prove the extension point, like the engine the
+    * reference ships (which registers no UDFs but supports them). */
+  private def qUdfScalar: QFn = (s, d) => {
+    val netPrice = udf((ext: Double, disc: Double, tax: Double) =>
+      ext * (1 - disc) * (1 + tax))
+    // DECIMAL(18,6) exactly represents the 6-decimal product, so both
+    // engines agree bit-for-bit (round(x,4) would land on decimal halfway
+    // points where Spark and DuckDB round doubles differently).
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        netPrice(col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private def qUdafGeomean: QFn = (s, d) => {
+    val geomean = udaf(graft.functions.GeoMean)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(geomean(col("l_quantity")), 4).as("geomean_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // --------------------------------------------------------------- contract
+
+  val queries: Map[String, QFn] = Map(
+    "q_text_dedup"      -> qTextDedup,
+    "q_text_tokens"     -> qTextTokens,
+    "q_doc_stats"       -> qDocStats,
+    "q_text_quality"    -> qTextQuality,
+    "q_text_langid"     -> qTextLangid,
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_dedup_minhash"   -> qDedupMinhash,
+    "q_dedup_simhash"   -> qDedupSimhash,
+    "q_neardup_band"    -> qNeardupBand,
+    "q_dedup_ngram"     -> qDedupNgram,
+    "q_vec_cosine"      -> qVecCosine,
+    "q_vec_knn"         -> qVecKnn,
+    "q_vec_knn_ivf"     -> qVecKnnIvf,
+    "q_embed_neardup"   -> qEmbedNeardup,
+    "q_udf_scalar"      -> qUdfScalar,
+    "q_udaf_geomean"    -> qUdafGeomean,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_dedup" ->
+      """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "q_doc_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       round(avg(n_chars), 4) AS avg_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |       t -> t <> '')) AS INTEGER) AS n_words,
+        |  CASE WHEN len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |            t -> t <> '')) > 0
+        |    THEN round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        |               AS DOUBLE)
+        |         / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |               t -> t <> '')), 4)
+        |  END AS avg_word_len,
+        |  round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+        |        / length(text), 4) AS alnum_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'
+        |         OR ' ' || lower(text) || ' ' LIKE '% and %' THEN 'en'
+        |       WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+        |         OR ' ' || lower(text) || ' ' LIKE '% la %' THEN 'fr'
+        |       WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+        |         OR ' ' || lower(text) || ' ' LIKE '% los %' THEN 'es'
+        |       WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+        |         OR ' ' || lower(text) || ' ' LIKE '% und %' THEN 'de'
+        |       ELSE 'und' END AS pred_lang,
+        |  (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'
+        |         OR ' ' || lower(text) || ' ' LIKE '% and %' THEN 'en'
+        |       WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+        |         OR ' ' || lower(text) || ' ' LIKE '% la %' THEN 'fr'
+        |       WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+        |         OR ' ' || lower(text) || ' ' LIKE '% los %' THEN 'es'
+        |       WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+        |         OR ' ' || lower(text) || ' ' LIKE '% und %' THEN 'de'
+        |       ELSE 'und' END) = lang AS is_match
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(
+        |    (list_sort(list_distinct(list_filter(
+        |       string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))))[1:8],
+        |    ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH tok AS ($tokensSql),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('0:' || token)) AS s0, min(md5('1:' || token)) AS s1,
+        |         min(md5('2:' || token)) AS s2, min(md5('3:' || token)) AS s3
+        |  FROM tok GROUP BY doc_id)
+        |SELECT md5(s0 || '|' || s1 || '|' || s2 || '|' || s3) AS band,
+        |       count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM sig GROUP BY 1 ORDER BY band""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH tok AS ($tokensSql),
+        |bits AS (
+        |  SELECT doc_id,
+        |    ${(0 until 8).map(i =>
+             s"sum(CASE WHEN instr('89abcdef', substring(md5(token), ${i + 1}, 1)) > 0 " +
+             s"THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")}
+        |  FROM tok GROUP BY doc_id)
+        |SELECT doc_id,
+        |  ${(0 until 8).map(i =>
+           s"(CASE WHEN b$i > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")} AS simhash
+        |FROM bits ORDER BY doc_id""".stripMargin,
+    "q_neardup_band" ->
+      """SELECT a.lang, count(*) AS n_pairs
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
+        | AND a.doc_id < b.doc_id
+        |GROUP BY a.lang ORDER BY a.lang""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH tok AS ($tokensSql),
+        |sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
+        |   AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT p.d1, p.d2, count(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN tok ta ON ta.doc_id = p.d1
+        |  JOIN tok tb ON tb.doc_id = p.d2 AND tb.token = ta.token
+        |  GROUP BY p.d1, p.d2)
+        |SELECT i.d1, i.d2,
+        |       round(CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter), 4)
+        |         AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.d1
+        |JOIN sz sb ON sb.doc_id = i.d2
+        |ORDER BY i.d1, i.d2""".stripMargin,
+    "q_vec_cosine" ->
+      """WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
+        |z AS (SELECT vec_id, unnest(embedding) AS e, unnest(pe) AS q
+        |      FROM embeddings, p)
+        |SELECT vec_id,
+        |  round(sum(CAST(e AS DOUBLE) * CAST(q AS DOUBLE))
+        |        / (sqrt(sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
+        |           * sqrt(sum(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))), 4) AS cos_sim
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_vec_knn" ->
+      """WITH p AS (SELECT embedding AS pe, vec_id AS pid
+        |           FROM embeddings ORDER BY vec_id LIMIT 1),
+        |z AS (SELECT vec_id, pid, unnest(embedding) AS e, unnest(pe) AS q
+        |      FROM embeddings, p),
+        |sims AS (
+        |  SELECT vec_id,
+        |    round(sum(CAST(e AS DOUBLE) * CAST(q AS DOUBLE))
+        |          / (sqrt(sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
+        |             * sqrt(sum(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))), 4) AS cos_sim
+        |  FROM z WHERE vec_id <> pid GROUP BY vec_id)
+        |SELECT vec_id, cos_sim FROM sims
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH pairs AS (
+        |  SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+        |         a.embedding AS e1, b.embedding AS e2
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |z AS (SELECT label, v1, v2, unnest(e1) AS x, unnest(e2) AS y FROM pairs),
+        |sims AS (
+        |  SELECT label, v1, v2,
+        |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |          / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |             * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS cos_sim
+        |  FROM z GROUP BY label, v1, v2)
+        |SELECT label, count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN cos_sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_similar
+        |FROM sims GROUP BY label ORDER BY label""".stripMargin,
+    "q_udf_scalar" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |            AS DECIMAL(18,6)) AS net_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_udaf_geomean" ->
+      """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 4) AS geomean_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

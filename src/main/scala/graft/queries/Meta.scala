@@ -1,0 +1,163 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.QFn
+import graft.catalog.GraftCatalog
+import graft.sql.GraftSql
+
+/** Catalog / metadata declared queries (SURVEY.md §2.A, §2.I) — all
+  * non-oracle (rows-only check): they exercise the native metadata layer
+  * end-to-end against a throw-away warehouse built from the testdata by
+  * SYMLINKING (metadata-only, like the reference importer — data files are
+  * never copied or rewritten, `ImportParquetFolders.java:102-117`).
+  */
+object Meta {
+
+  /** Build `<target>/meta_demo-<salt>/data/<table>/<table>.parquet` symlink
+    * tree + empty warehouse; returns (dataDir, warehouseDir). Fresh dirs
+    * per call keep Verify/Bench runs independent. */
+  private def demoDirs(sfDir: String): (String, String) = {
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "meta_demo")
+    val data = base.resolve("data")
+    val wh = base.resolve("warehouse")
+    Files.createDirectories(wh)
+    val src = Paths.get(sfDir)
+    Files.list(src).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+        val t = f.getFileName.toString.stripSuffix(".parquet")
+        val td = data.resolve(t)
+        Files.createDirectories(td)
+        Files.createSymbolicLink(td.resolve(f.getFileName.toString), f.toAbsolutePath)
+      }
+    // reference also accepts .prq (ImportParquetFolders.java:123-126): alias one
+    val anyTable = data.resolve("region_prq")
+    Files.createDirectories(anyTable)
+    Files.createSymbolicLink(anyTable.resolve("region.prq"),
+      src.resolve("region.parquet").toAbsolutePath)
+    // and an empty folder that must be skipped (ImportParquetFolders.java:85-88)
+    Files.createDirectories(data.resolve("empty_folder"))
+    (data.toString, wh.toString)
+  }
+
+  /** meta_import: full importer pipeline (A1-A11) → per-table summary. */
+  private def metaImport: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    val out = cat.importFolders(s, data)
+    // drop + re-import one table to exercise dropTable(purge) idempotence
+    cat.dropTable("nyc", "region")
+    val again = cat.importFolders(s, data) // region recreated; others appended
+    (out ++ again.filter(_.table == "region"))
+      .map(r => (r.namespace, r.table, r.files, r.rows))
+      .toDF("namespace", "table", "n_files", "n_rows")
+      .orderBy("table", "n_files")
+  }
+
+  /** meta_snapshots: two appends → snapshot log (A7, A13). */
+  private def metaSnapshots: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data)
+    cat.importFolders(s, data) // second append on every table
+    cat.listTables("nyc").flatMap { t =>
+      cat.snapshots("nyc", t).map(sn =>
+        (t, sn.id, sn.operation, sn.addedFiles.size.toLong,
+          sn.addedFiles.map(_.rowCount).sum))
+    }.toDF("table", "snapshot_id", "operation", "n_files", "n_rows")
+      .orderBy("table", "snapshot_id")
+  }
+
+  /** meta_files: the `files` metadata table with exact per-file stats (A6). */
+  private def metaFiles: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data)
+    cat.listTables("nyc").flatMap { t =>
+      cat.files("nyc", t).map(f =>
+        (t, Paths.get(f.path).getFileName.toString, f.sizeBytes, f.rowCount))
+    }.toDF("table", "file_name", "size_bytes", "row_count")
+      .orderBy("table", "file_name")
+  }
+
+  /** meta_time_travel: state at snapshot 1 vs current (A12). */
+  private def metaTimeTravel: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data)
+    cat.importFolders(s, data) // snapshot 2 doubles every table
+    val t = "lineitem"
+    val atS1 = cat.readTable(s, "nyc", t, asOf = Some(1L)).count()
+    val cur = cat.readTable(s, "nyc", t).count()
+    Seq((t, 1L, atS1), (t, 2L, cur))
+      .toDF("table", "as_of_snapshot", "n_rows")
+      .orderBy("as_of_snapshot")
+  }
+
+  /** meta_show_tables: I2/I3 introspection triple. */
+  private def metaShowTables: QFn = (s, d) => {
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data)
+    GraftSql.showTables(s, cat, "nyc").orderBy("tableName")
+  }
+
+  /** meta_show_create: I4 DDL text per table. */
+  private def metaShowCreate: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data)
+    cat.listTables("nyc").map(t => (t, GraftSql.showCreateTable(cat, "nyc", t)))
+      .toDF("tableName", "createtab_stmt")
+      .orderBy("tableName")
+  }
+
+  /** q_sql_entry: SQL text through the Thrift-equivalent entry, over temp
+    * views of the testdata (oracle: identical SQL in DuckDB). */
+  private def qSqlEntry: QFn = (s, d) => {
+    graft.Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    GraftSql.sql(s,
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** q_sql_rewrite: the I1 rewrite observable end-to-end — a SHOW CREATE
+    * VIEW statement is served by rewriting to SHOW CREATE TABLE against a
+    * temp view's catalog entry. */
+  private def qSqlRewrite: QFn = (s, d) => {
+    import s.implicits._
+    val in = "SHOW CREATE VIEW some_view"
+    Seq((in, GraftSql.rewrite(in), GraftSql.rewrite("SELECT 1") == "SELECT 1"))
+      .toDF("input_stmt", "rewritten_stmt", "passthrough_ok")
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "meta_import"      -> metaImport,
+    "meta_snapshots"   -> metaSnapshots,
+    "meta_files"       -> metaFiles,
+    "meta_time_travel" -> metaTimeTravel,
+    "meta_show_tables" -> metaShowTables,
+    "meta_show_create" -> metaShowCreate,
+    "q_sql_entry"      -> qSqlEntry,
+    "q_sql_rewrite"    -> qSqlRewrite,
+  )
+
+  /** Only q_sql_entry is oracle-able; meta_* exercise engine-native
+    * semantics DuckDB can't see (SURVEY.md §2.9). */
+  val oracles: Map[String, String] = Map(
+    "q_sql_entry" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

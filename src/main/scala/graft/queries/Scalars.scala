@@ -48,7 +48,9 @@ object Scalars {
   private def qMathFuncs: QFn = (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice"), 1).as("price_r1"),
+        // prices carry 2 decimals, so rounding at 3 never hits a decimal
+        // halfway point (where Spark/DuckDB double-rounding can diverge)
+        round(col("l_extendedprice"), 3).as("price_r3"),
         floor(col("l_extendedprice")).as("price_floor"),
         ceil(col("l_extendedprice")).as("price_ceil"),
         round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
@@ -146,7 +148,7 @@ object Scalars {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
-        |       round(l_extendedprice, 1) AS price_r1,
+        |       round(l_extendedprice, 3) AS price_r3,
         |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
         |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         |       round(abs(l_discount - 0.05), 4) AS disc_dev,

@@ -1,0 +1,48 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.catalog.GraftCatalog
+
+/** SQL text entry point + the BI dialect shims the reference carries in its
+  * Superset client (SURVEY.md §2.I).
+  */
+object GraftSql {
+
+  /** Statement rewrite I1: Spark SQL has no `SHOW CREATE VIEW`; the
+    * reference intercepts and rewrites before execution
+    * (`/root/reference/superset_config.py:19-41`, prefix match at `:24-27`).
+    */
+  def rewrite(statement: String): String = {
+    val t = statement.trim
+    if (t.toUpperCase.startsWith("SHOW CREATE VIEW"))
+      "SHOW CREATE TABLE" + t.substring("SHOW CREATE VIEW".length)
+    else statement
+  }
+
+  /** The q_sql_entry surface: full SQL text in, DataFrame out — the same
+    * contract the reference serves over HiveServer2 Thrift
+    * (`/root/reference/entrypoint-spark.sh:71-73`). */
+  def sql(spark: SparkSession, statement: String): DataFrame =
+    spark.sql(rewrite(statement))
+
+  /** I2: `SHOW TABLES IN <ns>` rows — (database, tableName, isTemporary),
+    * the triple PyHive's patched introspection reads
+    * (`/root/reference/pyhive_spark_patch.py:8-13`). */
+  def showTables(spark: SparkSession, cat: GraftCatalog, ns: String): DataFrame = {
+    import spark.implicits._
+    cat.listTables(ns).map(t => (ns, t, false))
+      .toDF("namespace", "tableName", "isTemporary")
+  }
+
+  /** I4: `SHOW CREATE TABLE` DDL text (multi-line, newline-joined like the
+    * client shim, `/root/reference/pyhive_spark_patch.py:21-35`). */
+  def showCreateTable(cat: GraftCatalog, ns: String, table: String): String = {
+    val meta = cat.loadTable(ns, table)
+    val cols = meta.schema.fields.map { f =>
+      val nullable = if (f.nullable) "" else " NOT NULL"
+      s"  ${f.name} ${f.dataType.sql}$nullable"
+    }.mkString(",\n")
+    s"CREATE TABLE $ns.$table (\n$cols\n)\nUSING parquet"
+  }
+}

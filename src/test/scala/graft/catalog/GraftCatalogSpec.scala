@@ -1,0 +1,127 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+/** Catalog semantics per the reference (FIXTURES.md §2): create → append →
+  * snapshot → time-travel → drop; first-file-wins schema; .prq extension;
+  * empty-folder skip; per-folder error isolation.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private def freshDirs() = {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "cat_spec")
+    val data = base.resolve("data"); Files.createDirectories(data)
+    val wh = base.resolve("warehouse"); Files.createDirectories(wh)
+    (data, wh)
+  }
+
+  private def writeParquet(path: String, df: org.apache.spark.sql.DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+  import scala.jdk.CollectionConverters._
+
+  private def singleFile(dir: String): java.nio.file.Path =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+
+  test("create/load/exists/drop round-trip") {
+    val (_, wh) = freshDirs()
+    val cat = new GraftCatalog(wh.toString)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    cat.createTable("ns1", "t1", schema)
+    assert(cat.tableExists("ns1", "t1"))
+    val meta = cat.loadTable("ns1", "t1")
+    assert(meta.schema === schema)
+    assert(meta.snapshots.isEmpty)
+    assert(cat.dropTable("ns1", "t1"))
+    assert(!cat.tableExists("ns1", "t1"))
+  }
+
+  test("append snapshots accumulate and time travel prunes files") {
+    import spark.implicits._
+    val (data, wh) = freshDirs()
+    val cat = new GraftCatalog(wh.toString)
+    val fileA = data.resolve("a.parquet").toString
+    val fileB = data.resolve("b.parquet").toString
+    writeParquet(fileA, Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    writeParquet(fileB, Seq((3L, "z")).toDF("id", "v"))
+    val pa = singleFile(fileA); val pb = singleFile(fileB)
+
+    cat.createTable("ns", "t", spark.read.parquet(fileA).schema)
+    cat.append("ns", "t", Seq(DataFileMeta(pa.toString, Files.size(pa),
+      cat.footerRowCount(pa))))
+    cat.append("ns", "t", Seq(DataFileMeta(pb.toString, Files.size(pb),
+      cat.footerRowCount(pb))))
+
+    val snaps = cat.snapshots("ns", "t")
+    assert(snaps.map(_.id) === Seq(1L, 2L))
+    assert(snaps.head.addedFiles.head.rowCount === 2L)
+    assert(cat.readTable(spark, "ns", "t", asOf = Some(1L)).count() === 2L)
+    assert(cat.readTable(spark, "ns", "t").count() === 3L)
+    assert(cat.files("ns", "t").map(_.rowCount).sum === 3L)
+  }
+
+  test("importFolders: folder→table, .prq accepted, empty skipped, errors isolated") {
+    import spark.implicits._
+    val (data, wh) = freshDirs()
+    writeParquet(data.resolve("TableA").toString, Seq(1L, 2L, 3L).toDF("id"))
+    // .prq extension (ImportParquetFolders.java:123-126)
+    writeParquet(data.getParent.resolve("tmp_b").toString, Seq(4L).toDF("id"))
+    val bDir = data.resolve("b"); Files.createDirectories(bDir)
+    val src = Files.list(data.getParent.resolve("tmp_b")).iterator.asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(src, bDir.resolve("data.prq"))
+    Files.createDirectories(data.resolve("empty_one")) // must be skipped
+    // a "bad" folder: parquet-named file with garbage bytes (isolation)
+    val bad = data.resolve("badt"); Files.createDirectories(bad)
+    Files.write(bad.resolve("junk.parquet"), "not parquet".getBytes)
+
+    val cat = new GraftCatalog(wh.toString)
+    val out = cat.importFolders(spark, data.toString)
+    val byTable = out.map(r => r.table -> r.rows).toMap
+    assert(byTable.get("tablea").contains(3L)) // lower-cased name
+    assert(byTable.get("b").contains(1L))
+    assert(!byTable.contains("empty_one"))
+    assert(!byTable.contains("badt")) // isolated, not thrown
+    assert(cat.listTables("nyc").toSet === Set("tablea", "b"))
+    assert(cat.namespaceExists("default"))
+  }
+
+  test("schema is fixed by the FIRST file; no merge") {
+    import spark.implicits._
+    val (data, wh) = freshDirs()
+    val tdir = data.resolve("t1"); Files.createDirectories(tdir)
+    writeParquet(data.getParent.resolve("tmp1").toString, Seq(1L).toDF("id"))
+    writeParquet(data.getParent.resolve("tmp2").toString,
+      Seq((2L, "extra")).toDF("id", "more"))
+    val f1 = Files.list(data.getParent.resolve("tmp1")).iterator.asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val f2 = Files.list(data.getParent.resolve("tmp2")).iterator.asScala
+      .find(_.toString.endsWith(".parquet")).get
+    // name files so the narrow one sorts first (first-file-wins)
+    Files.copy(f1, tdir.resolve("0_first.parquet"))
+    Files.copy(f2, tdir.resolve("1_second.parquet"))
+    val cat = new GraftCatalog(wh.toString)
+    cat.importFolders(spark, data.toString)
+    val schema = cat.loadTable("nyc", "t1").schema
+    assert(schema.fieldNames.toSeq === Seq("id")) // narrow first file wins
+  }
+
+  test("concurrent commit on same base version is rejected") {
+    val (_, wh) = freshDirs()
+    val cat = new GraftCatalog(wh.toString)
+    cat.createTable("ns", "t", StructType(Seq(StructField("id", LongType))))
+    // simulate a racing writer that already produced v2
+    val md = Paths.get(wh.toString, "ns", "t", "metadata")
+    Files.writeString(md.resolve("v2.json"),
+      Files.readString(md.resolve("v1.json")))
+    intercept[IllegalStateException] {
+      cat.append("ns", "t", Seq(DataFileMeta("/nope.parquet", 1L, 1L)))
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Sanitize rules (reference `sanitize_parquet.py:40-61`) — fixtures per
+  * FIXTURES.md §2 plus ScalaCheck round-trips. */
+class SanitizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, BigDecimal(1234567890123456789L), BigDecimal(1704067200000000L), "a"),
+    (2L, BigDecimal(42L), BigDecimal(1704067260500000L), "b"))
+    .toDF("id", "counter", "timestamp", "label")
+    .select(col("id"),
+      col("counter").cast(DecimalType(20, 0)).as("counter"),
+      col("timestamp").cast(DecimalType(20, 0)).as("timestamp"),
+      col("label"))
+
+  test("rule B2: decimal(20,0) epoch-µs column named `timestamp` → timestamp") {
+    val out = Sanitize.sanitize(fixture)
+    assert(out.schema("timestamp").dataType === TimestampType)
+    val ts = out.orderBy("id").select("timestamp").as[java.sql.Timestamp].collect()
+    assert(ts(0).toInstant.toString === "2024-01-01T00:00:00Z")
+    assert(ts(1).toInstant.toString === "2024-01-01T00:01:00.500Z")
+  }
+
+  test("rule B1: unsigned-hint long → decimal(20,0); name rule NOT applied elsewhere") {
+    val df = Seq((1L, 10L, 20L)).toDF("id", "counter", "other_ts")
+    val out = Sanitize.sanitize(df, unsignedHints = Set("counter", "other_ts"))
+    assert(out.schema("counter").dataType === DecimalType(20, 0))
+    assert(out.schema("other_ts").dataType === DecimalType(20, 0)) // not timestamp
+  }
+
+  test("rule B3: column order, untouched columns and types preserved") {
+    val out = Sanitize.sanitize(fixture)
+    assert(out.schema.fieldNames.toSeq === Seq("id", "counter", "timestamp", "label"))
+    assert(out.schema("label").dataType === StringType)
+    assert(out.schema("counter").dataType === DecimalType(20, 0))
+  }
+
+  test("rule B4: dry-run report lists exactly the changed columns") {
+    val rep = Sanitize.report(fixture).collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(rep === Map("timestamp" -> "timestamp"))
+    val rep2 = Sanitize.report(
+      Seq((1L, 2L)).toDF("id", "counter"), unsignedHints = Set("counter"))
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(rep2 === Map("counter" -> "decimal(20,0)"))
+  }
+
+  test("property: epoch-µs round-trips through the timestamp cast") {
+    // epoch micros within Spark's timestamp range (1970..2100), fixed seed
+    val gen = Gen.choose(0L, 4102444800000000L)
+    val samples = (0 until 50).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+    val df = samples.map(BigDecimal(_)).toDF("timestamp")
+      .select(col("timestamp").cast(DecimalType(20, 0)).as("timestamp"))
+    val out = Sanitize.sanitize(df)
+      .select(unix_micros(col("timestamp"))).as[Long].collect().toSeq
+    assert(out.sorted === samples.sorted)
+  }
+}

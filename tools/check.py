@@ -37,7 +37,18 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
+    import os
     failed = []
+    for name in sorted(os.listdir(out_dir)):
+        if name in oracles or not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        try:
+            n = con.sql(
+                f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+            status = f"rows-only {name} ({n} rows)"
+            print(f"OK    {status}" if n > 0 else f"WARN  {status} — EMPTY")
+        except Exception as e:
+            failed.append((name, f"non-oracle output unreadable: {e}"))
     for name, sql in sorted(oracles.items()):
         try:
             spark_rel = con.sql(
