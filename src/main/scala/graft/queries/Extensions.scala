@@ -238,26 +238,29 @@ object Extensions {
   }
 
   /** Embedding-cosine near-dup: label-blocked pairs (the blocking key is
-    * the ANN cell stand-in), per-label pair counts + high-sim counts. */
+    * the ANN cell stand-in), per-label pair counts + high-sim counts.
+    * Norms are computed once per VECTOR before the join — computing them
+    * inside the pair expression would redo each O(dim) norm n-1 times
+    * (the dominant cost of all-pairs scoring at scale). Numerically
+    * identical: same fold order, same double ops as the oracle. */
   private def qEmbedNeardup: QFn = (s, d) => {
-    val a = Tables.embeddings(s, d)
-      .select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = Tables.embeddings(s, d)
-      .select(col("label").as("label2"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val withNorm = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = withNorm.select(col("label"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = withNorm.select(col("label").as("label2"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
     a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
       .select(col("label"),
-        round(cosineTo2(col("e1"), col("e2")), 4).as("cos_sim"))
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("cos_sim"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("cos_sim") >= 0.8, 1L).otherwise(0L)).as("n_similar"))
       .orderBy("label")
-  }
-
-  private def cosineTo2(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
   // ------------------------------------------------------------- UDF / UDAF
