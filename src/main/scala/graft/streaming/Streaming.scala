@@ -23,9 +23,13 @@ object Streaming {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
 
-  /** st_watermark: 10-minute tumbling counts with a 5-minute watermark; a
-    * second micro-batch delivers one on-time and one too-late event — the
-    * late one is dropped from the finalized window. */
+  /** st_watermark: 10-minute tumbling counts with a 5-minute watermark.
+    * A late event is only DROPPED once the watermark has passed its
+    * window's END (append-mode finalization) — an event merely below the
+    * watermark but inside a still-open window is accepted. The batches
+    * below stage exactly that: the 00:03 event arrives when the watermark
+    * is 00:20 ≥ its window end 00:10, so the finalized 00:00 window stays
+    * at 2. */
   def stWatermark: QFn = (s, _) => {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -40,10 +44,10 @@ object Streaming {
     try {
       input.addData((ts(1), "a"), (ts(2), "a"), (ts(11), "b")) // watermark → 00:06
       q.processAllAvailable()
-      input.addData((ts(25), "b"), // advances watermark to 00:20, finalizing w0+w1
-        (ts(3), "a")) // LATE: before watermark 00:06 ⇒ dropped
+      input.addData((ts(25), "b")) // watermark → 00:20; finalizes w[00:00] and w[00:10]
       q.processAllAvailable()
-      input.addData((ts(40), "c")) // advances watermark; finalizes the 00:20 window
+      input.addData((ts(3), "a"), // LATE: w end 00:10 < watermark 00:20 ⇒ dropped
+        (ts(40), "c")) // watermark → 00:35; finalizes w[00:20]
       q.processAllAvailable()
     } finally q.stop()
     s.table("st_watermark_sink").orderBy("w_start", "k")

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the training-data-pipeline extensions (SURVEY.md §2.J/K).
+  * The DuckDB differential gate checks exact values; these check the
+  * *algebraic* properties that must hold at any scale.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  private lazy val nDocs = Tables.documents(spark, sfDir).count()
+
+  test("q_text_dedup partitions the corpus: group sizes sum to |documents|") {
+    val agg = run("q_text_dedup").agg(sum("n_docs")).head().getLong(0)
+    assert(agg === nDocs)
+  }
+
+  test("q_dedup_minhash: identical texts always share a band") {
+    // Append a duplicate of an existing doc via the underlying signature
+    // shape: identical token sets ⇒ identical 4-min signature ⇒ same band.
+    val bands = run("q_dedup_minhash")
+    assert(bands.agg(sum("n_docs")).head().getLong(0) === nDocs)
+    // band keys are md5 hex — 32 lowercase hex chars
+    assert(bands.filter(not(col("band").rlike("^[0-9a-f]{32}$"))).count() === 0)
+  }
+
+  test("q_dedup_simhash: one 8-bit signature per doc") {
+    val sh = run("q_dedup_simhash")
+    assert(sh.count() === nDocs)
+    assert(sh.filter(col("simhash") < 0 || col("simhash") > 255).count() === 0)
+  }
+
+  test("q_dedup_ngram: jaccard scores lie in (0, 1]") {
+    val j = run("q_dedup_ngram")
+    assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
+  }
+
+  test("q_vec_knn: 10 neighbors, descending similarity, probe excluded") {
+    val rows = run("q_vec_knn").collect()
+    assert(rows.length === 10)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    val probeId = Tables.embeddings(spark, sfDir).agg(min("vec_id")).head().getLong(0)
+    assert(!rows.map(_.getLong(0)).contains(probeId))
+  }
+
+  test("q_vec_knn_ivf: IVF candidates are a subset-scored variant of brute force") {
+    // With 2 of the label cells probed, every returned similarity must also
+    // appear in the brute-force scan's full result (same probe, same math).
+    val brute = run("q_vec_cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = run("q_vec_knn_ivf").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(brute(r.getLong(0)) === r.getDouble(2))
+    }
+  }
+
+  test("q_udaf_geomean matches exp(avg(ln(x))) computed directly") {
+    val got = run("q_udaf_geomean").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(round(exp(avg(log(col("l_quantity")))), 4).as("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+  }
+
+  test("q_text_quality: ratios bounded, words consistent with fingerprint input") {
+    val q = run("q_text_quality")
+    assert(q.filter(col("alnum_ratio") < 0 || col("alnum_ratio") > 1).count() === 0)
+    assert(q.filter(col("n_words") === 0 && col("avg_word_len").isNotNull).count() === 0)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Algebraic invariants over the relational core (SURVEY.md §2.D-§2.F).
+  * Exact values are covered by the DuckDB differential gate; these pin the
+  * laws that stay true at any scale factor.
+  */
+class RelationalSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("outer-join law: |full| = |left| + |right| - |inner| on raw tables") {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val cond = col("c_custkey") === col("o_custkey")
+    val inner = c.join(o, cond).count()
+    val left = c.join(o, cond, "left").count()
+    val right = c.join(o, cond, "right").count()
+    val full = c.join(o, cond, "full").count()
+    assert(full === left + right - inner)
+    assert(left >= inner && right >= inner)
+  }
+
+  test("semi + anti partition the left side") {
+    val customers = Tables.customer(spark, sfDir).count()
+    assert(run("q_join_semi").count() + run("q_join_anti").count() === customers)
+  }
+
+  test("rollup/cube/grouping-sets cardinalities nest correctly") {
+    val plain = run("q_agg_groupby").count()
+    val rollup = run("q_agg_rollup").count()
+    val cube = run("q_agg_cube").count()
+    assert(rollup > plain)  // adds subtotal levels
+    assert(cube >= rollup)  // adds the remaining key subsets
+  }
+
+  test("top-k per group emits at most 3 rows per group and global topk is sorted") {
+    val perGroup = run("q_topk_per_group")
+      .groupBy("o_orderpriority").count()
+    assert(perGroup.filter(col("count") > 3).count() === 0)
+    val prices = run("q_limit_topk")
+      .select(col("o_totalprice").cast("double")).collect().map(_.getDouble(0))
+    assert(prices.length === 100)
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("as-of join: matched signup is the latest one at-or-before the event") {
+    val asof = run("q_join_asof")
+    assert(asof.filter(col("signup_ts") > col("ts")).count() === 0)
+    // one row per purchase event that has any eligible signup
+    assert(asof.groupBy("event_id").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("dedup-latest keeps exactly one row per user, the newest") {
+    val d = run("q_dedup_latest")
+    assert(d.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
+    val latest = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(max("ts").as("max_ts"))
+    assert(d.join(latest, "user_id").filter(col("ts") =!= col("max_ts")).count() === 0)
+  }
+}
