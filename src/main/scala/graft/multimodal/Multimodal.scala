@@ -53,8 +53,50 @@ object Multimodal {
   def qMultimodalMeta: QFn = (s, d) =>
     decodeAssets(Tables.documents(s, d)).toDF().orderBy("doc_id")
 
+  /** Resized asset: fit into a 224×224 box preserving aspect ratio — the
+    * standard vision-model preprocessing shape. */
+  case class ResizedMeta(doc_id: Long, width: Int, height: Int,
+                         out_w: Int, out_h: Int)
+
+  /** STUB resize — a real impl rescales pixels; the geometry arithmetic
+    * (the part Spark sees) is the real thing. */
+  private def resizeStub(m: AssetMeta, box: Int): ResizedMeta = {
+    val scale = math.min(box.toDouble / m.width, box.toDouble / m.height)
+    ResizedMeta(m.doc_id, m.width, m.height,
+      math.floor(m.width * scale).toInt, math.floor(m.height * scale).toInt)
+  }
+
+  /** q_multimodal_resize: decode → per-partition resize, chained through
+    * typed Datasets so both stages stay in one partition-local pipeline
+    * (no shuffle between decode and transform — the property that matters
+    * when each stage holds a codec or model instance at 100 TB). */
+  def qMultimodalResize: QFn = (s, d) => {
+    import s.implicits._
+    decodeAssets(Tables.documents(s, d))
+      .mapPartitions(_.map(resizeStub(_, 224)))
+      .toDF().orderBy("doc_id")
+  }
+
+  /** One sampled frame of a video-ish asset. */
+  case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Int)
+
+  /** q_multimodal_frames: UDTF-shaped frame sampling — each asset expands
+    * to (n_bytes % 4 + 1) frames at 40 ms spacing via flatMap, the
+    * one-to-many generator shape a real video sampler has. */
+  def qMultimodalFrames: QFn = (s, d) => {
+    import s.implicits._
+    decodeAssets(Tables.documents(s, d))
+      .flatMap { m =>
+        val n = m.n_bytes % 4 + 1
+        (0 until n).map(i => Frame(m.doc_id, i, i * 40))
+      }
+      .toDF().orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, QFn] = Map(
-    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_meta"   -> qMultimodalMeta,
+    "q_multimodal_resize" -> qMultimodalResize,
+    "q_multimodal_frames" -> qMultimodalFrames,
   )
 
   val oracles: Map[String, String] = Map(
@@ -65,5 +107,26 @@ object Multimodal {
         |       CAST(64 + octet_length(encode(text)) % 480 AS INTEGER) AS height,
         |       'stub/raw' AS codec
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         64 + octet_length(encode(text)) % 640 AS width,
+        |         64 + octet_length(encode(text)) % 480 AS height
+        |  FROM documents)
+        |SELECT doc_id, CAST(width AS INTEGER) AS width,
+        |       CAST(height AS INTEGER) AS height,
+        |       CAST(floor(width * least(224.0 / width, 224.0 / height))
+        |            AS INTEGER) AS out_w,
+        |       CAST(floor(height * least(224.0 / width, 224.0 / height))
+        |            AS INTEGER) AS out_h
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) % 4 + 1 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
+        |       CAST(f.i * 40 AS INTEGER) AS ts_ms
+        |FROM m, LATERAL unnest(range(0, n_frames)) AS f(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
