@@ -20,10 +20,12 @@ import org.json4s.jackson.Serialization
   */
 case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long)
 
-/** One append snapshot: id (1-based ordinal), wall-clock, and the files
-  * ADDED by this snapshot (append-only ⇒ table state at snapshot N is the
-  * union of added files of snapshots 1..N, which is how Iceberg's
-  * cumulative manifests behave for a pure-append table).
+/** One snapshot: id (1-based ordinal), wall-clock, operation ("append" or
+  * "overwrite"), and the files ADDED by this snapshot. Table state at
+  * snapshot N = union of added files since the latest overwrite ≤ N
+  * (an overwrite REPLACES the file set — Iceberg's overwrite snapshot —
+  * while appends accumulate, as a pure-append table's cumulative manifests
+  * do).
   */
 case class SnapshotMeta(id: Long, timestampMs: Long, operation: String,
                         addedFiles: List[DataFileMeta])
@@ -34,7 +36,10 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
   def schema: StructType = StructType.fromDDL(schemaDdl)
   def filesAsOf(asOf: Option[Long]): List[DataFileMeta] = {
     val cut = asOf.getOrElse(currentSnapshotId)
-    snapshots.filter(_.id <= cut).flatMap(_.addedFiles)
+    val upTo = snapshots.filter(_.id <= cut)
+    val lastOverwrite = upTo.lastIndexWhere(_.operation == "overwrite")
+    (if (lastOverwrite >= 0) upTo.drop(lastOverwrite) else upTo)
+      .flatMap(_.addedFiles)
   }
 }
 
@@ -123,10 +128,31 @@ class GraftCatalog(val warehouse: String) {
 
   /** Metadata-only append commit: one atomic snapshot registering N files,
     * no data rewrite (`ImportParquetFolders.java:102-117`). */
-  def append(ns: String, t: String, files: Seq[DataFileMeta]): TableMeta = {
+  def append(ns: String, t: String, files: Seq[DataFileMeta]): TableMeta =
+    commitSnapshot(ns, t, "append", files)
+
+  /** Overwrite commit: the new snapshot's files REPLACE the table state
+    * (earlier snapshots stay readable via time travel). This is the
+    * snapshot kind Iceberg's MERGE/UPDATE/DELETE extensions produce — the
+    * DML surface the reference enables via its session extensions
+    * (`/root/reference/conf/spark-defaults.conf:1`). */
+  def overwrite(ns: String, t: String, files: Seq[DataFileMeta]): TableMeta =
+    commitSnapshot(ns, t, "overwrite", files)
+
+  /** Stat the given parquet paths (size + exact footer row count, like the
+    * importer does per file) and commit them in one snapshot. */
+  def registerFiles(ns: String, t: String, paths: Seq[Path],
+                    operation: String = "append"): TableMeta = {
+    val metas = paths.map(p =>
+      DataFileMeta(p.toAbsolutePath.toString, Files.size(p), footerRowCount(p)))
+    commitSnapshot(ns, t, operation, metas)
+  }
+
+  private def commitSnapshot(ns: String, t: String, operation: String,
+                             files: Seq[DataFileMeta]): TableMeta = {
     val meta = loadTable(ns, t)
     val snap = SnapshotMeta(meta.currentSnapshotId + 1, System.currentTimeMillis(),
-      "append", files.toList)
+      operation, files.toList)
     val next = meta.copy(currentSnapshotId = snap.id,
       snapshots = meta.snapshots :+ snap)
     commit(next, expectedVersion = currentVersion(ns, t))

@@ -1,0 +1,54 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.catalog.{GraftCatalog, TableMeta}
+
+/** DataFrame-native MERGE / UPDATE / DELETE over the catalog — the
+  * DML-equivalent surface the reference enables through Iceberg's session
+  * extensions (`/root/reference/conf/spark-defaults.conf:1`;
+  * `entrypoint-spark.sh:85`), re-expressed as plan-level joins + an
+  * overwrite snapshot (SURVEY.md §7.5):
+  *
+  *  - MERGE INTO t USING s ON keys WHEN MATCHED UPDATE * WHEN NOT MATCHED
+  *    INSERT * ≡ (t ANTI-JOIN s on keys) UNION ALL s
+  *  - DELETE WHERE p ≡ keep rows with NOT p
+  *
+  * Both rewrite the table into fresh parquet under the table's own
+  * `data/` dir and commit ONE overwrite snapshot, so readers see the change
+  * atomically and time travel still reaches every earlier snapshot. At
+  * scale the anti-join broadcasts when the source is small, and Iceberg's
+  * real copy-on-write MERGE does exactly this file rewrite (merge-on-read
+  * is a different trade we don't need for parity).
+  */
+object Merge {
+
+  private def rewrite(spark: SparkSession, cat: GraftCatalog, ns: String,
+                      table: String, next: DataFrame): TableMeta = {
+    val outDir = Paths.get(cat.warehouse, ns, table, "data",
+      s"rewrite-${System.currentTimeMillis()}")
+    next.write.parquet(outDir.toString)
+    val parts = Files.list(outDir).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    cat.registerFiles(ns, table, parts, operation = "overwrite")
+  }
+
+  /** Upsert: source rows replace matched target rows and add unmatched. */
+  def mergeInto(spark: SparkSession, cat: GraftCatalog, ns: String,
+                table: String, source: DataFrame, keys: Seq[String]): TableMeta = {
+    val target = cat.readTable(spark, ns, table)
+    val merged = target.join(source, keys, "left_anti")
+      .unionByName(source.select(target.columns.map(col).toSeq: _*))
+    rewrite(spark, cat, ns, table, merged)
+  }
+
+  /** DELETE WHERE cond. */
+  def deleteWhere(spark: SparkSession, cat: GraftCatalog, ns: String,
+                  table: String, cond: org.apache.spark.sql.Column): TableMeta = {
+    val target = cat.readTable(spark, ns, table)
+    rewrite(spark, cat, ns, table, target.filter(!cond))
+  }
+}

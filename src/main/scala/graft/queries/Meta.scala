@@ -141,8 +141,35 @@ object Meta {
       .toDF("input_stmt", "rewritten_stmt", "passthrough_ok")
   }
 
+  /** meta_merge: the DML-equivalent surface — upsert + delete as overwrite
+    * snapshots, with time travel back across both (SURVEY.md §7.5). */
+  private def metaMerge: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data)
+    val base = cat.readTable(s, "nyc", "region")
+    val n0 = base.count()
+    // update one existing region's name + insert a brand-new key
+    val updates = base.filter(col("r_regionkey") === 0)
+      .withColumn("r_name", lit("UPDATED"))
+      .unionByName(base.filter(col("r_regionkey") === 0)
+        .withColumn("r_regionkey", lit(99)).withColumn("r_name", lit("INSERTED")))
+    graft.etl.Merge.mergeInto(s, cat, "nyc", "region", updates, Seq("r_regionkey"))
+    val n1 = cat.readTable(s, "nyc", "region").count()
+    val updated = cat.readTable(s, "nyc", "region")
+      .filter(col("r_regionkey") === 0).select("r_name").as[String].head()
+    graft.etl.Merge.deleteWhere(s, cat, "nyc", "region", col("r_regionkey") === 99)
+    val n2 = cat.readTable(s, "nyc", "region").count()
+    val asOfImport = cat.readTable(s, "nyc", "region", asOf = Some(1L)).count()
+    Seq(("initial", n0, ""), ("after_merge", n1, updated),
+      ("after_delete", n2, ""), ("asof_snapshot_1", asOfImport, ""))
+      .toDF("phase", "n_rows", "r0_name")
+  }
+
   val queries: Map[String, QFn] = Map(
     "meta_import"      -> metaImport,
+    "meta_merge"       -> metaMerge,
     "meta_snapshots"   -> metaSnapshots,
     "meta_files"       -> metaFiles,
     "meta_time_travel" -> metaTimeTravel,
