@@ -59,10 +59,15 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** Distribution windows partitioned by segment — an unpartitioned
+    * ntile/percent_rank forces every row into ONE task, which is the
+    * classic 100 TB window failure; per-segment distribution scales and
+    * exercises the same builtins. */
   private def qWinNtile: QFn = (s, d) => {
-    val w = Window.orderBy(asc("c_acctbal"), asc("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(asc("c_acctbal"), asc("c_custkey"))
     Tables.customer(s, d)
-      .select(col("c_custkey"),
+      .select(col("c_custkey"), col("c_mktsegment"),
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cume"))
@@ -157,12 +162,12 @@ object Windows {
         |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "q_win_ntile" ->
-      """SELECT c_custkey,
+      """SELECT c_custkey, c_mktsegment,
         |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |       round(percent_rank() OVER w, 6) AS pct_rank,
         |       round(cume_dist() OVER w, 6) AS cume
         |FROM customer
-        |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
         |ORDER BY c_custkey""".stripMargin,
     "q_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
