@@ -175,13 +175,22 @@ object Extensions {
 
   // ------------------------------------------------------ vector similarity
 
+  /** Float-array dot product: the native codegen'd `graft_dot` expression
+    * when the session has [[graft.functions.GraftExtensions]] (all our
+    * entry points do), else the semantically-identical zip_with fold —
+    * same left-to-right double accumulation, so results and oracle hashes
+    * are independent of which path runs. */
+  private def dotF(s: SparkSession)(a: Column, b: Column): Column =
+    if (s.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Cosine similarity between `v` and the driver-side probe literal, in
     * double precision, folding in list order (bit-compatible with the
     * DuckDB parallel-unnest oracle). */
-  private def cosineTo(v: Column, probe: Column): Column = {
-    def dot(a: Column, b: Column) = aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  private def cosineTo(s: SparkSession)(v: Column, probe: Column): Column = {
+    val dot = dotF(s) _
     dot(v, probe) / (sqrt(dot(v, v)) * sqrt(dot(probe, probe)))
   }
 
@@ -195,7 +204,7 @@ object Extensions {
   private def qVecCosine: QFn = (s, d) =>
     Tables.embeddings(s, d)
       .select(col("vec_id"),
-        round(cosineTo(col("embedding"), probeLit(s, d)), 4).as("cos_sim"))
+        round(cosineTo(s)(col("embedding"), probeLit(s, d)), 4).as("cos_sim"))
       .orderBy("vec_id")
 
   /** Brute-force top-k cosine — the exact baseline every ANN variant is
@@ -205,7 +214,7 @@ object Extensions {
     val probeId = Tables.embeddings(s, d).agg(min("vec_id")).head().getLong(0)
     Tables.embeddings(s, d)
       .filter(col("vec_id") =!= probeId)
-      .select(col("vec_id"), round(cosineTo(col("embedding"), probe), 4).as("cos_sim"))
+      .select(col("vec_id"), round(cosineTo(s)(col("embedding"), probe), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(10)
   }
@@ -224,7 +233,7 @@ object Extensions {
         .as("centroid"))
     val probe = probeLit(s, d)
     val topCells = centroids
-      .select(col("label"), cosineTo(col("centroid").cast("array<float>"), probe).as("c_sim"))
+      .select(col("label"), cosineTo(s)(col("centroid").cast("array<float>"), probe).as("c_sim"))
       .orderBy(desc("c_sim"), asc("label"))
       .limit(2)
       .select("label")
@@ -232,7 +241,7 @@ object Extensions {
     emb.join(broadcast(topCells), "label")
       .filter(col("vec_id") =!= probeId)
       .select(col("vec_id"), col("label"),
-        round(cosineTo(col("embedding"), probe), 4).as("cos_sim"))
+        round(cosineTo(s)(col("embedding"), probe), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(10)
   }
@@ -244,9 +253,7 @@ object Extensions {
     * (the dominant cost of all-pairs scoring at scale). Numerically
     * identical: same fold order, same double ops as the oracle. */
   private def qEmbedNeardup: QFn = (s, d) => {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    val dot = dotF(s) _
     val withNorm = Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
