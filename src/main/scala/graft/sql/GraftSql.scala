@@ -35,6 +35,27 @@ object GraftSql {
       .toDF("namespace", "tableName", "isTemporary")
   }
 
+  /** I3: `SHOW VIEWS IN <ns>` — the engine registers no persistent views
+    * (the reference's catalog has none either), so this lists the
+    * session's temp views, shaped like the PyHive patch expects
+    * (`/root/reference/pyhive_spark_patch.py:15-19`). */
+  def showViews(spark: SparkSession, ns: String): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables()
+      .filter(_.tableType == "TEMPORARY")
+      .collect().map(t => (ns, t.name, true)).toSeq
+      .toDF("namespace", "viewName", "isTemporary")
+  }
+
+  /** C4: incremental result transfer — one partition collected at a time,
+    * never the whole result on the driver — the semantics the reference
+    * turns on with `spark.sql.hive.thriftServer.incrementalCollect=true`
+    * (`/root/reference/entrypoint-spark.sh:110`). */
+  def serveIncremental(df: DataFrame): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
+
   /** I4: `SHOW CREATE TABLE` DDL text (multi-line, newline-joined like the
     * client shim, `/root/reference/pyhive_spark_patch.py:21-35`). */
   def showCreateTable(cat: GraftCatalog, ns: String, table: String): String = {
