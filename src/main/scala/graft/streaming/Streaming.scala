@@ -23,6 +23,10 @@ object Streaming {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
 
+  /** Per-user open-session state for [[stSessionize]] (top-level so Spark
+    * can derive its Encoder). */
+  case class SessState(n: Long, startMs: Long, lastMs: Long)
+
   /** st_watermark: 10-minute tumbling counts with a 5-minute watermark.
     * A late event is only DROPPED once the watermark has passed its
     * window's END (append-mode finalization) — an event merely below the
@@ -73,8 +77,58 @@ object Streaming {
     s.table("st_dedup_sink").select("event_id", "payload").orderBy("event_id")
   }
 
+  /** st_sessionize: custom keyed state via flatMapGroupsWithState — the
+    * extension point for stateful logic the built-in operators can't
+    * express. Per-user sessions close after a 10-minute event-time gap
+    * (watermark-driven timeout), emitting (user, n_events, start, end).
+    * State per key is O(1) and reclaimed on timeout — the property that
+    * keeps an unbounded 100 TB/day stream's state store bounded. */
+  def stSessionize: QFn = (s, _) => {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = input.toDS().toDF("ts", "user")
+      .withWatermark("ts", "5 minutes")
+      .as[(Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[SessState, (String, Long, Timestamp, Timestamp)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, events, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator((user, st.n, new Timestamp(st.startMs), new Timestamp(st.lastMs)))
+          } else {
+            val ts = events.map(_._1.getTime).toSeq
+            val prev = state.getOption.getOrElse(SessState(0L, ts.min, ts.min))
+            val next = SessState(prev.n + ts.size, math.min(prev.startMs, ts.min),
+              math.max(prev.lastMs, ts.max))
+            state.update(next)
+            // close the session 10 min of event time after the last event
+            state.setTimeoutTimestamp(next.lastMs + 10 * 60 * 1000)
+            Iterator.empty
+          }
+      }
+      .toDF("user", "n_events", "s_start", "s_end")
+    val q = sessions.writeStream
+      .format("memory").queryName("st_sessionize_sink").outputMode("append").start()
+    try {
+      input.addData((ts(1), "u1"), (ts(3), "u1"), (ts(2), "u2"))
+      q.processAllAvailable()
+      // event time jumps far ahead ⇒ watermark passes both users' timeouts
+      input.addData((ts(50), "u3"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "u3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("st_sessionize_sink").orderBy("user")
+  }
+
   val queries: Map[String, QFn] = Map(
-    "st_watermark" -> stWatermark,
-    "st_dedup"     -> stDedup,
+    "st_watermark"  -> stWatermark,
+    "st_dedup"      -> stDedup,
+    "st_sessionize" -> stSessionize,
   )
 }

@@ -25,4 +25,16 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSeq === Seq((1L, "first"), (2L, "first"), (3L, "first")))
   }
+
+  test("st_sessionize: sessions close on event-time gap; open sessions withheld") {
+    val rows = Streaming.stSessionize(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).toInstant.toString, r.getTimestamp(3).toInstant.toString))
+    // u1 and u2 timed out once the watermark passed last-event + 10 min;
+    // u3's session is still open (no later watermark advance) ⇒ not emitted.
+    assert(rows.toSeq === Seq(
+      ("u1", 2L, "2024-01-01T00:01:00Z", "2024-01-01T00:03:00Z"),
+      ("u2", 1L, "2024-01-01T00:02:00Z", "2024-01-01T00:02:00Z")))
+  }
 }
