@@ -90,6 +90,31 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish tokenization: split text into letter runs, digit runs, and
+    * punctuation runs (the three class shapes byte-pair merges start
+    * from), via regexp_extract_all — character-class-only pattern so the
+    * Java and RE2 regex dialects agree. */
+  private def qTextBpe: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)")
+          .as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash document fingerprint: polynomial fold
+    * h = (h*31 + len(token)) mod 1e9+7 over the token sequence IN ORDER —
+    * order-sensitive (unlike the md5-of-sorted-tokens fingerprint) and
+    * overflow-safe under ANSI mode in both engines. */
+  private def qTextRollhash: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(expr(tokensExpr), lit(0L),
+          (acc, t) => pmod(acc * 31 + length(t), lit(1000000007L))).as("rollhash"))
+      .orderBy("doc_id")
+
   /** Document fingerprint: md5 over the 8 smallest distinct tokens —
     * a deterministic, order-insensitive content signature. */
   private def qTextFingerprint: QFn = (s, d) =>
@@ -305,6 +330,8 @@ object Extensions {
     "q_text_quality"    -> qTextQuality,
     "q_text_langid"     -> qTextLangid,
     "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_bpe"        -> qTextBpe,
+    "q_text_rollhash"   -> qTextRollhash,
     "q_dedup_minhash"   -> qDedupMinhash,
     "q_dedup_simhash"   -> qDedupSimhash,
     "q_neardup_band"    -> qNeardupBand,
@@ -374,6 +401,24 @@ object Extensions {
         |    (list_sort(list_distinct(list_filter(
         |       string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))))[1:8],
         |    ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))
+        |       AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(
+        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')))
+        |       AS INTEGER) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_rollhash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                    t -> t <> ''),
+        |        t -> CAST(length(t) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rollhash
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH tok AS ($tokensSql),
