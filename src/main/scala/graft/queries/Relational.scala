@@ -180,6 +180,16 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** BI-shaped cross-tab: pivot with explicit key values (explicit so the
+    * output schema is static — at scale an inferred pivot would scan once
+    * just to discover columns). */
+  private def qAggPivot: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy("l_linestatus")
+
   private def qAggDistinct: QFn = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -285,6 +295,7 @@ object Relational {
     "q_join_asof"         -> qJoinAsof,
     "q_agg_global"        -> qAggGlobal,
     "q_agg_groupby"       -> qAggGroupby,
+    "q_agg_pivot"         -> qAggPivot,
     "q_agg_distinct"      -> qAggDistinct,
     "q_agg_having"        -> qAggHaving,
     "q_agg_rollup"        -> qAggRollup,
@@ -402,6 +413,12 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |       count(DISTINCT l_partkey) AS n_part
