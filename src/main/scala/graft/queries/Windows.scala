@@ -110,6 +110,19 @@ object Windows {
       .orderBy("user_id", "s_start")
 
   /** Latest event per user — streaming-shaped dedup in batch form. */
+  /** first/last/nth analytic values over a frame pinned to the whole
+    * partition (last_value needs unbounded following to be well-defined). */
+  private def qWinFirstLast: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .orderBy("user_id", "event_id")
+  }
+
   private def qDedupLatest: QFn = (s, d) => {
     val w = Window.partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
     Tables.events(s, d)
@@ -129,6 +142,7 @@ object Windows {
     "q_window_tumbling" -> qWindowTumbling,
     "q_window_sliding"  -> qWindowSliding,
     "q_window_session"  -> qWindowSession,
+    "q_win_firstlast"   -> qWinFirstLast,
     "q_dedup_latest"    -> qDedupLatest,
   )
 
@@ -161,6 +175,15 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC
         |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_win_firstlast" ->
+      """SELECT user_id, event_id,
+        |       first_value(event_type) OVER w AS first_type,
+        |       last_value(event_type) OVER w AS last_type,
+        |       nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_win_ntile" ->
       """SELECT c_custkey, c_mktsegment,
         |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
