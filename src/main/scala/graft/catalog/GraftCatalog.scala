@@ -13,12 +13,19 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
 
-/** One registered data file: exactly the fields the reference's importer
-  * records per file (`/root/reference/src/main/java/com/example/
+/** Per-column [min, max] from the Parquet footer statistics of one file
+  * (numeric columns only), the manifest-level stats Iceberg planners use
+  * for file skipping. */
+case class ColRange(min: Double, max: Double)
+
+/** One registered data file: the fields the reference's importer records
+  * per file (`/root/reference/src/main/java/com/example/
   * ImportParquetFolders.java:105-115` — path, size in bytes, record count,
-  * format=PARQUET).
+  * format=PARQUET) plus footer min/max stats for scan-time file skipping
+  * (what Iceberg's manifests carry and its planner consumes).
   */
-case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long)
+case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long,
+                        colRanges: Option[Map[String, ColRange]] = None)
 
 /** One snapshot: id (1-based ordinal), wall-clock, operation ("append" or
   * "overwrite"), and the files ADDED by this snapshot. Table state at
@@ -196,8 +203,11 @@ class GraftCatalog(val warehouse: String) {
       import scala.jdk.CollectionConverters._
       val tasks = files.map { f =>
         new java.util.concurrent.Callable[DataFileMeta] {
-          def call(): DataFileMeta =
-            DataFileMeta(f.toAbsolutePath.toString, Files.size(f), footerRowCount(f))
+          def call(): DataFileMeta = {
+            val (rows, ranges) = footerStats(f)
+            DataFileMeta(f.toAbsolutePath.toString, Files.size(f), rows,
+              if (ranges.nonEmpty) Some(ranges) else None)
+          }
         }
       }
       pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
@@ -206,11 +216,69 @@ class GraftCatalog(val warehouse: String) {
 
   /** Exact per-file row count from the Parquet footer
     * (`ImportParquetFolders.java:140-146`). */
-  private[catalog] def footerRowCount(p: Path): Long = {
+  private[catalog] def footerRowCount(p: Path): Long = footerStats(p)._1
+
+  /** Row count + per-numeric-column [min,max] from ONE footer read. */
+  private[catalog] def footerStats(p: Path): (Long, Map[String, ColRange]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
     val r = ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      import scala.jdk.CollectionConverters._
+      val perCol = collection.mutable.Map.empty[String, ColRange]
+      r.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { c =>
+          val st = c.getStatistics
+          if (st != null && !st.isEmpty && st.hasNonNullValue) {
+            val num: Option[(Double, Double)] =
+              c.getPrimitiveType.getPrimitiveTypeName match {
+                case INT32 | INT64 | FLOAT | DOUBLE =>
+                  Some((st.genericGetMin, st.genericGetMax) match {
+                    case (mn: Number, mx: Number) =>
+                      (mn.doubleValue(), mx.doubleValue())
+                  })
+                case _ => None // strings/binary/logical types: skip (v1 scope)
+              }
+            num.foreach { case (mn, mx) =>
+              val key = c.getPath.toDotString
+              val merged = perCol.get(key)
+                .map(o => ColRange(math.min(o.min, mn), math.max(o.max, mx)))
+                .getOrElse(ColRange(mn, mx))
+              perCol(key) = merged
+            }
+          }
+        }
+      }
+      (r.getRecordCount, perCol.toMap)
+    } finally r.close()
+  }
+
+  /** Manifest-style file skipping: keep only files whose [min,max] for
+    * `column` can intersect [lower, upper]; files without stats are kept
+    * (skipping must be conservative). This happens at file-list
+    * construction time, BEFORE Spark plans the scan — row-group/page
+    * pruning inside the surviving files is then Parquet pushdown. */
+  def filesForScan(ns: String, t: String, column: String,
+                   lower: Double, upper: Double,
+                   asOf: Option[Long] = None): Seq[DataFileMeta] =
+    loadTable(ns, t).filesAsOf(asOf).filter { f =>
+      f.colRanges.flatMap(_.get(column)) match {
+        case Some(rg) => rg.max >= lower && rg.min <= upper
+        case None     => true
+      }
+    }
+
+  /** Read with file skipping on a numeric column predicate. The caller
+    * still applies the row-level filter; this only prunes whole files. */
+  def readTableWhere(spark: SparkSession, ns: String, t: String,
+                     column: String, lower: Double, upper: Double,
+                     asOf: Option[Long] = None): DataFrame = {
+    val meta = loadTable(ns, t)
+    val fs = filesForScan(ns, t, column, lower, upper, asOf).map(_.path)
+    if (fs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    else spark.read.schema(meta.schema).parquet(fs: _*)
   }
 
   /** Walk `<dataDir>/<table>/` folders and register each as a table by

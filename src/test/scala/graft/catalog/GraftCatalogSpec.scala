@@ -112,6 +112,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(schema.fieldNames.toSeq === Seq("id")) // narrow first file wins
   }
 
+  test("footer min/max stats enable file skipping; statless files are kept") {
+    import spark.implicits._
+    val (data, wh) = freshDirs()
+    val tdir = data.resolve("t"); Files.createDirectories(tdir)
+    Seq(1L, 5L, 10L).toDF("id").coalesce(1)
+      .write.parquet(data.getParent.resolve("f1").toString)
+    Seq(11L, 20L).toDF("id").coalesce(1)
+      .write.parquet(data.getParent.resolve("f2").toString)
+    Seq(21L, 30L).toDF("id").coalesce(1)
+      .write.parquet(data.getParent.resolve("f3").toString)
+    Seq("f1", "f2", "f3").foreach { n =>
+      val f = Files.list(data.getParent.resolve(n)).iterator.asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(f, tdir.resolve(s"$n.parquet"))
+    }
+    val cat = new GraftCatalog(wh.toString)
+    cat.importFolders(spark, data.toString)
+
+    val hit = cat.filesForScan("nyc", "t", "id", 12, 15)
+    assert(hit.size === 1 && hit.head.path.endsWith("f2.parquet"))
+    assert(cat.readTableWhere(spark, "nyc", "t", "id", 12, 15).count() === 2) // file rows
+    assert(cat.filesForScan("nyc", "t", "id", 0, 100).size === 3)
+    assert(cat.filesForScan("nyc", "t", "id", 500, 600).isEmpty)
+    // a file registered without stats is never skipped
+    cat.append("nyc", "t", Seq(DataFileMeta(
+      tdir.resolve("f1.parquet").toString, 1L, 3L)))
+    assert(cat.filesForScan("nyc", "t", "id", 500, 600).size === 1)
+  }
+
   test("concurrent commit on same base version is rejected") {
     val (_, wh) = freshDirs()
     val cat = new GraftCatalog(wh.toString)
