@@ -167,9 +167,42 @@ object Meta {
       .toDF("phase", "n_rows", "r0_name")
   }
 
+  /** meta_file_skip: manifest-style file skipping observable end-to-end —
+    * a table of two disjoint-range files is scanned with a predicate that
+    * can only hit one; the report shows files pruned vs scanned and that
+    * results agree with the unpruned read. */
+  private def metaFileSkip: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data)
+    // orders twice = 2 files with IDENTICAL o_orderkey ranges; lineitem has
+    // one file — use l_orderkey halves instead: split lineitem by orderkey
+    val li = graft.Tables.lineitem(s, d)
+    val mid = li.agg(expr("percentile(l_orderkey, 0.5)")).head().getDouble(0)
+    val base = Paths.get(wh).getParent.resolve("split")
+    li.filter(col("l_orderkey") <= mid).write.parquet(base.resolve("lo").toString)
+    li.filter(col("l_orderkey") > mid).write.parquet(base.resolve("hi").toString)
+    val parts = Seq("lo", "hi").flatMap(n =>
+      Files.list(base.resolve(n)).iterator.asScala
+        .filter(_.toString.endsWith(".parquet")))
+    cat.createTable("nyc", "li_split", li.schema)
+    cat.registerFiles("nyc", "li_split", parts)
+    val total = cat.files("nyc", "li_split").size.toLong
+    val kept = cat.filesForScan("nyc", "li_split", "l_orderkey", 1, mid / 2).size.toLong
+    val prunedCount = cat.readTableWhere(s, "nyc", "li_split", "l_orderkey", 1, mid / 2)
+      .filter(col("l_orderkey") <= mid / 2).count()
+    val fullCount = cat.readTable(s, "nyc", "li_split")
+      .filter(col("l_orderkey") <= mid / 2).count()
+    Seq((total, kept, prunedCount, fullCount, prunedCount == fullCount))
+      .toDF("n_files", "n_files_after_skip", "n_rows_pruned_scan",
+        "n_rows_full_scan", "results_agree")
+  }
+
   val queries: Map[String, QFn] = Map(
     "meta_import"      -> metaImport,
     "meta_merge"       -> metaMerge,
+    "meta_file_skip"   -> metaFileSkip,
     "meta_snapshots"   -> metaSnapshots,
     "meta_files"       -> metaFiles,
     "meta_time_travel" -> metaTimeTravel,
