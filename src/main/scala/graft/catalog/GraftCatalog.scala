@@ -147,10 +147,14 @@ class GraftCatalog(val warehouse: String) {
     commitSnapshot(ns, t, "overwrite", files)
 
   /** Stat the given parquet paths (size + exact footer row count, like the
-    * importer does per file) and commit them in one snapshot. */
+    * importer does per file) and commit them in one snapshot. Directories
+    * (e.g. a Spark `.write.parquet` output) expand to their part files. */
   def registerFiles(ns: String, t: String, paths: Seq[Path],
-                    operation: String = "append"): TableMeta =
-    commitSnapshot(ns, t, operation, statFiles(paths))
+                    operation: String = "append"): TableMeta = {
+    val expanded = paths.flatMap(p =>
+      if (Files.isDirectory(p)) findParquet(p) else Seq(p))
+    commitSnapshot(ns, t, operation, statFiles(expanded))
+  }
 
   private def commitSnapshot(ns: String, t: String, operation: String,
                              files: Seq[DataFileMeta]): TableMeta = {

@@ -71,11 +71,36 @@ object Etl {
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
+  /** etl_pipeline: the reference's three stages composed end-to-end —
+    * sanitize (B1-B3) → compact (B6-B9) → metadata-only catalog register
+    * (A5-A7) → query the registered snapshot. What a user of the reference
+    * runs as three processes (python, python, java) is one plan chain
+    * here; the oracle recomputes the same aggregate from the raw input. */
+  private def etlPipeline: QFn = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "pipeline")
+    // stage 1+2: sanitize the uint64-shaped fixture, compact to one file
+    val stats = graft.etl.Compact.compact(s,
+      Seq(s"$d/events.parquet"), base.resolve("out").toString,
+      codec = "zstd", overwrite = true, sanitizeFirst = true)
+    // stage 3: register the compacted file in the catalog
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    cat.createTable("etl", "events_c", s.read.parquet(stats.outPath).schema)
+    cat.registerFiles("etl", "events_c", Seq(Paths.get(stats.outPath)))
+    // stage 4: query through the catalog read path
+    cat.readTable(s, "etl", "events_c")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QFn] = Map(
     "etl_sanitize_uint64" -> etlSanitizeUint64,
     "etl_sanitize_ts"     -> etlSanitizeTs,
     "etl_sanitize_report" -> etlSanitizeReport,
     "etl_compact"         -> etlCompact,
+    "etl_pipeline"        -> etlPipeline,
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,5 +111,8 @@ object Etl {
       """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
         |       count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "etl_pipeline" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
