@@ -233,7 +233,7 @@ class GraftCatalog(val warehouse: String) {
       val perCol = collection.mutable.Map.empty[String, ColRange]
       r.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { c =>
-          val st = c.getStatistics
+          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
           if (st != null && !st.isEmpty && st.hasNonNullValue) {
             val num: Option[(Double, Double)] =
               c.getPrimitiveType.getPrimitiveTypeName match {

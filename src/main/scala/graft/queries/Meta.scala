@@ -179,7 +179,10 @@ object Meta {
     // orders twice = 2 files with IDENTICAL o_orderkey ranges; lineitem has
     // one file — use l_orderkey halves instead: split lineitem by orderkey
     val li = graft.Tables.lineitem(s, d)
-    val mid = li.agg(expr("percentile(l_orderkey, 0.5)")).head().getDouble(0)
+    // range midpoint is enough to split into two disjoint-range files (an
+    // exact percentile would sort the whole table just for a demo split)
+    val mm = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2.0
     val base = Paths.get(wh).getParent.resolve("split")
     li.filter(col("l_orderkey") <= mid).write.parquet(base.resolve("lo").toString)
     li.filter(col("l_orderkey") > mid).write.parquet(base.resolve("hi").toString)
