@@ -198,6 +198,23 @@ object Extensions {
       .orderBy("d1", "d2")
   }
 
+  /** Edit-distance near-dup scoring over the banded candidate pairs —
+    * levenshtein runs only on the banded candidates, never all pairs
+    * (the blocking step is what makes edit distance usable at scale). */
+  private def qNeardupEdit: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    bandedPairs(s, d)
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2")).as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("t1"), col("t2")) /
+          greatest(length(col("t1")), length(col("t2"))).cast("double"), 4)
+          .as("edit_sim"))
+      .orderBy(desc("edit_sim"), asc("d1"), asc("d2"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------ vector similarity
 
   /** Float-array dot product: the native codegen'd `graft_dot` expression
@@ -335,6 +352,7 @@ object Extensions {
     "q_dedup_minhash"   -> qDedupMinhash,
     "q_dedup_simhash"   -> qDedupSimhash,
     "q_neardup_band"    -> qNeardupBand,
+    "q_neardup_edit"    -> qNeardupEdit,
     "q_dedup_ngram"     -> qDedupNgram,
     "q_vec_cosine"      -> qVecCosine,
     "q_vec_knn"         -> qVecKnn,
@@ -448,6 +466,16 @@ object Extensions {
         |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
         | AND a.doc_id < b.doc_id
         |GROUP BY a.lang ORDER BY a.lang""".stripMargin,
+    "q_neardup_edit" ->
+      """SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,
+        |       round(1.0 - levenshtein(a.text, b.text)
+        |             / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 4)
+        |         AS edit_sim
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
+        | AND a.doc_id < b.doc_id
+        |ORDER BY edit_sim DESC, d1 ASC, d2 ASC LIMIT 20""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH tok AS ($tokensSql),
         |sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),

@@ -190,6 +190,16 @@ object Relational {
       .agg(round(sum(col("l_quantity")), 2))
       .orderBy("l_linestatus")
 
+  /** Boolean/conditional aggregates: every/any/count_if per group. */
+  private def qAggBool: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+        count_if(col("o_orderstatus") === "F").as("n_finished"))
+      .orderBy("o_orderpriority")
+
   private def qAggDistinct: QFn = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -296,6 +306,7 @@ object Relational {
     "q_agg_global"        -> qAggGlobal,
     "q_agg_groupby"       -> qAggGroupby,
     "q_agg_pivot"         -> qAggPivot,
+    "q_agg_bool"          -> qAggBool,
     "q_agg_distinct"      -> qAggDistinct,
     "q_agg_having"        -> qAggHaving,
     "q_agg_rollup"        -> qAggRollup,
@@ -413,6 +424,12 @@ object Relational {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+        |       bool_and(o_totalprice > 1000) AS all_over_1k,
+        |       bool_or(o_totalprice > 400000) AS any_over_400k,
+        |       count_if(o_orderstatus = 'F') AS n_finished
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_agg_pivot" ->
       """SELECT l_linestatus,
         |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
