@@ -141,6 +141,36 @@ object Extensions {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy("band")
 
+  /** Ordered (non-distinct) token list per doc, for shingling. */
+  private val toksOrdered = tokensExpr
+
+  /** Word 3-gram shingles → MinHash(4) → LSH band — the full
+    * shingle→minhash→band→bucket pipeline (word shingles capture local
+    * ordering that unigram MinHash misses; the signature is still a
+    * constant-size row before the only shuffle). */
+  private def qDedupMinhashShingle: QFn = (s, d) => {
+    // CASE guard: sequence(1, 0) would DESCEND and element_at(0) errors
+    // under ANSI, so short docs must yield an empty (typed) array.
+    val shingles =
+      s"""CASE WHEN size($toksOrdered) >= 3 THEN
+         |  transform(sequence(1, size($toksOrdered) - 2),
+         |    i -> concat_ws(' ', element_at($toksOrdered, i),
+         |                   element_at($toksOrdered, i + 1),
+         |                   element_at($toksOrdered, i + 2)))
+         |ELSE CAST(array() AS array<string>) END""".stripMargin
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("sh")))).as("s0"),
+        min(md5(concat(lit("1:"), col("sh")))).as("s1"),
+        min(md5(concat(lit("2:"), col("sh")))).as("s2"),
+        min(md5(concat(lit("3:"), col("sh")))).as("s3"))
+      .groupBy(md5(concat_ws("|", col("s0"), col("s1"), col("s2"), col("s3"))).as("band"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("band")
+  }
+
   /** 8-bit SimHash: bit i votes +1/-1 per token on whether hex digit i of
     * md5(token) has its high bit set; positive sum → bit set. */
   private def qDedupSimhash: QFn = (s, d) => {
@@ -350,6 +380,7 @@ object Extensions {
     "q_text_bpe"        -> qTextBpe,
     "q_text_rollhash"   -> qTextRollhash,
     "q_dedup_minhash"   -> qDedupMinhash,
+    "q_dedup_minhash_shingle" -> qDedupMinhashShingle,
     "q_dedup_simhash"   -> qDedupSimhash,
     "q_neardup_band"    -> qNeardupBand,
     "q_neardup_edit"    -> qNeardupEdit,
@@ -445,6 +476,26 @@ object Extensions {
         |         min(md5('0:' || token)) AS s0, min(md5('1:' || token)) AS s1,
         |         min(md5('2:' || token)) AS s2, min(md5('3:' || token)) AS s3
         |  FROM tok GROUP BY doc_id)
+        |SELECT md5(s0 || '|' || s1 || '|' || s2 || '|' || s3) AS band,
+        |       count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM sig GROUP BY 1 ORDER BY band""".stripMargin,
+    "q_dedup_minhash_shingle" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> t <> '') AS L
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(1, len(L) - 1)),
+        |           i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2]))) AS sh
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('0:' || sh)) AS s0, min(md5('1:' || sh)) AS s1,
+        |         min(md5('2:' || sh)) AS s2, min(md5('3:' || sh)) AS s3
+        |  FROM sh GROUP BY doc_id)
         |SELECT md5(s0 || '|' || s1 || '|' || s2 || '|' || s3) AS band,
         |       count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM sig GROUP BY 1 ORDER BY band""".stripMargin,
