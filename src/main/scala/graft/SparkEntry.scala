@@ -37,5 +37,6 @@ object SparkEntry {
     graft.queries.Extensions.oracles ++
     graft.queries.Meta.oracles ++
     graft.queries.Etl.oracles ++
+    graft.streaming.Streaming.oracles ++
     graft.multimodal.Multimodal.oracles
 }

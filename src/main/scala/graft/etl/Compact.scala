@@ -28,6 +28,18 @@ object Compact {
     if (out.toLowerCase.endsWith(".parquet") || out.toLowerCase.endsWith(".prq")) out
     else Paths.get(out, "aggregated.parquet").toString
 
+  /** Compaction sized by target output bytes instead of a file count — the
+    * real-cluster form: a 100 TB table compacts to ceil(inputBytes/target)
+    * files, each near the parquet block size, not to one giant file. */
+  def compactToSize(spark: SparkSession, files: Seq[String], out: String,
+                    targetBytes: Long = 128L * 1024 * 1024,
+                    codec: String = "snappy",
+                    overwrite: Boolean = false): CompactStats = {
+    val inputBytes = files.map(f => Files.size(Paths.get(f))).sum
+    val n = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    compact(spark, files, out, codec, overwrite, sanitizeFirst = false, numFiles = n)
+  }
+
   def compact(spark: SparkSession, files: Seq[String], out: String,
               codec: String = "snappy", overwrite: Boolean = false,
               sanitizeFirst: Boolean = false, numFiles: Int = 1): CompactStats = {

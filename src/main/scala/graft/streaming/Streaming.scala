@@ -126,9 +126,50 @@ object Streaming {
     s.table("st_sessionize_sink").orderBy("user")
   }
 
+  /** st_file_source: production-shaped directory ingestion — readStream
+    * over a parquet folder (new files discovered per micro-batch, exactly
+    * how a landing zone is tailed at scale), aggregated with
+    * Trigger.AvailableNow so the query drains all pending input and stops.
+    * Input is the testdata events table re-written as two "arriving"
+    * batches. */
+  def stFileSource: QFn = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_files")
+    val in = base.resolve("in")
+    val ev = graft.Tables.events(s, d).select("event_id", "event_type", "value")
+    // two separate landings, as if written by an upstream producer
+    ev.filter(col("event_id") % 2 === 0).write.parquet(in.resolve("b0").toString)
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(in.resolve("b1").toString)
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(in.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val q = stream.writeStream
+      .format("memory").queryName("st_file_source_sink").outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table("st_file_source_sink").orderBy("event_type")
+  }
+
   val queries: Map[String, QFn] = Map(
-    "st_watermark"  -> stWatermark,
-    "st_dedup"      -> stDedup,
-    "st_sessionize" -> stSessionize,
+    "st_watermark"   -> stWatermark,
+    "st_dedup"       -> stDedup,
+    "st_sessionize"  -> stSessionize,
+    "st_file_source" -> stFileSource,
+  )
+
+  /** st_file_source proves STREAM-BATCH PARITY: draining the landing zone
+    * through Structured Streaming must equal the batch aggregate DuckDB
+    * computes over the same rows. The stateful demos stay non-oracle. */
+  val oracles: Map[String, String] = Map(
+    "st_file_source" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
