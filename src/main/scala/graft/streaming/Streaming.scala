@@ -157,11 +157,54 @@ object Streaming {
     s.table("st_file_source_sink").orderBy("event_type")
   }
 
+  /** st_catalog_sink: streaming ingestion INTO the catalog — each
+    * micro-batch lands as parquet and commits one append snapshot via
+    * foreachBatch, so downstream batch readers see micro-batch-atomic
+    * table growth with full snapshot history/time travel. Batch ids make
+    * the landing write idempotent on retry (a production version would
+    * also record the batch id in the snapshot and skip replays; the
+    * checkpoint already prevents reprocessing on restart). */
+  def stCatalogSink: QFn = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_sink")
+    val in = base.resolve("in")
+    val ev = graft.Tables.events(s, d).select("event_id", "event_type", "value")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(in.resolve("b0").toString)
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(in.resolve("b1").toString)
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    cat.createTable("stream", "events_live", ev.schema)
+    val q = s.readStream
+      .schema(ev.schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1") // force >1 micro-batch ⇒ >1 snapshot
+      .parquet(in.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val dir = base.resolve("landed").resolve(s"batch-$id")
+        batch.write.mode("overwrite").parquet(dir.toString) // idempotent per id
+        cat.registerFiles("stream", "events_live", Seq(dir))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val nSnapshots = cat.snapshots("stream", "events_live").size.toLong
+    cat.readTable(s, "stream", "events_live")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .withColumn("n_snapshots_ge_2", lit(nSnapshots >= 2))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QFn] = Map(
-    "st_watermark"   -> stWatermark,
-    "st_dedup"       -> stDedup,
-    "st_sessionize"  -> stSessionize,
-    "st_file_source" -> stFileSource,
+    "st_watermark"    -> stWatermark,
+    "st_dedup"        -> stDedup,
+    "st_sessionize"   -> stSessionize,
+    "st_file_source"  -> stFileSource,
+    "st_catalog_sink" -> stCatalogSink,
   )
 
   /** st_file_source proves STREAM-BATCH PARITY: draining the landing zone
@@ -170,6 +213,10 @@ object Streaming {
   val oracles: Map[String, String] = Map(
     "st_file_source" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st_catalog_sink" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
+        |       true AS n_snapshots_ge_2
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/** Physical-plan regression guards: the shuffle/broadcast structure IS the
+  * 100 TB design, so pin it. Counts are upper bounds on the pre-adaptive
+  * plan (AQE can only coalesce/convert further at runtime).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String) = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def shuffles(name: String): Int =
+    plan(name).collect { case e: ShuffleExchangeLike => e }.size
+
+  test("scan/filter queries shuffle only for the final sort") {
+    assert(shuffles("q_scan_project") <= 1)
+    assert(shuffles("q_filter_pred") <= 1)
+  }
+
+  test("dimension joins broadcast — no shuffle beyond agg/sort") {
+    val p = plan("q_join_inner")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(shuffles("q_join_inner") <= 1) // the orderBy only
+  }
+
+  test("5-way multiway join: dims broadcast, bounded shuffles") {
+    val p = plan("q_join_multiway")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 3)
+    // fact-fact join pair + agg + sort at most
+    assert(shuffles("q_join_multiway") <= 4)
+  }
+
+  test("group-by aggregates: one shuffle for the keys, one for the sort") {
+    assert(shuffles("q_agg_groupby") <= 2)
+    assert(shuffles("q_doc_stats") <= 2)
+  }
+
+  test("minhash pipeline: signature reduction bounds the shuffles") {
+    // tokens→signature agg, band agg, sort
+    assert(shuffles("q_dedup_minhash") <= 3)
+  }
+}
