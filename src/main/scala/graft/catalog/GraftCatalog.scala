@@ -27,27 +27,48 @@ case class ColRange(min: Double, max: Double)
 case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long,
                         colRanges: Option[Map[String, ColRange]] = None)
 
-/** One snapshot: id (1-based ordinal), wall-clock, operation ("append" or
-  * "overwrite"), and the files ADDED by this snapshot. Table state at
-  * snapshot N = union of added files since the latest overwrite ≤ N
-  * (an overwrite REPLACES the file set — Iceberg's overwrite snapshot —
-  * while appends accumulate, as a pure-append table's cumulative manifests
-  * do).
+/** One snapshot: id (1-based ordinal), wall-clock, operation ("append",
+  * "overwrite", "delete" or "merge"), and the files ADDED by this snapshot.
+  * Table state at snapshot N = union of added files since the latest
+  * overwrite ≤ N (an overwrite REPLACES the file set — Iceberg's overwrite
+  * snapshot — while appends accumulate, as a pure-append table's cumulative
+  * manifests do).
+  *
+  * Merge-on-read extension (Iceberg v2 equality deletes): a snapshot may
+  * also carry `deleteFiles` — parquet files holding the `equalityKeys`
+  * column values of rows deleted WITHOUT rewriting any data file. A delete
+  * file applies only to data files committed in EARLIER snapshots (Iceberg's
+  * sequence-number rule), so a single "merge" snapshot that carries both
+  * delete files and added files upserts atomically: deletes hit the old
+  * state, the added file contributes the new rows untouched.
   */
 case class SnapshotMeta(id: Long, timestampMs: Long, operation: String,
-                        addedFiles: List[DataFileMeta])
+                        addedFiles: List[DataFileMeta],
+                        deleteFiles: Option[List[DataFileMeta]] = None,
+                        equalityKeys: Option[List[String]] = None) {
+  def deletes: List[DataFileMeta] = deleteFiles.getOrElse(Nil)
+}
 
 /** Full table metadata document, persisted as versioned JSON. */
 case class TableMeta(namespace: String, name: String, schemaDdl: String,
                      currentSnapshotId: Long, snapshots: List[SnapshotMeta]) {
   def schema: StructType = StructType.fromDDL(schemaDdl)
-  def filesAsOf(asOf: Option[Long]): List[DataFileMeta] = {
+
+  /** Snapshots that constitute the table state at `asOf` (those since the
+    * latest overwrite, in commit order). */
+  def stateAsOf(asOf: Option[Long]): List[SnapshotMeta] = {
     val cut = asOf.getOrElse(currentSnapshotId)
     val upTo = snapshots.filter(_.id <= cut)
     val lastOverwrite = upTo.lastIndexWhere(_.operation == "overwrite")
-    (if (lastOverwrite >= 0) upTo.drop(lastOverwrite) else upTo)
-      .flatMap(_.addedFiles)
+    if (lastOverwrite >= 0) upTo.drop(lastOverwrite) else upTo
   }
+
+  def filesAsOf(asOf: Option[Long]): List[DataFileMeta] =
+    stateAsOf(asOf).flatMap(_.addedFiles)
+
+  /** Live equality-delete files at `asOf` (merge-on-read debt). */
+  def deleteFilesAsOf(asOf: Option[Long]): List[DataFileMeta] =
+    stateAsOf(asOf).flatMap(_.deletes)
 }
 
 /** Import result row, mirroring the reference's per-table summary
@@ -167,6 +188,33 @@ class GraftCatalog(val warehouse: String) {
     next
   }
 
+  /** Merge-on-read commit: ONE atomic snapshot carrying equality-delete
+    * files (rows whose `keys` values match any delete-file row vanish from
+    * all EARLIER data files) and optionally new data files (an upsert's
+    * inserted/updated rows). No existing data file is rewritten — the write
+    * cost is O(changed rows), not O(table), which is the whole point of
+    * merge-on-read at 100 TB. Read-side cost accrues instead (an anti-join
+    * per delete commit) until [[registerFiles]] with operation="overwrite"
+    * materializes the state and clears the debt. */
+  def commitMergeOnRead(ns: String, t: String, keys: Seq[String],
+                        deleteFiles: Seq[Path],
+                        addedFiles: Seq[Path] = Nil): TableMeta = {
+    require(keys.nonEmpty && deleteFiles.nonEmpty,
+      "merge-on-read commit needs equality keys and at least one delete file")
+    val expand = (ps: Seq[Path]) => ps.flatMap(p =>
+      if (Files.isDirectory(p)) findParquet(p) else Seq(p))
+    val meta = loadTable(ns, t)
+    val op = if (addedFiles.nonEmpty) "merge" else "delete"
+    val snap = SnapshotMeta(meta.currentSnapshotId + 1, System.currentTimeMillis(),
+      op, statFiles(expand(addedFiles)).toList,
+      deleteFiles = Some(statFiles(expand(deleteFiles)).toList),
+      equalityKeys = Some(keys.toList))
+    val next = meta.copy(currentSnapshotId = snap.id,
+      snapshots = meta.snapshots :+ snap)
+    commit(next, expectedVersion = currentVersion(ns, t))
+    next
+  }
+
   def snapshots(ns: String, t: String): Seq[SnapshotMeta] = loadTable(ns, t).snapshots
 
   /** Current (or as-of) file listing — the Iceberg `files` metadata table. */
@@ -180,10 +228,34 @@ class GraftCatalog(val warehouse: String) {
   def readTable(spark: SparkSession, ns: String, t: String,
                 asOf: Option[Long] = None): DataFrame = {
     val meta = loadTable(ns, t)
-    val fs = meta.filesAsOf(asOf).map(_.path)
-    if (fs.isEmpty) spark.createDataFrame(
+    val snaps = meta.stateAsOf(asOf)
+    val empty = () => spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    else spark.read.schema(meta.schema).parquet(fs: _*)
+    if (!snaps.exists(_.deletes.nonEmpty)) {
+      // fast path (no merge-on-read debt): one multi-file scan
+      val fs = snaps.flatMap(_.addedFiles).map(_.path)
+      if (fs.isEmpty) empty() else spark.read.schema(meta.schema).parquet(fs: _*)
+    } else {
+      // Merge-on-read: fold the snapshot log. Within one snapshot the
+      // equality deletes apply to the ACCUMULATED earlier state first, then
+      // that snapshot's own added files union in — Iceberg's sequence-number
+      // rule, which is what makes a one-snapshot upsert atomic. Each delete
+      // file is tiny relative to the table, so every anti-join broadcasts;
+      // debt is cleared by materialization (overwrite), not by scale-up.
+      snaps.foldLeft(empty()) { (acc, sn) =>
+        val afterDeletes =
+          if (sn.deletes.isEmpty) acc
+          else {
+            val keys = sn.equalityKeys.getOrElse(Nil)
+            val del = spark.read.parquet(sn.deletes.map(_.path): _*)
+              .select(keys.map(org.apache.spark.sql.functions.col): _*)
+            acc.join(org.apache.spark.sql.functions.broadcast(del), keys, "left_anti")
+          }
+        if (sn.addedFiles.isEmpty) afterDeletes
+        else afterDeletes.unionByName(
+          spark.read.schema(meta.schema).parquet(sn.addedFiles.map(_.path): _*))
+      }
+    }
   }
 
   // ---------------------------------------------------------------- import

@@ -51,4 +51,49 @@ object Merge {
     val target = cat.readTable(spark, ns, table)
     rewrite(spark, cat, ns, table, target.filter(!cond))
   }
+
+  // ---------------------------------------------------------- merge-on-read
+
+  private def writeAux(cat: GraftCatalog, ns: String, table: String,
+                       kind: String, df: DataFrame): java.nio.file.Path = {
+    val dir = Paths.get(cat.warehouse, ns, table, "data",
+      s"$kind-${System.currentTimeMillis()}")
+    df.write.parquet(dir.toString)
+    dir
+  }
+
+  /** Merge-on-read DELETE WHERE: writes ONLY the key values of the doomed
+    * rows as an equality-delete file and commits one "delete" snapshot.
+    * Write cost O(deleted rows); no data file is touched. Readers apply the
+    * delete as a broadcast anti-join until the table is [[materialize]]d —
+    * the copy-on-write [[deleteWhere]] makes the opposite trade (O(table)
+    * write, zero read overhead). Iceberg v2's equality-delete semantics. */
+  def deleteWhereMor(spark: SparkSession, cat: GraftCatalog, ns: String,
+                     table: String, cond: org.apache.spark.sql.Column,
+                     keys: Seq[String]): TableMeta = {
+    val doomed = cat.readTable(spark, ns, table).filter(cond)
+      .select(keys.map(col): _*).distinct()
+    val delDir = writeAux(cat, ns, table, "delete", doomed)
+    cat.commitMergeOnRead(ns, table, keys, Seq(delDir))
+  }
+
+  /** Merge-on-read upsert: ONE atomic snapshot carrying (a) an equality
+    * delete of every source key — wiping stale versions of matched rows
+    * from earlier files — and (b) the full source as a new data file. Cost
+    * is O(source), never O(table). */
+  def mergeIntoMor(spark: SparkSession, cat: GraftCatalog, ns: String,
+                   table: String, source: DataFrame, keys: Seq[String]): TableMeta = {
+    val target = cat.readTable(spark, ns, table)
+    val delDir = writeAux(cat, ns, table, "delete", source.select(keys.map(col): _*).distinct())
+    val dataDir = writeAux(cat, ns, table, "merge",
+      source.select(target.columns.map(col).toSeq: _*))
+    cat.commitMergeOnRead(ns, table, keys, Seq(delDir), Seq(dataDir))
+  }
+
+  /** Pay down merge-on-read debt: materialize the current state into fresh
+    * parquet and commit one overwrite snapshot. Subsequent reads take the
+    * single-scan fast path again; earlier snapshots stay time-travelable. */
+  def materialize(spark: SparkSession, cat: GraftCatalog, ns: String,
+                  table: String): TableMeta =
+    rewrite(spark, cat, ns, table, cat.readTable(spark, ns, table))
 }

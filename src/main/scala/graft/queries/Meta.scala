@@ -167,6 +167,50 @@ object Meta {
       .toDF("phase", "n_rows", "r0_name")
   }
 
+  /** meta_merge_mor: the same DML surface as meta_merge but MERGE-ON-READ —
+    * equality-delete files + an atomic merge snapshot instead of table
+    * rewrites (Iceberg v2 semantics). The report proves (a) upsert + delete
+    * land with NO data-file rewrite (original import files all still live in
+    * current metadata), (b) reads fold the delete debt correctly, (c)
+    * materialize() clears the debt without changing results, (d) time travel
+    * still reaches the pre-DML state. */
+  private def metaMergeMor: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data)
+    val base = cat.readTable(s, "nyc", "region")
+    val n0 = base.count()
+    val importedPaths = cat.files("nyc", "region").map(_.path).toSet
+    // upsert: rename region 0, insert a brand-new key 99 — one merge snapshot
+    val updates = base.filter(col("r_regionkey") === 0)
+      .withColumn("r_name", lit("UPDATED"))
+      .unionByName(base.filter(col("r_regionkey") === 0)
+        .withColumn("r_regionkey", lit(99)).withColumn("r_name", lit("INSERTED")))
+    graft.etl.Merge.mergeIntoMor(s, cat, "nyc", "region", updates, Seq("r_regionkey"))
+    val n1 = cat.readTable(s, "nyc", "region").count()
+    val updated = cat.readTable(s, "nyc", "region")
+      .filter(col("r_regionkey") === 0).select("r_name").as[String].head()
+    // MoR delete of the inserted key — a delete-only snapshot
+    graft.etl.Merge.deleteWhereMor(s, cat, "nyc", "region",
+      col("r_regionkey") === 99, Seq("r_regionkey"))
+    val n2 = cat.readTable(s, "nyc", "region").count()
+    val originalsIntact =
+      importedPaths.subsetOf(cat.files("nyc", "region").map(_.path).toSet)
+    val debt = cat.loadTable("nyc", "region").deleteFilesAsOf(None).size.toLong
+    // materialize: overwrite snapshot pays the debt, results unchanged
+    graft.etl.Merge.materialize(s, cat, "nyc", "region")
+    val n3 = cat.readTable(s, "nyc", "region").count()
+    val debtAfter = cat.loadTable("nyc", "region").deleteFilesAsOf(None).size.toLong
+    val asOfImport = cat.readTable(s, "nyc", "region", asOf = Some(1L)).count()
+    Seq(("initial", n0, "", true),
+      ("after_merge", n1, updated, true),
+      ("after_delete", n2, "", originalsIntact && debt == 2L),
+      ("materialized", n3, "", debtAfter == 0L && n3 == n2),
+      ("asof_snapshot_1", asOfImport, "", asOfImport == n0))
+      .toDF("phase", "n_rows", "r0_name", "invariant_ok")
+  }
+
   /** meta_file_skip: manifest-style file skipping observable end-to-end —
     * a table of two disjoint-range files is scanned with a predicate that
     * can only hit one; the report shows files pruned vs scanned and that
@@ -205,6 +249,7 @@ object Meta {
   val queries: Map[String, QFn] = Map(
     "meta_import"      -> metaImport,
     "meta_merge"       -> metaMerge,
+    "meta_merge_mor"   -> metaMergeMor,
     "meta_file_skip"   -> metaFileSkip,
     "meta_snapshots"   -> metaSnapshots,
     "meta_files"       -> metaFiles,

@@ -46,6 +46,52 @@ class MergeSpec extends SparkSpec {
     assert(cat.readTable(spark, "nyc", "t", asOf = Some(1L)).count() === 3)
   }
 
+  test("mergeIntoMor: upsert lands atomically with no data-file rewrite") {
+    val cat = setup()
+    val before = cat.files("nyc", "t").map(_.path).toSet
+    val source = Seq((2L, "b2", 22.0), (4L, "d", 40.0)).toDF("id", "name", "score")
+    Merge.mergeIntoMor(spark, cat, "nyc", "t", source, Seq("id"))
+    val rows = cat.readTable(spark, "nyc", "t")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(rows === Seq((1L, "a", 10.0), (2L, "b2", 22.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+    // original files untouched and still referenced; op recorded as "merge"
+    assert(before.subsetOf(cat.files("nyc", "t").map(_.path).toSet))
+    assert(cat.snapshots("nyc", "t").map(_.operation) === Seq("append", "merge"))
+    assert(cat.readTable(spark, "nyc", "t", asOf = Some(1L)).count() === 3)
+  }
+
+  test("deleteWhereMor: equality delete applies only to earlier files") {
+    val cat = setup()
+    Merge.deleteWhereMor(spark, cat, "nyc", "t", col("id") === 2L, Seq("id"))
+    assert(cat.readTable(spark, "nyc", "t").select("id").as[Long].collect().sorted
+      === Seq(1L, 3L))
+    // re-insert id=2 AFTER the delete: the old delete must NOT hit it
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "mor_add")
+    Seq((2L, "b-new", 25.0)).toDF("id", "name", "score")
+      .coalesce(1).write.mode("overwrite").parquet(dir.resolve("f").toString)
+    cat.registerFiles("nyc", "t", Seq(dir.resolve("f")))
+    val rows = cat.readTable(spark, "nyc", "t")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(rows === Seq((1L, "a", 10.0), (2L, "b-new", 25.0), (3L, "c", 30.0)))
+  }
+
+  test("materialize clears delete debt without changing the table") {
+    val cat = setup()
+    Merge.mergeIntoMor(spark, cat, "nyc", "t",
+      Seq((3L, "c3", 33.0)).toDF("id", "name", "score"), Seq("id"))
+    Merge.deleteWhereMor(spark, cat, "nyc", "t", col("id") === 1L, Seq("id"))
+    val pre = cat.readTable(spark, "nyc", "t")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(cat.loadTable("nyc", "t").deleteFilesAsOf(None).size === 2)
+    Merge.materialize(spark, cat, "nyc", "t")
+    assert(cat.loadTable("nyc", "t").deleteFilesAsOf(None).isEmpty)
+    val post = cat.readTable(spark, "nyc", "t")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(post === pre)
+    assert(post === Seq((2L, "b", 20.0), (3L, "c3", 33.0)))
+  }
+
   test("overwrite resets the file set; later appends accumulate on top of it") {
     val cat = setup()
     Merge.deleteWhere(spark, cat, "nyc", "t", col("id") === 1L) // snapshot 2
