@@ -318,6 +318,63 @@ object Extensions {
       .limit(10)
   }
 
+  /** Trained-IVF ANN (non-oracle): the coarse quantizer is LEARNED — k-means
+    * trained by 3 Lloyd iterations, each expressed as a Spark plan: assign =
+    * one scan with the k×dim centroid table broadcast as a literal and an
+    * argmin over `transform()`; update = posexplode + avg per (cell, dim).
+    * Only k×dim floats ever return to the driver per iteration. At 100 TB
+    * you train on a sample, then assignment is a single scan and the cell id
+    * becomes the partition/pruning key — a probe touches nProbe/k of the
+    * data. Deterministic: init = embeddings of the k smallest vec_ids, and
+    * ties in argmin resolve to the first (lowest) cell. Each result row
+    * carries `in_exact_topk`, so recall against the brute-force baseline
+    * ([[qVecKnn]]) is verified inside the query itself. */
+  private def qVecKnnKmeans: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cos = cosineTo(s) _
+    val k = 8
+    def assign(cs: Seq[Seq[Float]]): DataFrame = {
+      val dists = transform(typedLit(cs), c => lit(1.0) - cos(col("embedding"), c))
+      emb.withColumn("cell", array_position(dists, array_min(dists)))
+    }
+    var cents: Seq[Seq[Float]] = emb.orderBy("vec_id").limit(k)
+      .select("embedding").collect().toSeq.map(_.getSeq[Float](0).toSeq)
+    for (_ <- 1 to 3) {
+      cents = assign(cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("cv"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), " +
+          "x -> cast(x.cv as float))").as("centroid"))
+        .orderBy("cell")
+        .collect().toSeq.map(_.getSeq[Float](1).toSeq)
+    }
+    val probeRow = emb.orderBy("vec_id").select("vec_id", "embedding").head()
+    val probeId = probeRow.getLong(0)
+    val probeVec = probeRow.getSeq[Float](1)
+    def cosSc(a: Seq[Float], b: Seq[Float]): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dt += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dt / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // nProbe=2 cells nearest the probe, chosen driver-side (k is tiny)
+    val topCells = cents.zipWithIndex
+      .map { case (c, i) => (i + 1L, cosSc(c, probeVec)) }
+      .sortBy { case (i, sim) => (-sim, i) }.take(2).map(_._1)
+    val ivf = assign(cents)
+      .filter(col("cell").isin(topCells: _*) && col("vec_id") =!= probeId)
+      .select(col("vec_id"), round(cos(col("embedding"), typedLit(probeVec)), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
+    val exact = qVecKnn(s, d).select(col("vec_id").as("exact_id"))
+    ivf.join(broadcast(exact), col("vec_id") === col("exact_id"), "left")
+      .select(col("vec_id"), col("cos_sim"), col("exact_id").isNotNull.as("in_exact_topk"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+  }
+
   /** Embedding-cosine near-dup: label-blocked pairs (the blocking key is
     * the ANN cell stand-in), per-label pair counts + high-sim counts.
     * Norms are computed once per VECTOR before the join — computing them
@@ -388,6 +445,7 @@ object Extensions {
     "q_vec_cosine"      -> qVecCosine,
     "q_vec_knn"         -> qVecKnn,
     "q_vec_knn_ivf"     -> qVecKnnIvf,
+    "q_vec_knn_kmeans"  -> qVecKnnKmeans,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_udf_scalar"      -> qUdfScalar,
     "q_udaf_geomean"    -> qUdafGeomean,

@@ -60,6 +60,19 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q_vec_knn_kmeans: trained quantizer returns 10 scored rows with real recall") {
+    val rows = run("q_vec_knn_kmeans").collect()
+    assert(rows.length === 10)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // similarities must match the brute-force scan exactly (same math)
+    val brute = run("q_vec_cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(brute(r.getLong(0)) === r.getDouble(1)))
+    // 2-of-8 probed cells must still recover at least half the exact top-10
+    assert(rows.count(_.getBoolean(2)) >= 5)
+  }
+
   test("q_udaf_geomean matches exp(avg(ln(x))) computed directly") {
     val got = run("q_udaf_geomean").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
