@@ -74,5 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGramsGenerator].getName, "graft_ngrams"),
+      (children: Seq[Expression]) => NGramsGenerator(children(0), children(1))))
   }
 }

@@ -417,6 +417,19 @@ object Extensions {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** q_udtf_ngrams: the native Generator UDTF (K3) end-to-end — word
+    * trigrams emitted as rows by `graft_ngrams(tokens, 3)` (one lazy
+    * generator, no intermediate ngram array per document), aggregated to
+    * corpus trigram counts. The explosion is a shuffle-free flat map; only
+    * the final count aggregation exchanges. */
+  private def qUdtfNgrams: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .selectExpr("doc_id", "graft_ngrams(toks, 3) AS (pos, ngram)")
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occur"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("ngram")
+
   private def qUdafGeomean: QFn = (s, d) => {
     val geomean = udaf(graft.functions.GeoMean)
     Tables.lineitem(s, d)
@@ -449,6 +462,7 @@ object Extensions {
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_udf_scalar"      -> qUdfScalar,
     "q_udaf_geomean"    -> qUdafGeomean,
+    "q_udtf_ngrams"     -> qUdtfNgrams,
   )
 
   val oracles: Map[String, String] = Map(
@@ -653,5 +667,18 @@ object Extensions {
     "q_udaf_geomean" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 4) AS geomean_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_udtf_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> t <> '') AS L
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(1, len(L) - 1)),
+        |           i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2])) AS ngram
+        |  FROM toks)
+        |SELECT ngram, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
+        |FROM ng GROUP BY ngram ORDER BY ngram""".stripMargin,
   )
 }
