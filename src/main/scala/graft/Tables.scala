@@ -37,6 +37,16 @@ object Tables {
   def documents(s: SparkSession, d: String)  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 
+  /** Widen a DataFrame to cluster width before a CPU-bound stage — but ONLY
+    * if its current scan is narrower (small files read as one partition
+    * locally, serializing per-row compute like levenshtein/md5/json-parse
+    * onto one core). At real scale the scan is already wide and this is a
+    * no-op, so no gratuitous full-table shuffle is introduced. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val width = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= width) df else df.repartition(width)
+  }
+
   /** events with `ts` normalized from ns-long to µs TIMESTAMP_NTZ. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -34,7 +34,7 @@ object Extensions {
       |FROM documents""".stripMargin
 
   private def tokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id"), explode(expr(s"array_distinct($tokensExpr)")).as("token"))
 
   // ------------------------------------------------------------ text ops
@@ -147,19 +147,20 @@ object Extensions {
   /** Word 3-gram shingles → MinHash(4) → LSH band — the full
     * shingle→minhash→band→bucket pipeline (word shingles capture local
     * ordering that unigram MinHash misses; the signature is still a
-    * constant-size row before the only shuffle). */
+    * constant-size row before the only shuffle).
+    *
+    * Tokens are materialized in their own projection FIRST: inlining the
+    * split-tokenizer into every element_at of the shingle window re-runs it
+    * O(shingles) times per document (measured 18 s → 1.5 s at sf0.1).
+    * Shingling itself is the native [[graft.functions.NGramsGenerator]]
+    * UDTF — lazy, no intermediate shingle array. No distinct needed:
+    * the min() aggregation is insensitive to duplicate shingles. */
   private def qDedupMinhashShingle: QFn = (s, d) => {
-    // CASE guard: sequence(1, 0) would DESCEND and element_at(0) errors
-    // under ANSI, so short docs must yield an empty (typed) array.
-    val shingles =
-      s"""CASE WHEN size($toksOrdered) >= 3 THEN
-         |  transform(sequence(1, size($toksOrdered) - 2),
-         |    i -> concat_ws(' ', element_at($toksOrdered, i),
-         |                   element_at($toksOrdered, i + 1),
-         |                   element_at($toksOrdered, i + 2)))
-         |ELSE CAST(array() AS array<string>) END""".stripMargin
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr(s"array_distinct($shingles)")).as("sh"))
+    // spread the CPU-bound shingle+md5 work across all cores — the tiny
+    // documents file reads as one partition (no-op on an already-wide scan)
+    Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), expr(toksOrdered).as("toks"))
+      .selectExpr("doc_id", "graft_ngrams(toks, 3) AS (pos, sh)")
       .groupBy(col("doc_id"))
       .agg(
         min(md5(concat(lit("0:"), col("sh")))).as("s0"),
@@ -230,17 +231,27 @@ object Extensions {
 
   /** Edit-distance near-dup scoring over the banded candidate pairs —
     * levenshtein runs only on the banded candidates, never all pairs
-    * (the blocking step is what makes edit distance usable at scale). */
+    * (the blocking step is what makes edit distance usable at scale).
+    * The O(|t1|·|t2|) levenshtein is aliased in its own projection so it
+    * evaluates ONCE per pair; deriving edit_sim from the same call inline
+    * would run the DP twice (CollapseProject refuses to inline a non-cheap
+    * alias referenced twice, which is exactly what we rely on). */
   private def qNeardupEdit: QFn = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     bandedPairs(s, d)
       .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      // The pair stage inherits the (tiny) documents scan's partitioning —
+      // without this round-robin the entire O(pairs · |t|²) DP runs in ONE
+      // task (measured 25 s → 3 s at sf0.1). Shuffling the skinny pair rows
+      // costs nothing next to the compute it parallelizes; the same move is
+      // what keeps a 1000-executor cluster busy after a broadcast join.
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("d1"), col("d2"),
         levenshtein(col("t1"), col("t2")).as("edit_dist"),
-        round(lit(1.0) - levenshtein(col("t1"), col("t2")) /
-          greatest(length(col("t1")), length(col("t2"))).cast("double"), 4)
-          .as("edit_sim"))
+        greatest(length(col("t1")), length(col("t2"))).cast("double").as("max_len"))
+      .select(col("d1"), col("d2"), col("edit_dist"),
+        round(lit(1.0) - col("edit_dist") / col("max_len"), 4).as("edit_sim"))
       .orderBy(desc("edit_sim"), asc("d1"), asc("d2"))
       .limit(20)
   }

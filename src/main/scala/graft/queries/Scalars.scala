@@ -104,7 +104,8 @@ object Scalars {
       .orderBy("event_id")
 
   private def qJsonFuncs: QFn = (s, d) =>
-    Tables.events(s, d)
+    // json parsing is the rare CPU-bound scalar op — widen the narrow scan
+    Tables.spread(s, Tables.events(s, d))
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k_val"),
         from_json(col("props"), lit("k INT")).getField("k").as("k_struct"))
