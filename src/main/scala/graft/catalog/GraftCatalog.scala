@@ -258,6 +258,28 @@ class GraftCatalog(val warehouse: String) {
     }
   }
 
+  /** Incremental (changelog) read: rows ADDED by snapshots in
+    * `(fromExclusive, toInclusive]` — Iceberg's incremental-append scan, the
+    * consumption pattern for snapshot-based downstream sync (a consumer
+    * remembers the last snapshot it processed and reads only the delta).
+    * Metadata-only planning: the file list IS the delta, no data diffing.
+    * Restricted to append snapshots — an overwrite REPLACES the file set
+    * and a merge-on-read commit removes rows, so neither is expressible as
+    * an append-only diff. */
+  def readIncremental(spark: SparkSession, ns: String, t: String,
+                      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val meta = loadTable(ns, t)
+    val range = meta.snapshots.filter(sn =>
+      sn.id > fromExclusive && sn.id <= toInclusive)
+    val nonAppend = range.filterNot(_.operation == "append")
+    require(nonAppend.isEmpty,
+      s"incremental read over non-append snapshots: ${nonAppend.map(sn => s"${sn.id}(${sn.operation})").mkString(", ")}")
+    val fs = range.flatMap(_.addedFiles).map(_.path)
+    if (fs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    else spark.read.schema(meta.schema).parquet(fs: _*)
+  }
+
   // ---------------------------------------------------------------- import
 
   /** Recursive parquet discovery: `.parquet`/`.prq`, case-insensitive

@@ -126,6 +126,37 @@ object Etl {
       .orderBy("o_orderpriority")
   }
 
+  /** etl_partition_prune: hive-style partitioned layout — events written
+    * `partitionBy(event_date)`, then a one-day query. The date predicate
+    * becomes a PartitionFilter resolved against directory names at PLANNING
+    * time: the scan lists and reads exactly one partition's files, the
+    * third physical-layout axis next to bucketing (etl_bucket_join) and
+    * manifest file skipping (meta_file_skip). At 100 TB time-partitioned
+    * writes are what make time-windowed queries O(window), not O(table).
+    * `pruned` is asserted from the executed plan. */
+  private def etlPartitionPrune: QFn = (s, d) => {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "prune")
+    Tables.events(s, d)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").parquet(base.resolve("part").toString)
+    val part = s.read.parquet(base.resolve("part").toString)
+    val day = part.agg(min(col("event_date"))).head().getDate(0)
+    val q = part.filter(col("event_date") === lit(day))
+    val pruned = {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try q.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.forall(f => f.partitionFilters.nonEmpty && f.selectedPartitions.partitionCount == 1)
+      finally s.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    q.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("pruned", lit(pruned))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QFn] = Map(
     "etl_sanitize_uint64" -> etlSanitizeUint64,
     "etl_sanitize_ts"     -> etlSanitizeTs,
@@ -133,6 +164,7 @@ object Etl {
     "etl_compact"         -> etlCompact,
     "etl_pipeline"        -> etlPipeline,
     "etl_bucket_join"     -> etlBucketJoin,
+    "etl_partition_prune" -> etlPartitionPrune,
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,5 +183,11 @@ object Etl {
         |       round(sum(l_quantity), 2) AS sum_qty, true AS colocated
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "etl_partition_prune" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |       true AS pruned
+        |FROM events
+        |WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

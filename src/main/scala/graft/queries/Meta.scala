@@ -211,6 +211,37 @@ object Meta {
       .toDF("phase", "n_rows", "r0_name", "invariant_ok")
   }
 
+  /** meta_incremental: snapshot-range changelog consumption (A13 follow-on)
+    * — a consumer that remembers its last-processed snapshot reads only the
+    * delta. Three appends of region; the report proves delta counts per
+    * range, that consecutive deltas compose to the full table, and that a
+    * range crossing a non-append (DML) snapshot is refused. */
+  private def metaIncremental: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data) // snapshot 1 per table
+    val files1 = cat.files("nyc", "region").map(f => Paths.get(f.path))
+    cat.registerFiles("nyc", "region", files1) // snapshot 2 (same rows again)
+    cat.registerFiles("nyc", "region", files1) // snapshot 3
+    val n = cat.readTable(s, "nyc", "region", asOf = Some(1L)).count()
+    val d01 = cat.readIncremental(s, "nyc", "region", 0L, 1L).count()
+    val d13 = cat.readIncremental(s, "nyc", "region", 1L, 3L).count()
+    val d33 = cat.readIncremental(s, "nyc", "region", 3L, 3L).count()
+    val total = cat.readTable(s, "nyc", "region").count()
+    // DML commit (overwrite) → snapshot 4; ranges crossing it must refuse
+    graft.etl.Merge.deleteWhere(s, cat, "nyc", "region", col("r_regionkey") === 0)
+    val refused =
+      try { cat.readIncremental(s, "nyc", "region", 3L, 4L); false }
+      catch { case _: IllegalArgumentException => true }
+    Seq(("delta_0_1", d01, d01 == n),
+      ("delta_1_3", d13, d13 == 2 * n),
+      ("delta_3_3_empty", d33, d33 == 0L),
+      ("composes_to_full", total, d01 + d13 == total),
+      ("dml_range_refused", 0L, refused))
+      .toDF("phase", "n_rows", "invariant_ok")
+  }
+
   /** meta_file_skip: manifest-style file skipping observable end-to-end —
     * a table of two disjoint-range files is scanned with a predicate that
     * can only hit one; the report shows files pruned vs scanned and that
@@ -250,6 +281,7 @@ object Meta {
     "meta_import"      -> metaImport,
     "meta_merge"       -> metaMerge,
     "meta_merge_mor"   -> metaMergeMor,
+    "meta_incremental" -> metaIncremental,
     "meta_file_skip"   -> metaFileSkip,
     "meta_snapshots"   -> metaSnapshots,
     "meta_files"       -> metaFiles,
