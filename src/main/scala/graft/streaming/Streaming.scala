@@ -199,12 +199,62 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** st_join: watermarked STREAM-STREAM self-join — click→purchase
+    * attribution (same user, purchase within 10 minutes of the click),
+    * H-family's hardest shape. Both sides carry a watermark and the join
+    * condition bounds event time on both, so the state store retains each
+    * side only inside the watermark horizon — the property that keeps the
+    * operator viable on an unbounded stream. Inner-join emission does not
+    * wait on the watermark, so draining the landing zone with AvailableNow
+    * yields exactly the batch join — proven by the DuckDB oracle. */
+  def stJoin: QFn = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_join")
+    val in = base.resolve("in")
+    val ev = graft.Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(in.resolve("b0").toString)
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(in.resolve("b1").toString)
+    val src = s.readStream
+      .schema(ev.schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1") // matches must form ACROSS micro-batches
+      .parquet(in.toString)
+    // watermarks require TIMESTAMP (not NTZ); the session is UTC so the
+    // cast preserves wall-clock values and the oracle's naive comparison
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").cast("timestamp").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("p_value"), col("ts").cast("timestamp").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream
+      .format("memory").queryName("st_join_sink").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table("st_join_sink")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        round(col("p_value"), 2).as("p_value"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_watermark"    -> stWatermark,
     "st_dedup"        -> stDedup,
     "st_sessionize"   -> stSessionize,
     "st_file_source"  -> stFileSource,
     "st_catalog_sink" -> stCatalogSink,
+    "st_join"         -> stJoin,
   )
 
   /** st_file_source proves STREAM-BATCH PARITY: draining the landing zone
@@ -218,5 +268,15 @@ object Streaming {
       """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
         |       true AS n_snapshots_ge_2
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |       p.event_id AS purchase_id, round(p.value, 2) AS p_value
+        |FROM e c JOIN e p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
   )
 }
