@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   * form and to a SQL SUM over unnested elements, so oracle hashes are
   * unchanged.
   *
-  * Null elements inside the arrays are treated as 0 (our embeddings are
-  * dense); a null array yields null via the BinaryExpression contract.
+  * Null semantics are EXACTLY those of the composable fold: a null array,
+  * mismatched lengths (zip_with null-pads the shorter side, so the fold
+  * goes null), or any null element yields null. This bit-for-bit parity is
+  * what lets [[graft.plans.DotProductRewrite]] substitute this expression
+  * for the fold as a pure optimization.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -31,15 +34,18 @@ case class DotProductF(left: Expression, right: Expression)
       s"graft_dot requires two array<float> arguments, got ${l.sql} and ${r.sql}")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch / null element
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -49,12 +55,17 @@ case class DotProductF(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_acc = 0.0;
-         |for (int i = 0; i < ${ev.value}_n; i++) {
-         |  ${ev.value}_acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int ${ev.value}_n = $a.numElements();
+         |if ($b.numElements() != ${ev.value}_n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double ${ev.value}_acc = 0.0;
+         |  for (int i = 0; i < ${ev.value}_n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
+         |    ${ev.value}_acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = ${ev.value}_acc;
          |}
-         |${ev.value} = ${ev.value}_acc;
          |""".stripMargin
     })
 
@@ -78,5 +89,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NGramsGenerator].getName, "graft_ngrams"),
       (children: Seq[Expression]) => NGramsGenerator(children(0), children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }

@@ -121,6 +121,19 @@ object Meta {
       .orderBy("tableName")
   }
 
+  /** meta_describe: DESCRIBE TABLE for every imported table — the BI
+    * schema-introspection surface, metadata-only. */
+  private def metaDescribe: QFn = (s, d) => {
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data)
+    cat.listTables("nyc").map { t =>
+      GraftSql.describeTable(s, cat, "nyc", t).withColumn("tableName", lit(t))
+    }.reduce(_ unionByName _)
+      .select("tableName", "col_name", "data_type", "nullable")
+      .orderBy("tableName", "col_name")
+  }
+
   /** q_sql_entry: SQL text through the Thrift-equivalent entry, over temp
     * views of the testdata (oracle: identical SQL in DuckDB). */
   private def qSqlEntry: QFn = (s, d) => {
@@ -287,6 +300,7 @@ object Meta {
     "meta_files"       -> metaFiles,
     "meta_time_travel" -> metaTimeTravel,
     "meta_show_tables" -> metaShowTables,
+    "meta_describe"    -> metaDescribe,
     "meta_show_create" -> metaShowCreate,
     "q_sql_entry"      -> qSqlEntry,
     "q_sql_rewrite"    -> qSqlRewrite,

@@ -56,6 +56,23 @@ object GraftSql {
     df.toLocalIterator().asScala
   }
 
+  /** I2-adjacent: `DESCRIBE TABLE` — one row per column, the BI clients'
+    * schema-introspection call. Metadata-only (catalog JSON, no scan). */
+  def describeTable(spark: SparkSession, cat: GraftCatalog, ns: String,
+                    table: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val meta = cat.loadTable(ns, table)
+    val rows = meta.schema.fields.toSeq.map(f =>
+      org.apache.spark.sql.Row(f.name, f.dataType.sql.toLowerCase, f.nullable))
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("col_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("data_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("nullable",
+        org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
   /** I4: `SHOW CREATE TABLE` DDL text (multi-line, newline-joined like the
     * client shim, `/root/reference/pyhive_spark_patch.py:21-35`). */
   def showCreateTable(cat: GraftCatalog, ns: String, table: String): String = {
