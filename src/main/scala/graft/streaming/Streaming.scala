@@ -257,6 +257,87 @@ object Streaming {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** st_join_outer (non-oracle): LEFT-OUTER stream-stream join — the
+    * semantics inner joins don't exercise: an unmatched click may only be
+    * null-extended once the watermark PROVES no future purchase can match
+    * (wm > click_ts + 10 min), because emitting earlier could contradict a
+    * late purchase. The invariants verify both directions against the
+    * batch join: no phantom null-extensions (every emitted one is truly
+    * unmatched) and completeness for clicks whose window is strictly
+    * inside the final watermark (min of both sides' max event time − 1 h;
+    * exact-boundary rows are left to the engine). */
+  def stJoinOuter: QFn = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_join_outer")
+    val in = base.resolve("in")
+    val ev = graft.Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(in.resolve("b0").toString)
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(in.resolve("b1").toString)
+    val src = s.readStream
+      .schema(ev.schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").cast("timestamp").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").cast("timestamp").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "leftOuter")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try joined.writeStream
+      .format("memory").queryName("st_join_outer_sink").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.awaitTermination() finally q.stop()
+    val out = s.table("st_join_outer_sink").select("click_id", "purchase_id").cache()
+    // batch-side expectations over the same rows
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").cast("timestamp").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").cast("timestamp").as("p_ts"))
+    // cached: the expectation sets are reused by three invariant probes
+    val batchInner = c.join(p,
+      col("c_user") === col("p_user") && col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES")).cache()
+    val wmCut = java.sql.Timestamp.from(
+      Seq(c.agg(max("c_ts")).head().getTimestamp(0),
+        p.agg(max("p_ts")).head().getTimestamp(0))
+        .map(_.toInstant).min.minusSeconds(3600))
+    val unmatchedClosed = c
+      .join(batchInner.select(col("click_id").as("m_id")).distinct(),
+        col("click_id") === col("m_id"), "left_anti")
+      .filter(col("c_ts") + expr("INTERVAL 10 MINUTES") < lit(wmCut) - expr("INTERVAL 1 SECOND"))
+    val nMatched = out.filter(col("purchase_id").isNotNull).count()
+    val nullExtended = out.filter(col("purchase_id").isNull).select("click_id")
+    val nNull = nullExtended.count()
+    val phantom = nullExtended
+      .join(batchInner.select("click_id").distinct(), "click_id").count()
+    val missing = unmatchedClosed
+      .join(nullExtended, Seq("click_id"), "left_anti").count()
+    Seq(("matched", nMatched, nMatched == batchInner.count()),
+      ("null_extended", nNull, nNull >= unmatchedClosed.count()),
+      ("no_phantom_null_extension", phantom, phantom == 0L),
+      ("closed_windows_all_emitted", missing, missing == 0L))
+      .toDF("phase", "n", "invariant_ok")
+  }
+
   val queries: Map[String, QFn] = Map(
     "st_watermark"    -> stWatermark,
     "st_dedup"        -> stDedup,
@@ -264,6 +345,7 @@ object Streaming {
     "st_file_source"  -> stFileSource,
     "st_catalog_sink" -> stCatalogSink,
     "st_join"         -> stJoin,
+    "st_join_outer"   -> stJoinOuter,
   )
 
   /** st_file_source proves STREAM-BATCH PARITY: draining the landing zone
