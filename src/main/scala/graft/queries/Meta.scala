@@ -134,6 +134,39 @@ object Meta {
       .orderBy("tableName", "col_name")
   }
 
+  /** meta_sql_catalog: the analyzer-integrated read path — GraftCatalog
+    * registered as a DSv2 catalog plugin, tables resolved by Spark SQL
+    * directly (`<cat>.nyc.<table>`), including `VERSION AS OF` time travel.
+    * Exactly how the reference's Thrift server resolves Iceberg tables. */
+  private def metaSqlCatalog: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val boot = new GraftCatalog(wh)
+    boot.importFolders(s, data)
+    boot.importFolders(s, data) // snapshot 2 doubles every table
+    val cname = "g_" + Paths.get(wh).getParent.getFileName.toString
+      .replaceAll("[^a-zA-Z0-9]", "")
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+    val cur = s.sql(s"SELECT count(*) AS n FROM $cname.nyc.lineitem")
+      .as[Long].head()
+    val atS1 = s.sql(
+      s"SELECT count(*) AS n FROM $cname.nyc.lineitem VERSION AS OF 1")
+      .as[Long].head()
+    val tables = s.sql(s"SHOW TABLES IN $cname.nyc").count()
+    val joined = s.sql(
+      s"""SELECT r.r_name, count(*) AS n_nations
+         |FROM $cname.nyc.nation n JOIN $cname.nyc.region r
+         |  ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin).count()
+    Seq(("current_doubled", cur, cur == 2 * atS1),
+      ("version_as_of_1", atS1, atS1 > 0),
+      ("show_tables", tables, tables >= 10),
+      ("sql_join_groups", joined, joined == 5))
+      .toDF("phase", "n", "invariant_ok")
+  }
+
   /** q_sql_entry: SQL text through the Thrift-equivalent entry, over temp
     * views of the testdata (oracle: identical SQL in DuckDB). */
   private def qSqlEntry: QFn = (s, d) => {
@@ -301,6 +334,7 @@ object Meta {
     "meta_time_travel" -> metaTimeTravel,
     "meta_show_tables" -> metaShowTables,
     "meta_describe"    -> metaDescribe,
+    "meta_sql_catalog" -> metaSqlCatalog,
     "meta_show_create" -> metaShowCreate,
     "q_sql_entry"      -> qSqlEntry,
     "q_sql_rewrite"    -> qSqlRewrite,

@@ -1,0 +1,61 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The DSv2 catalog plugin: SQL resolution, time travel, DDL, and the
+  * merge-on-read safety refusal. */
+class GraftSparkCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def setup(): (String, GraftCatalog) = {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "sparkcat")
+    val dataDir = base.resolve("in"); Files.createDirectories(dataDir)
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "score")
+      .coalesce(1).write.parquet(dataDir.resolve("t").toString)
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    cat.importFolders(spark, dataDir.toString)
+    val cname = "gc" + base.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")
+    spark.conf.set(s"spark.sql.catalog.$cname", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    (cname, cat)
+  }
+
+  test("SQL resolves tables and VERSION AS OF through the plugin") {
+    val (c, cat) = setup()
+    assert(spark.sql(s"SELECT sum(score) FROM $c.nyc.t").as[Double].head() === 60.0)
+    cat.registerFiles("nyc", "t", cat.files("nyc", "t").map(f => Paths.get(f.path)))
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t").as[Long].head() === 6)
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t VERSION AS OF 1")
+      .as[Long].head() === 3)
+    assert(spark.sql(s"SHOW TABLES IN $c.nyc").count() === 1)
+    assert(spark.sql(s"SHOW NAMESPACES IN $c").count() >= 1)
+  }
+
+  test("CREATE and DROP TABLE work; ALTER is refused") {
+    val (c, cat) = setup()
+    spark.sql(s"CREATE TABLE $c.nyc.fresh (k BIGINT, v STRING) USING parquet")
+    assert(cat.tableExists("nyc", "fresh"))
+    assert(spark.sql(s"SELECT * FROM $c.nyc.fresh").count() === 0)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.nyc.fresh ADD COLUMN extra INT")
+    }
+    spark.sql(s"DROP TABLE $c.nyc.fresh")
+    assert(!cat.tableExists("nyc", "fresh"))
+  }
+
+  test("merge-on-read delete debt is refused until materialized") {
+    val (c, cat) = setup()
+    graft.etl.Merge.deleteWhereMor(spark, cat, "nyc", "t",
+      col("id") === 2L, Seq("id"))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $c.nyc.t").collect()
+    }
+    assert(e.getMessage.contains("materialize"))
+    graft.etl.Merge.materialize(spark, cat, "nyc", "t")
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t").as[Long].head() === 2)
+  }
+}
