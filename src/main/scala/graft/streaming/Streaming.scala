@@ -23,6 +23,19 @@ object Streaming {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
 
+  /** Run `body` (a streaming-query start) with few shuffle partitions:
+    * every stateful operator commits one state store PER PARTITION PER
+    * micro-batch, so partition count — not data volume — dominates these
+    * small-state demos (32 partitions measured 2.7× slower than 8 on
+    * st_join). Real deployments size stateful stages by state volume the
+    * same way. The value is pinned into the checkpoint at first start, so
+    * scoping the conf to the start call is safe. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Per-user open-session state for [[stSessionize]] (top-level so Spark
     * can derive its Encoder). */
   case class SessState(n: Long, startMs: Long, lastMs: Long)
@@ -43,8 +56,8 @@ object Streaming {
       .groupBy(window(col("ts"), "10 minutes"), col("k"))
       .count()
       .select(col("window.start").as("w_start"), col("k"), col("count").as("n"))
-    val q = counts.writeStream
-      .format("memory").queryName("st_watermark_sink").outputMode("append").start()
+    val q = withStatePartitions(s, 4)(counts.writeStream
+      .format("memory").queryName("st_watermark_sink").outputMode("append").start())
     try {
       input.addData((ts(1), "a"), (ts(2), "a"), (ts(11), "b")) // watermark → 00:06
       q.processAllAvailable()
@@ -66,8 +79,8 @@ object Streaming {
     val deduped = input.toDF().toDF("ts", "event_id", "payload")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = deduped.writeStream
-      .format("memory").queryName("st_dedup_sink").outputMode("append").start()
+    val q = withStatePartitions(s, 4)(deduped.writeStream
+      .format("memory").queryName("st_dedup_sink").outputMode("append").start())
     try {
       input.addData((ts(1), 1L, "first"), (ts(2), 2L, "first"))
       q.processAllAvailable()
@@ -112,8 +125,8 @@ object Streaming {
           }
       }
       .toDF("user", "n_events", "s_start", "s_end")
-    val q = sessions.writeStream
-      .format("memory").queryName("st_sessionize_sink").outputMode("append").start()
+    val q = withStatePartitions(s, 4)(sessions.writeStream
+      .format("memory").queryName("st_sessionize_sink").outputMode("append").start())
     try {
       input.addData((ts(1), "u1"), (ts(3), "u1"), (ts(2), "u2"))
       q.processAllAvailable()
@@ -236,20 +249,11 @@ object Streaming {
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
-    // A stream-stream join runs 4 state stores per shuffle partition with a
-    // per-micro-batch commit each — batch-analytics partition counts multiply
-    // that fixed cost for no gain at this state size (2.7× faster at 8 than
-    // 32 here). Real deployments size stateful-stage partitions by STATE
-    // volume, not scan width; the value is pinned into the checkpoint at
-    // first start, so this is a per-pipeline choice by construction.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try joined.writeStream
+    val q = withStatePartitions(s, 8)(joined.writeStream
       .format("memory").queryName("st_join_sink").outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", base.resolve("ckpt").toString)
-      .start()
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      .start())
     try q.awaitTermination() finally q.stop()
     s.table("st_join_sink")
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
@@ -295,14 +299,11 @@ object Streaming {
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
       "leftOuter")
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try joined.writeStream
+    val q = withStatePartitions(s, 8)(joined.writeStream
       .format("memory").queryName("st_join_outer_sink").outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", base.resolve("ckpt").toString)
-      .start()
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      .start())
     try q.awaitTermination() finally q.stop()
     val out = s.table("st_join_outer_sink").select("click_id", "purchase_id").cache()
     // batch-side expectations over the same rows
