@@ -425,7 +425,7 @@ object Extensions {
       .select(col("l_orderkey"), col("l_linenumber"),
         netPrice(col("l_extendedprice"), col("l_discount"), col("l_tax"))
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("net_price"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "net_price")
   }
 
   /** q_udtf_ngrams: the native Generator UDTF (K3) end-to-end — word
@@ -674,7 +674,7 @@ object Extensions {
       """SELECT l_orderkey, l_linenumber,
         |       CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
         |            AS DECIMAL(18,6)) AS net_price
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price""".stripMargin,
     "q_udaf_geomean" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 4) AS geomean_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

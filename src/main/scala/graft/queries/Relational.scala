@@ -28,7 +28,9 @@ object Relational {
   private def qScanProject: QFn = (s, d) =>
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+      // the oracle compare needs a TOTAL order (SURVEY.md §5.3)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
   private def qFilterPred: QFn = (s, d) =>
     Tables.lineitem(s, d)
@@ -36,7 +38,7 @@ object Relational {
         col("l_discount").between(0.02, 0.06) &&
         col("l_shipdate") >= to_timestamp_ntz(lit("1996-01-01")))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
 
   private def qFilterInNull: QFn = (s, d) =>
     Tables.customer(s, d)
@@ -326,13 +328,13 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem
         |WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.06
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
     "q_filter_in_null" ->
       """SELECT c_custkey, c_mktsegment,
         |       CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal

@@ -46,7 +46,8 @@ object Scalars {
       .orderBy("o_orderkey")
 
   private def qMathFuncs: QFn = (s, d) =>
-    Tables.lineitem(s, d)
+    // expression-heavy over a narrow scan: widen before computing
+    Tables.spread(s, Tables.lineitem(s, d))
       .select(col("l_orderkey"), col("l_linenumber"),
         // prices carry 2 decimals, so rounding at 3 never hits a decimal
         // halfway point (where Spark/DuckDB double-rounding can diverge)
@@ -59,7 +60,9 @@ object Scalars {
         round(log(col("l_extendedprice")), 6).as("price_ln"),
         round(exp(col("l_discount")), 6).as("disc_exp"),
         (col("l_partkey") % 7).as("part_mod7"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order: the key pair is non-unique in the synthetic lineitem
+      .orderBy("l_orderkey", "l_linenumber", "price_r3", "disc_dev", "qty_sq",
+        "part_mod7")
 
   private def qCaseCoalesce: QFn = (s, d) =>
     Tables.orders(s, d)
@@ -73,14 +76,14 @@ object Scalars {
       .orderBy("o_orderkey")
 
   private def qCastTypes: QFn = (s, d) =>
-    Tables.lineitem(s, d)
+    Tables.spread(s, Tables.lineitem(s, d))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast(DecimalType(12, 2)).as("qty_dec"),
         col("l_shipdate").cast("date").as("ship_date"),
         col("l_linenumber").cast(LongType).as("line_big"),
         col("l_linenumber").cast("double").as("line_dbl"),
         col("l_orderkey").cast("string").as("key_str"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "qty_dec", "ship_date")
 
   private def qArrayFuncs: QFn = (s, d) =>
     Tables.embeddings(s, d)
@@ -158,7 +161,8 @@ object Scalars {
         |       round(ln(l_extendedprice), 6) AS price_ln,
         |       round(exp(l_discount), 6) AS disc_exp,
         |       l_partkey % 7 AS part_mod7
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, price_r3, disc_dev, qty_sq, part_mod7""".stripMargin,
     "q_case_coalesce" ->
       """SELECT o_orderkey,
         |       CASE WHEN o_totalprice > 200000 THEN 'big'
@@ -175,7 +179,8 @@ object Scalars {
         |       CAST(l_linenumber AS BIGINT) AS line_big,
         |       CAST(l_linenumber AS DOUBLE) AS line_dbl,
         |       CAST(l_orderkey AS VARCHAR) AS key_str
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, qty_dec, ship_date""".stripMargin,
     "q_array_funcs" ->
       """SELECT vec_id,
         |       CAST(len(embedding) AS INTEGER) AS dim,
