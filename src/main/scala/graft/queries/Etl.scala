@@ -157,16 +157,6 @@ object Etl {
       .orderBy("event_type")
   }
 
-  /** Morton (z-order) value: interleave the low 16 bits of two normalized
-    * dimensions — built from plain bit-op Columns, so it stays inside
-    * whole-stage codegen. */
-  private def zValue(a: Column, b: Column): Column =
-    (0 until 16).map { i =>
-      val abit = shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1)), 2 * i)
-      val bbit = shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1)), 2 * i + 1)
-      abit.bitwiseOR(bbit)
-    }.reduce(_ bitwiseOR _)
-
   /** etl_zorder (non-oracle): multi-dimensional clustering — the layout
     * axis for tables filtered on MORE THAN ONE column. The same lineitem
     * rows are written twice as 16 range-partitioned files: linearly sorted
@@ -187,9 +177,7 @@ object Etl {
       min("l_partkey"), max("l_partkey")).head()
     val (okLo, okHi, pkLo, pkHi) =
       (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
-    def norm(c: Column, lo: Long, hi: Long): Column =
-      ((c - lit(lo)).cast("double") / lit(math.max(1L, hi - lo)) * 65535)
-        .cast("int")
+    import graft.etl.Layout.{normTo16Bits => norm, zValue}
     val nFiles = 64 // 8×8 z-grid: enough files for 2-D skipping to bite
     val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
     def writeLayout(name: String, clustered: DataFrame): Unit = {
