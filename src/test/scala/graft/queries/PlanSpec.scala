@@ -43,6 +43,14 @@ class PlanSpec extends SparkSpec {
     assert(shuffles("q_doc_stats") <= 2)
   }
 
+  test("multimodal decode→transform chains stay partition-local") {
+    // decode, resize/frame-sample run as one pipelined stage: the ONLY
+    // exchange allowed is the final oracle-mandated sort. A shuffle between
+    // the mapPartitions stages would break per-partition codec reuse.
+    assert(shuffles("q_multimodal_resize") <= 1)
+    assert(shuffles("q_multimodal_frames") <= 1)
+  }
+
   test("minhash pipeline: signature reduction bounds the shuffles") {
     // spread (scan-widening, no-op on a wide scan), tokens→signature agg,
     // band agg, sort
