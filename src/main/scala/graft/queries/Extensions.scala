@@ -63,7 +63,7 @@ object Extensions {
 
   /** Per-doc quality scoring: token count, alnum density, mean word length. */
   private def qTextQuality: QFn = (s, d) =>
-    Tables.documents(s, d)
+    Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id"),
         size(expr(tokensExpr)).as("n_words"),
         length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("n_alnum"),

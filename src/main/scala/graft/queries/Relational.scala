@@ -247,7 +247,9 @@ object Relational {
   }
 
   private def qAggPercentile: QFn = (s, d) =>
-    Tables.lineitem(s, d)
+    // exact percentile buffers every value per group — widen the narrow
+    // scan so the map-side buffer build parallelizes
+    Tables.spread(s, Tables.lineitem(s, d))
       .groupBy(col("l_returnflag"))
       .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
