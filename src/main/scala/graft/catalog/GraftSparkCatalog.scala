@@ -1,15 +1,19 @@
 package graft.catalog
 
+import java.nio.file.Paths
 import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -73,10 +77,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val meta = cat.loadTable(ns, ident.name)
     require(meta.deleteFilesAsOf(asOf).isEmpty,
       s"$ns.${ident.name} carries merge-on-read delete files; materialize before SQL reads")
-    val paths = meta.filesAsOf(asOf).map(_.path)
-    ParquetTable(s"$catName.$ns.${ident.name}", SparkSession.active,
-      CaseInsensitiveStringMap.empty(), paths, Some(meta.schema),
-      classOf[ParquetFileFormat])
+    new GraftSqlTable(cat, catName, ns, ident.name, meta.schema,
+      meta.filesAsOf(asOf).map(_.path))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -126,4 +128,45 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("drop namespace is not supported")
+}
+
+/** One catalog table as Spark SQL sees it: reads delegate to a stock
+  * ParquetTable over the snapshot's resolved file list; writes (`INSERT
+  * INTO` / `INSERT OVERWRITE`) land parquet under the table's `data/` dir
+  * and commit ONE append/overwrite snapshot — atomic exactly like the
+  * programmatic [[GraftCatalog]] path, through the V1Write bridge (the
+  * same route mature connectors take for driver-coordinated commits). */
+private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
+                                     ns: String, tbl: String,
+                                     tableSchema: StructType,
+                                     paths: Seq[String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"$catName.$ns.$tbl"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetTable(name(), SparkSession.active, options, paths,
+      Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteMode = false
+      override def truncate(): WriteBuilder = { overwriteMode = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val dir = Paths.get(cat.warehouse, ns, tbl, "data",
+                s"insert-${System.currentTimeMillis()}")
+              data.write.parquet(dir.toString)
+              cat.registerFiles(ns, tbl, Seq(dir),
+                operation = if (overwriteMode || overwrite) "overwrite" else "append")
+            }
+          }
+      }
+    }
 }

@@ -160,10 +160,17 @@ object Meta {
          |FROM $cname.nyc.nation n JOIN $cname.nyc.region r
          |  ON n.n_regionkey = r.r_regionkey
          |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin).count()
+    // SQL write path: INSERT INTO commits one append snapshot
+    val regionBefore = s.sql(s"SELECT count(*) FROM $cname.nyc.region").as[Long].head()
+    s.sql(s"""INSERT INTO $cname.nyc.region
+             |SELECT r_regionkey + 100, r_name
+             |FROM $cname.nyc.region""".stripMargin)
+    val regionAfter = s.sql(s"SELECT count(*) FROM $cname.nyc.region").as[Long].head()
     Seq(("current_doubled", cur, cur == 2 * atS1),
       ("version_as_of_1", atS1, atS1 > 0),
       ("show_tables", tables, tables >= 10),
-      ("sql_join_groups", joined, joined == 5))
+      ("sql_join_groups", joined, joined == 5),
+      ("sql_insert", regionAfter, regionAfter == 2 * regionBefore))
       .toDF("phase", "n", "invariant_ok")
   }
 

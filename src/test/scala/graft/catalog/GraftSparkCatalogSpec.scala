@@ -47,6 +47,30 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(!cat.tableExists("nyc", "fresh"))
   }
 
+  test("INSERT INTO appends a snapshot; INSERT OVERWRITE replaces state") {
+    val (c, cat) = setup()
+    spark.sql(s"INSERT INTO $c.nyc.t VALUES (4, 'd', 40.0), (5, 'e', 50.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t").as[Long].head() === 5)
+    assert(cat.snapshots("nyc", "t").map(_.operation) === Seq("append", "append"))
+    spark.sql(s"INSERT OVERWRITE $c.nyc.t VALUES (9, 'z', 90.0)")
+    assert(spark.sql(s"SELECT id FROM $c.nyc.t").as[Long].collect().toSeq === Seq(9L))
+    assert(cat.snapshots("nyc", "t").last.operation === "overwrite")
+    // time travel still reaches both pre-DML states
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t VERSION AS OF 2")
+      .as[Long].head() === 5)
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t VERSION AS OF 1")
+      .as[Long].head() === 3)
+  }
+
+  test("CREATE then INSERT into an empty table works end-to-end in SQL") {
+    val (c, cat) = setup()
+    spark.sql(s"CREATE TABLE $c.nyc.sqlborn (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $c.nyc.sqlborn VALUES (1, 'one'), (2, 'two')")
+    assert(spark.sql(s"SELECT v FROM $c.nyc.sqlborn ORDER BY k")
+      .as[String].collect().toSeq === Seq("one", "two"))
+    assert(cat.files("nyc", "sqlborn").map(_.rowCount).sum === 2)
+  }
+
   test("merge-on-read delete debt is refused until materialized") {
     val (c, cat) = setup()
     graft.etl.Merge.deleteWhereMor(spark, cat, "nyc", "t",
