@@ -135,12 +135,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   * INTO` / `INSERT OVERWRITE`) land parquet under the table's `data/` dir
   * and commit ONE append/overwrite snapshot — atomic exactly like the
   * programmatic [[GraftCatalog]] path, through the V1Write bridge (the
-  * same route mature connectors take for driver-coordinated commits). */
+  * same route mature connectors take for driver-coordinated commits).
+  * `DELETE FROM … WHERE` commits a copy-on-write overwrite snapshot for
+  * any predicate expressible in source filters (the common BI shapes);
+  * row-level plans beyond that are refused at analysis. */
 private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
                                      ns: String, tbl: String,
                                      tableSchema: StructType,
                                      paths: Seq[String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"$catName.$ns.$tbl"
   override def schema(): StructType = tableSchema
@@ -151,6 +154,44 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     ParquetTable(name(), SparkSession.active, options, paths,
       Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+
+  import org.apache.spark.sql.sources
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  private def filterToColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.And(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case sources.Or(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case sources.Not(c) => filterToColumn(c).map(not)
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.flatMap(filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val current =
+      if (paths.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      else spark.read.schema(tableSchema).parquet(paths: _*)
+    val dir = Paths.get(cat.warehouse, ns, tbl, "data",
+      s"delete-${System.currentTimeMillis()}")
+    current.filter(not(cond)).write.parquet(dir.toString)
+    cat.registerFiles(ns, tbl, Seq(dir), operation = "overwrite")
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

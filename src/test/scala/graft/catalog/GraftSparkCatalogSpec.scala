@@ -71,6 +71,16 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(cat.files("nyc", "sqlborn").map(_.rowCount).sum === 2)
   }
 
+  test("DELETE FROM commits a copy-on-write overwrite snapshot") {
+    val (c, cat) = setup()
+    spark.sql(s"DELETE FROM $c.nyc.t WHERE score >= 20.0 AND name <> 'c'")
+    assert(spark.sql(s"SELECT id FROM $c.nyc.t ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L))
+    assert(cat.snapshots("nyc", "t").last.operation === "overwrite")
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t VERSION AS OF 1")
+      .as[Long].head() === 3)
+  }
+
   test("merge-on-read delete debt is refused until materialized") {
     val (c, cat) = setup()
     graft.etl.Merge.deleteWhereMor(spark, cat, "nyc", "t",
