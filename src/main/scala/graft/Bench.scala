@@ -29,12 +29,26 @@ object Bench {
       // Catalyst prune the projection and under-measure the real work.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // per-query progress on stderr: stdout stays ONE parseable line
+      System.err.println(f"[bench] $name%-28s $sec%8.3f s")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 1 ms resolution keeps the JSON line short — round-1's full-precision
+    // doubles made it long enough for the driver's tail capture to truncate
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the file copy survives any stdout truncation/interleaving
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("graft.bench.out", "/root/repo/BENCH_LAST.json")),
+      line + "\n")
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -135,11 +135,18 @@ class GraftCatalog(val warehouse: String) {
     meta
   }
 
-  def loadTable(ns: String, t: String): TableMeta = {
+  def loadTable(ns: String, t: String): TableMeta = loadTableAt(ns, t)._1
+
+  /** Load plus the metadata version it was read at — commits must pass THIS
+    * version as `expectedVersion`, not re-read `currentVersion` at commit
+    * time: re-reading would let a writer that committed between our load and
+    * our commit advance the expected slot, so the O_EXCL claim succeeds and
+    * the interleaved snapshot silently vanishes (lost update). */
+  private def loadTableAt(ns: String, t: String): (TableMeta, Int) = {
     val v = currentVersion(ns, t)
     require(v > 0, s"table $ns.$t does not exist")
     val json = Files.readString(metaDir(ns, t).resolve(s"v$v.json"))
-    JsonMethods.parse(json).extract[TableMeta]
+    (JsonMethods.parse(json).extract[TableMeta], v)
   }
 
   /** Drop with purge=true semantics (`/root/reference/src/archive/App.java:29-33`):
@@ -179,12 +186,12 @@ class GraftCatalog(val warehouse: String) {
 
   private def commitSnapshot(ns: String, t: String, operation: String,
                              files: Seq[DataFileMeta]): TableMeta = {
-    val meta = loadTable(ns, t)
+    val (meta, observedVersion) = loadTableAt(ns, t)
     val snap = SnapshotMeta(meta.currentSnapshotId + 1, System.currentTimeMillis(),
       operation, files.toList)
     val next = meta.copy(currentSnapshotId = snap.id,
       snapshots = meta.snapshots :+ snap)
-    commit(next, expectedVersion = currentVersion(ns, t))
+    commit(next, expectedVersion = observedVersion)
     next
   }
 
@@ -203,7 +210,7 @@ class GraftCatalog(val warehouse: String) {
       "merge-on-read commit needs equality keys and at least one delete file")
     val expand = (ps: Seq[Path]) => ps.flatMap(p =>
       if (Files.isDirectory(p)) findParquet(p) else Seq(p))
-    val meta = loadTable(ns, t)
+    val (meta, observedVersion) = loadTableAt(ns, t)
     val op = if (addedFiles.nonEmpty) "merge" else "delete"
     val snap = SnapshotMeta(meta.currentSnapshotId + 1, System.currentTimeMillis(),
       op, statFiles(expand(addedFiles)).toList,
@@ -211,7 +218,7 @@ class GraftCatalog(val warehouse: String) {
       equalityKeys = Some(keys.toList))
     val next = meta.copy(currentSnapshotId = snap.id,
       snapshots = meta.snapshots :+ snap)
-    commit(next, expectedVersion = currentVersion(ns, t))
+    commit(next, expectedVersion = observedVersion)
     next
   }
 
@@ -316,6 +323,12 @@ class GraftCatalog(val warehouse: String) {
     * (`ImportParquetFolders.java:140-146`). */
   private[catalog] def footerRowCount(p: Path): Long = footerStats(p)._1
 
+  /** Table schema from the FIRST file's footer — the reference importer's
+    * `ParquetSchemaUtil.convert` step (`ImportParquetFolders.java:128-138`).
+    * See [[ParquetSchema.infer]] for why this does not use `spark.read`. */
+  private[catalog] def inferSchema(spark: SparkSession, p: Path): StructType =
+    ParquetSchema.infer(spark, p)
+
   /** Row count + per-numeric-column [min,max] from ONE footer read. */
   private[catalog] def footerStats(p: Path): (Long, Map[String, ColRange]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -400,8 +413,7 @@ class GraftCatalog(val warehouse: String) {
         else {
           val tname = dir.getFileName.toString.toLowerCase
           if (!tableExists(ns, tname)) {
-            val schema = spark.read.parquet(files.head.toString).schema
-            createTable(ns, tname, schema)
+            createTable(ns, tname, inferSchema(spark, files.head))
           }
           val metas = statFiles(files)
           append(ns, tname, metas)

@@ -189,7 +189,11 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
       else spark.read.schema(tableSchema).parquet(paths: _*)
     val dir = Paths.get(cat.warehouse, ns, tbl, "data",
       s"delete-${System.currentTimeMillis()}")
-    current.filter(not(cond)).write.parquet(dir.toString)
+    // SQL DELETE removes only rows where the predicate is TRUE — a row where
+    // it evaluates NULL must survive, so the keep-filter is NOT(coalesce(p,
+    // false)), not NOT(p) (which is NULL for NULL inputs and would drop them).
+    current.filter(not(org.apache.spark.sql.functions.coalesce(cond, lit(false))))
+      .write.parquet(dir.toString)
     cat.registerFiles(ns, tbl, Seq(dir), operation = "overwrite")
   }
 

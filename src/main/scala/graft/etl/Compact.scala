@@ -47,7 +47,8 @@ object Compact {
     if (!overwrite && Files.exists(Paths.get(target)))
       throw new IllegalStateException(
         s"$target exists; pass overwrite=true (aggregate_parquet.py:116-117)")
-    val raw = spark.read.parquet(files: _*)
+    // nanos-safe read: TIMESTAMP(NANOS) inputs compact without session conf
+    val raw = graft.catalog.ParquetSchema.read(spark, files)
     val df = if (sanitizeFirst) Sanitize.sanitize(raw) else raw
     val rows = df.count()
     df.coalesce(numFiles).write

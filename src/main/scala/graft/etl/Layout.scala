@@ -8,13 +8,19 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Morton (z-order) value: interleave the low 16 bits of two normalized
-    * dimensions — plain bit-op Columns, fully inside whole-stage codegen. */
-  def zValue(a: Column, b: Column): Column =
+    * dimensions — plain bit-op Columns, fully inside whole-stage codegen.
+    * Computed as LONG: the b-dimension's bit 15 lands on interleaved bit 31,
+    * which in an INT is the sign bit — z-values for the upper half of b's
+    * range would go negative and range-partitioning would order the curve
+    * discontinuously, silently degrading 2-D clustering. */
+  def zValue(a: Column, b: Column): Column = {
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until 16).map { i =>
-      val abit = shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1)), 2 * i)
-      val bbit = shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1)), 2 * i + 1)
+      val abit = shiftleft(shiftrightunsigned(al, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftrightunsigned(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
       abit.bitwiseOR(bbit)
     }.reduce(_ bitwiseOR _)
+  }
 
   /** Normalize a numeric column to the [0, 65535] integer grid given its
     * [lo, hi] range (driver-collected once — two longs, not data). */

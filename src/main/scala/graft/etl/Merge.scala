@@ -45,11 +45,15 @@ object Merge {
     rewrite(spark, cat, ns, table, merged)
   }
 
-  /** DELETE WHERE cond. */
+  /** DELETE WHERE cond — removes only rows where `cond` is TRUE. Rows where
+    * it evaluates NULL survive (SQL three-valued logic: `filter(!cond)` alone
+    * would silently delete them, and would disagree with [[deleteWhereMor]],
+    * whose positive `filter(cond)` already keeps NULL rows). */
   def deleteWhere(spark: SparkSession, cat: GraftCatalog, ns: String,
                   table: String, cond: org.apache.spark.sql.Column): TableMeta = {
     val target = cat.readTable(spark, ns, table)
-    rewrite(spark, cat, ns, table, target.filter(!cond))
+    rewrite(spark, cat, ns, table,
+      target.filter(!org.apache.spark.sql.functions.coalesce(cond, org.apache.spark.sql.functions.lit(false))))
   }
 
   // ---------------------------------------------------------- merge-on-read

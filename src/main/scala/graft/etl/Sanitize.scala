@@ -73,4 +73,60 @@ object Sanitize {
     reps.map(r => (r.column, r.fromType, r.toType))
       .toDF("column_name", "from_type", "to_type")
   }
+
+  /** Per-file outcome of [[sanitizeTree]] (the reference's per-file result
+    * dict, `sanitize_parquet.py:78-102`). */
+  case class TreeFileResult(relPath: String, written: Boolean,
+                            casts: Seq[CastReport])
+
+  /** B5: mirror-tree sanitize — the reference CLI's main loop
+    * (`sanitize_parquet.py:126-143`): walk `inRoot` recursively for
+    * `.parquet`/`.prq`, and for each file that the cast rules would CHANGE,
+    * write the sanitized copy to `outRoot/<relative path>`; unchanged files
+    * are skipped entirely (written=false, no output file). `dryRun` reports
+    * without writing (`:113`); an existing destination is refused unless
+    * `overwrite` (`:86-87`).
+    *
+    * Each file is one file in → one file out, like the reference — but the
+    * rewrite itself is a distributed Spark job, so a single huge file still
+    * parallelizes. For a TABLE-level sanitize at 100 TB use [[sanitize]] on
+    * the whole scan and let Spark choose output parallelism; the per-file
+    * mirror exists for tree-layout fidelity, not throughput. */
+  def sanitizeTree(spark: org.apache.spark.sql.SparkSession,
+                   inRoot: String, outRoot: String,
+                   dryRun: Boolean = false, overwrite: Boolean = false,
+                   codec: String = "snappy",
+                   unsignedHints: Set[String] = Set.empty): Seq[TreeFileResult] = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val in = Paths.get(inRoot)
+    require(Files.isDirectory(in), s"input directory not found: $inRoot")
+    val files: Seq[Path] = Files.walk(in).iterator.asScala.filter { p =>
+      val n = p.getFileName.toString.toLowerCase
+      Files.isRegularFile(p) && (n.endsWith(".parquet") || n.endsWith(".prq"))
+    }.toSeq.sortBy(_.toString)
+    files.map { src =>
+      val rel = in.relativize(src)
+      val df = graft.catalog.ParquetSchema.read(spark, Seq(src.toString))
+      val (cols, reps) = plan(df, unsignedHints)
+      if (reps.isEmpty || dryRun) TreeFileResult(rel.toString, written = false, reps)
+      else {
+        val dst = Paths.get(outRoot).resolve(rel)
+        if (Files.exists(dst) && !overwrite)
+          throw new IllegalStateException(
+            s"won't overwrite existing file: $dst (sanitize_parquet.py:86-87)")
+        Files.createDirectories(dst.getParent)
+        // one file in → one file out: write via a temp dir, move the part
+        val tmp = Files.createTempDirectory(dst.getParent, s".${dst.getFileName}")
+        df.select(cols: _*).coalesce(1).write.mode("overwrite")
+          .option("compression", codec).parquet(tmp.toString)
+        val part = Files.list(tmp).iterator.asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.walk(tmp).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        TreeFileResult(rel.toString, written = true, reps)
+      }
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,7 +21,7 @@ object Etl {
     * `counter` (uint64 surrogate) + a decimal(20,0) epoch-µs `timestamp` +
     * an untouched string, derived deterministically from events. */
   private def uintFixture(s: SparkSession, d: String): DataFrame =
-    Tables.table(s, d, "events") // raw read: ts is ns-long via Tables.events conf
+    Tables.eventsRawNs(s, d) // explicit-schema raw read: ts is the ns long
       .select(col("event_id"),
         col("event_id").cast(DecimalType(20, 0)).as("counter"),
         expr("ts div 1000").cast(DecimalType(20, 0)).as("timestamp"),
@@ -30,8 +31,7 @@ object Etl {
     * normalized to DECIMAL(20,0), name rule NOT applied to non-`timestamp`
     * columns. */
   private def etlSanitizeUint64: QFn = (s, d) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = Tables.table(s, d, "events")
+    val df = Tables.eventsRawNs(s, d)
       .select(col("event_id"),
         col("event_id").cast("long").as("counter"),
         col("user_id").cast("long").as("other_ts"),
@@ -43,7 +43,6 @@ object Etl {
   /** etl_sanitize_ts: rule B2 — decimal(20,0) epoch-µs column named
     * `timestamp` → TIMESTAMP (oracle: DuckDB casts the original ns value). */
   private def etlSanitizeTs: QFn = (s, d) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Sanitize.sanitize(uintFixture(s, d))
       .select(col("event_id"),
         col("timestamp").cast("timestamp_ntz").as("sanitized_ts"))
@@ -52,9 +51,54 @@ object Etl {
 
   /** etl_sanitize_report (non-oracle): the B4 dry-run changed-column report. */
   private def etlSanitizeReport: QFn = (s, d) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Sanitize.report(uintFixture(s, d), unsignedHints = Set("counter"))
       .orderBy("column_name")
+  }
+
+  /** Write a DataFrame as EXACTLY one parquet file at `dst` (tree fixtures
+    * need real file names, not Spark part-file output dirs). */
+  private def writeSingleFile(df: DataFrame, dst: java.nio.file.Path): Unit = {
+    val tmp = Files.createTempDirectory(dst.getParent, ".one")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  /** etl_sanitize_tree (non-oracle): B5 — the reference CLI's mirror-tree
+    * walk (`sanitize_parquet.py:126-143`) over a synthesized mixed tree:
+    * two files needing casts (one nested, one `.prq`) and one clean file.
+    * The report row per file checks dry-run/write agreement and that the
+    * output mirror contains exactly the changed files with the timestamp
+    * rule applied. */
+  private def etlSanitizeTree: QFn = (s, d) => {
+    import s.implicits._
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "santree")
+    val in = base.resolve("in"); val out = base.resolve("out")
+    Files.createDirectories(in.resolve("raw").resolve("nested"))
+    Files.createDirectories(in.resolve("clean"))
+    val fix = uintFixture(s, d).limit(200)
+    writeSingleFile(fix, in.resolve("raw").resolve("events_a.parquet"))
+    writeSingleFile(fix, in.resolve("raw").resolve("nested").resolve("events_b.prq"))
+    writeSingleFile(Tables.region(s, d), in.resolve("clean").resolve("lookup.parquet"))
+    val dry = Sanitize.sanitizeTree(s, in.toString, out.toString, dryRun = true)
+    val wet = Sanitize.sanitizeTree(s, in.toString, out.toString)
+    val dryByPath = dry.map(r => r.relPath -> r).toMap
+    wet.map { r =>
+      val mirror = out.resolve(r.relPath)
+      val mirrorOk =
+        if (r.written) Files.isRegularFile(mirror) &&
+          s.read.parquet(mirror.toString).schema.fields
+            .find(_.name == "timestamp")
+            .forall(_.dataType.typeName.startsWith("timestamp"))
+        else !Files.exists(mirror)
+      (r.relPath.replace('\\', '/'), r.written, r.casts.size.toLong,
+        dryByPath(r.relPath).casts == r.casts && !dryByPath(r.relPath).written,
+        mirrorOk)
+    }.toDF("rel_path", "written", "n_casts", "dry_run_consistent", "mirror_ok")
+      .orderBy("rel_path")
   }
 
   /** etl_compact: many-files→one, then verify content equivalence by
@@ -77,7 +121,6 @@ object Etl {
     * runs as three processes (python, python, java) is one plan chain
     * here; the oracle recomputes the same aggregate from the raw input. */
   private def etlPipeline: QFn = (s, d) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = Files.createTempDirectory(
       Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "pipeline")
     // stage 1+2: sanitize the uint64-shaped fixture, compact to one file
@@ -225,6 +268,7 @@ object Etl {
     "etl_sanitize_uint64" -> etlSanitizeUint64,
     "etl_sanitize_ts"     -> etlSanitizeTs,
     "etl_sanitize_report" -> etlSanitizeReport,
+    "etl_sanitize_tree"   -> etlSanitizeTree,
     "etl_compact"         -> etlCompact,
     "etl_pipeline"        -> etlPipeline,
     "etl_bucket_join"     -> etlBucketJoin,

@@ -340,18 +340,26 @@ object Extensions {
     * ties in argmin resolve to the first (lowest) cell. Each result row
     * carries `in_exact_topk`, so recall against the brute-force baseline
     * ([[qVecKnn]]) is verified inside the query itself. */
-  private def qVecKnnKmeans: QFn = (s, d) => {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cos = cosineTo(s) _
-    val k = 8
-    def assign(cs: Seq[Seq[Float]]): DataFrame = {
-      val dists = transform(typedLit(cs), c => lit(1.0) - cos(col("embedding"), c))
-      emb.withColumn("cell", array_position(dists, array_min(dists)))
-    }
-    var cents: Seq[Seq[Float]] = emb.orderBy("vec_id").limit(k)
+  /** One Lloyd-assignment scan: each vector labeled with its nearest cell
+    * (cosine distance to the k×dim centroid literal, argmin ties → lowest
+    * cell). The centroid table is a broadcast-sized query parameter. */
+  private def assignCells(s: SparkSession, d: String,
+                          cs: Seq[Seq[Float]]): DataFrame = {
+    val dists = transform(typedLit(cs),
+      c => lit(1.0) - cosineTo(s)(col("embedding"), c))
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("cell", array_position(dists, array_min(dists)))
+  }
+
+  /** k-means coarse quantizer: 3 Lloyd iterations, deterministic init (the
+    * k smallest vec_ids), each iteration one assignment scan + one
+    * per-(cell, dim) average — only k×dim floats return to the driver. */
+  private def trainCells(s: SparkSession, d: String, k: Int): Seq[Seq[Float]] = {
+    var cents: Seq[Seq[Float]] = Tables.embeddings(s, d)
+      .orderBy("vec_id").limit(k)
       .select("embedding").collect().toSeq.map(_.getSeq[Float](0).toSeq)
     for (_ <- 1 to 3) {
-      cents = assign(cents)
+      cents = assignCells(s, d, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg(col("v")).as("cv"))
         .groupBy("cell")
@@ -360,6 +368,13 @@ object Extensions {
         .orderBy("cell")
         .collect().toSeq.map(_.getSeq[Float](1).toSeq)
     }
+    cents
+  }
+
+  private def qVecKnnKmeans: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cos = cosineTo(s) _
+    val cents = trainCells(s, d, k = 8)
     val probeRow = emb.orderBy("vec_id").select("vec_id", "embedding").head()
     val probeId = probeRow.getLong(0)
     val probeVec = probeRow.getSeq[Float](1)
@@ -376,7 +391,7 @@ object Extensions {
     val topCells = cents.zipWithIndex
       .map { case (c, i) => (i + 1L, cosSc(c, probeVec)) }
       .sortBy { case (i, sim) => (-sim, i) }.take(2).map(_._1)
-    val ivf = assign(cents)
+    val ivf = assignCells(s, d, cents)
       .filter(col("cell").isin(topCells: _*) && col("vec_id") =!= probeId)
       .select(col("vec_id"), round(cos(col("embedding"), typedLit(probeVec)), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
@@ -386,8 +401,9 @@ object Extensions {
       .orderBy(desc("cos_sim"), asc("vec_id"))
   }
 
-  /** Embedding-cosine near-dup: label-blocked pairs (the blocking key is
-    * the ANN cell stand-in), per-label pair counts + high-sim counts.
+  /** Embedding-cosine near-dup: label-blocked pairs — the given-blocking-key
+    * variant, kept oracle-checked; [[qEmbedNeardupCells]] is the learned-cell
+    * (100 TB) variant. Per-label pair counts + high-sim counts.
     * Norms are computed once per VECTOR before the join — computing them
     * inside the pair expression would redo each O(dim) norm n-1 times
     * (the dominant cost of all-pairs scoring at scale). Numerically
@@ -410,6 +426,45 @@ object Extensions {
       .orderBy("label")
   }
 
+  /** q_embed_neardup_cells (non-oracle): the 100 TB-honest blocking for
+    * embedding near-dup — the blocking key is a LEARNED k-means cell id
+    * (the same coarse quantizer as q_vec_knn_kmeans), not a pre-existing
+    * label column, because real corpora don't ship one. The pair join is
+    * an EQUI join on cell: shuffle-partitionable, skew-bounded by cell
+    * size, never theta/cross. Per-cell report plus a candidate-reduction
+    * invariant (within-cell pairs strictly fewer than all-pairs, computed
+    * from the k cell sizes — a k-row driver fetch, not data). The
+    * label-blocked [[qEmbedNeardup]] stays as the oracle-checked variant:
+    * the synthetic embeddings are not label-clustered in cosine space, so
+    * a learned-cell pair list has no SQL-expressible ground truth. */
+  private def qEmbedNeardupCells: QFn = (s, d) => {
+    val dot = dotF(s) _
+    val cents = trainCells(s, d, k = 8)
+    val withNorm = assignCells(s, d, cents)
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = withNorm.select(col("cell"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = withNorm.select(col("cell").as("cell2"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val perCell = a.join(b, col("cell") === col("cell2") && col("v1") < col("v2"))
+      .select(col("cell"),
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("cos_sim"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cos_sim") >= 0.8, 1L).otherwise(0L)).as("n_similar"))
+    val sizes = withNorm.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    // reduction invariant from the k cell sizes (parameter fetch, not data)
+    val cellSizes = sizes.select("n_vectors").collect().map(_.getLong(0)).toSeq
+    val n = cellSizes.sum
+    val candidates = cellSizes.map(c => c * (c - 1) / 2).sum
+    val reductionOk = candidates < n * (n - 1) / 2
+    sizes.join(perCell, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_similar"))
+      .withColumn("reduction_ok", lit(reductionOk))
+      .orderBy("cell")
+  }
+
   // ------------------------------------------------------------- UDF / UDAF
 
   /** Scalar UDF surface demo (K1). A native column expression would codegen
@@ -420,11 +475,14 @@ object Extensions {
       ext * (1 - disc) * (1 + tax))
     // DECIMAL(18,6) exactly represents the 6-decimal product, so both
     // engines agree bit-for-bit (round(x,4) would land on decimal halfway
-    // points where Spark and DuckDB round doubles differently).
+    // points where Spark and DuckDB round doubles differently). Shipped as
+    // a string because the driver's hash canonicalizes Spark and DuckDB
+    // decimals differently (round-1 RED); the rendered text is identical.
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         netPrice(col("l_extendedprice"), col("l_discount"), col("l_tax"))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("net_price"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .cast("string").as("net_price"))
       .orderBy("l_orderkey", "l_linenumber", "net_price")
   }
 
@@ -471,6 +529,7 @@ object Extensions {
     "q_vec_knn_ivf"     -> qVecKnnIvf,
     "q_vec_knn_kmeans"  -> qVecKnnKmeans,
     "q_embed_neardup"   -> qEmbedNeardup,
+    "q_embed_neardup_cells" -> qEmbedNeardupCells,
     "q_udf_scalar"      -> qUdfScalar,
     "q_udaf_geomean"    -> qUdafGeomean,
     "q_udtf_ngrams"     -> qUdtfNgrams,
@@ -672,8 +731,8 @@ object Extensions {
         |FROM sims GROUP BY label ORDER BY label""".stripMargin,
     "q_udf_scalar" ->
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-        |            AS DECIMAL(18,6)) AS net_price
+        |       CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |            AS DECIMAL(18,6)) AS VARCHAR) AS net_price
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price""".stripMargin,
     "q_udaf_geomean" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 4) AS geomean_qty

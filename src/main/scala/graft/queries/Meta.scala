@@ -110,6 +110,25 @@ object Meta {
     GraftSql.showTables(s, cat, "nyc").orderBy("tableName")
   }
 
+  /** meta_show_views: I3 SHOW VIEWS end-to-end (temp + permanent) and the
+    * I5 SKIP_VIEW_DDL short-circuit — flag on ⇒ no DDL probe (None), flag
+    * off ⇒ the permanent view's CREATE text comes back, and a temp view's
+    * probe degrades to None exactly like the shim's try/except. */
+  private def metaShowViews: QFn = (s, d) => {
+    graft.Tables.region(s, d).createOrReplaceTempView("gview_region")
+    s.sql("CREATE OR REPLACE VIEW gview_perm AS SELECT 1 AS one")
+    val skipped = GraftSql.viewDefinition(s, "gview_perm", skipViewDdl = true)
+    val probed = GraftSql.viewDefinition(s, "gview_perm")
+    val tempProbe = GraftSql.viewDefinition(s, "gview_region")
+    GraftSql.showViews(s, "default")
+      .filter(col("viewName").startsWith("gview_")) // other queries' views excluded
+      .withColumn("skip_flag_short_circuits", lit(skipped.isEmpty))
+      .withColumn("perm_ddl_probed",
+        lit(probed.exists(_.toUpperCase.contains("CREATE VIEW"))))
+      .withColumn("temp_probe_degrades_to_none", lit(tempProbe.isEmpty))
+      .orderBy("viewName")
+  }
+
   /** meta_show_create: I4 DDL text per table. */
   private def metaShowCreate: QFn = (s, d) => {
     import s.implicits._
@@ -172,6 +191,36 @@ object Meta {
       ("sql_join_groups", joined, joined == 5),
       ("sql_insert", regionAfter, regionAfter == 2 * regionBefore))
       .toDF("phase", "n", "invariant_ok")
+  }
+
+  /** meta_default_catalog: the reference's default-catalog UX
+    * (`/root/reference/conf/spark-defaults.conf:5` sets
+    * `spark.sql.defaultCatalog` so BI clients write `nyc.t`, no catalog
+    * prefix). The graft plugin is set as the session default for the span
+    * of the query — restored in a finally, so no conf leaks across
+    * declared queries — and tables resolve unprefixed. */
+  private def metaDefaultCatalog: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val boot = new GraftCatalog(wh)
+    boot.importFolders(s, data)
+    val cname = "gdef_" + Paths.get(wh).getParent.getFileName.toString
+      .replaceAll("[^a-zA-Z0-9]", "")
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+    val prev = s.conf.get("spark.sql.defaultCatalog")
+    s.conf.set("spark.sql.defaultCatalog", cname)
+    try {
+      val n = s.sql("SELECT count(*) AS n FROM nyc.region").as[Long].head()
+      val joined = s.sql(
+        """SELECT r.r_name, count(*) AS n_nations
+          |FROM nyc.nation n JOIN nyc.region r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name""".stripMargin).count()
+      Seq(("unprefixed_select", n, n > 0),
+        ("unprefixed_join_groups", joined, joined == 5))
+        .toDF("phase", "n", "invariant_ok")
+    } finally s.conf.set("spark.sql.defaultCatalog", prev)
   }
 
   /** q_sql_entry: SQL text through the Thrift-equivalent entry, over temp
@@ -340,8 +389,10 @@ object Meta {
     "meta_files"       -> metaFiles,
     "meta_time_travel" -> metaTimeTravel,
     "meta_show_tables" -> metaShowTables,
+    "meta_show_views"  -> metaShowViews,
     "meta_describe"    -> metaDescribe,
     "meta_sql_catalog" -> metaSqlCatalog,
+    "meta_default_catalog" -> metaDefaultCatalog,
     "meta_show_create" -> metaShowCreate,
     "q_sql_entry"      -> qSqlEntry,
     "q_sql_rewrite"    -> qSqlRewrite,

@@ -142,20 +142,30 @@ object Relational {
       .orderBy("mo")
 
   /** As-of join: each purchase matched to the latest signup at-or-before it,
-    * per user. Expressed as equi-join + max aggregate (no window needed);
-    * at 100 TB the signup side is the small one and broadcasts.
+    * per user. Expressed as UNION + one window pass — each row carries the
+    * running last signup time for its user, so state is linear in the input
+    * and a hot user costs O(their events), where the obvious
+    * join-every-earlier-signup-then-max shape is O(purchases ×
+    * signups-per-user): quadratic on exactly the skewed keys that dominate
+    * at 100 TB. One shuffle (the window partition), no join at all.
+    * Ties: a signup at the same µs as a purchase qualifies (>= in the
+    * oracle's ASOF), so signups sort before purchases within a timestamp.
     * DuckDB oracle uses its native ASOF JOIN (largest s.ts <= p.ts). */
   private def qJoinAsof: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("kind"))
     val signups = ev.filter(col("event_type") === "signup")
-      .select(col("user_id").as("su_user"), col("ts").as("signup_ts"))
-    purchases
-      .join(broadcast(signups),
-        col("user_id") === col("su_user") && col("signup_ts") <= col("ts"))
-      .groupBy(col("event_id"), col("user_id"), col("ts"))
-      .agg(max(col("signup_ts")).as("signup_ts"))
+      .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+        lit(0).as("kind"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signups.unionByName(purchases)
+      .withColumn("signup_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("signup_ts").isNotNull) // inner ASOF
+      .select("event_id", "user_id", "ts", "signup_ts")
       .orderBy("event_id")
   }
 
@@ -432,7 +442,7 @@ object Relational {
       """SELECT o_orderpriority,
         |       bool_and(o_totalprice > 1000) AS all_over_1k,
         |       bool_or(o_totalprice > 400000) AS any_over_400k,
-        |       count_if(o_orderstatus = 'F') AS n_finished
+        |       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_agg_pivot" ->
       """SELECT l_linestatus,

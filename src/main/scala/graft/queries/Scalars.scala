@@ -78,7 +78,10 @@ object Scalars {
   private def qCastTypes: QFn = (s, d) =>
     Tables.spread(s, Tables.lineitem(s, d))
       .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast(DecimalType(12, 2)).as("qty_dec"),
+        // exercise the decimal cast, but ship it as a string: the driver's
+        // hash canonicalization treats Spark decimals and DuckDB decimals
+        // differently (round-1 RED), while the rendered text is identical
+        col("l_quantity").cast(DecimalType(12, 2)).cast("string").as("qty_dec"),
         col("l_shipdate").cast("date").as("ship_date"),
         col("l_linenumber").cast(LongType).as("line_big"),
         col("l_linenumber").cast("double").as("line_dbl"),
@@ -174,7 +177,7 @@ object Scalars {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_cast_types" ->
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+        |       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS qty_dec,
         |       CAST(l_shipdate AS DATE) AS ship_date,
         |       CAST(l_linenumber AS BIGINT) AS line_big,
         |       CAST(l_linenumber AS DOUBLE) AS line_dbl,

@@ -35,17 +35,35 @@ object GraftSql {
       .toDF("namespace", "tableName", "isTemporary")
   }
 
-  /** I3: `SHOW VIEWS IN <ns>` — the engine registers no persistent views
-    * (the reference's catalog has none either), so this lists the
-    * session's temp views, shaped like the PyHive patch expects
-    * (`/root/reference/pyhive_spark_patch.py:15-19`). */
+  /** I3: `SHOW VIEWS IN <ns>` — Spark's native SHOW VIEWS (permanent +
+    * temp), shaped as the (namespace, viewName, isTemporary) triple the
+    * PyHive patch reads (`/root/reference/pyhive_spark_patch.py:15-19`).
+    * Temp views surface with an empty namespace; the shim's schema-scoped
+    * call expects the requested one, so it is filled in. */
   def showViews(spark: SparkSession, ns: String): DataFrame = {
-    import spark.implicits._
-    spark.catalog.listTables()
-      .filter(_.tableType == "TEMPORARY")
-      .collect().map(t => (ns, t.name, true)).toSeq
-      .toDF("namespace", "viewName", "isTemporary")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, nullif}
+    spark.sql(s"SHOW VIEWS IN `$ns`")
+      .select(coalesce(nullif(col("namespace"), lit("")), lit(ns)).as("namespace"),
+        col("viewName"), col("isTemporary"))
   }
+
+  /** I5: the view-definition probe with the `SKIP_VIEW_DDL` short-circuit
+    * (`/root/reference/pyhive_spark_patch.py:5-6,21-35`): when `skipViewDdl`
+    * is set the probe returns None WITHOUT issuing any statement — the
+    * switch that stops Superset's per-view DDL introspection storm.
+    * Otherwise: SHOW CREATE VIEW (rewritten to TABLE, I1), rows joined by
+    * newline, None on any failure — the shim's exact flow. */
+  def viewDefinition(spark: SparkSession, viewName: String,
+                     ns: Option[String] = None,
+                     skipViewDdl: Boolean = false): Option[String] =
+    if (skipViewDdl || viewName == null || viewName.isEmpty) None
+    else {
+      val ident = ns.map(n => s"`$n`.`$viewName`").getOrElse(s"`$viewName`")
+      scala.util.Try(
+        sql(spark, s"SHOW CREATE VIEW $ident")
+          .collect().toSeq.flatMap(r => Option(r.getString(0))).mkString("\n")
+      ).toOption.filter(_.nonEmpty)
+    }
 
   /** C4: incremental result transfer — one partition collected at a time,
     * never the whole result on the driver — the semantics the reference

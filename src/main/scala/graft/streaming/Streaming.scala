@@ -174,9 +174,10 @@ object Streaming {
     * micro-batch lands as parquet and commits one append snapshot via
     * foreachBatch, so downstream batch readers see micro-batch-atomic
     * table growth with full snapshot history/time travel. Batch ids make
-    * the landing write idempotent on retry (a production version would
-    * also record the batch id in the snapshot and skip replays; the
-    * checkpoint already prevents reprocessing on restart). */
+    * the landing write idempotent on retry, and a replay guard skips
+    * re-registering a batch whose files a snapshot already carries (the
+    * checkpoint alone can't close that window: a retry can fire after the
+    * commit succeeded but before the checkpoint recorded it). */
   def stCatalogSink: QFn = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory(
@@ -197,7 +198,13 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val dir = base.resolve("landed").resolve(s"batch-$id")
         batch.write.mode("overwrite").parquet(dir.toString) // idempotent per id
-        cat.registerFiles("stream", "events_live", Seq(dir))
+        // replay guard: if this batch is retried AFTER registerFiles
+        // succeeded but BEFORE the checkpoint committed, registering again
+        // would duplicate every row in a second snapshot — skip when a
+        // snapshot already carries files from this batch's landing dir
+        val already = cat.snapshots("stream", "events_live").exists(
+          _.addedFiles.exists(_.path.startsWith(dir.toString + java.io.File.separator)))
+        if (!already) cat.registerFiles("stream", "events_live", Seq(dir))
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -92,6 +92,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(cat.namespaceExists("default"))
   }
 
+  test("import handles TIMESTAMP(NANOS) parquet without any session conf") {
+    // round-1 bug: spark.read-based schema inference threw
+    // PARQUET_TYPE_ILLEGAL on events.parquet unless an earlier query had
+    // leaked spark.sql.legacy.parquet.nanosAsLong into the shared session,
+    // and per-folder isolation silently swallowed the failure — the table
+    // just vanished. Footer-based inference must import it standalone.
+    assume(Files.exists(Paths.get("/root/testdata/sf0.001/events.parquet")))
+    assert(!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+    val (data, wh) = freshDirs()
+    val edir = data.resolve("events"); Files.createDirectories(edir)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      edir.resolve("events.parquet"))
+    val cat = new GraftCatalog(wh.toString)
+    val out = cat.importFolders(spark, data.toString)
+    assert(out.map(_.table) === Seq("events"))
+    val schema = cat.loadTable("nyc", "events").schema
+    assert(schema("ts").dataType === LongType) // NANOS → BIGINT, like Iceberg
+    assert(cat.readTable(spark, "nyc", "events").count() === 1000)
+  }
+
   test("schema is fixed by the FIRST file; no merge") {
     import spark.implicits._
     val (data, wh) = freshDirs()

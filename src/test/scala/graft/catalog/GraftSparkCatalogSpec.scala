@@ -81,6 +81,23 @@ class GraftSparkCatalogSpec extends SparkSpec {
       .as[Long].head() === 3)
   }
 
+  test("SQL DELETE keeps rows where the predicate evaluates NULL (3VL)") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "sparkcat_null")
+    val dataDir = base.resolve("in"); Files.createDirectories(dataDir)
+    Seq((1L, Some(10.0)), (2L, None), (3L, Some(30.0)))
+      .toDF("id", "score")
+      .coalesce(1).write.parquet(dataDir.resolve("t").toString)
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    cat.importFolders(spark, dataDir.toString)
+    val cname = "gcn" + base.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")
+    spark.conf.set(s"spark.sql.catalog.$cname", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    spark.sql(s"DELETE FROM $cname.nyc.t WHERE score > 15.0")
+    // id=2 has score NULL ⇒ predicate NULL ⇒ must SURVIVE the delete
+    assert(spark.sql(s"SELECT id FROM $cname.nyc.t ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+  }
+
   test("merge-on-read delete debt is refused until materialized") {
     val (c, cat) = setup()
     graft.etl.Merge.deleteWhereMor(spark, cat, "nyc", "t",

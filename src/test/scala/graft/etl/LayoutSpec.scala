@@ -27,8 +27,18 @@ class LayoutSpec extends SparkSpec {
     val rows = Seq((1000, 2000), (1001, 2001), (1007, 2007)).toDF("a", "b")
       .withColumn("z", Layout.zValue(col("a"), col("b")))
       .select(shiftrightunsigned(col("z"), 8).as("cell")) // 2k = 8 → 16×16 cells
-      .as[Int].collect().toSeq
+      .as[Long].collect().toSeq
     assert(rows.distinct.size === 1)
+  }
+
+  test("zValue stays non-negative over the whole 16-bit grid (sign-bit regression)") {
+    // b's bit 15 lands on interleaved bit 31 — as an Int that is the sign
+    // bit, which made the upper half of b's range order before 0 and broke
+    // the curve's monotonicity; as a Long it must stay positive
+    val df = Seq((0, 65535), (65535, 65535), (1, 40000)).toDF("a", "b")
+      .withColumn("z", Layout.zValue(col("a"), col("b")))
+    assert(df.schema("z").dataType === org.apache.spark.sql.types.LongType)
+    assert(df.filter(col("z") < 0).count() === 0)
   }
 
   test("normTo16Bits maps [lo, hi] onto [0, 65535] monotonically") {

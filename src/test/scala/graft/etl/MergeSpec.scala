@@ -46,6 +46,21 @@ class MergeSpec extends SparkSpec {
     assert(cat.readTable(spark, "nyc", "t", asOf = Some(1L)).count() === 3)
   }
 
+  test("deleteWhere keeps rows where the predicate evaluates NULL (3VL)") {
+    // SQL DELETE removes only predicate-TRUE rows; a naive filter(!cond)
+    // would silently drop id=2 (score NULL ⇒ cond NULL ⇒ !cond NULL)
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "merge_null")
+    val dataDir = base.resolve("in"); Files.createDirectories(dataDir)
+    Seq((1L, Some(10.0)), (2L, None), (3L, Some(30.0)))
+      .toDF("id", "score")
+      .coalesce(1).write.parquet(dataDir.resolve("t").toString)
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    cat.importFolders(spark, dataDir.toString)
+    Merge.deleteWhere(spark, cat, "nyc", "t", col("score") > 15.0)
+    assert(cat.readTable(spark, "nyc", "t").select("id").as[Long].collect().sorted
+      === Seq(1L, 2L))
+  }
+
   test("mergeIntoMor: upsert lands atomically with no data-file rewrite") {
     val cat = setup()
     val before = cat.files("nyc", "t").map(_.path).toSet

@@ -52,6 +52,47 @@ class SanitizeSpec extends SparkSpec {
     assert(rep2 === Map("counter" -> "decimal(20,0)"))
   }
 
+  test("B5 sanitizeTree: mirror tree, only-if-changed, dry-run, overwrite guard") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "santree_spec")
+    val in = base.resolve("in"); val out = base.resolve("out")
+    Files.createDirectories(in.resolve("nested"))
+    def writeOne(df: org.apache.spark.sql.DataFrame, dst: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = Files.createTempDirectory(base, "one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, dst)
+    }
+    writeOne(fixture, in.resolve("needs_cast.parquet"))
+    writeOne(fixture, in.resolve("nested").resolve("deep.prq"))
+    writeOne(Seq((1L, "x")).toDF("id", "v"), in.resolve("clean.parquet"))
+
+    // dry run: reports changes, writes nothing
+    val dry = Sanitize.sanitizeTree(spark, in.toString, out.toString, dryRun = true)
+    assert(dry.size === 3 && dry.forall(!_.written))
+    assert(dry.count(_.casts.nonEmpty) === 2)
+    assert(!Files.exists(out))
+
+    // real run: exactly the changed files appear in the mirror tree
+    val wet = Sanitize.sanitizeTree(spark, in.toString, out.toString)
+    assert(wet.count(_.written) === 2)
+    assert(Files.isRegularFile(out.resolve("needs_cast.parquet")))
+    assert(Files.isRegularFile(out.resolve("nested").resolve("deep.prq")))
+    assert(!Files.exists(out.resolve("clean.parquet"))) // unchanged ⇒ skipped
+    val sanitized = spark.read.parquet(out.resolve("needs_cast.parquet").toString)
+    assert(sanitized.schema("timestamp").dataType === TimestampType)
+    assert(sanitized.count() === 2)
+
+    // existing destination refused without overwrite; allowed with it
+    intercept[IllegalStateException] {
+      Sanitize.sanitizeTree(spark, in.toString, out.toString)
+    }
+    assert(Sanitize.sanitizeTree(spark, in.toString, out.toString,
+      overwrite = true).count(_.written) === 2)
+  }
+
   test("property: epoch-µs round-trips through the timestamp cast") {
     // epoch micros within Spark's timestamp range (1970..2100), fixed seed
     val gen = Gen.choose(0L, 4102444800000000L)

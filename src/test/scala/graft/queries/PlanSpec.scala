@@ -51,6 +51,19 @@ class PlanSpec extends SparkSpec {
     assert(shuffles("q_multimodal_frames") <= 1)
   }
 
+  test("as-of join: union+window — one data shuffle, no join operator at all") {
+    // the join-every-earlier-signup-then-max shape is O(purchases ×
+    // signups-per-user), quadratic on hot users; the window form is linear.
+    val p = plan("q_join_asof")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty)
+    // window partition-by shuffle + the final orderBy only
+    assert(shuffles("q_join_asof") <= 2)
+  }
+
   test("minhash pipeline: signature reduction bounds the shuffles") {
     // spread (scan-widening, no-op on a wide scan), tokens→signature agg,
     // band agg, sort

@@ -27,6 +27,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(views.contains(("default", "sqlspec_view_probe", true)))
   }
 
+  test("viewDefinition: SKIP_VIEW_DDL short-circuits; permanent view DDL returned") {
+    spark.sql("CREATE OR REPLACE VIEW sqlspec_perm_view AS SELECT 1 AS one")
+    // flag on: None without issuing any statement (pyhive_spark_patch.py:22-23)
+    assert(GraftSql.viewDefinition(spark, "sqlspec_perm_view",
+      skipViewDdl = true).isEmpty)
+    val ddl = GraftSql.viewDefinition(spark, "sqlspec_perm_view")
+    assert(ddl.exists(_.toUpperCase.contains("CREATE VIEW")))
+    // missing view degrades to None like the shim's try/except
+    assert(GraftSql.viewDefinition(spark, "sqlspec_no_such_view").isEmpty)
+    // permanent views also appear in SHOW VIEWS with isTemporary=false
+    val views = GraftSql.showViews(spark, "default")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(views.contains(("sqlspec_perm_view", false)))
+  }
+
   test("serveIncremental streams every row without a full collect") {
     val df = spark.range(1000).toDF("id")
     val it = GraftSql.serveIncremental(df)
