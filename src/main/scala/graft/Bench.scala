@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Representative queries across every family (scan/filter, joins, aggs,
+    * windows, dedup/similarity, text, metadata, ETL, streaming) — the
+    * subset whose timings ride the stdout JSON line. The driver's stdout
+    * tail capture is 2000 chars; the full 103-query map is ~2.3k chars and
+    * was truncated in rounds 1 AND 2 (`parsed: null`), so stdout carries
+    * this subset and the COMPLETE map goes to BENCH_LAST.json. */
+  private val headline = Seq(
+    "q_scan_project", "q_filter_pred", "q_agg_groupby", "q_agg_distinct",
+    "q_agg_percentile", "q_join_inner", "q_join_multiway", "q_join_asof",
+    "q_win_rank", "q_win_running", "q_sort_multi", "q_limit_topk",
+    "q_dedup_minhash_shingle", "q_dedup_ngram", "q_neardup_edit",
+    "q_vec_cosine", "q_vec_knn", "q_embed_neardup_cells", "q_text_quality",
+    "q_udtf_ngrams", "meta_import", "meta_sql_catalog", "etl_compact",
+    "etl_zorder", "st_join", "st_catalog_sink")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -34,20 +50,22 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.3f s")
       name -> sec
     }
-    // 1 ms resolution keeps the JSON line short — round-1's full-precision
-    // doubles made it long enough for the driver's tail capture to truncate
-    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def r2(v: Double): Double = math.round(v * 100) / 100.0
+    def jsonMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the file copy survives any stdout truncation/interleaving
+    def line(qs: Iterable[(String, Double)]): String =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"queries":${jsonMap(qs)},"sf":"$sfDir"}"""
+    // full per-query detail — survives any stdout truncation/interleaving
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.props.getOrElse("graft.bench.out", "/root/repo/BENCH_LAST.json")),
-      line + "\n")
-    println(line)
+      line(results) + "\n")
+    // stdout: headline subset only, so the whole line fits the driver's
+    // 2000-char tail window even with sbt's epilogue after it
+    val head = headline.flatMap(n => results.get(n).map(n -> _))
+    println(line(if (head.nonEmpty) head else results))
     System.out.flush()
     spark.stop()
   }

@@ -112,8 +112,8 @@ class GraftCatalog(val warehouse: String) {
   def namespaceExists(ns: String): Boolean = Files.isDirectory(nsDir(ns))
   def listNamespaces(): Seq[String] =
     if (!Files.isDirectory(Paths.get(warehouse))) Seq.empty
-    else Files.list(Paths.get(warehouse)).iterator.asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    else Fs.list(Paths.get(warehouse))
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).sorted
 
   // ---------------------------------------------------------------- tables
 
@@ -121,9 +121,9 @@ class GraftCatalog(val warehouse: String) {
 
   def listTables(ns: String): Seq[String] =
     if (!namespaceExists(ns)) Seq.empty
-    else Files.list(nsDir(ns)).iterator.asScala
+    else Fs.list(nsDir(ns))
       .filter(p => Files.exists(p.resolve("metadata").resolve("version-hint.text")))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).sorted
 
   /** Create unpartitioned table with a fixed schema
     * (`ImportParquetFolders.java:93-100`, PartitionSpec.unpartitioned at `:99`). */
@@ -156,7 +156,7 @@ class GraftCatalog(val warehouse: String) {
     val dir = tableDir(ns, t)
     if (!Files.exists(dir)) false
     else {
-      Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Fs.deleteRecursively(dir)
       true
     }
   }
@@ -292,10 +292,7 @@ class GraftCatalog(val warehouse: String) {
   /** Recursive parquet discovery: `.parquet`/`.prq`, case-insensitive
     * (`ImportParquetFolders.java:78-88`, `:122-126`). */
   private[catalog] def findParquet(dir: Path): Seq[Path] =
-    Files.walk(dir).iterator.asScala.filter { p =>
-      val n = p.getFileName.toString.toLowerCase
-      Files.isRegularFile(p) && (n.endsWith(".parquet") || n.endsWith(".prq"))
-    }.toSeq.sortBy(_.toString)
+    Fs.regularFiles(dir, Seq(".parquet", ".prq"))
 
   /** Stat many files concurrently: footer reads are independent I/O, and a
     * 100k-file table would serialize minutes of driver time if read one by
@@ -404,8 +401,7 @@ class GraftCatalog(val warehouse: String) {
     createNamespace(ns)
     createNamespace("default") // for BI enumeration, ImportParquetFolders.java:58-61
     val root = Paths.get(dataDir)
-    val subdirs = Files.list(root).iterator.asScala.filter(Files.isDirectory(_))
-      .toSeq.sortBy(_.toString)
+    val subdirs = Fs.list(root).filter(Files.isDirectory(_))
     subdirs.flatMap { dir =>
       try {
         val files = findParquet(dir)

@@ -46,8 +46,8 @@ object Maintenance {
     val outDir = Paths.get(cat.warehouse, ns, table, "data",
       s"optimize-${System.currentTimeMillis()}")
     clustered.write.parquet(outDir.toString)
-    val parts = Files.list(outDir).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val parts = graft.catalog.Fs.list(outDir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
     cat.registerFiles(ns, table, parts, operation = "overwrite")
   }
 }

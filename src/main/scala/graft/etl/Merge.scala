@@ -31,8 +31,8 @@ object Merge {
     val outDir = Paths.get(cat.warehouse, ns, table, "data",
       s"rewrite-${System.currentTimeMillis()}")
     next.write.parquet(outDir.toString)
-    val parts = Files.list(outDir).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val parts = graft.catalog.Fs.list(outDir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
     cat.registerFiles(ns, table, parts, operation = "overwrite")
   }
 

@@ -98,13 +98,16 @@ object Sanitize {
                    codec: String = "snappy",
                    unsignedHints: Set[String] = Set.empty): Seq[TreeFileResult] = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
+    import graft.catalog.Fs
     val in = Paths.get(inRoot)
     require(Files.isDirectory(in), s"input directory not found: $inRoot")
-    val files: Seq[Path] = Files.walk(in).iterator.asScala.filter { p =>
-      val n = p.getFileName.toString.toLowerCase
-      Files.isRegularFile(p) && (n.endsWith(".parquet") || n.endsWith(".prq"))
-    }.toSeq.sortBy(_.toString)
+    // a mirror nested inside the source (or vice versa) would make a second
+    // invocation walk its own previous output as input — refuse up front
+    val inAbs = in.toAbsolutePath.normalize
+    val outAbs = Paths.get(outRoot).toAbsolutePath.normalize
+    require(!outAbs.startsWith(inAbs) && !inAbs.startsWith(outAbs),
+      s"outRoot and inRoot must be disjoint trees: $inAbs vs $outAbs")
+    val files: Seq[Path] = Fs.regularFiles(in, Seq(".parquet", ".prq"))
     files.map { src =>
       val rel = in.relativize(src)
       val df = graft.catalog.ParquetSchema.read(spark, Seq(src.toString))
@@ -120,11 +123,11 @@ object Sanitize {
         val tmp = Files.createTempDirectory(dst.getParent, s".${dst.getFileName}")
         df.select(cols: _*).coalesce(1).write.mode("overwrite")
           .option("compression", codec).parquet(tmp.toString)
-        val part = Files.list(tmp).iterator.asScala
+        val part = Fs.list(tmp)
           .find(_.getFileName.toString.endsWith(".parquet"))
           .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
         Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-        Files.walk(tmp).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        Fs.deleteRecursively(tmp)
         TreeFileResult(rel.toString, written = true, reps)
       }
     }

@@ -60,10 +60,10 @@ object Etl {
   private def writeSingleFile(df: DataFrame, dst: java.nio.file.Path): Unit = {
     val tmp = Files.createTempDirectory(dst.getParent, ".one")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
+    val part = graft.catalog.Fs.list(tmp)
       .find(_.getFileName.toString.endsWith(".parquet")).get
     Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    graft.catalog.Fs.deleteRecursively(tmp)
   }
 
   /** etl_sanitize_tree (non-oracle): B5 — the reference CLI's mirror-tree

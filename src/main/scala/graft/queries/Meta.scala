@@ -27,7 +27,7 @@ object Meta {
     val wh = base.resolve("warehouse")
     Files.createDirectories(wh)
     val src = Paths.get(sfDir)
-    Files.list(src).iterator.asScala
+    graft.catalog.Fs.list(src)
       .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
         val t = f.getFileName.toString.stripSuffix(".parquet")
         val td = data.resolve(t)
@@ -117,16 +117,28 @@ object Meta {
   private def metaShowViews: QFn = (s, d) => {
     graft.Tables.region(s, d).createOrReplaceTempView("gview_region")
     s.sql("CREATE OR REPLACE VIEW gview_perm AS SELECT 1 AS one")
-    val skipped = GraftSql.viewDefinition(s, "gview_perm", skipViewDdl = true)
-    val probed = GraftSql.viewDefinition(s, "gview_perm")
-    val tempProbe = GraftSql.viewDefinition(s, "gview_region")
-    GraftSql.showViews(s, "default")
-      .filter(col("viewName").startsWith("gview_")) // other queries' views excluded
-      .withColumn("skip_flag_short_circuits", lit(skipped.isEmpty))
-      .withColumn("perm_ddl_probed",
-        lit(probed.exists(_.toUpperCase.contains("CREATE VIEW"))))
-      .withColumn("temp_probe_degrades_to_none", lit(tempProbe.isEmpty))
-      .orderBy("viewName")
+    // the SHOW VIEWS listing must be materialized before the finally drops
+    // the views (a lazy DataFrame would enumerate the catalog after cleanup)
+    try {
+      val skipped = GraftSql.viewDefinition(s, "gview_perm", skipViewDdl = true)
+      val probed = GraftSql.viewDefinition(s, "gview_perm")
+      val tempProbe = GraftSql.viewDefinition(s, "gview_region")
+      val listed = GraftSql.showViews(s, "default")
+        .filter(col("viewName").startsWith("gview_")) // other queries' views excluded
+        .collect().toSeq
+      import s.implicits._
+      listed.map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+        .toDF("namespace", "viewName", "isTemporary")
+        .withColumn("skip_flag_short_circuits", lit(skipped.isEmpty))
+        .withColumn("perm_ddl_probed",
+          lit(probed.exists(_.toUpperCase.contains("CREATE VIEW"))))
+        .withColumn("temp_probe_degrades_to_none", lit(tempProbe.isEmpty))
+        .orderBy("viewName")
+    } finally {
+      // session-catalog state must not leak across declared queries
+      s.sql("DROP VIEW IF EXISTS gview_perm")
+      s.catalog.dropTempView("gview_region")
+    }
   }
 
   /** meta_show_create: I4 DDL text per table. */
@@ -168,6 +180,7 @@ object Meta {
     s.conf.set(s"spark.sql.catalog.$cname",
       classOf[graft.catalog.GraftSparkCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+    try {
     val cur = s.sql(s"SELECT count(*) AS n FROM $cname.nyc.lineitem")
       .as[Long].head()
     val atS1 = s.sql(
@@ -191,6 +204,10 @@ object Meta {
       ("sql_join_groups", joined, joined == 5),
       ("sql_insert", regionAfter, regionAfter == 2 * regionBefore))
       .toDF("phase", "n", "invariant_ok")
+    } finally { // per-query catalog registration must not leak session state
+      s.conf.unset(s"spark.sql.catalog.$cname")
+      s.conf.unset(s"spark.sql.catalog.$cname.warehouse")
+    }
   }
 
   /** meta_default_catalog: the reference's default-catalog UX
@@ -220,7 +237,12 @@ object Meta {
       Seq(("unprefixed_select", n, n > 0),
         ("unprefixed_join_groups", joined, joined == 5))
         .toDF("phase", "n", "invariant_ok")
-    } finally s.conf.set("spark.sql.defaultCatalog", prev)
+    } finally {
+      s.conf.set("spark.sql.defaultCatalog", prev)
+      // per-query catalog registration must not leak session state
+      s.conf.unset(s"spark.sql.catalog.$cname")
+      s.conf.unset(s"spark.sql.catalog.$cname.warehouse")
+    }
   }
 
   /** q_sql_entry: SQL text through the Thrift-equivalent entry, over temp
@@ -364,7 +386,7 @@ object Meta {
     li.filter(col("l_orderkey") <= mid).write.parquet(base.resolve("lo").toString)
     li.filter(col("l_orderkey") > mid).write.parquet(base.resolve("hi").toString)
     val parts = Seq("lo", "hi").flatMap(n =>
-      Files.list(base.resolve(n)).iterator.asScala
+      graft.catalog.Fs.list(base.resolve(n))
         .filter(_.toString.endsWith(".parquet")))
     cat.createTable("nyc", "li_split", li.schema)
     cat.registerFiles("nyc", "li_split", parts)

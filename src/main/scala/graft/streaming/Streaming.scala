@@ -197,14 +197,18 @@ object Streaming {
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val dir = base.resolve("landed").resolve(s"batch-$id")
-        batch.write.mode("overwrite").parquet(dir.toString) // idempotent per id
-        // replay guard: if this batch is retried AFTER registerFiles
-        // succeeded but BEFORE the checkpoint committed, registering again
-        // would duplicate every row in a second snapshot — skip when a
-        // snapshot already carries files from this batch's landing dir
+        // replay guard FIRST: if this batch is retried AFTER registerFiles
+        // committed but BEFORE the checkpoint recorded it, a re-run of the
+        // landing write would regenerate part files under new job-UUID
+        // names and DELETE the files the committed snapshot references —
+        // so when a snapshot already carries files from this batch's
+        // landing dir, skip the write AND the registration
         val already = cat.snapshots("stream", "events_live").exists(
           _.addedFiles.exists(_.path.startsWith(dir.toString + java.io.File.separator)))
-        if (!already) cat.registerFiles("stream", "events_live", Seq(dir))
+        if (!already) {
+          batch.write.mode("overwrite").parquet(dir.toString) // idempotent per id
+          cat.registerFiles("stream", "events_live", Seq(dir))
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
