@@ -316,7 +316,7 @@ object Streaming {
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start())
     try q.awaitTermination() finally q.stop()
-    val out = s.table("st_join_outer_sink").select("click_id", "purchase_id").cache()
+    val out = s.table("st_join_outer_sink").select("click_id", "purchase_id")
     // batch-side expectations over the same rows
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -324,27 +324,51 @@ object Streaming {
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").cast("timestamp").as("p_ts"))
-    // cached: the expectation sets are reused by three invariant probes
+    // cached: the join feeds BOTH branches of the single invariant job below
     val batchInner = c.join(p,
       col("c_user") === col("p_user") && col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES")).cache()
+    // job 1: both sides' max event time in ONE aggregate over one scan
+    // (was two separate agg(max).head() jobs)
+    val mx = ev.agg(
+      max(when(col("event_type") === "click", col("ts").cast("timestamp"))).as("c"),
+      max(when(col("event_type") === "purchase", col("ts").cast("timestamp"))).as("p"))
+      .head()
     val wmCut = java.sql.Timestamp.from(
-      Seq(c.agg(max("c_ts")).head().getTimestamp(0),
-        p.agg(max("p_ts")).head().getTimestamp(0))
+      Seq(mx.getTimestamp(0), mx.getTimestamp(1))
         .map(_.toInstant).min.minusSeconds(3600))
     val unmatchedClosed = c
       .join(batchInner.select(col("click_id").as("m_id")).distinct(),
         col("click_id") === col("m_id"), "left_anti")
       .filter(col("c_ts") + expr("INTERVAL 10 MINUTES") < lit(wmCut) - expr("INTERVAL 1 SECOND"))
-    val nMatched = out.filter(col("purchase_id").isNotNull).count()
-    val nullExtended = out.filter(col("purchase_id").isNull).select("click_id")
-    val nNull = nullExtended.count()
-    val phantom = nullExtended
-      .join(batchInner.select("click_id").distinct(), "click_id").count()
-    val missing = unmatchedClosed
-      .join(nullExtended, Seq("click_id"), "left_anti").count()
-    Seq(("matched", nMatched, nMatched == batchInner.count()),
-      ("null_extended", nNull, nNull >= unmatchedClosed.count()),
+    // job 2: ALL FOUR invariants in one action. Tag-union the three row
+    // sources by click_id (event_id is unique, so null-extension and
+    // closed-window membership are at most one row per click), roll up per
+    // click, then one global aggregate — replacing six sequential
+    // count()/join().count() actions with a single two-shuffle job.
+    val tagged = out.select(col("click_id"),
+        when(col("purchase_id").isNull, 1).otherwise(0).as("null_ext"),
+        when(col("purchase_id").isNotNull, 1).otherwise(0).as("matched_out"),
+        lit(0).as("inner_m"), lit(0).as("closed"))
+      .unionAll(batchInner.select(col("click_id"),
+        lit(0), lit(0), lit(1), lit(0)))
+      .unionAll(unmatchedClosed.select(col("click_id"),
+        lit(0), lit(0), lit(0), lit(1)))
+    val perClick = tagged.groupBy("click_id").agg(
+      sum("null_ext").as("n_null"), sum("matched_out").as("n_match"),
+      sum("inner_m").as("n_inner"), sum("closed").as("n_closed"))
+    val g = perClick.agg(
+      sum("n_match").as("matched_out"), sum("n_inner").as("inner_rows"),
+      sum("n_null").as("null_ext"), sum("n_closed").as("closed"),
+      sum(when(col("n_null") > 0 && col("n_inner") > 0, 1).otherwise(0)).as("phantom"),
+      sum(when(col("n_closed") > 0 && col("n_null") === 0, 1).otherwise(0)).as("missing"))
+      .head()
+    batchInner.unpersist()
+    val (nMatched, innerRows) = (g.getLong(0), g.getLong(1))
+    val (nNull, nClosed) = (g.getLong(2), g.getLong(3))
+    val (phantom, missing) = (g.getLong(4), g.getLong(5))
+    Seq(("matched", nMatched, nMatched == innerRows),
+      ("null_extended", nNull, nNull >= nClosed),
       ("no_phantom_null_extension", phantom, phantom == 0L),
       ("closed_windows_all_emitted", missing, missing == 0L))
       .toDF("phase", "n", "invariant_ok")

@@ -26,6 +26,16 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, "first"), (2L, "first"), (3L, "first")))
   }
 
+  test("st_join_outer: all four batch-parity invariants hold") {
+    val rows = Streaming.stJoinOuter(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(_._1).toSeq === Seq("matched", "null_extended",
+      "no_phantom_null_extension", "closed_windows_all_emitted"))
+    // matched rows exist at sf0.001 and every invariant verdict is true
+    assert(rows.head._2 > 0L)
+    assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
+  }
+
   test("st_sessionize: sessions close on event-time gap; open sessions withheld") {
     val rows = Streaming.stSessionize(spark, sfDir)
       .collect()
