@@ -210,6 +210,67 @@ object Meta {
     }
   }
 
+  /** meta_sql_merge: the row-level DML statement surface — SQL `MERGE
+    * INTO` (update + insert + delete clauses) and `UPDATE` resolved by
+    * Spark's native rewrite rules through the DSv2 plugin's
+    * SupportsRowLevelOperations (group-based copy-on-write), exactly the
+    * statements the reference enables via Iceberg's extensions
+    * (`/root/reference/conf/spark-defaults.conf:1`). Each statement
+    * commits ONE overwrite snapshot; time travel reaches every pre-DML
+    * state. Non-oracle: DuckDB sees neither the catalog nor snapshots. */
+  private def metaSqlMerge: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val boot = new GraftCatalog(wh)
+    boot.importFolders(s, data)
+    val salt = Paths.get(wh).getParent.getFileName.toString
+      .replaceAll("[^a-zA-Z0-9]", "")
+    val cname = "gmrg_" + salt
+    val srcView = "merge_src_" + salt
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+    try {
+      val before = s.sql(s"SELECT count(*) FROM $cname.nyc.region").as[Long].head()
+      // 2 matched keys (renamed) + 2 unmatched keys (inserted)
+      s.sql(s"""SELECT * FROM VALUES (0, 'm0'), (1, 'm1'), (100, 'new100'),
+               |(101, 'new101') AS v(r_regionkey, r_name)""".stripMargin)
+        .createOrReplaceTempView(srcView)
+      s.sql(s"""MERGE INTO $cname.nyc.region t USING $srcView v
+               |  ON t.r_regionkey = v.r_regionkey
+               |WHEN MATCHED THEN UPDATE SET r_name = v.r_name
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val afterMerge = s.sql(s"SELECT count(*) FROM $cname.nyc.region").as[Long].head()
+      val renamed = s.sql(s"SELECT count(*) FROM $cname.nyc.region " +
+        "WHERE r_name LIKE 'm%'").as[Long].head()
+      s.sql(s"UPDATE $cname.nyc.region SET r_name = upper(r_name) " +
+        "WHERE r_regionkey >= 100")
+      val uppered = s.sql(s"SELECT count(*) FROM $cname.nyc.region " +
+        "WHERE r_name LIKE 'NEW%'").as[Long].head()
+      // MERGE's DELETE clause removes the two inserted keys again
+      s.sql(s"""MERGE INTO $cname.nyc.region t USING $srcView v
+               |  ON t.r_regionkey = v.r_regionkey
+               |WHEN MATCHED AND t.r_regionkey >= 100 THEN DELETE""".stripMargin)
+      val afterDelete = s.sql(s"SELECT count(*) FROM $cname.nyc.region").as[Long].head()
+      val snaps = boot.snapshots("nyc", "region").map(_.operation)
+      val travel = s.sql(s"SELECT count(*) FROM $cname.nyc.region VERSION AS OF 1")
+        .as[Long].head()
+      Seq(("merge_upsert", afterMerge, afterMerge == before + 2),
+        ("merge_updated_names", renamed, renamed == 2),
+        ("sql_update", uppered, uppered == 2),
+        ("merge_delete_clause", afterDelete, afterDelete == before),
+        ("overwrite_snapshots", snaps.count(_ == "overwrite").toLong,
+          snaps == Seq("append", "overwrite", "overwrite", "overwrite")),
+        ("time_travel_pre_dml", travel, travel == before))
+        .toDF("phase", "n", "invariant_ok")
+    } finally {
+      s.catalog.dropTempView(srcView)
+      // per-query catalog registration must not leak session state
+      s.conf.unset(s"spark.sql.catalog.$cname")
+      s.conf.unset(s"spark.sql.catalog.$cname.warehouse")
+    }
+  }
+
   /** meta_default_catalog: the reference's default-catalog UX
     * (`/root/reference/conf/spark-defaults.conf:5` sets
     * `spark.sql.defaultCatalog` so BI clients write `nyc.t`, no catalog
@@ -414,6 +475,7 @@ object Meta {
     "meta_show_views"  -> metaShowViews,
     "meta_describe"    -> metaDescribe,
     "meta_sql_catalog" -> metaSqlCatalog,
+    "meta_sql_merge"   -> metaSqlMerge,
     "meta_default_catalog" -> metaDefaultCatalog,
     "meta_show_create" -> metaShowCreate,
     "q_sql_entry"      -> qSqlEntry,

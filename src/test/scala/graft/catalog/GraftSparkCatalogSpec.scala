@@ -98,6 +98,58 @@ class GraftSparkCatalogSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(1L, 2L))
   }
 
+  test("SQL UPDATE rewrites matching rows and commits one overwrite snapshot") {
+    val (c, cat) = setup()
+    spark.sql(s"UPDATE $c.nyc.t SET score = score + 100.0, name = 'up' " +
+      s"WHERE id >= 2")
+    assert(spark.sql(s"SELECT id, name, score FROM $c.nyc.t ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 10.0), (2L, "up", 120.0), (3L, "up", 130.0)))
+    assert(cat.snapshots("nyc", "t").last.operation === "overwrite")
+    // time travel still reaches the pre-UPDATE state
+    assert(spark.sql(s"SELECT sum(score) FROM $c.nyc.t VERSION AS OF 1")
+      .as[Double].head() === 60.0)
+  }
+
+  test("SQL MERGE INTO upserts: matched rows updated, unmatched inserted") {
+    val (c, cat) = setup()
+    Seq((2L, "b2", 222.0), (9L, "new", 99.0)).toDF("id", "name", "score")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $c.nyc.t t USING merge_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT id, name, score FROM $c.nyc.t ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 10.0), (2L, "b2", 222.0), (3L, "c", 30.0), (9L, "new", 99.0)))
+    assert(cat.snapshots("nyc", "t").last.operation === "overwrite")
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t VERSION AS OF 1")
+      .as[Long].head() === 3)
+    spark.catalog.dropTempView("merge_src")
+  }
+
+  test("SQL MERGE with DELETE clause and conditioned actions") {
+    val (c, _) = setup()
+    Seq((1L, "kill", 0.0), (3L, "bump", 1.0), (7L, "add", 70.0))
+      .toDF("id", "name", "score").createOrReplaceTempView("merge_src2")
+    spark.sql(
+      s"""MERGE INTO $c.nyc.t t USING merge_src2 s ON t.id = s.id
+         |WHEN MATCHED AND s.name = 'kill' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET score = t.score + s.score
+         |WHEN NOT MATCHED AND s.score > 50.0 THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT id, score FROM $c.nyc.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((2L, 20.0), (3L, 31.0), (7L, 70.0)))
+    spark.catalog.dropTempView("merge_src2")
+  }
+
+  test("meta_sql_merge declared query: every DML invariant holds") {
+    val rows = graft.queries.Meta.queries("meta_sql_merge")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length === 6)
+    assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
+  }
+
   test("merge-on-read delete debt is refused until materialized") {
     val (c, cat) = setup()
     graft.etl.Merge.deleteWhereMor(spark, cat, "nyc", "t",
