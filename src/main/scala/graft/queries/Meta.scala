@@ -306,6 +306,77 @@ object Meta {
     }
   }
 
+  /** meta_concurrent: multi-client serving parity — the reference runs a
+    * FAIR-scheduled Thrift server so parallel Superset clients share one
+    * SparkContext (`/root/reference/entrypoint-spark.sh:103-110,135-136`).
+    * Model: each client is a `newSession()` (isolated temp views + conf,
+    * shared context — exactly the Thrift session model) in its own thread
+    * with its own scheduler pool. Invariants: every client completes with
+    * ITS OWN result despite all using the same view name (session-state
+    * isolation), nothing leaks into the parent session, the context is in
+    * FAIR mode, and a short query submitted while a long all-core scan is
+    * running completes first (no starvation). Non-oracle by design. */
+  private def metaConcurrent: QFn = (s, _) => {
+    import s.implicits._
+    import java.util.concurrent.ConcurrentHashMap
+    val nClients = 4
+    val fairMode = s.sparkContext.getSchedulingMode ==
+      org.apache.spark.scheduler.SchedulingMode.FAIR
+    val results = new ConcurrentHashMap[Int, Long]()
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    // isolation clients: same temp-view NAME, different per-session content
+    val clients = (1 to nClients).map { i =>
+      new Thread(() => {
+        try {
+          val sess = s.newSession()
+          // local properties are per-thread: pool scoping is thread-scoped
+          sess.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$i")
+          sess.range(i * 10L).createOrReplaceTempView("conc_view")
+          sess.conf.set("graft.conc.client", i.toString)
+          val n = GraftSql.sql(sess, "SELECT count(*) AS n FROM conc_view")
+            .collect()(0).getLong(0)
+          if (n == i * 10L) results.put(i, n)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    // starvation probe: a long all-core aggregate vs a trivial statement
+    @volatile var longEnd = 0L
+    @volatile var shortEnd = 0L
+    val longStarted = new java.util.concurrent.CountDownLatch(1)
+    val longT = new Thread(() => {
+      try {
+        val sess = s.newSession()
+        sess.sparkContext.setLocalProperty("spark.scheduler.pool", "client-long")
+        longStarted.countDown()
+        GraftSql.sql(sess, "SELECT sum(id) AS s FROM range(4000000000)").collect()
+        longEnd = System.nanoTime()
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val shortT = new Thread(() => {
+      try {
+        val sess = s.newSession()
+        sess.sparkContext.setLocalProperty("spark.scheduler.pool", "client-short")
+        longStarted.await()
+        Thread.sleep(100) // let the long job occupy the cores first
+        GraftSql.sql(sess, "SELECT 1 AS one").collect()
+        shortEnd = System.nanoTime()
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val all = clients :+ longT :+ shortT
+    all.foreach(_.start())
+    all.foreach(_.join(120000))
+    val isolated = (1 to nClients).count(i => results.get(i) == i * 10L)
+    val confLeak = s.conf.getOption("graft.conc.client").isDefined
+    Seq(
+      ("all_clients_completed", (results.size + errs.size).toLong,
+        results.size == nClients && errs.isEmpty),
+      ("session_isolation", isolated.toLong, isolated == nClients),
+      ("no_parent_conf_leak", if (confLeak) 1L else 0L, !confLeak),
+      ("fair_scheduler_mode", if (fairMode) 1L else 0L, fairMode),
+      ("short_not_starved_by_long", 1L, shortEnd > 0 && longEnd > shortEnd))
+      .toDF("phase", "n", "invariant_ok")
+  }
+
   /** q_sql_entry: SQL text through the Thrift-equivalent entry, over temp
     * views of the testdata (oracle: identical SQL in DuckDB). */
   private def qSqlEntry: QFn = (s, d) => {
@@ -476,6 +547,7 @@ object Meta {
     "meta_describe"    -> metaDescribe,
     "meta_sql_catalog" -> metaSqlCatalog,
     "meta_sql_merge"   -> metaSqlMerge,
+    "meta_concurrent"  -> metaConcurrent,
     "meta_default_catalog" -> metaDefaultCatalog,
     "meta_show_create" -> metaShowCreate,
     "q_sql_entry"      -> qSqlEntry,
