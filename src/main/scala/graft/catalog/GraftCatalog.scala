@@ -14,18 +14,28 @@ import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
 
 /** Per-column [min, max] from the Parquet footer statistics of one file
-  * (numeric columns only), the manifest-level stats Iceberg planners use
-  * for file skipping. */
+  * (numeric columns), the manifest-level stats Iceberg planners use for
+  * file skipping. */
 case class ColRange(min: Double, max: Double)
+
+/** Truncated string bounds for one column, Iceberg-manifest style
+  * (`truncate(16)`): `min` is a ≤16-char PREFIX of the true minimum (a
+  * prefix is always a valid lower bound), `max` is the true maximum when
+  * ≤16 chars, else its 16-char prefix with the last character incremented
+  * (a valid upper bound). Columns whose max cannot be bounded that way
+  * (all prefix chars at Char.MaxValue) are simply not recorded — skipping
+  * stays conservative. */
+case class StrRange(min: String, max: String)
 
 /** One registered data file: the fields the reference's importer records
   * per file (`/root/reference/src/main/java/com/example/
   * ImportParquetFolders.java:105-115` — path, size in bytes, record count,
   * format=PARQUET) plus footer min/max stats for scan-time file skipping
-  * (what Iceberg's manifests carry and its planner consumes).
-  */
+  * (what Iceberg's manifests carry and its planner consumes): numeric
+  * ranges and truncated string bounds. */
 case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long,
-                        colRanges: Option[Map[String, ColRange]] = None)
+                        colRanges: Option[Map[String, ColRange]] = None,
+                        strRanges: Option[Map[String, StrRange]] = None)
 
 /** One snapshot: id (1-based ordinal), wall-clock, operation ("append",
   * "overwrite", "delete" or "merge"), and the files ADDED by this snapshot.
@@ -306,9 +316,10 @@ class GraftCatalog(val warehouse: String) {
       val tasks = files.map { f =>
         new java.util.concurrent.Callable[DataFileMeta] {
           def call(): DataFileMeta = {
-            val (rows, ranges) = footerStats(f)
+            val (rows, ranges, strs) = footerStats(f)
             DataFileMeta(f.toAbsolutePath.toString, Files.size(f), rows,
-              if (ranges.nonEmpty) Some(ranges) else None)
+              if (ranges.nonEmpty) Some(ranges) else None,
+              if (strs.nonEmpty) Some(strs) else None)
           }
         }
       }
@@ -326,8 +337,32 @@ class GraftCatalog(val warehouse: String) {
   private[catalog] def inferSchema(spark: SparkSession, p: Path): StructType =
     ParquetSchema.infer(spark, p)
 
-  /** Row count + per-numeric-column [min,max] from ONE footer read. */
-  private[catalog] def footerStats(p: Path): (Long, Map[String, ColRange]) = {
+  /** Max recorded string-bound length — Iceberg's manifest `truncate(16)`. */
+  private val StrBoundLen = 16
+
+  /** Truncated LOWER bound: a prefix of the min is always ≤ the min. */
+  private[catalog] def truncateMin(s: String): String =
+    if (s.length <= StrBoundLen) s else s.substring(0, StrBoundLen)
+
+  /** Truncated UPPER bound: exact when short enough; else the 16-char
+    * prefix with its last incrementable char bumped and the tail dropped —
+    * strictly greater than every string sharing the prefix. None when no
+    * char can be bumped (skipping must stay conservative). */
+  private[catalog] def truncateMax(s: String): Option[String] =
+    if (s.length <= StrBoundLen) Some(s)
+    else {
+      val prefix = s.substring(0, StrBoundLen)
+      val i = prefix.lastIndexWhere(_ < Char.MaxValue)
+      if (i < 0) None
+      else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
+    }
+
+  /** Row count + per-column [min,max] from ONE footer read: numeric ranges
+    * plus truncated bounds for UTF8 string columns (the stats Iceberg
+    * manifests carry for string file-skipping). Block stats are merged on
+    * the FULL values; truncation happens once at the end. */
+  private[catalog] def footerStats(p: Path)
+      : (Long, Map[String, ColRange], Map[String, StrRange]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
@@ -335,30 +370,42 @@ class GraftCatalog(val warehouse: String) {
     try {
       import scala.jdk.CollectionConverters._
       val perCol = collection.mutable.Map.empty[String, ColRange]
+      val perStr = collection.mutable.Map.empty[String, (String, String)]
       r.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { c =>
           val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
           if (st != null && !st.isEmpty && st.hasNonNullValue) {
-            val num: Option[(Double, Double)] =
-              c.getPrimitiveType.getPrimitiveTypeName match {
-                case INT32 | INT64 | FLOAT | DOUBLE =>
-                  Some((st.genericGetMin, st.genericGetMax) match {
-                    case (mn: Number, mx: Number) =>
-                      (mn.doubleValue(), mx.doubleValue())
-                  })
-                case _ => None // strings/binary/logical types: skip (v1 scope)
-              }
-            num.foreach { case (mn, mx) =>
-              val key = c.getPath.toDotString
-              val merged = perCol.get(key)
-                .map(o => ColRange(math.min(o.min, mn), math.max(o.max, mx)))
-                .getOrElse(ColRange(mn, mx))
-              perCol(key) = merged
+            val key = c.getPath.toDotString
+            c.getPrimitiveType.getPrimitiveTypeName match {
+              case INT32 | INT64 | FLOAT | DOUBLE =>
+                val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+                  case (a: Number, b: Number) => (a.doubleValue(), b.doubleValue())
+                }
+                val merged = perCol.get(key)
+                  .map(o => ColRange(math.min(o.min, mn), math.max(o.max, mx)))
+                  .getOrElse(ColRange(mn, mx))
+                perCol(key) = merged
+              case BINARY
+                  if c.getPrimitiveType.getLogicalTypeAnnotation ==
+                    org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+                val mn = st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                val mx = st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                val merged = perStr.get(key)
+                  .map { case (omn, omx) =>
+                    (if (mn < omn) mn else omn, if (mx > omx) mx else omx) }
+                  .getOrElse((mn, mx))
+                perStr(key) = merged
+              case _ => // other binary/logical types: skip
             }
           }
         }
       }
-      (r.getRecordCount, perCol.toMap)
+      val strRanges = perStr.toMap.flatMap { case (k, (mn, mx)) =>
+        truncateMax(mx).map(tmx => k -> StrRange(truncateMin(mn), tmx))
+      }
+      (r.getRecordCount, perCol.toMap, strRanges)
     } finally r.close()
   }
 
@@ -376,6 +423,34 @@ class GraftCatalog(val warehouse: String) {
         case None     => true
       }
     }
+
+  /** File skipping on a STRING column predicate `lower <= col <= upper`.
+    * The recorded bounds are truncated (Iceberg `truncate(16)`), but a
+    * truncated min is ≤ the true min and a truncated max is ≥ the true
+    * max, so the intersection test stays conservative; files without
+    * recorded bounds for the column are kept. */
+  def filesForScanString(ns: String, t: String, column: String,
+                         lower: String, upper: String,
+                         asOf: Option[Long] = None): Seq[DataFileMeta] =
+    loadTable(ns, t).filesAsOf(asOf).filter { f =>
+      f.strRanges.flatMap(_.get(column)) match {
+        case Some(rg) => rg.max >= lower && rg.min <= upper
+        case None     => true
+      }
+    }
+
+  /** Read with file skipping on a string column predicate; the caller
+    * still applies the row-level filter (same contract as
+    * [[readTableWhere]]). */
+  def readTableWhereString(spark: SparkSession, ns: String, t: String,
+                           column: String, lower: String, upper: String,
+                           asOf: Option[Long] = None): DataFrame = {
+    val meta = loadTable(ns, t)
+    val fs = filesForScanString(ns, t, column, lower, upper, asOf).map(_.path)
+    if (fs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    else spark.read.schema(meta.schema).parquet(fs: _*)
+  }
 
   /** Read with file skipping on a numeric column predicate. The caller
     * still applies the row-level filter; this only prunes whole files. */

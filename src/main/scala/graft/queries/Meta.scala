@@ -528,9 +528,31 @@ object Meta {
       .filter(col("l_orderkey") <= mid / 2).count()
     val fullCount = cat.readTable(s, "nyc", "li_split")
       .filter(col("l_orderkey") <= mid / 2).count()
-    Seq((total, kept, prunedCount, fullCount, prunedCount == fullCount))
+    // string-column skipping (truncated footer bounds, Iceberg truncate(16)):
+    // split the same table by l_returnflag (A | N | R) — a predicate on the
+    // low value must prune the high file and still agree with the full scan
+    li.filter(col("l_returnflag") < "N").write.parquet(base.resolve("s_lo").toString)
+    li.filter(col("l_returnflag") >= "N").write.parquet(base.resolve("s_hi").toString)
+    val sparts = Seq("s_lo", "s_hi").flatMap(n =>
+      graft.catalog.Fs.list(base.resolve(n))
+        .filter(_.toString.endsWith(".parquet")))
+    cat.createTable("nyc", "li_split_str", li.schema)
+    cat.registerFiles("nyc", "li_split_str", sparts)
+    val strTotal = cat.files("nyc", "li_split_str").size.toLong
+    val strKept = cat.filesForScanString(
+      "nyc", "li_split_str", "l_returnflag", "A", "B").size.toLong
+    val strPruned = cat.readTableWhereString(
+        s, "nyc", "li_split_str", "l_returnflag", "A", "B")
+      .filter(col("l_returnflag").between("A", "B")).count()
+    val strFull = cat.readTable(s, "nyc", "li_split_str")
+      .filter(col("l_returnflag").between("A", "B")).count()
+    Seq((total, kept, prunedCount, fullCount, prunedCount == fullCount,
+      strTotal, strKept, strPruned, strFull,
+      strKept < strTotal && strPruned == strFull))
       .toDF("n_files", "n_files_after_skip", "n_rows_pruned_scan",
-        "n_rows_full_scan", "results_agree")
+        "n_rows_full_scan", "results_agree",
+        "n_files_str", "n_files_after_skip_str", "n_rows_pruned_scan_str",
+        "n_rows_full_scan_str", "str_skip_ok")
   }
 
   val queries: Map[String, QFn] = Map(

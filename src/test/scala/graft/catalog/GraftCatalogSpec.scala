@@ -161,6 +161,56 @@ class GraftCatalogSpec extends SparkSpec {
     assert(cat.filesForScan("nyc", "t", "id", 500, 600).size === 1)
   }
 
+  test("truncated string footer bounds enable file skipping") {
+    import spark.implicits._
+    val (data, wh) = freshDirs()
+    val tdir = data.resolve("ts"); Files.createDirectories(tdir)
+    // one file of short names, one whose strings exceed the 16-char
+    // truncation threshold — bounds must stay conservative after truncation
+    Seq("apple", "banana", "cherry").toDF("name").coalesce(1)
+      .write.parquet(data.getParent.resolve("s1").toString)
+    Seq("zebra-" + "x" * 20, "zulu-" + "y" * 20).toDF("name").coalesce(1)
+      .write.parquet(data.getParent.resolve("s2").toString)
+    Seq("s1", "s2").foreach { n =>
+      val f = Files.list(data.getParent.resolve(n)).iterator.asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(f, tdir.resolve(s"$n.parquet"))
+    }
+    val cat = new GraftCatalog(wh.toString)
+    cat.importFolders(spark, data.toString)
+    // predicate on the low half prunes the zebra/zulu file
+    val hit = cat.filesForScanString("nyc", "ts", "name", "a", "m")
+    assert(hit.size === 1 && hit.head.path.endsWith("s1.parquet"))
+    // the truncated max is still a valid upper bound: a lower bound equal
+    // to the 16-char prefix (true values extend past it) keeps the file
+    assert(cat.filesForScanString(
+      "nyc", "ts", "name", "zulu-" + "y" * 11, "zz").size === 1)
+    assert(cat.filesForScanString("nyc", "ts", "name", "a", "zzzz").size === 2)
+    assert(cat.readTableWhereString(spark, "nyc", "ts", "name", "a", "m")
+      .count() === 3)
+    // bounds themselves are truncated to 16 chars
+    val rg = cat.files("nyc", "ts").flatMap(_.strRanges).flatMap(_.get("name"))
+    assert(rg.forall(r => r.min.length <= 16 && r.max.length <= 17))
+    // a file registered without string stats is never skipped
+    cat.append("nyc", "ts", Seq(DataFileMeta(
+      tdir.resolve("s1.parquet").toString, 1L, 3L)))
+    assert(cat.filesForScanString("nyc", "ts", "name", "qq", "qr").size === 1)
+  }
+
+  test("string bound truncation: prefix min, incremented max, saturation") {
+    val (_, wh) = freshDirs()
+    val cat = new GraftCatalog(wh.toString)
+    assert(cat.truncateMin("short") === "short")
+    assert(cat.truncateMin("a" * 30) === "a" * 16)
+    assert(cat.truncateMax("short") === Some("short"))
+    // 16-char prefix with last char bumped: strictly above every "a…a" string
+    assert(cat.truncateMax("a" * 30) === Some("a" * 15 + "b"))
+    // un-incrementable prefix: no upper bound recordable
+    assert(cat.truncateMax(Char.MaxValue.toString * 20) === None)
+    // bump happens at the LAST incrementable char, tail dropped
+    assert(cat.truncateMax("ab" + Char.MaxValue.toString * 20) === Some("ac"))
+  }
+
   test("concurrent commit on same base version is rejected") {
     val (_, wh) = freshDirs()
     val cat = new GraftCatalog(wh.toString)
