@@ -65,8 +65,13 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
   def schema: StructType = StructType.fromDDL(schemaDdl)
 
   /** Snapshots that constitute the table state at `asOf` (those since the
-    * latest overwrite, in commit order). */
+    * latest overwrite, in commit order). Travel to a snapshot id that is
+    * not in the log — never committed, or expired by
+    * [[GraftCatalog.expireSnapshots]] — is an error, not an empty result. */
   def stateAsOf(asOf: Option[Long]): List[SnapshotMeta] = {
+    asOf.foreach(id => require(snapshots.exists(_.id == id),
+      s"$namespace.$name has no snapshot $id (expired or never committed); " +
+        s"available: ${snapshots.map(_.id).mkString(", ")}"))
     val cut = asOf.getOrElse(currentSnapshotId)
     val upTo = snapshots.filter(_.id <= cut)
     val lastOverwrite = upTo.lastIndexWhere(_.operation == "overwrite")
@@ -84,6 +89,10 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
 /** Import result row, mirroring the reference's per-table summary
   * (`ImportParquetFolders.java:118-119`). */
 case class ImportSummary(namespace: String, table: String, files: Long, rows: Long)
+
+/** [[GraftCatalog.expireSnapshots]] summary. */
+case class ExpireResult(expiredSnapshots: Int, deletedFiles: Int,
+                        remainingSnapshots: Int)
 
 /** Native table-metadata layer (SURVEY.md §7.2) re-implementing, without
   * any Iceberg dependency, the slice of Iceberg the reference uses
@@ -295,6 +304,63 @@ class GraftCatalog(val warehouse: String) {
     if (fs.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
     else spark.read.schema(meta.schema).parquet(fs: _*)
+  }
+
+  /** Iceberg's remaining maintenance verb: expire history, keeping the
+    * last `keepLast` snapshots. Metadata for expired snapshots is dropped
+    * (time travel to them throws afterwards); retained snapshots keep
+    * resolving to EXACTLY the same state. Because this log stores per-
+    * snapshot DELTAS (added files), two shapes arise:
+    *
+    *  - earliest retained snapshot is an overwrite → it is self-contained;
+    *    expired entries are simply dropped, and their files — when no
+    *    retained state references them — are deleted from disk. Only files
+    *    physically inside the warehouse are deleted: imported files are
+    *    user-owned (the importer is metadata-only, symlinks/externals are
+    *    never touched).
+    *  - earliest retained snapshot is a delta (append/merge) → a single
+    *    boundary CHECKPOINT snapshot (operation "overwrite", id/timestamp
+    *    of the last expired snapshot, full state at that point) replaces
+    *    the expired prefix, so retained deltas still union onto the right
+    *    base and retained merge-on-read deletes still apply to strictly
+    *    earlier files. Travel to the boundary id keeps working (it IS that
+    *    state); earlier ids throw.
+    *
+    * Merge-on-read debt AT the boundary is refused (materialize first): a
+    * checkpoint would fold deleted-rows' files and their delete files into
+    * one snapshot, where the sequence-number rule no longer applies them.
+    * Metadata-only except for orphan deletion; commit is optimistic like
+    * every other mutation. */
+  def expireSnapshots(ns: String, t: String, keepLast: Int): ExpireResult = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val (meta, ver) = loadTableAt(ns, t)
+    if (meta.snapshots.size <= keepLast)
+      return ExpireResult(0, 0, meta.snapshots.size)
+    val retained = meta.snapshots.takeRight(keepLast)
+    val expired = meta.snapshots.dropRight(keepLast)
+    val boundary = expired.last
+    val needCheckpoint = retained.head.operation != "overwrite"
+    val checkpoint =
+      if (!needCheckpoint) None
+      else {
+        require(meta.deleteFilesAsOf(Some(boundary.id)).isEmpty,
+          s"$ns.$t carries merge-on-read delete debt at snapshot ${boundary.id}; " +
+            "materialize before expiring")
+        Some(SnapshotMeta(boundary.id, boundary.timestampMs, "overwrite",
+          meta.filesAsOf(Some(boundary.id))))
+      }
+    val next = meta.copy(snapshots = checkpoint.toList ::: retained)
+    commit(next, expectedVersion = ver)
+    // orphans: referenced only by expired snapshots, unreachable from any
+    // remaining one, and physically owned by the warehouse
+    val live = (checkpoint.toList ::: retained)
+      .flatMap(sn => sn.addedFiles ++ sn.deletes).map(_.path).toSet
+    val whPrefix =
+      Paths.get(warehouse).toAbsolutePath.toString + java.io.File.separator
+    val orphans = expired.flatMap(sn => sn.addedFiles ++ sn.deletes).map(_.path)
+      .distinct.filterNot(live).filter(_.startsWith(whPrefix))
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    ExpireResult(expired.size, orphans.size, next.snapshots.size)
   }
 
   // ---------------------------------------------------------------- import

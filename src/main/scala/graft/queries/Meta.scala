@@ -306,6 +306,55 @@ object Meta {
     }
   }
 
+  /** meta_expire: snapshot expiration — the Iceberg maintenance verb
+    * implied by the warehouse model. History is trimmed to the last N
+    * snapshots; orphaned warehouse-owned files are deleted from disk;
+    * time travel to expired ids throws while every retained id still
+    * resolves to exactly its old state (via a boundary checkpoint when
+    * the earliest retained snapshot is a delta). Non-oracle by design. */
+  private def metaExpire: QFn = (s, _) => {
+    import s.implicits._
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "meta_expire")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    def land(n: Long, dir: String): Path = {
+      val d = Paths.get(cat.warehouse, "nyc", "exp_t", "data", dir)
+      s.range(n).coalesce(1).write.parquet(d.toString)
+      d
+    }
+    cat.createTable("nyc", "exp_t", s.range(1).schema)
+    cat.registerFiles("nyc", "exp_t", Seq(land(10, "b1"))) // snap 1 append
+    cat.registerFiles("nyc", "exp_t", Seq(land(20, "b2"))) // snap 2 append
+    cat.registerFiles("nyc", "exp_t", Seq(land(30, "b3"))) // snap 3 append
+    cat.registerFiles("nyc", "exp_t", Seq(land(40, "b4")),
+      operation = "overwrite")                             // snap 4 overwrite
+    val doomed = cat.snapshots("nyc", "exp_t").take(3)
+      .flatMap(_.addedFiles).map(_.path)
+    // earliest retained is the overwrite → plain drop + orphan deletion
+    val r1 = cat.expireSnapshots("nyc", "exp_t", keepLast = 1)
+    val orphansGone = doomed.forall(p => !Files.exists(Paths.get(p)))
+    val travelThrows = scala.util.Try(
+      cat.readTable(s, "nyc", "exp_t", asOf = Some(2L)).count()).isFailure
+    val cur1 = cat.readTable(s, "nyc", "exp_t").count()
+    // earliest retained is a delta → boundary checkpoint keeps it resolving
+    cat.registerFiles("nyc", "exp_t", Seq(land(50, "b5"))) // snap 5 append
+    cat.registerFiles("nyc", "exp_t", Seq(land(60, "b6"))) // snap 6 append
+    val r2 = cat.expireSnapshots("nyc", "exp_t", keepLast = 2)
+    val travelBoundary = cat.readTable(s, "nyc", "exp_t", asOf = Some(4L)).count()
+    val cur2 = cat.readTable(s, "nyc", "exp_t").count()
+    Seq(
+      ("expire_to_overwrite_head", r1.expiredSnapshots.toLong,
+        r1.expiredSnapshots == 3 && r1.deletedFiles == 3 && r1.remainingSnapshots == 1),
+      ("orphans_deleted_from_disk", doomed.size.toLong, orphansGone),
+      ("travel_to_expired_throws", 1L, travelThrows),
+      ("current_state_intact", cur1, cur1 == 40L),
+      ("expire_with_boundary_checkpoint", r2.expiredSnapshots.toLong,
+        r2.expiredSnapshots == 1 && r2.deletedFiles == 0 && r2.remainingSnapshots == 3),
+      ("travel_to_checkpoint", travelBoundary, travelBoundary == 40L),
+      ("retained_deltas_resolve", cur2, cur2 == 150L))
+      .toDF("phase", "n", "invariant_ok")
+  }
+
   /** meta_concurrent: multi-client serving parity — the reference runs a
     * FAIR-scheduled Thrift server so parallel Superset clients share one
     * SparkContext (`/root/reference/entrypoint-spark.sh:103-110,135-136`).
@@ -570,6 +619,7 @@ object Meta {
     "meta_sql_catalog" -> metaSqlCatalog,
     "meta_sql_merge"   -> metaSqlMerge,
     "meta_concurrent"  -> metaConcurrent,
+    "meta_expire"      -> metaExpire,
     "meta_default_catalog" -> metaDefaultCatalog,
     "meta_show_create" -> metaShowCreate,
     "q_sql_entry"      -> qSqlEntry,

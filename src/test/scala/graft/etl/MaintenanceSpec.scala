@@ -73,4 +73,54 @@ class MaintenanceSpec extends SparkSpec {
     assert(keptId < total)
     assert(keptGrp < total)
   }
+
+  private def landRange(cat: GraftCatalog, tbl: String, n: Long,
+                        dir: String): java.nio.file.Path = {
+    val d = Paths.get(cat.warehouse, "nyc", tbl, "data", dir)
+    spark.range(n).coalesce(1).write.parquet(d.toString)
+    d
+  }
+
+  test("expireSnapshots drops history, deletes orphans, keeps retained state") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "expire")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    cat.createTable("nyc", "e", spark.range(1).schema)
+    cat.registerFiles("nyc", "e", Seq(landRange(cat, "e", 10, "b1")))
+    cat.registerFiles("nyc", "e", Seq(landRange(cat, "e", 20, "b2")))
+    cat.registerFiles("nyc", "e", Seq(landRange(cat, "e", 40, "b3")),
+      operation = "overwrite")
+    val doomed = cat.snapshots("nyc", "e").take(2).flatMap(_.addedFiles).map(_.path)
+    val r = cat.expireSnapshots("nyc", "e", keepLast = 1)
+    assert(r === graft.catalog.ExpireResult(2, 2, 1))
+    assert(doomed.forall(p => !Files.exists(Paths.get(p))))
+    assert(cat.readTable(spark, "nyc", "e").count() === 40)
+    intercept[Exception] { cat.readTable(spark, "nyc", "e", asOf = Some(1L)) }
+    // delta-head retention inserts a boundary checkpoint
+    cat.registerFiles("nyc", "e", Seq(landRange(cat, "e", 50, "b4")))
+    val r2 = cat.expireSnapshots("nyc", "e", keepLast = 1)
+    assert(r2 === graft.catalog.ExpireResult(1, 0, 2)) // checkpoint + snap 4
+    assert(cat.readTable(spark, "nyc", "e", asOf = Some(3L)).count() === 40)
+    assert(cat.readTable(spark, "nyc", "e").count() === 90)
+    // keepLast >= history size is a no-op
+    assert(cat.expireSnapshots("nyc", "e", keepLast = 10) ===
+      graft.catalog.ExpireResult(0, 0, 2))
+  }
+
+  test("expireSnapshots refuses a boundary carrying merge-on-read debt") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "expire_mor")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    cat.createTable("nyc", "em", spark.range(1).schema)
+    cat.registerFiles("nyc", "em", Seq(landRange(cat, "em", 10, "b1")))
+    Merge.deleteWhereMor(spark, cat, "nyc", "em", col("id") < 3, Seq("id")) // snap 2
+    cat.registerFiles("nyc", "em", Seq(landRange(cat, "em", 5, "b3")))
+    cat.registerFiles("nyc", "em", Seq(landRange(cat, "em", 5, "b4")))
+    // retained = snaps 3,4 (delta head); boundary snap 2 carries MoR debt
+    val e = intercept[Exception] { cat.expireSnapshots("nyc", "em", keepLast = 2) }
+    assert(e.getMessage.contains("materialize"))
+    // after materializing, the same expire succeeds
+    Merge.materialize(spark, cat, "nyc", "em")                              // snap 5
+    val r = cat.expireSnapshots("nyc", "em", keepLast = 1)
+    assert(r.expiredSnapshots === 4)
+    assert(cat.readTable(spark, "nyc", "em").count() === 17) // 7 + 5 + 5
+  }
 }
