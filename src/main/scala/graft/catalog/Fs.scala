@@ -15,9 +15,19 @@ object Fs {
   def list(dir: Path): Seq[Path] =
     Using.resource(Files.list(dir))(_.iterator.asScala.toSeq.sortBy(_.toString))
 
-  /** `dir` and everything under it, sorted. Closes the walk stream. */
+  /** `dir` and everything under it, sorted. Closes the walk stream.
+    * Strict: holds every path on the driver — right for warehouse trees
+    * (file counts bounded by snapshot metadata). For landing zones that
+    * may hold millions of entries, use [[walkForeach]] instead. */
   def walk(dir: Path): Seq[Path] =
     Using.resource(Files.walk(dir))(_.iterator.asScala.toSeq.sortBy(_.toString))
+
+  /** Streaming walk: processes entries inside the `Using` block without
+    * materializing the tree (encounter order, not sorted) — O(depth)
+    * memory for arbitrarily large trees, FD still closed
+    * deterministically. */
+  def walkForeach[T](dir: Path)(f: Iterator[Path] => T): T =
+    Using.resource(Files.walk(dir))(st => f(st.iterator.asScala))
 
   /** Delete `dir` and everything under it (children before parents). */
   def deleteRecursively(dir: Path): Unit =

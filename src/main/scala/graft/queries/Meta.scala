@@ -44,6 +44,19 @@ object Meta {
     (data.toString, wh.toString)
   }
 
+  /** Best-effort cleanup of a per-query catalog registration. NOTE
+    * (advisor r3): `conf.unset` removes the config keys but does NOT
+    * evict the plugin instance already cached in the session's
+    * CatalogManager — Spark caches catalog instances by name for the
+    * session's lifetime. Cross-query correctness therefore rests on the
+    * catalog NAMES being salted per run (fresh temp-dir suffix), which
+    * every registrant here maintains; the unset just keeps the conf
+    * surface tidy. */
+  private def unregisterCatalog(s: SparkSession, cname: String): Unit = {
+    s.conf.unset(s"spark.sql.catalog.$cname")
+    s.conf.unset(s"spark.sql.catalog.$cname.warehouse")
+  }
+
   /** meta_import: full importer pipeline (A1-A11) → per-table summary. */
   private def metaImport: QFn = (s, d) => {
     import s.implicits._
@@ -204,10 +217,7 @@ object Meta {
       ("sql_join_groups", joined, joined == 5),
       ("sql_insert", regionAfter, regionAfter == 2 * regionBefore))
       .toDF("phase", "n", "invariant_ok")
-    } finally { // per-query catalog registration must not leak session state
-      s.conf.unset(s"spark.sql.catalog.$cname")
-      s.conf.unset(s"spark.sql.catalog.$cname.warehouse")
-    }
+    } finally unregisterCatalog(s, cname) // names salted: see helper note
   }
 
   /** meta_sql_merge: the row-level DML statement surface — SQL `MERGE
@@ -265,9 +275,7 @@ object Meta {
         .toDF("phase", "n", "invariant_ok")
     } finally {
       s.catalog.dropTempView(srcView)
-      // per-query catalog registration must not leak session state
-      s.conf.unset(s"spark.sql.catalog.$cname")
-      s.conf.unset(s"spark.sql.catalog.$cname.warehouse")
+      unregisterCatalog(s, cname) // names salted: see helper note
     }
   }
 
@@ -300,9 +308,7 @@ object Meta {
         .toDF("phase", "n", "invariant_ok")
     } finally {
       s.conf.set("spark.sql.defaultCatalog", prev)
-      // per-query catalog registration must not leak session state
-      s.conf.unset(s"spark.sql.catalog.$cname")
-      s.conf.unset(s"spark.sql.catalog.$cname.warehouse")
+      unregisterCatalog(s, cname) // names salted: see helper note
     }
   }
 
