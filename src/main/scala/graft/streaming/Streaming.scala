@@ -72,7 +72,9 @@ object Streaming {
 
   /** st_dedup: dropDuplicatesWithinWatermark on event ids — duplicates in
     * later micro-batches (within the watermark) are suppressed. */
-  def stDedup: QFn = (s, _) => {
+  def stDedup: QFn = stDedupWith("st_dedup_sink")
+
+  private def stDedupWith(sink: String): QFn = (s, _) => {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
@@ -80,14 +82,33 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
     val q = withStatePartitions(s, 4)(deduped.writeStream
-      .format("memory").queryName("st_dedup_sink").outputMode("append").start())
+      .format("memory").queryName(sink).outputMode("append").start())
     try {
       input.addData((ts(1), 1L, "first"), (ts(2), 2L, "first"))
       q.processAllAvailable()
       input.addData((ts(3), 1L, "dup-dropped"), (ts(4), 3L, "first"))
       q.processAllAvailable()
     } finally q.stop()
-    s.table("st_dedup_sink").select("event_id", "payload").orderBy("event_id")
+    s.table(sink).select("event_id", "payload").orderBy("event_id")
+  }
+
+  /** st_dedup_rocksdb: the SAME stateful dedup on Spark's built-in RocksDB
+    * state store provider — the configuration that keeps executor heap
+    * flat when keyed state outgrows memory (an unbounded 100 TB/day
+    * stream's store; the default HDFS-backed store holds state on-heap).
+    * The provider is pinned at query start, so the conf scope covers
+    * exactly this stream; results must be identical to [[stDedup]], which
+    * the oracle (fixed expected rows) and StreamingSpec both check. */
+  def stDedupRocks: QFn = (s, d) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try stDedupWith("st_dedup_rocks_sink")(s, d)
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** st_sessionize: custom keyed state via flatMapGroupsWithState — the
@@ -377,6 +398,7 @@ object Streaming {
   val queries: Map[String, QFn] = Map(
     "st_watermark"    -> stWatermark,
     "st_dedup"        -> stDedup,
+    "st_dedup_rocksdb" -> stDedupRocks,
     "st_sessionize"   -> stSessionize,
     "st_file_source"  -> stFileSource,
     "st_catalog_sink" -> stCatalogSink,
@@ -388,6 +410,12 @@ object Streaming {
     * through Structured Streaming must equal the batch aggregate DuckDB
     * computes over the same rows. The stateful demos stay non-oracle. */
   val oracles: Map[String, String] = Map(
+    // deterministic literal inputs ⇒ the dedup result is a fixed table;
+    // running it on the RocksDB provider must reproduce it exactly
+    "st_dedup_rocksdb" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'first'),
+        |(CAST(2 AS BIGINT), 'first'), (CAST(3 AS BIGINT), 'first'))
+        |AS t(event_id, payload) ORDER BY event_id""".stripMargin,
     "st_file_source" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

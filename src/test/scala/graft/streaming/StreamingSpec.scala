@@ -26,6 +26,19 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, "first"), (2L, "first"), (3L, "first")))
   }
 
+  test("st_dedup_rocksdb: RocksDB store reproduces the default-store result") {
+    val rocks = Streaming.stDedupRocks(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val default = Streaming.stDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rocks.toSeq === default.toSeq)
+    assert(rocks.toSeq === Seq((1L, "first"), (2L, "first"), (3L, "first")))
+    // the scoped provider conf must not leak into the session (getOption
+    // surfaces the conf DEFAULT — the HDFS-backed provider — when unset)
+    assert(!spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"))
+  }
+
   test("st_join_outer: all four batch-parity invariants hold") {
     val rows = Streaming.stJoinOuter(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
