@@ -124,6 +124,28 @@ object Extensions {
           " ")).as("fp"))
       .orderBy("doc_id")
 
+  /** Repetition / boilerplate score: fraction of DUPLICATED word 3-grams
+    * per document — the MassiveText/Gopher-style corpus-filter signal
+    * (templated and spam pages score high). Map-only projection, no
+    * shuffle except the output sort; tokens materialized once in their
+    * own projection (CollapseProject would otherwise re-evaluate the
+    * split per reference). Guard: docs under 3 tokens have NO grams —
+    * `sequence(1, n)` DESCENDS for n < 1 rather than returning empty, so
+    * the branch is explicit. */
+  private def qTextRepetition: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= 3, expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .otherwise(expr("array()")).as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_distinct_grams"))
+      .withColumn("rep_ratio", round(when(col("n_grams") > 0,
+        lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))
+        .otherwise(0.0), 4))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------- dedup family
 
   /** MinHash(4) + single-band LSH: doc → 4 min-md5 signature → band key.
@@ -537,6 +559,7 @@ object Extensions {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_bpe"        -> qTextBpe,
     "q_text_rollhash"   -> qTextRollhash,
+    "q_text_repetition" -> qTextRepetition,
     "q_dedup_minhash"   -> qDedupMinhash,
     "q_dedup_minhash_shingle" -> qDedupMinhashShingle,
     "q_dedup_simhash"   -> qDedupSimhash,
@@ -630,6 +653,24 @@ object Extensions {
         |        t -> CAST(length(t) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rollhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> t <> '') AS L
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, greatest(1, len(L) - 1)),
+        |           i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2]) AS grams
+        |  FROM toks)
+        |SELECT doc_id,
+        |       CAST(len(grams) AS INT) AS n_grams,
+        |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct_grams,
+        |       round(CASE WHEN len(grams) > 0
+        |             THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+        |             ELSE 0.0 END, 4) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH tok AS ($tokensSql),
         |sig AS (
