@@ -258,11 +258,15 @@ object Relational {
 
   private def qAggPercentile: QFn = (s, d) =>
     // exact percentile buffers every value per group — widen the narrow
-    // scan so the map-side buffer build parallelizes
+    // scan so the map-side buffer build parallelizes, and ask for BOTH
+    // percentiles from ONE buffer (two separate percentile() aggs would
+    // each collect the full group)
     Tables.spread(s, Tables.lineitem(s, d))
       .groupBy(col("l_returnflag"))
-      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("median_price"),
+        round(element_at(col("ps"), 2), 4).as("p90_price"))
       .orderBy("l_returnflag")
 
   /** Approximate distinct (HLL) — non-oracle; exact twin is q_agg_distinct. */

@@ -197,6 +197,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(cat.filesForScanString("nyc", "ts", "name", "qq", "qr").size === 1)
   }
 
+  test("string bound truncation laws hold on generated strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val (_, wh) = freshDirs()
+    val cat = new GraftCatalog(wh.toString)
+    // strings over an alphabet that includes Char.MaxValue so the
+    // saturation branch is actually generated
+    val g = Gen.listOf(Gen.oneOf('a', 'b', 'z', '0', Char.MaxValue, 'µ'))
+      .map(_.mkString)
+    val samples = (0 until 300).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+    samples.foreach { s0 =>
+      val mn = cat.truncateMin(s0)
+      assert(mn.length <= 16)
+      assert(mn <= s0, s"truncateMin must be a lower bound: '$mn' > '$s0'")
+      cat.truncateMax(s0).foreach { mx =>
+        assert(mx.length <= 16)
+        assert(mx >= s0, s"truncateMax must be an upper bound: '$mx' < '$s0'")
+      }
+      // un-incrementable prefixes are the ONLY case with no upper bound
+      if (cat.truncateMax(s0).isEmpty)
+        assert(s0.take(16).forall(_ == Char.MaxValue) && s0.length > 16)
+    }
+  }
+
   test("string bound truncation: prefix min, incremented max, saturation") {
     val (_, wh) = freshDirs()
     val cat = new GraftCatalog(wh.toString)
