@@ -272,10 +272,16 @@ class GraftCatalog(val warehouse: String) {
         val afterDeletes =
           if (sn.deletes.isEmpty) acc
           else {
+            import org.apache.spark.sql.functions.{broadcast, col}
             val keys = sn.equalityKeys.getOrElse(Nil)
+            // NULL-SAFE match (<=>): Iceberg equality deletes treat null
+            // key values as equal, so a delete row carrying nulls must
+            // remove the matching null-valued data rows — a plain
+            // equi-anti-join would silently keep them
             val del = spark.read.parquet(sn.deletes.map(_.path): _*)
-              .select(keys.map(org.apache.spark.sql.functions.col): _*)
-            acc.join(org.apache.spark.sql.functions.broadcast(del), keys, "left_anti")
+              .select(keys.map(k => col(k).as(s"__del_$k")): _*)
+            val cond = keys.map(k => col(k) <=> col(s"__del_$k")).reduce(_ && _)
+            acc.join(broadcast(del), cond, "left_anti")
           }
         if (sn.addedFiles.isEmpty) afterDeletes
         else afterDeletes.unionByName(

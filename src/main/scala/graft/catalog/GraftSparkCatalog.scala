@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.InsertableRelation
@@ -42,11 +42,31 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catName: String = _
   private var cat: GraftCatalog = _
+  private var morDml: Boolean = false
+  private var identityCols: Seq[String] = Nil
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     val wh = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
       s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+    // DML mode, mirroring Iceberg's write.update.mode / write.merge.mode:
+    //  - copy-on-write (default): one overwrite snapshot, O(table) write,
+    //    zero read overhead
+    //  - merge-on-read: delta row-level ops, O(changed rows) write — the
+    //    100 TB write path; reads through this SQL catalog then refuse
+    //    until the debt is materialized (GraftCatalog.readTable folds it).
+    //    Requires `rowlevel.identity`: the row-identity columns equality
+    //    deletes key on — Iceberg's identifier fields, which must be
+    //    non-null and unique per row (a user contract there too).
+    val mode = Option(options.get("rowlevel.mode")).getOrElse("copy-on-write")
+    require(mode == "copy-on-write" || mode == "merge-on-read",
+      s"catalog $name: rowlevel.mode must be copy-on-write or merge-on-read, got $mode")
+    morDml = mode == "merge-on-read"
+    identityCols = Option(options.get("rowlevel.identity"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    require(!morDml || identityCols.nonEmpty,
+      s"catalog $name: rowlevel.mode=merge-on-read requires rowlevel.identity " +
+        "(comma-separated row-identity columns, like Iceberg identifier fields)")
     cat = new GraftCatalog(wh)
   }
 
@@ -77,8 +97,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val meta = cat.loadTable(ns, ident.name)
     require(meta.deleteFilesAsOf(asOf).isEmpty,
       s"$ns.${ident.name} carries merge-on-read delete files; materialize before SQL reads")
-    new GraftSqlTable(cat, catName, ns, ident.name, meta.schema,
-      meta.filesAsOf(asOf).map(_.path))
+    // In merge-on-read mode the identity columns are declared required —
+    // Iceberg marks identifier fields non-null the same way (the analyzer
+    // refuses nullable row-id attributes). Nulls there break the user
+    // contract on both engines.
+    val served =
+      if (!morDml) meta.schema
+      else {
+        val missing = identityCols.filterNot(meta.schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"$ns.${ident.name}: rowlevel.identity columns not in schema: ${missing.mkString(", ")}")
+        StructType(meta.schema.map(f =>
+          if (identityCols.contains(f.name)) f.copy(nullable = false) else f))
+      }
+    new GraftSqlTable(cat, catName, ns, ident.name, served,
+      meta.filesAsOf(asOf).map(_.path), morDml, identityCols)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -142,7 +175,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
                                      ns: String, tbl: String,
                                      tableSchema: StructType,
-                                     paths: Seq[String])
+                                     paths: Seq[String],
+                                     morDml: Boolean = false,
+                                     identityCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
 
@@ -170,6 +205,10 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
     * O(table) by design (copy-on-write); the O(changed-rows) trade is the
     * merge-on-read path ([[GraftCatalog.commitMergeOnRead]]). */
   override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    if (morDml) newMorOperationBuilder(info) else newCowOperationBuilder(info)
+
+  private def newCowOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
@@ -235,7 +274,10 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
   }
 
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    filters.forall(filterToColumn(_).isDefined)
+    // in merge-on-read mode every DELETE goes through the delta row-level
+    // path (writes only the doomed rows' ids); the copy-on-write rewrite
+    // below would be O(table)
+    !morDml && filters.forall(filterToColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     val spark = SparkSession.active
@@ -254,6 +296,116 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
       .write.parquet(dir.toString)
     cat.registerFiles(ns, tbl, Seq(dir), operation = "overwrite")
   }
+
+  /** Merge-on-read (delta) row-level operation: Spark's WriteDelta plan
+    * sends ONLY changed rows — insert(row) / delete(id) / update(id, row)
+    * — so a 1-row UPDATE on a 100 TB table writes one data file and one
+    * equality-delete file instead of rewriting the table. Row identity is
+    * the catalog's declared `rowlevel.identity` columns — Iceberg's
+    * identifier fields, with the same user contract (non-null, unique per
+    * row); delete files carry ONLY those key tuples and the read-side
+    * anti-join is null-safe. Each task writes via two delegated
+    * DSv2 parquet writers (data + delete staging dirs); the driver commit
+    * registers ONE atomic "merge"/"delete"/append snapshot with cost
+    * O(changed rows). Reads through this SQL catalog refuse the debt
+    * until materialized ([[GraftCatalog.readTable]] folds it; Maintenance
+    * .optimize / Merge.materialize clear it). */
+  private def newMorOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation with SupportsDelta {
+        override def command(): RowLevelOperation.Command = info.command()
+
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          GraftSqlTable.this.newScanBuilder(options)
+
+        override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          identityCols.toArray.map(
+            org.apache.spark.sql.connector.expressions.Expressions.column)
+
+        override def newWriteBuilder(writeInfo: LogicalWriteInfo): DeltaWriteBuilder = {
+          val ts = System.currentTimeMillis()
+          val dataDir = Paths.get(cat.warehouse, ns, tbl, "data", s"mor-data-$ts")
+          val delDir = Paths.get(cat.warehouse, ns, tbl, "data", s"mor-delete-$ts")
+          val idSchema = writeInfo.rowIdSchema().orElse(
+            StructType(tableSchema.filter(f => identityCols.contains(f.name))))
+          // data side: Spark's own DSv2 parquet write at a staging dir.
+          // The DELETE side cannot be a second FileWrite: both would call
+          // the Hadoop commit protocol for the same (stage, partition) and
+          // the OutputCommitCoordinator authorizes only the first
+          // (CommitDeniedException). Delete files are tiny key tuples, so
+          // each task writes them directly with ParquetWriteSupport and
+          // publishes by atomic rename — no commit protocol needed.
+          // a pure DELETE writes no data rows: its write schema is EMPTY,
+          // which the parquet FileWrite rejects — skip the data delegate
+          val dataDelegate = if (writeInfo.schema().isEmpty) None else Some(
+            ParquetTable(s"$catName.$ns.$tbl-mor-data", SparkSession.active,
+              CaseInsensitiveStringMap.empty(), Seq(dataDir.toString),
+              Some(writeInfo.schema()), classOf[ParquetFileFormat])
+              .newWriteBuilder(new LogicalWriteInfo {
+                override def options(): CaseInsensitiveStringMap = writeInfo.options()
+                override def queryId(): String = writeInfo.queryId() + "-data"
+                override def schema(): StructType = writeInfo.schema()
+                // the interface DEFAULTS throw; the delegate is a plain
+                // batch parquet write, so both are empty here
+                override def rowIdSchema(): java.util.Optional[StructType] =
+                  java.util.Optional.empty()
+                override def metadataSchema(): java.util.Optional[StructType] =
+                  java.util.Optional.empty()
+              }))
+          val delConf = {
+            val spark = SparkSession.active
+            val c = spark.sessionState.newHadoopConf()
+            org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+              .setSchema(idSchema, c)
+            // ParquetWriteSupport.init asserts these are explicitly set
+            // (ParquetFileFormat.prepareWrite normally does it)
+            import org.apache.spark.sql.internal.SQLConf
+            Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+              SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+              SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+              SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
+              SQLConf.PARQUET_REBASE_MODE_IN_WRITE,
+              SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE)
+              .foreach(e => c.set(e.key, spark.conf.get(e.key)))
+            new org.apache.spark.util.SerializableConfiguration(c)
+          }
+          new DeltaWriteBuilder {
+            override def build(): DeltaWrite = new DeltaWrite {
+              private val dataInner = dataDelegate.map(_.build().toBatch)
+              override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+                override def createBatchWriterFactory(
+                    p: PhysicalWriteInfo): DeltaWriterFactory =
+                  MorDeltaWriterFactory(
+                    dataInner.map(_.createBatchWriterFactory(p)),
+                    delDir.toString, delConf)
+                override def useCommitCoordinator(): Boolean =
+                  dataInner.forall(_.useCommitCoordinator())
+                override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                  val msgs = messages.map(_.asInstanceOf[MorDeltaCommit])
+                  dataInner.foreach(_.commit(msgs.flatMap(_.data)))
+                  // register O(changed rows): drop empty part files (a task
+                  // that saw no row of a kind) and uncommitted .tmp files
+                  def live(dir: java.nio.file.Path) =
+                    if (!java.nio.file.Files.isDirectory(dir)) Nil
+                    else cat.statFiles(Fs.regularFiles(dir, Seq(".parquet")))
+                      .filter(_.rowCount > 0).map(f => Paths.get(f.path))
+                  val (delFs, dataFs) = (live(delDir), live(dataDir))
+                  if (delFs.nonEmpty)
+                    cat.commitMergeOnRead(ns, tbl, idSchema.fieldNames.toSeq,
+                      delFs, dataFs)
+                  else if (dataFs.nonEmpty)
+                    cat.registerFiles(ns, tbl, dataFs, operation = "append")
+                }
+                override def abort(messages: Array[WriterCommitMessage]): Unit =
+                  dataInner.foreach(_.abort(
+                    messages.collect { case m: MorDeltaCommit => m }.flatMap(_.data)))
+              }
+            }
+          }
+        }
+      }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -307,4 +459,86 @@ private[catalog] class RowSuffixProjectingFactory(
       override def close(): Unit = w.close()
     }
   }
+}
+
+/** Per-task commit message of the merge-on-read delta write: carries the
+  * data-side delegate's message; delete files are published by atomic
+  * rename inside the task commit, so they need no message. */
+private[catalog] case class MorDeltaCommit(
+    data: Option[org.apache.spark.sql.connector.write.WriterCommitMessage])
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Creates per-task delta writers: the data side delegates to Spark's
+  * parquet DataWriter, the delete side is a task-local direct parquet
+  * writer (no commit protocol — see newMorOperationBuilder). */
+private[catalog] case class MorDeltaWriterFactory(
+    dataF: Option[org.apache.spark.sql.connector.write.DataWriterFactory],
+    delDir: String,
+    delConf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new MorDeltaWriter(dataF.map(_.createWriter(partitionId, taskId)),
+      delDir, delConf, partitionId, taskId)
+}
+
+/** Delta callbacks -> parquet rows: inserts land in the data file, deletes
+  * land their row-id tuple in the equality-delete file, updates do both
+  * (delete old id, insert new row) — Iceberg v2 merge-on-read shape. The
+  * delete writer opens lazily on the first delete, writes to a dot-tmp
+  * name, and publishes by ATOMIC rename at task commit, so failed
+  * attempts never leave a half-written .parquet behind (taskId is
+  * attempt-unique, and `live()` on the driver ignores .tmp files). */
+private[catalog] class MorDeltaWriter(
+    data: Option[org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow]],
+    delDir: String,
+    delConf: org.apache.spark.util.SerializableConfiguration,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+  import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val tmpPath = s"$delDir/.part-$partitionId-$taskId.tmp"
+  private val finalPath = s"$delDir/part-$partitionId-$taskId.parquet"
+  private var delWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+
+  private def del(): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    if (delWriter == null) {
+      JFiles.createDirectories(JPaths.get(delDir))
+      delWriter = new org.apache.parquet.hadoop.ParquetWriter[InternalRow](
+        new org.apache.hadoop.fs.Path(tmpPath),
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport,
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
+        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE,
+        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_PAGE_SIZE,
+        true, false,
+        org.apache.parquet.column.ParquetProperties.WriterVersion.PARQUET_1_0,
+        delConf.value)
+    }
+    delWriter
+  }
+
+  override def insert(row: InternalRow): Unit = data.get.write(row)
+  override def delete(meta: InternalRow, id: InternalRow): Unit = del().write(id)
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    del().write(id); data.get.write(row)
+  }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (delWriter != null) {
+      delWriter.close()
+      JFiles.move(JPaths.get(tmpPath), JPaths.get(finalPath),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    MorDeltaCommit(data.map(_.commit()))
+  }
+  override def abort(): Unit =
+    try data.foreach(_.abort())
+    finally {
+      if (delWriter != null) {
+        try delWriter.close() catch { case _: Throwable => () }
+      }
+      JFiles.deleteIfExists(JPaths.get(tmpPath))
+    }
+  override def close(): Unit = data.foreach(_.close())
 }

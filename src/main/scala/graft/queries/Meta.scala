@@ -279,6 +279,74 @@ object Meta {
     }
   }
 
+  /** meta_sql_merge_mor: the SAME SQL DML statements in MERGE-ON-READ mode
+    * (catalog option rowlevel.mode=merge-on-read + rowlevel.identity, the
+    * Iceberg write.merge.mode=merge-on-read parity) — Spark's delta-based
+    * WriteDelta plan sends only CHANGED rows, so each statement commits an
+    * O(changed-rows) snapshot (equality-delete keys + new rows), never an
+    * O(table) rewrite. Invariants check the per-snapshot file row counts
+    * (the actual write cost), result correctness through the debt-folding
+    * read, the SQL-read refusal while debt is open, and serving after
+    * materialization. Non-oracle by design. */
+  private def metaSqlMergeMor: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val boot = new GraftCatalog(wh)
+    boot.importFolders(s, data)
+    val salt = Paths.get(wh).getParent.getFileName.toString
+      .replaceAll("[^a-zA-Z0-9]", "")
+    val cname = "gmor_" + salt
+    val srcView = "mor_src_" + salt
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+    s.conf.set(s"spark.sql.catalog.$cname.rowlevel.mode", "merge-on-read")
+    s.conf.set(s"spark.sql.catalog.$cname.rowlevel.identity", "r_regionkey")
+    try {
+      val before = boot.readTable(s, "nyc", "region").count()
+      s.sql(s"""SELECT * FROM VALUES (0, 'm0'), (100, 'new100')
+               |AS v(r_regionkey, r_name)""".stripMargin)
+        .createOrReplaceTempView(srcView)
+      s.sql(s"""MERGE INTO $cname.nyc.region t USING $srcView v
+               |  ON t.r_regionkey = v.r_regionkey
+               |WHEN MATCHED THEN UPDATE SET r_name = v.r_name
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val merge = boot.snapshots("nyc", "region").last
+      // O(changed): 1 updated + 1 inserted row land; 1 key tuple deleted
+      val mergeCost = merge.addedFiles.map(_.rowCount).sum +
+        merge.deletes.map(_.rowCount).sum
+      val afterMerge = boot.readTable(s, "nyc", "region").count()
+      val renamed = boot.readTable(s, "nyc", "region")
+        .filter(col("r_name").isin("m0", "new100")).count()
+      // SQL reads refuse while the debt is open
+      val refused = scala.util.Try(
+        s.sql(s"SELECT count(*) FROM $cname.nyc.region").collect()).isFailure
+      graft.etl.Merge.materialize(s, boot, "nyc", "region")
+      s.sql(s"DELETE FROM $cname.nyc.region WHERE r_regionkey >= 100")
+      val del = boot.snapshots("nyc", "region").last
+      val afterDelete = boot.readTable(s, "nyc", "region").count()
+      graft.etl.Merge.materialize(s, boot, "nyc", "region")
+      val served = s.sql(s"SELECT count(*) FROM $cname.nyc.region").as[Long].head()
+      Seq(
+        ("mor_merge_snapshot", 1L, merge.operation == "merge"),
+        ("mor_merge_cost_changed_rows", mergeCost, mergeCost == 3),
+        ("mor_upsert_result", afterMerge,
+          afterMerge == before + 1 && renamed == 2),
+        ("sql_read_refused_on_debt", 1L, refused),
+        ("mor_delete_snapshot", del.deletes.map(_.rowCount).sum,
+          del.operation == "delete" && del.addedFiles.isEmpty &&
+            del.deletes.map(_.rowCount).sum == 1),
+        ("delete_result", afterDelete, afterDelete == before),
+        ("served_after_materialize", served, served == before))
+        .toDF("phase", "n", "invariant_ok")
+    } finally {
+      s.catalog.dropTempView(srcView)
+      unregisterCatalog(s, cname) // names salted: see helper note
+      s.conf.unset(s"spark.sql.catalog.$cname.rowlevel.mode")
+      s.conf.unset(s"spark.sql.catalog.$cname.rowlevel.identity")
+    }
+  }
+
   /** meta_default_catalog: the reference's default-catalog UX
     * (`/root/reference/conf/spark-defaults.conf:5` sets
     * `spark.sql.defaultCatalog` so BI clients write `nyc.t`, no catalog
@@ -627,6 +695,7 @@ object Meta {
     "meta_describe"    -> metaDescribe,
     "meta_sql_catalog" -> metaSqlCatalog,
     "meta_sql_merge"   -> metaSqlMerge,
+    "meta_sql_merge_mor" -> metaSqlMergeMor,
     "meta_concurrent"  -> metaConcurrent,
     "meta_expire"      -> metaExpire,
     "meta_default_catalog" -> metaDefaultCatalog,

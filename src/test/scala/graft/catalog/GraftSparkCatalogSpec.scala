@@ -150,6 +150,86 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
   }
 
+  private def setupMor(): (String, GraftCatalog) = {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "sparkcatmor")
+    val dataDir = base.resolve("in"); Files.createDirectories(dataDir)
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "score")
+      .coalesce(1).write.parquet(dataDir.resolve("t").toString)
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    cat.importFolders(spark, dataDir.toString)
+    val cname = "gm" + base.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")
+    spark.conf.set(s"spark.sql.catalog.$cname", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    spark.conf.set(s"spark.sql.catalog.$cname.rowlevel.mode", "merge-on-read")
+    spark.conf.set(s"spark.sql.catalog.$cname.rowlevel.identity", "id")
+    (cname, cat)
+  }
+
+  test("merge-on-read MERGE writes only changed rows as one merge snapshot") {
+    val (c, cat) = setupMor()
+    Seq((2L, "b2", 222.0), (9L, "new", 99.0)).toDF("id", "name", "score")
+      .createOrReplaceTempView("mor_src")
+    spark.sql(
+      s"""MERGE INTO $c.nyc.t t USING mor_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val snap = cat.snapshots("nyc", "t").last
+    assert(snap.operation === "merge")
+    // O(changed rows): 1 update + 1 insert landed, 1 row-id tuple deleted
+    assert(snap.addedFiles.map(_.rowCount).sum === 2)
+    assert(snap.deletes.map(_.rowCount).sum === 1)
+    // the DataFrame read path folds the debt to the upserted state
+    assert(cat.readTable(spark, "nyc", "t").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 10.0), (2L, "b2", 222.0), (3L, "c", 30.0), (9L, "new", 99.0)))
+    // the SQL read path refuses until materialized
+    val e = intercept[Exception] { spark.sql(s"SELECT * FROM $c.nyc.t").collect() }
+    assert(e.getMessage.contains("materialize"))
+    graft.etl.Merge.materialize(spark, cat, "nyc", "t")
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t").as[Long].head() === 4)
+    spark.catalog.dropTempView("mor_src")
+  }
+
+  test("merge-on-read UPDATE and DELETE commit O(changed) delta snapshots") {
+    val (c, cat) = setupMor()
+    spark.sql(s"UPDATE $c.nyc.t SET score = score + 1.0 WHERE id = 2")
+    val up = cat.snapshots("nyc", "t").last
+    assert(up.operation === "merge")
+    assert(up.addedFiles.map(_.rowCount).sum === 1) // only the updated row
+    assert(up.deletes.map(_.rowCount).sum === 1)
+    graft.etl.Merge.materialize(spark, cat, "nyc", "t")
+    spark.sql(s"DELETE FROM $c.nyc.t WHERE score >= 21.0")
+    val del = cat.snapshots("nyc", "t").last
+    assert(del.operation === "delete") // delete file only, no data file
+    assert(del.addedFiles.isEmpty)
+    assert(del.deletes.map(_.rowCount).sum === 2) // ids 2 (21.0) and 3 (30.0)
+    assert(cat.readTable(spark, "nyc", "t").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq === Seq((1L, "a", 10.0)))
+  }
+
+  test("merge-on-read INSERT-only MERGE commits a plain append") {
+    val (c, cat) = setupMor()
+    Seq((7L, "x", 70.0)).toDF("id", "name", "score")
+      .createOrReplaceTempView("mor_src3")
+    spark.sql(
+      s"""MERGE INTO $c.nyc.t t USING mor_src3 s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val snap = cat.snapshots("nyc", "t").last
+    assert(snap.operation === "append")
+    assert(snap.addedFiles.map(_.rowCount).sum === 1)
+    // no debt: the SQL read path serves immediately
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t").as[Long].head() === 4)
+    spark.catalog.dropTempView("mor_src3")
+  }
+
+  test("meta_sql_merge_mor declared query: every MoR DML invariant holds") {
+    val rows = graft.queries.Meta.queries("meta_sql_merge_mor")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length === 7)
+    assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
+  }
+
   test("merge-on-read delete debt is refused until materialized") {
     val (c, cat) = setup()
     graft.etl.Merge.deleteWhereMor(spark, cat, "nyc", "t",
