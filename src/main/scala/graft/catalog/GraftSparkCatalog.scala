@@ -169,9 +169,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   * and commit ONE append/overwrite snapshot — atomic exactly like the
   * programmatic [[GraftCatalog]] path, through the V1Write bridge (the
   * same route mature connectors take for driver-coordinated commits).
-  * `DELETE FROM … WHERE` commits a copy-on-write overwrite snapshot for
-  * any predicate expressible in source filters (the common BI shapes);
-  * row-level plans beyond that are refused at analysis. */
+  * Row-level DML (`MERGE INTO` / `UPDATE` / `DELETE`) runs in the
+  * catalog's configured mode: copy-on-write (default — metadata delete
+  * fast path for filter-expressible DELETEs, ReplaceData whole-group
+  * rewrite otherwise) or merge-on-read (`rowlevel.mode=merge-on-read`,
+  * delta writes costing O(changed rows)). */
 private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
                                      ns: String, tbl: String,
                                      tableSchema: StructType,

@@ -69,4 +69,12 @@ class PlanSpec extends SparkSpec {
     // band agg, sort
     assert(shuffles("q_dedup_minhash") <= 4)
   }
+
+  test("text quality scorers are map-only: the sort is the only exchange") {
+    // repetition / rollhash / fingerprint are per-document projections —
+    // any extra shuffle means the tokenizer leaked into an aggregation
+    assert(shuffles("q_text_repetition") <= 1)
+    assert(shuffles("q_text_rollhash") <= 1)
+    assert(shuffles("q_text_fingerprint") <= 1)
+  }
 }
