@@ -181,7 +181,15 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
                                      morDml: Boolean = false,
                                      identityCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE`: one EMPTY overwrite snapshot — metadata-only
+    * (no file is touched), earlier states stay time-travelable, exactly
+    * the Iceberg truncate semantics. */
+  override def truncateTable(): Boolean = {
+    cat.registerFiles(ns, tbl, Nil, operation = "overwrite")
+    true
+  }
 
   override def name(): String = s"$catName.$ns.$tbl"
   override def schema(): StructType = tableSchema

@@ -223,6 +223,19 @@ class GraftSparkCatalogSpec extends SparkSpec {
     spark.catalog.dropTempView("mor_src3")
   }
 
+  test("TRUNCATE TABLE commits an empty overwrite; time travel survives") {
+    val (c, cat) = setup()
+    spark.sql(s"TRUNCATE TABLE $c.nyc.t")
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t").as[Long].head() === 0)
+    assert(cat.snapshots("nyc", "t").last.operation === "overwrite")
+    assert(cat.snapshots("nyc", "t").last.addedFiles.isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t VERSION AS OF 1")
+      .as[Long].head() === 3)
+    // the table serves writes again after truncation
+    spark.sql(s"INSERT INTO $c.nyc.t VALUES (8, 'h', 80.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t").as[Long].head() === 1)
+  }
+
   test("meta_sql_merge_mor declared query: every MoR DML invariant holds") {
     val rows = graft.queries.Meta.queries("meta_sql_merge_mor")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
