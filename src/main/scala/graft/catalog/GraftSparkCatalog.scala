@@ -512,6 +512,9 @@ private[catalog] class MorDeltaWriter(
   private val finalPath = s"$delDir/part-$partitionId-$taskId.parquet"
   private var delWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
 
+  // the deprecated ctor is the only public way to pass a CUSTOM
+  // WriteSupport (the Builder API requires subclassing per support class)
+  @scala.annotation.nowarn("cat=deprecation")
   private def del(): org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
     if (delWriter == null) {
       JFiles.createDirectories(JPaths.get(delDir))

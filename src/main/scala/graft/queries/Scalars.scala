@@ -89,14 +89,17 @@ object Scalars {
       .orderBy("l_orderkey", "l_linenumber", "qty_dec", "ship_date")
 
   private def qArrayFuncs: QFn = (s, d) =>
+    // `+ 0.0` after each round: a tiny negative float rounds to -0.0, and
+    // the engines disagree on keeping the sign (seen at sf0.1: Spark 0.0
+    // vs DuckDB -0.0 hashing differently); IEEE -0.0 + 0.0 = +0.0 in both
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
-        round(element_at(col("embedding"), 3).cast("double"), 4).as("third_val"),
+        (round(element_at(col("embedding"), 1).cast("double"), 4) + 0.0).as("first_val"),
+        (round(element_at(col("embedding"), 3).cast("double"), 4) + 0.0).as("third_val"),
         size(slice(col("embedding"), 1, 8)).as("slice_len"),
-        round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
-        round(array_min(col("embedding")).cast("double"), 4).as("min_val"))
+        (round(array_max(col("embedding")).cast("double"), 4) + 0.0).as("max_val"),
+        (round(array_min(col("embedding")).cast("double"), 4) + 0.0).as("min_val"))
       .orderBy("vec_id")
 
   /** Map construction + lookup (no map column ships in the data — same as
@@ -187,11 +190,11 @@ object Scalars {
     "q_array_funcs" ->
       """SELECT vec_id,
         |       CAST(len(embedding) AS INTEGER) AS dim,
-        |       round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-        |       round(CAST(embedding[3] AS DOUBLE), 4) AS third_val,
+        |       round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
+        |       round(CAST(embedding[3] AS DOUBLE), 4) + 0.0 AS third_val,
         |       CAST(len(embedding[1:8]) AS INTEGER) AS slice_len,
-        |       round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
-        |       round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val
+        |       round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS max_val,
+        |       round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS min_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_map_funcs" ->
       """SELECT event_id, value AS mv, 1 AS nk, '2' AS m2
