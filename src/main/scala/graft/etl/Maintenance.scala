@@ -16,7 +16,10 @@ import graft.catalog.{GraftCatalog, TableMeta}
   *  - pays down merge-on-read delete debt (the rewrite reads through
   *    [[GraftCatalog.readTable]]'s fold, so delete files stop being needed),
   *  - optionally re-clusters: 1 column → range sort (1-D skipping),
-  *    2 columns → z-order ([[Layout.zValue]], 2-D skipping).
+  *    2 columns → z-order ([[Layout.zValue]]) or Hilbert
+  *    ([[Layout.withHilbertValue]], `curve = "hilbert"`) — both give 2-D
+  *    skipping; the Hilbert curve's lack of diagonal jumps keeps per-file
+  *    ranges slightly tighter.
   *
   * Readers before/after the commit see consistent snapshots; time travel
   * still reaches every pre-maintenance state. Run it off the hot path —
@@ -26,8 +29,11 @@ object Maintenance {
 
   def optimize(spark: SparkSession, cat: GraftCatalog, ns: String, table: String,
                targetFileBytes: Long = 512L * 1024 * 1024,
-               clusterBy: Seq[String] = Nil): TableMeta = {
-    require(clusterBy.size <= 2, "clusterBy supports at most 2 columns (z-order)")
+               clusterBy: Seq[String] = Nil,
+               curve: String = "zorder"): TableMeta = {
+    require(clusterBy.size <= 2, "clusterBy supports at most 2 columns")
+    require(curve == "zorder" || curve == "hilbert",
+      s"curve must be zorder or hilbert, got $curve")
     val meta = cat.loadTable(ns, table)
     val currentBytes = meta.filesAsOf(None).map(_.sizeBytes).sum
     val nFiles = math.max(1, math.ceil(currentBytes.toDouble / targetFileBytes).toInt)
@@ -37,10 +43,14 @@ object Maintenance {
       case Seq(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
       case Seq(a, b) =>
         val st = df.agg(min(a), max(a), min(b), max(b)).head()
-        val z = Layout.zValue(
-          Layout.normTo16Bits(col(a), st.getLong(0), st.getLong(1)),
-          Layout.normTo16Bits(col(b), st.getLong(2), st.getLong(3)))
-        df.withColumn("__z", z).repartitionByRange(nFiles, col("__z"))
+        val indexed =
+          if (curve == "hilbert") Layout.withHilbertValue(df,
+            Layout.normToHilbertGrid(col(a), st.getLong(0), st.getLong(1)),
+            Layout.normToHilbertGrid(col(b), st.getLong(2), st.getLong(3)), "__z")
+          else df.withColumn("__z", Layout.zValue(
+            Layout.normTo16Bits(col(a), st.getLong(0), st.getLong(1)),
+            Layout.normTo16Bits(col(b), st.getLong(2), st.getLong(3))))
+        indexed.repartitionByRange(nFiles, col("__z"))
           .sortWithinPartitions("__z").drop("__z")
     }
     val outDir = Paths.get(cat.warehouse, ns, table, "data",

@@ -237,6 +237,14 @@ object Etl {
           norm(col("l_orderkey"), okLo, okHi), norm(col("l_partkey"), pkLo, pkHi)))
         .repartitionByRange(nFiles, col("z"))
         .sortWithinPartitions("z").drop("z"))
+    // third layout: Hilbert curve — same 2-D locality goal as z-order
+    // without Morton's diagonal jumps (Layout.withHilbertValue)
+    import graft.etl.Layout.{normToHilbertGrid => hnorm}
+    writeLayout("hilbert",
+      graft.etl.Layout.withHilbertValue(li,
+          hnorm(col("l_orderkey"), okLo, okHi), hnorm(col("l_partkey"), pkLo, pkHi), "h")
+        .repartitionByRange(nFiles, col("h"))
+        .sortWithinPartitions("h").drop("h"))
     // 2-D box: the middle ~20% of each key range
     def mid(lo: Long, hi: Long): (Double, Double) =
       (lo + 0.4 * (hi - lo), lo + 0.6 * (hi - lo))
@@ -245,7 +253,7 @@ object Etl {
     val rowPred = col("l_orderkey") >= oxLo && col("l_orderkey") <= oxHi &&
       col("l_partkey") >= pxLo && col("l_partkey") <= pxHi
     val expected = li.filter(rowPred).count()
-    val rows = Seq("linear", "zorder").map { name =>
+    val rows = Seq("linear", "zorder", "hilbert").map { name =>
       val keptX = cat.filesForScan("layout", name, "l_orderkey", oxLo, oxHi)
         .map(_.path).toSet
       val keptY = cat.filesForScan("layout", name, "l_partkey", pxLo, pxHi)
@@ -256,12 +264,13 @@ object Etl {
       (name, nFiles.toLong, keptX.size.toLong, keptY.size.toLong,
         keptBoth.size.toLong, got == expected)
     }
-    val linearBoth = rows.head._5
-    val zorderBoth = rows.last._5
-    rows.map { case (n, t, x, y, b, ok) =>
-      (n, t, x, y, b, ok && zorderBoth < linearBoth)
-    }.toDF("layout", "n_files", "kept_orderkey", "kept_partkey",
-      "kept_both", "invariant_ok")
+    val byName = rows.map(r => r._1 -> r._5).toMap
+    // both space-filling curves must beat the linear layout on the 2-D box
+    val curvesWin = byName("zorder") < byName("linear") &&
+      byName("hilbert") < byName("linear")
+    rows.map { case (n, t, x, y, b, ok) => (n, t, x, y, b, ok && curvesWin) }
+      .toDF("layout", "n_files", "kept_orderkey", "kept_partkey",
+        "kept_both", "invariant_ok")
   }
 
   val queries: Map[String, QFn] = Map(

@@ -74,6 +74,51 @@ class MaintenanceSpec extends SparkSpec {
     assert(keptGrp < total)
   }
 
+  /** Plain-Scala xy→d reference (the classic iterative walk). */
+  private def hilbertRef(x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (Layout.HilbertBits - 1)
+    while (s >= 1) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("withHilbertValue matches the reference walk on random grid points") {
+    val rnd = new scala.util.Random(7)
+    val m = (1 << Layout.HilbertBits) - 1
+    val pts = Seq((0L, 0L), (m.toLong, m.toLong), (0L, m.toLong), (m.toLong, 0L)) ++
+      (1 to 200).map(_ => (rnd.nextInt(m + 1).toLong, rnd.nextInt(m + 1).toLong))
+    val df = pts.toDF("x", "y")
+    val got = Layout.withHilbertValue(df, col("x"), col("y"), "h")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { p =>
+      assert(got(p) === hilbertRef(p._1, p._2), s"mismatch at $p")
+    }
+    // distinct points map to distinct curve positions (it is a bijection)
+    assert(got.values.toSet.size === pts.distinct.size)
+  }
+
+  test("clusterBy two columns with curve=hilbert: both dimensions skip") {
+    val cat = setup()
+    val bytes = cat.files("nyc", "t").map(_.sizeBytes).sum
+    Maintenance.optimize(spark, cat, "nyc", "t",
+      targetFileBytes = bytes / 8, clusterBy = Seq("id", "grp"), curve = "hilbert")
+    val total = cat.files("nyc", "t").size
+    assert(total >= 6)
+    assert(cat.filesForScan("nyc", "t", "id", 1, 100).size < total)
+    assert(cat.filesForScan("nyc", "t", "grp", 0, 20).size < total)
+    // the rewrite is lossless
+    assert(cat.readTable(spark, "nyc", "t").count() === 512)
+  }
+
   private def landRange(cat: GraftCatalog, tbl: String, n: Long,
                         dir: String): java.nio.file.Path = {
     val d = Paths.get(cat.warehouse, "nyc", tbl, "data", dir)
