@@ -37,6 +37,26 @@ case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long,
                         colRanges: Option[Map[String, ColRange]] = None,
                         strRanges: Option[Map[String, StrRange]] = None)
 
+/** One column of one schema version: Iceberg-style stable field id (never
+  * reused, survives renames), display name, Spark DDL type, nullability.
+  * The id — not the name — is a column's identity, which is what makes
+  * rename/drop/re-add safe over files that were written earlier: a data
+  * file is always read with the FIELD NAMES AND TYPES of the schema
+  * version it was committed under, then projected to the current schema
+  * by id (Iceberg spec "Schema Evolution": correctness guaranteed by id-
+  * based column resolution). */
+case class FieldMeta(id: Int, name: String, typeDdl: String, nullable: Boolean) {
+  def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+}
+
+/** One immutable schema version; every snapshot records the version its
+  * files were written under. */
+case class SchemaVersion(version: Int, fields: List[FieldMeta]) {
+  def struct: StructType = StructType(fields.map(f =>
+    org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
+}
+
 /** One snapshot: id (1-based ordinal), wall-clock, operation ("append",
   * "overwrite", "delete" or "merge"), and the files ADDED by this snapshot.
   * Table state at snapshot N = union of added files since the latest
@@ -55,14 +75,36 @@ case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long,
 case class SnapshotMeta(id: Long, timestampMs: Long, operation: String,
                         addedFiles: List[DataFileMeta],
                         deleteFiles: Option[List[DataFileMeta]] = None,
-                        equalityKeys: Option[List[String]] = None) {
+                        equalityKeys: Option[List[String]] = None,
+                        schemaVersion: Option[Int] = None) {
   def deletes: List[DataFileMeta] = deleteFiles.getOrElse(Nil)
+  /** Schema version this snapshot's files were written under; metadata
+    * from before schema evolution existed is implicitly version 1. */
+  def schemaVer: Int = schemaVersion.getOrElse(1)
 }
 
-/** Full table metadata document, persisted as versioned JSON. */
+/** Full table metadata document, persisted as versioned JSON.
+  * `schemaDdl` is always the CURRENT schema (kept in sync on evolution);
+  * `schemaVersions` is the full evolution history — absent for tables that
+  * never evolved (legacy metadata), where version 1 is derived on demand. */
 case class TableMeta(namespace: String, name: String, schemaDdl: String,
-                     currentSnapshotId: Long, snapshots: List[SnapshotMeta]) {
+                     currentSnapshotId: Long, snapshots: List[SnapshotMeta],
+                     schemaVersions: Option[List[SchemaVersion]] = None) {
   def schema: StructType = StructType.fromDDL(schemaDdl)
+
+  /** All schema versions, oldest first. A table that never evolved gets a
+    * synthetic version 1 from `schemaDdl` with field ids by position —
+    * consistent because ids are only ever ASSIGNED at this point or by an
+    * evolution commit, never inferred differently twice. */
+  def versions: List[SchemaVersion] = schemaVersions.getOrElse(List(
+    SchemaVersion(1, schema.fields.zipWithIndex.map { case (f, i) =>
+      FieldMeta(i + 1, f.name, f.dataType.sql, f.nullable) }.toList)))
+
+  def currentSchemaVersion: SchemaVersion = versions.last
+
+  def versionOf(v: Int): SchemaVersion =
+    versions.find(_.version == v).getOrElse(throw new IllegalArgumentException(
+      s"$namespace.$name has no schema version $v"))
 
   /** Snapshots that constitute the table state at `asOf` (those since the
     * latest overwrite, in commit order). Travel to a snapshot id that is
@@ -207,7 +249,8 @@ class GraftCatalog(val warehouse: String) {
                              files: Seq[DataFileMeta]): TableMeta = {
     val (meta, observedVersion) = loadTableAt(ns, t)
     val snap = SnapshotMeta(meta.currentSnapshotId + 1, System.currentTimeMillis(),
-      operation, files.toList)
+      operation, files.toList,
+      schemaVersion = Some(meta.currentSchemaVersion.version))
     val next = meta.copy(currentSnapshotId = snap.id,
       snapshots = meta.snapshots :+ snap)
     commit(next, expectedVersion = observedVersion)
@@ -234,12 +277,115 @@ class GraftCatalog(val warehouse: String) {
     val snap = SnapshotMeta(meta.currentSnapshotId + 1, System.currentTimeMillis(),
       op, statFiles(expand(addedFiles)).toList,
       deleteFiles = Some(statFiles(expand(deleteFiles)).toList),
-      equalityKeys = Some(keys.toList))
+      equalityKeys = Some(keys.toList),
+      schemaVersion = Some(meta.currentSchemaVersion.version))
     val next = meta.copy(currentSnapshotId = snap.id,
       snapshots = meta.snapshots :+ snap)
     commit(next, expectedVersion = observedVersion)
     next
   }
+
+  // ------------------------------------------------------ schema evolution
+
+  /** Commit a new schema version derived from the current one — the
+    * metadata-only schema-evolution commit Iceberg's `UpdateSchema` does
+    * (the reference's served surface accepts `ALTER TABLE` through the
+    * Iceberg catalog; data files are NEVER touched). Field ids are global
+    * across the table's whole history and never reused, so a dropped
+    * column's physical data can never resurface under a re-added name. */
+  private def evolveSchema(ns: String, t: String)
+                          (change: SchemaVersion => List[FieldMeta]): TableMeta = {
+    val (meta, observedVersion) = loadTableAt(ns, t)
+    val all = meta.versions
+    val nextVer = SchemaVersion(all.last.version + 1, change(all.last))
+    require(nextVer.fields.nonEmpty, s"$ns.$t: schema cannot become empty")
+    val names = nextVer.fields.map(_.name.toLowerCase)
+    require(names.distinct == names,
+      s"$ns.$t: duplicate column names after evolution: ${names.mkString(", ")}")
+    val next = meta.copy(schemaDdl = nextVer.struct.toDDL,
+      schemaVersions = Some(all :+ nextVer))
+    commit(next, expectedVersion = observedVersion)
+    next
+  }
+
+  private def maxFieldId(meta: TableMeta): Int =
+    meta.versions.flatMap(_.fields.map(_.id)).max
+
+  /** Add a nullable column at the end of the schema. Files written before
+    * this commit serve NULL for it (id-based projection at read). */
+  def addColumn(ns: String, t: String, name: String, typeDdl: String): TableMeta = {
+    val freshId = maxFieldId(loadTable(ns, t)) + 1
+    evolveSchema(ns, t) { cur =>
+      require(!cur.fields.exists(_.name.equalsIgnoreCase(name)),
+        s"$ns.$t: column $name already exists")
+      cur.fields :+ FieldMeta(freshId, name,
+        org.apache.spark.sql.types.DataType.fromDDL(typeDdl).sql, nullable = true)
+    }
+  }
+
+  /** Rename a column; its field id — and therefore the mapping to every
+    * already-written file — is unchanged. */
+  def renameColumn(ns: String, t: String, oldName: String, newName: String): TableMeta =
+    evolveSchema(ns, t) { cur =>
+      require(cur.fields.exists(_.name.equalsIgnoreCase(oldName)),
+        s"$ns.$t: no column $oldName")
+      require(!cur.fields.exists(_.name.equalsIgnoreCase(newName)),
+        s"$ns.$t: column $newName already exists")
+      cur.fields.map(f =>
+        if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f)
+    }
+
+  /** Drop a column. Metadata-only: the physical data stays in the files
+    * (and stays reachable via time travel-era schema versions), but its
+    * field id is retired forever. */
+  def dropColumn(ns: String, t: String, name: String): TableMeta =
+    evolveSchema(ns, t) { cur =>
+      require(cur.fields.exists(_.name.equalsIgnoreCase(name)),
+        s"$ns.$t: no column $name")
+      cur.fields.filterNot(_.name.equalsIgnoreCase(name))
+    }
+
+  /** Widen a column's type. Only safe up-casts are allowed (int→bigint,
+    * float→double, decimal precision growth …) — Iceberg's permitted type
+    * promotions; old files up-cast at read, which is lossless by
+    * construction. */
+  def widenColumn(ns: String, t: String, name: String, newTypeDdl: String): TableMeta =
+    evolveSchema(ns, t) { cur =>
+      val f = cur.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(s"$ns.$t: no column $name"))
+      val to = org.apache.spark.sql.types.DataType.fromDDL(newTypeDdl)
+      require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f.dataType, to),
+        s"$ns.$t: ${f.typeDdl} -> ${to.sql} is not a lossless widening")
+      cur.fields.map(x => if (x.id == f.id) x.copy(typeDdl = to.sql) else x)
+    }
+
+  /** Project a scan of files written under schema version `from` onto the
+    * current schema `to`: resolve by FIELD ID (rename-safe), null-fill
+    * fields added since `from`, silently drop removed fields, up-cast
+    * widened types. A pure projection — stays inside whole-stage codegen,
+    * costs nothing at scan time. */
+  private def projectToCurrent(df: DataFrame, from: SchemaVersion,
+                               to: SchemaVersion): DataFrame = {
+    if (from.version == to.version) df
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val byId = from.fields.map(f => f.id -> f).toMap
+      df.select(to.fields.map { f =>
+        byId.get(f.id) match {
+          case Some(old) => col(old.name).cast(f.dataType).as(f.name)
+          case None      => lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
+    }
+  }
+
+  /** Scan `files` as written (schema version `ver`) and project to the
+    * current schema. */
+  private def scanAt(spark: SparkSession, meta: TableMeta, ver: Int,
+                     files: Seq[String]): DataFrame =
+    projectToCurrent(
+      spark.read.schema(meta.versionOf(ver).struct).parquet(files: _*),
+      meta.versionOf(ver), meta.currentSchemaVersion)
 
   def snapshots(ns: String, t: String): Seq[SnapshotMeta] = loadTable(ns, t).snapshots
 
@@ -258,9 +404,15 @@ class GraftCatalog(val warehouse: String) {
     val empty = () => spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
     if (!snaps.exists(_.deletes.nonEmpty)) {
-      // fast path (no merge-on-read debt): one multi-file scan
-      val fs = snaps.flatMap(_.addedFiles).map(_.path)
-      if (fs.isEmpty) empty() else spark.read.schema(meta.schema).parquet(fs: _*)
+      // fast path (no merge-on-read debt): one multi-file scan per schema
+      // version the live files were written under (almost always exactly
+      // one), each projected to the current schema by field id
+      val groups = snaps.flatMap(sn => sn.addedFiles.map(f => sn.schemaVer -> f.path))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (v, fs) => v -> fs.map(_._2) }
+      if (groups.isEmpty) empty()
+      else groups.map { case (v, fs) => scanAt(spark, meta, v, fs) }
+        .reduce(_ unionByName _)
     } else {
       // Merge-on-read: fold the snapshot log. Within one snapshot the
       // equality deletes apply to the ACCUMULATED earlier state first, then
@@ -274,18 +426,37 @@ class GraftCatalog(val warehouse: String) {
           else {
             import org.apache.spark.sql.functions.{broadcast, col}
             val keys = sn.equalityKeys.getOrElse(Nil)
+            // Equality keys were recorded under THIS snapshot's schema
+            // version; resolve each by field id to its CURRENT name/type so
+            // deletes keep applying across renames/widenings. A key whose
+            // column was dropped later cannot be applied — refuse rather
+            // than silently keep deleted rows.
+            val sv = meta.versionOf(sn.schemaVer)
+            val cur = meta.currentSchemaVersion
+            val keyPairs = keys.map { k =>
+              val old = sv.fields.find(_.name == k).getOrElse(
+                throw new IllegalStateException(
+                  s"$ns.$t: delete key $k not in schema version ${sv.version}"))
+              val now = cur.fields.find(_.id == old.id).getOrElse(
+                throw new IllegalStateException(
+                  s"$ns.$t: delete-key column $k (field ${old.id}) was dropped; " +
+                    "materialize before dropping equality-key columns"))
+              (k, now)
+            }
             // NULL-SAFE match (<=>): Iceberg equality deletes treat null
             // key values as equal, so a delete row carrying nulls must
             // remove the matching null-valued data rows — a plain
             // equi-anti-join would silently keep them
             val del = spark.read.parquet(sn.deletes.map(_.path): _*)
-              .select(keys.map(k => col(k).as(s"__del_$k")): _*)
-            val cond = keys.map(k => col(k) <=> col(s"__del_$k")).reduce(_ && _)
+              .select(keyPairs.map { case (k, now) =>
+                col(k).cast(now.dataType).as(s"__del_${now.name}") }: _*)
+            val cond = keyPairs.map { case (_, now) =>
+              col(now.name) <=> col(s"__del_${now.name}") }.reduce(_ && _)
             acc.join(broadcast(del), cond, "left_anti")
           }
         if (sn.addedFiles.isEmpty) afterDeletes
         else afterDeletes.unionByName(
-          spark.read.schema(meta.schema).parquet(sn.addedFiles.map(_.path): _*))
+          scanAt(spark, meta, sn.schemaVer, sn.addedFiles.map(_.path)))
       }
     }
   }
@@ -306,10 +477,13 @@ class GraftCatalog(val warehouse: String) {
     val nonAppend = range.filterNot(_.operation == "append")
     require(nonAppend.isEmpty,
       s"incremental read over non-append snapshots: ${nonAppend.map(sn => s"${sn.id}(${sn.operation})").mkString(", ")}")
-    val fs = range.flatMap(_.addedFiles).map(_.path)
-    if (fs.isEmpty) spark.createDataFrame(
+    val groups = range.flatMap(sn => sn.addedFiles.map(f => sn.schemaVer -> f.path))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, fs) => v -> fs.map(_._2) }
+    if (groups.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    else spark.read.schema(meta.schema).parquet(fs: _*)
+    else groups.map { case (v, fs) => scanAt(spark, meta, v, fs) }
+      .reduce(_ unionByName _)
   }
 
   /** Iceberg's remaining maintenance verb: expire history, keeping the
@@ -352,8 +526,17 @@ class GraftCatalog(val warehouse: String) {
         require(meta.deleteFilesAsOf(Some(boundary.id)).isEmpty,
           s"$ns.$t carries merge-on-read delete debt at snapshot ${boundary.id}; " +
             "materialize before expiring")
+        // the checkpoint folds many snapshots' files into one; it can only
+        // carry ONE writing-schema version, so a prefix spanning schema
+        // versions must be materialized (rewritten under the current
+        // schema) before it can be expired
+        val boundaryVers = meta.stateAsOf(Some(boundary.id)).map(_.schemaVer).distinct
+        require(boundaryVers.size <= 1,
+          s"$ns.$t: snapshots up to ${boundary.id} span schema versions " +
+            s"${boundaryVers.mkString(", ")}; materialize before expiring")
         Some(SnapshotMeta(boundary.id, boundary.timestampMs, "overwrite",
-          meta.filesAsOf(Some(boundary.id))))
+          meta.filesAsOf(Some(boundary.id)),
+          schemaVersion = boundaryVers.headOption))
       }
     val next = meta.copy(snapshots = checkpoint.toList ::: retained)
     commit(next, expectedVersion = ver)
@@ -516,24 +699,33 @@ class GraftCatalog(val warehouse: String) {
     * [[readTableWhere]]). */
   def readTableWhereString(spark: SparkSession, ns: String, t: String,
                            column: String, lower: String, upper: String,
-                           asOf: Option[Long] = None): DataFrame = {
-    val meta = loadTable(ns, t)
-    val fs = filesForScanString(ns, t, column, lower, upper, asOf).map(_.path)
-    if (fs.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    else spark.read.schema(meta.schema).parquet(fs: _*)
-  }
+                           asOf: Option[Long] = None): DataFrame =
+    readKeptFiles(spark, ns, t, asOf,
+      filesForScanString(ns, t, column, lower, upper, asOf).map(_.path).toSet)
 
   /** Read with file skipping on a numeric column predicate. The caller
     * still applies the row-level filter; this only prunes whole files. */
   def readTableWhere(spark: SparkSession, ns: String, t: String,
                      column: String, lower: Double, upper: Double,
                      asOf: Option[Long] = None): DataFrame = {
+    readKeptFiles(spark, ns, t, asOf,
+      filesForScan(ns, t, column, lower, upper, asOf).map(_.path).toSet)
+  }
+
+  /** Scan the subset `keep` of the table's live files, grouped by the
+    * schema version each file was written under (see [[scanAt]]). */
+  private def readKeptFiles(spark: SparkSession, ns: String, t: String,
+                            asOf: Option[Long], keep: Set[String]): DataFrame = {
     val meta = loadTable(ns, t)
-    val fs = filesForScan(ns, t, column, lower, upper, asOf).map(_.path)
-    if (fs.isEmpty) spark.createDataFrame(
+    val groups = meta.stateAsOf(asOf)
+      .flatMap(sn => sn.addedFiles.map(f => sn.schemaVer -> f.path))
+      .filter { case (_, p) => keep(p) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, fs) => v -> fs.map(_._2) }
+    if (groups.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    else spark.read.schema(meta.schema).parquet(fs: _*)
+    else groups.map { case (v, fs) => scanAt(spark, meta, v, fs) }
+      .reduce(_ unionByName _)
   }
 
   /** Walk `<dataDir>/<table>/` folders and register each as a table by

@@ -97,6 +97,33 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val meta = cat.loadTable(ns, ident.name)
     require(meta.deleteFilesAsOf(asOf).isEmpty,
       s"$ns.${ident.name} carries merge-on-read delete files; materialize before SQL reads")
+    // This path hands Spark ONE stock ParquetTable, which resolves columns
+    // by NAME. That stays correct across add/drop evolution (missing
+    // columns null-fill, extra physical columns are ignored) but NOT when
+    // a live file was written before a rename/type-widening, or when an
+    // added column's name shadows a dropped column's physical data — those
+    // need the id-based projection of GraftCatalog.readTable. Refuse and
+    // direct to materialization, like the merge-on-read debt above.
+    val cur = meta.currentSchemaVersion
+    val drifted = meta.stateAsOf(asOf).filter(_.addedFiles.nonEmpty)
+      .map(_.schemaVer).distinct.filterNot { v =>
+        val sv = meta.versionOf(v)
+        val byId = sv.fields.map(f => f.id -> f).toMap
+        cur.fields.forall { f =>
+          byId.get(f.id) match {
+            case Some(o) => o.name == f.name && o.typeDdl == f.typeDdl
+            case None => // column added since v: its name must not collide
+              // with a physical column a file of version v still carries
+              !sv.fields.exists(_.name.equalsIgnoreCase(f.name))
+          }
+        }
+      }
+    require(drifted.isEmpty,
+      s"$ns.${ident.name}: live files were written under schema version(s) " +
+        s"${drifted.mkString(", ")} whose physical layout differs from the " +
+        "current schema (rename/type change); materialize " +
+        "(Maintenance.optimize) before SQL reads — GraftCatalog.readTable " +
+        "serves them directly")
     // In merge-on-read mode the identity columns are declared required —
     // Iceberg marks identifier fields non-null the same way (the analyzer
     // refuses nullable row-id attributes). Nulls there break the user
@@ -123,9 +150,44 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft schemas are fixed at create (SURVEY.md §1.2)")
+  /** SQL `ALTER TABLE` schema evolution — the Iceberg-catalog surface the
+    * reference's served SQL accepts (`ALTER TABLE … ADD COLUMNS`, `RENAME
+    * COLUMN`, `DROP COLUMN`, `ALTER COLUMN TYPE`). All metadata-only
+    * commits; id-based projection keeps old files readable
+    * ([[GraftCatalog.addColumn]] and friends). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ns = nsOf(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "nested column additions are not supported")
+        require(a.isNullable,
+          "added columns must be nullable (existing rows have no value)")
+        cat.addColumn(ns, ident.name, a.fieldNames()(0), a.dataType().sql)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "nested column renames are not supported")
+        cat.renameColumn(ns, ident.name, r.fieldNames()(0), r.newName())
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames.length == 1,
+          "nested column drops are not supported")
+        cat.dropColumn(ns, ident.name, dc.fieldNames()(0))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "nested column type changes are not supported")
+        cat.widenColumn(ns, ident.name, u.fieldNames()(0), u.newDataType().sql)
+      case c => throw new UnsupportedOperationException(
+        s"unsupported table change: $c")
+    }
+    // return the post-ALTER table WITHOUT the serving checks: the DDL
+    // itself is metadata-only and always valid — the drift/debt refusals
+    // guard scans, and re-running them here would make the very rename
+    // that causes drift fail instead of the later read
+    val ns2 = nsOf(ident)
+    val meta = cat.loadTable(ns2, ident.name)
+    new GraftSqlTable(cat, catName, ns2, ident.name, meta.schema,
+      meta.filesAsOf(None).map(_.path), morDml, identityCols)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")

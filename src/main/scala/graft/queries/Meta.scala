@@ -500,6 +500,80 @@ object Meta {
       .toDF("phase", "n", "invariant_ok")
   }
 
+  /** meta_schema_evolution: Iceberg-style schema evolution — metadata-only
+    * ALTER commits with id-based column resolution, so files written under
+    * ANY earlier schema version stay readable: ADD null-fills old files,
+    * RENAME preserves their data (the field id, not the name, is the
+    * column's identity), type WIDENING up-casts at read, DROP retires the
+    * id forever — re-adding a column under a dropped name must NOT
+    * resurface the dropped column's physical data. The SQL serving path
+    * (stock ParquetTable, name-based) refuses drifted layouts until
+    * materialization, then serves the evolved schema. Non-oracle: DuckDB
+    * sees neither the catalog nor schema versions. */
+  private def metaSchemaEvolution: QFn = (s, _) => {
+    import s.implicits._
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "meta_evolve")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    def land(df: DataFrame, dir: String): Path = {
+      val p = base.resolve(dir)
+      df.coalesce(1).write.parquet(p.toString)
+      p
+    }
+    // v1: (id INT, qty INT, old_name STRING) — two rows under the original schema
+    val df1 = Seq((1, 10, "a"), (2, 20, "b")).toDF("id", "qty", "old_name")
+    cat.createTable("nyc", "evo_t", df1.schema)
+    cat.registerFiles("nyc", "evo_t", Seq(land(df1, "b1")))
+    cat.addColumn("nyc", "evo_t", "note", "STRING")       // v2
+    cat.renameColumn("nyc", "evo_t", "old_name", "label") // v3
+    cat.widenColumn("nyc", "evo_t", "qty", "BIGINT")      // v4
+    // one row written under the evolved schema
+    val df2 = Seq((3, 30L, "c", "n3")).toDF("id", "qty", "label", "note")
+    cat.registerFiles("nyc", "evo_t", Seq(land(df2, "b2")))
+    val evolved = cat.readTable(s, "nyc", "evo_t")
+    val schemaOk = evolved.schema.map(f => (f.name, f.dataType.sql)) ==
+      Seq(("id", "INT"), ("qty", "BIGINT"), ("label", "STRING"), ("note", "STRING"))
+    val rows = evolved.orderBy("id").collect()
+    val renameKept = rows.take(2).map(_.getString(2)).toSeq == Seq("a", "b")
+    val addNullFills = rows.take(2).forall(_.isNullAt(3)) && rows(2).getString(3) == "n3"
+    val widenUpcasts = rows.map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L)
+    // DROP then re-ADD under the same name: fresh field id — old physical
+    // old_name/label data must NOT resurface
+    cat.dropColumn("nyc", "evo_t", "label")               // v5
+    cat.addColumn("nyc", "evo_t", "label", "STRING")      // v6 (new id)
+    val reAdd = cat.readTable(s, "nyc", "evo_t").orderBy("id").collect()
+    val droppedStaysDead = reAdd.forall(_.isNullAt(3))
+    // SQL serving path: refuses the drifted layout, serves after materialize
+    val salt = base.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")
+    val cname = "gevo_" + salt
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    try {
+      val refused = scala.util.Try(
+        s.sql(s"SELECT * FROM $cname.nyc.evo_t").collect()).isFailure
+      graft.etl.Maintenance.optimize(s, cat, "nyc", "evo_t")
+      val served = s.sql(
+        s"SELECT count(*) FROM $cname.nyc.evo_t WHERE label IS NULL")
+        .as[Long].head()
+      // SQL ALTER TABLE through the DSv2 catalog (the Iceberg statement
+      // surface): add a column and read it back, all in SQL
+      s.sql(s"ALTER TABLE $cname.nyc.evo_t ADD COLUMNS (score DOUBLE)")
+      val sqlAltered = s.sql(s"SELECT count(*) FROM $cname.nyc.evo_t " +
+        "WHERE score IS NULL").as[Long].head()
+      Seq(
+        ("evolved_schema", 4L, schemaOk),
+        ("rename_keeps_old_data", 2L, renameKept),
+        ("add_null_fills_old_files", 1L, addNullFills),
+        ("widen_upcasts_old_files", 3L, widenUpcasts),
+        ("dropped_id_never_resurfaces", reAdd.length.toLong, droppedStaysDead),
+        ("sql_refuses_drift", 1L, refused),
+        ("sql_serves_after_materialize", served, served == 3L),
+        ("sql_alter_table_add", sqlAltered, sqlAltered == 3L))
+        .toDF("phase", "n", "invariant_ok")
+    } finally unregisterCatalog(s, cname) // names salted: see helper note
+  }
+
   /** q_sql_entry: SQL text through the Thrift-equivalent entry, over temp
     * views of the testdata (oracle: identical SQL in DuckDB). */
   private def qSqlEntry: QFn = (s, d) => {
@@ -698,6 +772,7 @@ object Meta {
     "meta_sql_merge_mor" -> metaSqlMergeMor,
     "meta_concurrent"  -> metaConcurrent,
     "meta_expire"      -> metaExpire,
+    "meta_schema_evolution" -> metaSchemaEvolution,
     "meta_default_catalog" -> metaDefaultCatalog,
     "meta_show_create" -> metaShowCreate,
     "q_sql_entry"      -> qSqlEntry,

@@ -35,13 +35,18 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW NAMESPACES IN $c").count() >= 1)
   }
 
-  test("CREATE and DROP TABLE work; ALTER is refused") {
+  test("CREATE and DROP TABLE work; ALTER evolves the schema") {
     val (c, cat) = setup()
     spark.sql(s"CREATE TABLE $c.nyc.fresh (k BIGINT, v STRING) USING parquet")
     assert(cat.tableExists("nyc", "fresh"))
     assert(spark.sql(s"SELECT * FROM $c.nyc.fresh").count() === 0)
+    // schema evolution via SQL (full coverage in SchemaEvolutionSpec)
+    spark.sql(s"ALTER TABLE $c.nyc.fresh ADD COLUMN extra INT")
+    assert(spark.sql(s"SELECT * FROM $c.nyc.fresh").schema.fieldNames.toSeq ===
+      Seq("k", "v", "extra"))
+    // non-evolution changes (e.g. table properties) are still refused
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $c.nyc.fresh ADD COLUMN extra INT")
+      spark.sql(s"ALTER TABLE $c.nyc.fresh SET TBLPROPERTIES ('a'='b')")
     }
     spark.sql(s"DROP TABLE $c.nyc.fresh")
     assert(!cat.tableExists("nyc", "fresh"))
