@@ -123,6 +123,29 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
   def filesAsOf(asOf: Option[Long]): List[DataFileMeta] =
     stateAsOf(asOf).flatMap(_.addedFiles)
 
+  /** Schema versions of live files whose PHYSICAL layout cannot be read
+    * by-name under the current schema: rename/type-widening since the file
+    * was written, or an added column shadowing a dropped column's physical
+    * data. Add/drop-only evolution is name-safe (missing columns null-fill,
+    * extra physical columns are ignored), so it does not count as drift.
+    * Read paths that hand Spark a single by-name scan (the DSv2 SQL table,
+    * the file-source stream view) must refuse when this is non-empty;
+    * [[GraftCatalog.readTable]]'s id-based projection serves them anyway. */
+  def driftedVersions(asOf: Option[Long]): List[Int] = {
+    val cur = currentSchemaVersion
+    stateAsOf(asOf).filter(_.addedFiles.nonEmpty)
+      .map(_.schemaVer).distinct.filterNot { v =>
+        val sv = versionOf(v)
+        val byId = sv.fields.map(f => f.id -> f).toMap
+        cur.fields.forall { f =>
+          byId.get(f.id) match {
+            case Some(o) => o.name == f.name && o.typeDdl == f.typeDdl
+            case None    => !sv.fields.exists(_.name.equalsIgnoreCase(f.name))
+          }
+        }
+      }
+  }
+
   /** Live equality-delete files at `asOf` (merge-on-read debt). */
   def deleteFilesAsOf(asOf: Option[Long]): List[DataFileMeta] =
     stateAsOf(asOf).flatMap(_.deletes)
@@ -254,6 +277,8 @@ class GraftCatalog(val warehouse: String) {
     val next = meta.copy(currentSnapshotId = snap.id,
       snapshots = meta.snapshots :+ snap)
     commit(next, expectedVersion = observedVersion)
+    // live streams tail the view directory; append the new files to it
+    if (operation == "append") syncStreamView(next)
     next
   }
 
@@ -459,6 +484,62 @@ class GraftCatalog(val warehouse: String) {
           scanAt(spark, meta, sn.schemaVer, sn.addedFiles.map(_.path)))
       }
     }
+  }
+
+  // ------------------------------------------------------- streaming read
+
+  private def streamViewDir(ns: String, t: String): Path =
+    tableDir(ns, t).resolve("streamview")
+
+  /** Idempotently link every append snapshot's files into the stream view
+    * (deterministic names: `s<snap>f<idx>_<basename>`), so Spark's file
+    * stream source discovers them in commit order. Called on every append
+    * commit once a view exists, and by [[streamTable]] to backfill. */
+  private def syncStreamView(meta: TableMeta): Unit = {
+    val dir = streamViewDir(meta.namespace, meta.name)
+    if (!Files.isDirectory(dir)) return
+    meta.snapshots.filter(_.operation == "append").foreach { sn =>
+      sn.addedFiles.zipWithIndex.foreach { case (f, i) =>
+        val src = Paths.get(f.path)
+        val link = dir.resolve(s"s${sn.id}f${i}_${src.getFileName}")
+        try Files.createSymbolicLink(link, src.toAbsolutePath)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
+  }
+
+  /** Streaming read of an append-only table — the Iceberg `readStream`
+    * surface, composed Spark-first instead of hand-building a
+    * MicroBatchStream: the catalog maintains a per-table STREAM VIEW
+    * directory of deterministic symlinks (one per registered data file,
+    * appended at commit time, never rewritten), and the returned DataFrame
+    * is Spark's stock file stream source over it. Everything downstream is
+    * stock Structured Streaming: new appends are discovered per
+    * micro-batch, the checkpoint's file log gives exactly-once consumption
+    * across restarts, `maxFilesPerTrigger` paces backfill, and all
+    * stateful operators/watermarks compose. Metadata-only, like every
+    * other read path here.
+    *
+    * Same contract as [[readIncremental]]: only APPEND snapshots are
+    * streamable — an overwrite/delete/merge rewrites or removes rows,
+    * which no append changelog can express, so tables with DML history
+    * are refused (Iceberg's streaming read throws on overwrite snapshots
+    * the same way). Physically-drifted schema evolution is refused like
+    * the SQL path (the file source is a single by-name scan). */
+  def streamTable(spark: SparkSession, ns: String, t: String): DataFrame = {
+    val meta = loadTable(ns, t)
+    val nonAppend = meta.snapshots.filterNot(_.operation == "append")
+    require(nonAppend.isEmpty,
+      s"$ns.$t has non-append snapshots ${nonAppend.map(sn => s"${sn.id}(${sn.operation})").mkString(", ")}; " +
+        "streaming reads serve append-only changelogs")
+    val drifted = meta.driftedVersions(None)
+    require(drifted.isEmpty,
+      s"$ns.$t: live files under schema version(s) ${drifted.mkString(", ")} " +
+        "physically differ from the current schema; materialize before streaming")
+    Files.createDirectories(streamViewDir(ns, t))
+    syncStreamView(meta)
+    spark.readStream.schema(meta.schema)
+      .parquet(streamViewDir(ns, t).toString)
   }
 
   /** Incremental (changelog) read: rows ADDED by snapshots in

@@ -104,20 +104,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     // added column's name shadows a dropped column's physical data — those
     // need the id-based projection of GraftCatalog.readTable. Refuse and
     // direct to materialization, like the merge-on-read debt above.
-    val cur = meta.currentSchemaVersion
-    val drifted = meta.stateAsOf(asOf).filter(_.addedFiles.nonEmpty)
-      .map(_.schemaVer).distinct.filterNot { v =>
-        val sv = meta.versionOf(v)
-        val byId = sv.fields.map(f => f.id -> f).toMap
-        cur.fields.forall { f =>
-          byId.get(f.id) match {
-            case Some(o) => o.name == f.name && o.typeDdl == f.typeDdl
-            case None => // column added since v: its name must not collide
-              // with a physical column a file of version v still carries
-              !sv.fields.exists(_.name.equalsIgnoreCase(f.name))
-          }
-        }
-      }
+    val drifted = meta.driftedVersions(asOf)
     require(drifted.isEmpty,
       s"$ns.${ident.name}: live files were written under schema version(s) " +
         s"${drifted.mkString(", ")} whose physical layout differs from the " +

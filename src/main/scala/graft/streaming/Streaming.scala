@@ -244,6 +244,64 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** st_catalog_source: streaming read FROM the catalog — the Iceberg
+    * `readStream` surface ([[graft.catalog.GraftCatalog.streamTable]]):
+    * each append snapshot's files flow into a running (or restarted)
+    * stream exactly once, because Spark's file-source checkpoint logs
+    * processed files. The proof runs two AvailableNow drains over the SAME
+    * checkpoint: drain 1 sees exactly snapshot 1's rows, a new append
+    * commits between drains, drain 2 sees exactly the delta; afterwards a
+    * DML (overwrite) snapshot makes the table non-streamable — refused,
+    * matching readIncremental's append-only contract. Non-oracle: DuckDB
+    * has no streaming semantics. */
+  def stCatalogSource: QFn = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_source")
+    val ev = graft.Tables.events(s, d).select("event_id", "event_type", "value")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    def land(df: DataFrame, dir: String) = {
+      val p = base.resolve(dir); df.write.parquet(p.toString); p
+    }
+    cat.createTable("stream", "events_feed", ev.schema)
+    cat.registerFiles("stream", "events_feed",
+      Seq(land(ev.filter(col("event_id") % 2 === 0), "b0"))) // snapshot 1
+    val seen = collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val q = cat.streamTable(s, "stream", "events_feed")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          seen += batch.count(); () }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    val run1 = seen.sum
+    // a new append while the consumer is down; snapshot 2
+    cat.registerFiles("stream", "events_feed",
+      Seq(land(ev.filter(col("event_id") % 2 =!= 0), "b1")))
+    seen.clear()
+    drain() // same checkpoint: exactly the delta, nothing reprocessed
+    val run2 = seen.sum
+    val half = ev.filter(col("event_id") % 2 === 0).count()
+    val total = ev.count()
+    // DML history ends streamability (append-only changelog contract)
+    graft.etl.Merge.deleteWhere(s, cat, "stream", "events_feed",
+      col("event_id") === 0)
+    val refused = scala.util.Try(
+      cat.streamTable(s, "stream", "events_feed")).isFailure
+    import s.implicits._
+    Seq(
+      ("run1_snapshot1_rows", run1, run1 == half),
+      ("run2_delta_only", run2, run2 == total - half),
+      ("exactly_once_total", run1 + run2, run1 + run2 == total),
+      ("dml_refused", 1L, refused))
+      .toDF("phase", "n", "invariant_ok")
+  }
+
   /** st_join: watermarked STREAM-STREAM self-join — click→purchase
     * attribution (same user, purchase within 10 minutes of the click),
     * H-family's hardest shape. Both sides carry a watermark and the join
@@ -402,6 +460,7 @@ object Streaming {
     "st_sessionize"   -> stSessionize,
     "st_file_source"  -> stFileSource,
     "st_catalog_sink" -> stCatalogSink,
+    "st_catalog_source" -> stCatalogSource,
     "st_join"         -> stJoin,
     "st_join_outer"   -> stJoinOuter,
   )

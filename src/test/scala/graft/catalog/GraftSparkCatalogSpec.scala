@@ -52,6 +52,22 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(!cat.tableExists("nyc", "fresh"))
   }
 
+  test("CREATE TABLE AS SELECT creates and populates in one statement") {
+    val (c, cat) = setup()
+    spark.sql(s"""CREATE TABLE $c.nyc.ctas USING parquet AS
+                 |SELECT id, upper(name) AS uname FROM $c.nyc.t WHERE id <= 2""".stripMargin)
+    assert(cat.tableExists("nyc", "ctas"))
+    assert(spark.sql(s"SELECT uname FROM $c.nyc.ctas ORDER BY id")
+      .as[String].collect().toSeq === Seq("A", "B"))
+    // CTAS = create + one append snapshot, time-travelable like any write
+    assert(cat.snapshots("nyc", "ctas").map(_.operation) === Seq("append"))
+    // REPLACE-shaped re-run must fail cleanly (table exists), not corrupt
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.nyc.ctas USING parquet AS SELECT 1 AS x")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.ctas").as[Long].head() === 2)
+  }
+
   test("INSERT INTO appends a snapshot; INSERT OVERWRITE replaces state") {
     val (c, cat) = setup()
     spark.sql(s"INSERT INTO $c.nyc.t VALUES (4, 'd', 40.0), (5, 'e', 50.0)")

@@ -39,6 +39,13 @@ class StreamingSpec extends SparkSpec {
       .contains("RocksDB"))
   }
 
+  test("st_catalog_source: append snapshots stream exactly once; DML refused") {
+    val rows = Streaming.stCatalogSource(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val failed = rows.filterNot(_.getBoolean(2)).map(_.getString(0))
+    assert(failed.isEmpty, s"invariants failed: ${failed.mkString(", ")}")
+  }
+
   test("st_join_outer: all four batch-parity invariants hold") {
     val rows = Streaming.stJoinOuter(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
