@@ -34,9 +34,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * maps to the snapshot id via the time-travel `loadTable` overload.
   * Tables carrying merge-on-read delete debt are refused (materialize
   * first): silently returning rows-with-deleted-data would be worse than
-  * an error. DDL surface: CREATE/DROP TABLE and namespaces; ALTER/RENAME
-  * are unsupported (the metadata layer is schema-fixed by design,
-  * SURVEY.md §1.2).
+  * an error. DDL surface: CREATE/DROP TABLE (incl. CTAS), namespaces, and
+  * schema evolution via ALTER TABLE ADD/RENAME/DROP COLUMN + ALTER COLUMN
+  * TYPE (metadata-only commits; see [[GraftCatalog.addColumn]]). Iceberg-
+  * style metadata tables resolve as `cat.ns.t.snapshots` / `.files` /
+  * `.history` ([[GraftMetadataTable]]). Table RENAME stays unsupported.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -93,7 +95,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val ns = nsOf(ident)
-    if (!cat.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
+    if (!cat.tableExists(ns, ident.name)) {
+      // Iceberg-style METADATA TABLES: `SELECT * FROM cat.ns.t.snapshots`
+      // parses as namespace [ns, t] + table "snapshots" — when no real
+      // table shadows that identifier, serve the snapshot log itself
+      // (driver-side rows via LocalScan; the log IS driver metadata).
+      if (ident.namespace.length >= 2) {
+        val baseNs = ident.namespace.init.mkString(".")
+        val baseT = ident.namespace.last
+        if (cat.tableExists(baseNs, baseT) &&
+            GraftMetadataTable.kinds(ident.name.toLowerCase))
+          return GraftMetadataTable(cat, catName, baseNs, baseT,
+            ident.name.toLowerCase)
+      }
+      throw new NoSuchTableException(ident)
+    }
     val meta = cat.loadTable(ns, ident.name)
     require(meta.deleteFilesAsOf(asOf).isEmpty,
       s"$ns.${ident.name} carries merge-on-read delete files; materialize before SQL reads")
@@ -603,4 +619,76 @@ private[catalog] class MorDeltaWriter(
       JFiles.deleteIfExists(JPaths.get(tmpPath))
     }
   override def close(): Unit = data.foreach(_.close())
+}
+
+/** Iceberg-style SQL metadata tables (`cat.ns.t.snapshots` / `.files` /
+  * `.history` — the surface the reference's served catalog exposes to
+  * Superset, `entrypoint-spark.sh:89-92`). The snapshot log already lives
+  * on the driver, so the scan is a [[org.apache.spark.sql.connector.read.LocalScan]]:
+  * no job, no tasks, metadata-only — the same cost model as Iceberg's
+  * metadata tables, which read manifests, not data. */
+private[catalog] object GraftMetadataTable {
+  val kinds: Set[String] = Set("snapshots", "files", "history")
+
+  def apply(cat: GraftCatalog, catName: String, ns: String, t: String,
+            kind: String): Table = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val meta = cat.loadTable(ns, t)
+    val (tblSchema, tblRows) = kind match {
+      case "snapshots" =>
+        val s = StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("committed_at", TimestampType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("added_data_files", IntegerType, nullable = false),
+          StructField("added_rows", LongType, nullable = false),
+          StructField("schema_version", IntegerType, nullable = false)))
+        val rs = meta.snapshots.map { sn =>
+          new GenericInternalRow(Array[Any](sn.id, sn.timestampMs * 1000L,
+            UTF8String.fromString(sn.operation), sn.addedFiles.size,
+            sn.addedFiles.map(_.rowCount).sum, sn.schemaVer))
+        }
+        (s, rs)
+      case "files" =>
+        val s = StructType(Seq(
+          StructField("file_path", StringType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("row_count", LongType, nullable = false)))
+        val rs = meta.filesAsOf(None).map { f =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(f.path),
+            f.sizeBytes, f.rowCount))
+        }
+        (s, rs)
+      case "history" =>
+        val s = StructType(Seq(
+          StructField("made_current_at", TimestampType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("is_current_ancestor", BooleanType, nullable = false)))
+        val live = meta.stateAsOf(None).map(_.id).toSet
+        val rs = meta.snapshots.map { sn =>
+          new GenericInternalRow(Array[Any](sn.timestampMs * 1000L, sn.id,
+            live.contains(sn.id)))
+        }
+        (s, rs)
+    }
+    val localRows: Array[InternalRow] = tblRows.toArray
+    new Table with SupportsRead {
+      override def name(): String = s"$catName.$ns.$t.$kind"
+      override def schema(): StructType = tblSchema
+      override def capabilities(): util.Set[TableCapability] =
+        Set(TableCapability.BATCH_READ).asJava
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): org.apache.spark.sql.connector.read.Scan =
+            new org.apache.spark.sql.connector.read.LocalScan {
+              override def rows(): Array[InternalRow] = localRows
+              override def readSchema(): StructType = tblSchema
+              override def description(): String = s"$catName.$ns.$t.$kind"
+            }
+        }
+    }
+  }
 }

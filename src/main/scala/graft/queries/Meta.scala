@@ -211,11 +211,20 @@ object Meta {
              |SELECT r_regionkey + 100, r_name
              |FROM $cname.nyc.region""".stripMargin)
     val regionAfter = s.sql(s"SELECT count(*) FROM $cname.nyc.region").as[Long].head()
+    // Iceberg-style metadata tables, served as LocalScan (no Spark job)
+    val snapOps = s.sql(
+      s"SELECT operation FROM $cname.nyc.region.snapshots ORDER BY snapshot_id")
+      .as[String].collect().toSeq
+    val fileRows = s.sql(
+      s"SELECT sum(row_count) FROM $cname.nyc.region.files").as[Long].head()
     Seq(("current_doubled", cur, cur == 2 * atS1),
       ("version_as_of_1", atS1, atS1 > 0),
       ("show_tables", tables, tables >= 10),
       ("sql_join_groups", joined, joined == 5),
-      ("sql_insert", regionAfter, regionAfter == 2 * regionBefore))
+      ("sql_insert", regionAfter, regionAfter == 2 * regionBefore),
+      ("metadata_table_snapshots", snapOps.size.toLong,
+        snapOps == Seq("append", "append", "append")),
+      ("metadata_table_files", fileRows, fileRows == regionAfter))
       .toDF("phase", "n", "invariant_ok")
     } finally unregisterCatalog(s, cname) // names salted: see helper note
   }

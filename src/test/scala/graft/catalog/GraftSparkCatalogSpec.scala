@@ -52,6 +52,30 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(!cat.tableExists("nyc", "fresh"))
   }
 
+  test("SQL metadata tables: snapshots, files, history resolve as cat.ns.t.<kind>") {
+    val (c, cat) = setup()
+    cat.registerFiles("nyc", "t", cat.files("nyc", "t").map(f => Paths.get(f.path)))
+    val snaps = spark.sql(s"SELECT * FROM $c.nyc.t.snapshots ORDER BY snapshot_id")
+    assert(snaps.schema.fieldNames.toSeq === Seq("snapshot_id", "committed_at",
+      "operation", "added_data_files", "added_rows", "schema_version"))
+    assert(snaps.select("operation").as[String].collect().toSeq ===
+      Seq("append", "append"))
+    val files = spark.sql(s"SELECT * FROM $c.nyc.t.files")
+    assert(files.count() === 2)
+    assert(spark.sql(s"SELECT sum(row_count) FROM $c.nyc.t.files")
+      .as[Long].head() === 6)
+    // history marks live ancestors; an overwrite orphans earlier snapshots
+    spark.sql(s"INSERT OVERWRITE $c.nyc.t VALUES (9, 'z', 90.0)")
+    val hist = spark.sql(
+      s"SELECT is_current_ancestor FROM $c.nyc.t.history ORDER BY snapshot_id")
+      .as[Boolean].collect().toSeq
+    assert(hist === Seq(false, false, true))
+    // a metadata table never shadows a real table; unknown kinds still fail
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $c.nyc.t.manifesto").collect()
+    }
+  }
+
   test("CREATE TABLE AS SELECT creates and populates in one statement") {
     val (c, cat) = setup()
     spark.sql(s"""CREATE TABLE $c.nyc.ctas USING parquet AS
