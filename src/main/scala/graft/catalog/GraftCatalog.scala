@@ -151,6 +151,11 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
     stateAsOf(asOf).flatMap(_.deletes)
 }
 
+/** A racing writer claimed the metadata version this commit targeted.
+  * Retryable: the loser re-loads the fresh base and re-derives its
+  * snapshot (see [[GraftCatalog.withCommitRetry]]). */
+class CommitConflictException(msg: String) extends IllegalStateException(msg)
+
 /** Import result row, mirroring the reference's per-table summary
   * (`ImportParquetFolders.java:118-119`). */
 case class ImportSummary(namespace: String, table: String, files: Long, rows: Long)
@@ -268,8 +273,33 @@ class GraftCatalog(val warehouse: String) {
     commitSnapshot(ns, t, operation, statFiles(expanded))
   }
 
+  /** Iceberg-style optimistic-commit retry (`commit.retry.num-retries`,
+    * default 4 there too): a writer that loses the version-claim race
+    * re-loads the FRESH base metadata and re-derives its snapshot — safe
+    * for append/overwrite/delta/evolution commits because everything they
+    * write is a function of the freshly-loaded state, and what the winner
+    * committed is preserved (the loser's snapshot lands on top). Linear
+    * backoff; conflicts beyond the budget propagate. */
+  private def withCommitRetry[T](body: => T): T = {
+    val maxAttempts = 8
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          // JITTERED backoff: N losers with deterministic sleeps re-collide
+          // in lockstep forever; randomization spreads their re-claims
+          Thread.sleep(2L + java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(12L * attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def commitSnapshot(ns: String, t: String, operation: String,
-                             files: Seq[DataFileMeta]): TableMeta = {
+                             files: Seq[DataFileMeta]): TableMeta = withCommitRetry {
     val (meta, observedVersion) = loadTableAt(ns, t)
     val snap = SnapshotMeta(meta.currentSnapshotId + 1, System.currentTimeMillis(),
       operation, files.toList,
@@ -297,6 +327,7 @@ class GraftCatalog(val warehouse: String) {
       "merge-on-read commit needs equality keys and at least one delete file")
     val expand = (ps: Seq[Path]) => ps.flatMap(p =>
       if (Files.isDirectory(p)) findParquet(p) else Seq(p))
+    withCommitRetry {
     val (meta, observedVersion) = loadTableAt(ns, t)
     val op = if (addedFiles.nonEmpty) "merge" else "delete"
     val snap = SnapshotMeta(meta.currentSnapshotId + 1, System.currentTimeMillis(),
@@ -308,6 +339,7 @@ class GraftCatalog(val warehouse: String) {
       snapshots = meta.snapshots :+ snap)
     commit(next, expectedVersion = observedVersion)
     next
+    }
   }
 
   // ------------------------------------------------------ schema evolution
@@ -319,10 +351,13 @@ class GraftCatalog(val warehouse: String) {
     * across the table's whole history and never reused, so a dropped
     * column's physical data can never resurface under a re-added name. */
   private def evolveSchema(ns: String, t: String)
-                          (change: SchemaVersion => List[FieldMeta]): TableMeta = {
+                          (change: TableMeta => List[FieldMeta]): TableMeta =
+      withCommitRetry {
     val (meta, observedVersion) = loadTableAt(ns, t)
     val all = meta.versions
-    val nextVer = SchemaVersion(all.last.version + 1, change(all.last))
+    // `change` sees the FRESHLY-loaded metadata each retry attempt, so a
+    // racing evolution can never hand out a duplicate field id
+    val nextVer = SchemaVersion(all.last.version + 1, change(meta))
     require(nextVer.fields.nonEmpty, s"$ns.$t: schema cannot become empty")
     val names = nextVer.fields.map(_.name.toLowerCase)
     require(names.distinct == names,
@@ -338,20 +373,20 @@ class GraftCatalog(val warehouse: String) {
 
   /** Add a nullable column at the end of the schema. Files written before
     * this commit serve NULL for it (id-based projection at read). */
-  def addColumn(ns: String, t: String, name: String, typeDdl: String): TableMeta = {
-    val freshId = maxFieldId(loadTable(ns, t)) + 1
-    evolveSchema(ns, t) { cur =>
+  def addColumn(ns: String, t: String, name: String, typeDdl: String): TableMeta =
+    evolveSchema(ns, t) { meta =>
+      val cur = meta.currentSchemaVersion
       require(!cur.fields.exists(_.name.equalsIgnoreCase(name)),
         s"$ns.$t: column $name already exists")
-      cur.fields :+ FieldMeta(freshId, name,
+      cur.fields :+ FieldMeta(maxFieldId(meta) + 1, name,
         org.apache.spark.sql.types.DataType.fromDDL(typeDdl).sql, nullable = true)
     }
-  }
 
   /** Rename a column; its field id — and therefore the mapping to every
     * already-written file — is unchanged. */
   def renameColumn(ns: String, t: String, oldName: String, newName: String): TableMeta =
-    evolveSchema(ns, t) { cur =>
+    evolveSchema(ns, t) { meta =>
+      val cur = meta.currentSchemaVersion
       require(cur.fields.exists(_.name.equalsIgnoreCase(oldName)),
         s"$ns.$t: no column $oldName")
       require(!cur.fields.exists(_.name.equalsIgnoreCase(newName)),
@@ -364,7 +399,8 @@ class GraftCatalog(val warehouse: String) {
     * (and stays reachable via time travel-era schema versions), but its
     * field id is retired forever. */
   def dropColumn(ns: String, t: String, name: String): TableMeta =
-    evolveSchema(ns, t) { cur =>
+    evolveSchema(ns, t) { meta =>
+      val cur = meta.currentSchemaVersion
       require(cur.fields.exists(_.name.equalsIgnoreCase(name)),
         s"$ns.$t: no column $name")
       cur.fields.filterNot(_.name.equalsIgnoreCase(name))
@@ -375,7 +411,8 @@ class GraftCatalog(val warehouse: String) {
     * promotions; old files up-cast at read, which is lossless by
     * construction. */
   def widenColumn(ns: String, t: String, name: String, newTypeDdl: String): TableMeta =
-    evolveSchema(ns, t) { cur =>
+    evolveSchema(ns, t) { meta =>
+      val cur = meta.currentSchemaVersion
       val f = cur.fields.find(_.name.equalsIgnoreCase(name))
         .getOrElse(throw new IllegalArgumentException(s"$ns.$t: no column $name"))
       val to = org.apache.spark.sql.types.DataType.fromDDL(newTypeDdl)
@@ -413,6 +450,18 @@ class GraftCatalog(val warehouse: String) {
       meta.versionOf(ver), meta.currentSchemaVersion)
 
   def snapshots(ns: String, t: String): Seq[SnapshotMeta] = loadTable(ns, t).snapshots
+
+  /** Snapshot id current AS OF a wall-clock instant — `TIMESTAMP AS OF`
+    * time travel (Iceberg's snapshot-log lookup): the latest snapshot
+    * committed at or before `tsMillis`. Errors when the instant precedes
+    * the first commit (nothing existed yet), like Iceberg. */
+  def snapshotAsOfTime(ns: String, t: String, tsMillis: Long): Long = {
+    val snaps = loadTable(ns, t).snapshots
+    snaps.filter(_.timestampMs <= tsMillis).lastOption.map(_.id).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ns.$t has no snapshot at or before timestamp $tsMillis " +
+          s"(earliest commit: ${snaps.headOption.map(_.timestampMs).getOrElse("none")})"))
+  }
 
   /** Current (or as-of) file listing — the Iceberg `files` metadata table. */
   def files(ns: String, t: String, asOf: Option[Long] = None): Seq[DataFileMeta] =
@@ -847,7 +896,21 @@ class GraftCatalog(val warehouse: String) {
 
   private def currentVersion(ns: String, t: String): Int = {
     val hint = hintFile(ns, t)
-    if (Files.exists(hint)) Files.readString(hint).trim.toInt else 0
+    if (!Files.exists(hint)) return 0
+    // The hint is written AFTER the metadata move, so a reader racing a
+    // commit can see a lagging hint; probe forward to the newest version
+    // actually on disk (same recovery Iceberg's HadoopTableOperations does
+    // when the hint is stale). Bounded: one exists() per missed version.
+    // only advance past COMPLETE versions: the O_EXCL slot claim creates
+    // an empty v(N+1).json before the atomic move fills it — an empty
+    // probe target is a commit in flight, not committed state
+    var v = Files.readString(hint).trim.toInt
+    var nxt = metaDir(ns, t).resolve(s"v${v + 1}.json")
+    while (Files.exists(nxt) && Files.size(nxt) > 0) {
+      v += 1
+      nxt = metaDir(ns, t).resolve(s"v${v + 1}.json")
+    }
+    v
   }
 
   /** HadoopCatalog-style optimistic commit: write vN+1.json to a temp name,
@@ -866,7 +929,7 @@ class GraftCatalog(val warehouse: String) {
     try Files.createFile(target)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.deleteIfExists(tmp)
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"concurrent commit detected for ${meta.namespace}.${meta.name} v$next")
     }
     Files.move(tmp, target,

@@ -93,6 +93,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF <instant>` time travel — Spark hands MICROseconds
+    * since epoch; resolve to the snapshot current at that wall-clock via
+    * the commit log, then serve it exactly like `VERSION AS OF`. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, Some(cat.snapshotAsOfTime(nsOf(ident), ident.name,
+      timestamp / 1000L)))
+
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val ns = nsOf(ident)
     if (!cat.tableExists(ns, ident.name)) {

@@ -236,14 +236,43 @@ class GraftCatalogSpec extends SparkSpec {
     assert(cat.truncateMax("ab" + Char.MaxValue.toString * 20) === Some("ac"))
   }
 
-  test("concurrent commit on same base version is rejected") {
+  test("racing appends all land via optimistic-commit retry") {
     val (_, wh) = freshDirs()
     val cat = new GraftCatalog(wh.toString)
     cat.createTable("ns", "t", StructType(Seq(StructField("id", LongType))))
-    // simulate a racing writer that already produced v2
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val threads = (1 to 6).map { i =>
+      new Thread(() => {
+        try cat.append("ns", "t", Seq(DataFileMeta(s"/f$i.parquet", i.toLong, i.toLong)))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(errs.isEmpty, s"appends failed: ${errs.toArray.mkString(", ")}")
+    val snaps = cat.snapshots("ns", "t")
+    assert(snaps.size === 6)
+    assert(snaps.map(_.id) === (1L to 6L))
+    // every thread's file is present exactly once — no lost update
+    assert(cat.files("ns", "t").map(_.path).sorted ===
+      (1 to 6).map(i => s"/f$i.parquet"))
+  }
+
+  test("completed racing commit is recovered from; in-flight claim is rejected") {
+    val (_, wh) = freshDirs()
+    val cat = new GraftCatalog(wh.toString)
+    cat.createTable("ns", "t", StructType(Seq(StructField("id", LongType))))
     val md = Paths.get(wh.toString, "ns", "t", "metadata")
+    // a COMPLETE v2.json whose hint write hasn't landed yet = a finished
+    // commit with a lagging pointer; readers probe forward and the next
+    // commit stacks on top instead of losing the race
     Files.writeString(md.resolve("v2.json"),
       Files.readString(md.resolve("v1.json")))
+    cat.append("ns", "t", Seq(DataFileMeta("/ok.parquet", 1L, 1L)))
+    assert(Files.exists(md.resolve("v3.json")))
+    // an EMPTY claim file = a commit IN FLIGHT holding the next slot; a
+    // contender must conflict (and, with the holder never finishing,
+    // exhaust its retries)
+    Files.createFile(md.resolve("v4.json"))
     intercept[IllegalStateException] {
       cat.append("ns", "t", Seq(DataFileMeta("/nope.parquet", 1L, 1L)))
     }

@@ -52,6 +52,24 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(!cat.tableExists("nyc", "fresh"))
   }
 
+  test("TIMESTAMP AS OF resolves the snapshot current at that instant") {
+    val (c, cat) = setup()
+    Thread.sleep(20) // ensure distinct commit wall-clocks
+    cat.registerFiles("nyc", "t", cat.files("nyc", "t").map(f => Paths.get(f.path)))
+    val snaps = cat.snapshots("nyc", "t")
+    def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+    // at snapshot 1's commit instant: 3 rows; at snapshot 2's: 6
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t TIMESTAMP AS OF '${iso(snaps.head.timestampMs)}'")
+      .as[Long].head() === 3)
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t TIMESTAMP AS OF '${iso(snaps.last.timestampMs)}'")
+      .as[Long].head() === 6)
+    // before the first commit: nothing existed — error, like Iceberg
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $c.nyc.t TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+  }
+
   test("SQL metadata tables: snapshots, files, history resolve as cat.ns.t.<kind>") {
     val (c, cat) = setup()
     cat.registerFiles("nyc", "t", cat.files("nyc", "t").map(f => Paths.get(f.path)))
