@@ -164,6 +164,27 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("filters push down to the scan THROUGH the id-projection (plan pin)") {
+    import spark.implicits._
+    val cat = freshCat("push")
+    val df1 = (1 to 1000).map(i => (i, s"v$i")).toDF("id", "old_name")
+    cat.createTable("nyc", "t", df1.schema)
+    cat.registerFiles("nyc", "t", Seq(land(cat, df1, "b1")))
+    cat.renameColumn("nyc", "t", "old_name", "label")
+    cat.widenColumn("nyc", "t", "id", "BIGINT")
+    // predicates on the RENAMED and WIDENED columns must reach the parquet
+    // scan as pushed filters on the PHYSICAL column names — the evolution
+    // projection is a pure Project, transparent to Catalyst pushdown, so
+    // old files cost the same to filter as never-evolved ones
+    val q = cat.readTable(spark, "nyc", "t")
+      .filter($"label" === "v7").filter($"id" < 100L)
+    val scanLine = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("EqualTo(old_name,v7)"), scanLine)
+    assert(scanLine.contains("LessThan(id,100)"), scanLine)
+    assert(q.count() == 1)
+  }
+
   test("meta_schema_evolution declared query: every invariant holds") {
     val rows = graft.queries.Meta.queries("meta_schema_evolution")(spark, sfDir)
       .collect()
