@@ -89,7 +89,11 @@ case class SnapshotMeta(id: Long, timestampMs: Long, operation: String,
   * never evolved (legacy metadata), where version 1 is derived on demand. */
 case class TableMeta(namespace: String, name: String, schemaDdl: String,
                      currentSnapshotId: Long, snapshots: List[SnapshotMeta],
-                     schemaVersions: Option[List[SchemaVersion]] = None) {
+                     schemaVersions: Option[List[SchemaVersion]] = None,
+                     tags: Option[Map[String, Long]] = None) {
+
+  /** Named immutable snapshot refs (Iceberg tags). */
+  def tagMap: Map[String, Long] = tags.getOrElse(Map.empty)
   def schema: StructType = StructType.fromDDL(schemaDdl)
 
   /** All schema versions, oldest first. A table that never evolved gets a
@@ -451,6 +455,40 @@ class GraftCatalog(val warehouse: String) {
 
   def snapshots(ns: String, t: String): Seq[SnapshotMeta] = loadTable(ns, t).snapshots
 
+  /** Create an Iceberg-style TAG: a named immutable pointer to a snapshot,
+    * resolvable wherever a snapshot id is (`VERSION AS OF 'name'`,
+    * `readTable(asOf)` via [[resolveRef]]). Tagged snapshots are protected
+    * from [[expireSnapshots]]. Metadata-only, retried like any commit. */
+  def createTag(ns: String, t: String, tag: String, snapshotId: Long): TableMeta =
+    withCommitRetry {
+      val (meta, ver) = loadTableAt(ns, t)
+      require(meta.snapshots.exists(_.id == snapshotId),
+        s"$ns.$t has no snapshot $snapshotId to tag")
+      require(!meta.tagMap.contains(tag), s"$ns.$t: tag $tag already exists")
+      require(tag.nonEmpty && !tag.forall(_.isDigit),
+        s"$ns.$t: tag name '$tag' must be non-empty and not purely numeric " +
+          "(would be ambiguous with snapshot ids)")
+      val next = meta.copy(tags = Some(meta.tagMap + (tag -> snapshotId)))
+      commit(next, expectedVersion = ver)
+      next
+    }
+
+  def dropTag(ns: String, t: String, tag: String): TableMeta =
+    withCommitRetry {
+      val (meta, ver) = loadTableAt(ns, t)
+      require(meta.tagMap.contains(tag), s"$ns.$t: no tag $tag")
+      val next = meta.copy(tags = Some(meta.tagMap - tag))
+      commit(next, expectedVersion = ver)
+      next
+    }
+
+  /** Resolve a version string — a numeric snapshot id or a tag name — to a
+    * snapshot id. */
+  def resolveRef(ns: String, t: String, ref: String): Long =
+    if (ref.forall(_.isDigit) && ref.nonEmpty) ref.toLong
+    else loadTable(ns, t).tagMap.getOrElse(ref, throw new IllegalArgumentException(
+      s"$ns.$t has no tag '$ref'"))
+
   /** Snapshot id current AS OF a wall-clock instant — `TIMESTAMP AS OF`
     * time travel (Iceberg's snapshot-log lookup): the latest snapshot
     * committed at or before `tsMillis`. Errors when the instant precedes
@@ -648,6 +686,12 @@ class GraftCatalog(val warehouse: String) {
       return ExpireResult(0, 0, meta.snapshots.size)
     val retained = meta.snapshots.takeRight(keepLast)
     val expired = meta.snapshots.dropRight(keepLast)
+    // tags are retention guarantees (Iceberg: refs block expiration)
+    val taggedExpired = meta.tagMap.filter { case (_, id) =>
+      expired.exists(_.id == id) }
+    require(taggedExpired.isEmpty,
+      s"$ns.$t: snapshots ${taggedExpired.map { case (tg, id) => s"$id (tag '$tg')" }
+        .mkString(", ")} are tagged; drop the tags before expiring")
     val boundary = expired.last
     val needCheckpoint = retained.head.operation != "overwrite"
     val checkpoint =

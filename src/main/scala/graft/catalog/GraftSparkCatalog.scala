@@ -89,9 +89,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
-  /** `VERSION AS OF <snapshot-id>` time travel. */
+  /** `VERSION AS OF <snapshot-id-or-tag>` time travel: numeric versions
+    * are snapshot ids; anything else resolves as an Iceberg-style tag. */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toLong))
+    load(ident, Some(cat.resolveRef(nsOf(ident), ident.name, version)))
 
   /** `TIMESTAMP AS OF <instant>` time travel — Spark hands MICROseconds
     * since epoch; resolve to the snapshot current at that wall-clock via

@@ -70,6 +70,28 @@ class GraftSparkCatalogSpec extends SparkSpec {
     }
   }
 
+  test("tags: named refs resolve in VERSION AS OF and block expiration") {
+    val (c, cat) = setup()
+    cat.registerFiles("nyc", "t", cat.files("nyc", "t").map(f => Paths.get(f.path)))
+    cat.createTag("nyc", "t", "v1-import", 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t VERSION AS OF 'v1-import'")
+      .as[Long].head() === 3)
+    // numeric refs stay snapshot ids; unknown tags error; numeric tag names refused
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t VERSION AS OF 2")
+      .as[Long].head() === 6)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $c.nyc.t VERSION AS OF 'nope'").collect()
+    }
+    intercept[IllegalArgumentException] { cat.createTag("nyc", "t", "7", 1L) }
+    // a tagged snapshot cannot be expired; after dropTag it can
+    intercept[IllegalArgumentException] {
+      cat.expireSnapshots("nyc", "t", keepLast = 1)
+    }
+    cat.dropTag("nyc", "t", "v1-import")
+    graft.etl.Maintenance.optimize(spark, cat, "nyc", "t")
+    assert(cat.expireSnapshots("nyc", "t", keepLast = 1).expiredSnapshots === 2)
+  }
+
   test("SQL metadata tables: snapshots, files, history resolve as cat.ns.t.<kind>") {
     val (c, cat) = setup()
     cat.registerFiles("nyc", "t", cat.files("nyc", "t").map(f => Paths.get(f.path)))
