@@ -35,7 +35,8 @@ case class StrRange(min: String, max: String)
   * ranges and truncated string bounds. */
 case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long,
                         colRanges: Option[Map[String, ColRange]] = None,
-                        strRanges: Option[Map[String, StrRange]] = None)
+                        strRanges: Option[Map[String, StrRange]] = None,
+                        partition: Option[Map[String, String]] = None)
 
 /** One column of one schema version: Iceberg-style stable field id (never
   * reused, survives renames), display name, Spark DDL type, nullability.
@@ -90,10 +91,16 @@ case class SnapshotMeta(id: Long, timestampMs: Long, operation: String,
 case class TableMeta(namespace: String, name: String, schemaDdl: String,
                      currentSnapshotId: Long, snapshots: List[SnapshotMeta],
                      schemaVersions: Option[List[SchemaVersion]] = None,
-                     tags: Option[Map[String, Long]] = None) {
+                     tags: Option[Map[String, Long]] = None,
+                     partitionSpec: Option[List[PartitionField]] = None) {
 
   /** Named immutable snapshot refs (Iceberg tags). */
   def tagMap: Map[String, Long] = tags.getOrElse(Map.empty)
+
+  /** Partition spec; empty = unpartitioned (the reference's importer only
+    * creates unpartitioned tables — the spec is the Iceberg-parity
+    * extension beyond it). */
+  def spec: List[PartitionField] = partitionSpec.getOrElse(Nil)
   def schema: StructType = StructType.fromDDL(schemaDdl)
 
   /** All schema versions, oldest first. A table that never evolved gets a
@@ -220,10 +227,37 @@ class GraftCatalog(val warehouse: String) {
 
   /** Create unpartitioned table with a fixed schema
     * (`ImportParquetFolders.java:93-100`, PartitionSpec.unpartitioned at `:99`). */
-  def createTable(ns: String, t: String, schema: StructType): TableMeta = {
+  def createTable(ns: String, t: String, schema: StructType): TableMeta =
+    createTable(ns, t, schema, Nil)
+
+  /** Create a table with an Iceberg-style partition spec: each entry is
+    * `(transform, sourceColumnName)` — see [[PartitionField]]. Source
+    * columns resolve to stable field ids at creation, so the spec survives
+    * later renames. The spec shapes WRITES ([[writePartitioned]] clusters
+    * rows into one directory per partition tuple) and PRUNES reads
+    * ([[prunedFiles]] projects source-column predicates through the
+    * transforms) — hidden partitioning: queries never name the partition
+    * columns. */
+  def createTable(ns: String, t: String, schema: StructType,
+                  spec: Seq[(String, String)]): TableMeta = {
     require(!tableExists(ns, t), s"table $ns.$t already exists")
     createNamespace(ns)
-    val meta = TableMeta(ns, t, schema.toDDL, currentSnapshotId = 0L, snapshots = Nil)
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      FieldMeta(i + 1, f.name, f.dataType.sql, f.nullable) }
+    val pf = spec.map { case (transform, srcName) =>
+      val src = fields.find(_.name.equalsIgnoreCase(srcName)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$ns.$t: partition source column $srcName not in schema"))
+      // validates transform grammar + type compatibility up front
+      Partitioning.valueColumn(transform, src.name, src.dataType)
+      PartitionField(src.id, transform,
+        Partitioning.defaultName(transform, src.name))
+    }.toList
+    require(pf.map(_.name).distinct.size == pf.size,
+      s"$ns.$t: duplicate partition field names in spec")
+    val meta = TableMeta(ns, t, schema.toDDL, currentSnapshotId = 0L,
+      snapshots = Nil,
+      partitionSpec = if (pf.isEmpty) None else Some(pf))
     commit(meta, expectedVersion = 0)
     meta
   }
@@ -275,6 +309,82 @@ class GraftCatalog(val warehouse: String) {
     val expanded = paths.flatMap(p =>
       if (Files.isDirectory(p)) findParquet(p) else Seq(p))
     commitSnapshot(ns, t, operation, statFiles(expanded))
+  }
+
+  /** Partition-clustered write: computes each spec field's canonical value,
+    * writes one directory per partition tuple (`partitionBy` — the derived
+    * columns are dropped from the data files; SOURCE columns stay, which is
+    * what makes the partitioning hidden), then commits one snapshot whose
+    * files carry their partition tuples for scan-time pruning.
+    *
+    * Scale: with `cluster` (default) the rows are repartitioned by the
+    * partition tuple first — ONE shuffle, after which each task holds
+    * complete tuples and writes one file per tuple instead of every task
+    * writing a sliver of every partition (the small-files explosion that
+    * kills 100 TB partitioned appends). `cluster = false` keeps the
+    * caller's layout. */
+  def writePartitioned(spark: SparkSession, ns: String, t: String,
+                       df: DataFrame, operation: String = "append",
+                       cluster: Boolean = true): TableMeta = {
+    import org.apache.spark.sql.functions.col
+    val meta = loadTable(ns, t)
+    require(meta.spec.nonEmpty, s"$ns.$t has no partition spec; use registerFiles")
+    val fields = meta.currentSchemaVersion.fields
+    val collide = meta.spec.map(_.name).filter(n =>
+      df.columns.exists(_.equalsIgnoreCase(n)))
+    require(collide.isEmpty,
+      s"$ns.$t: partition field name(s) ${collide.mkString(", ")} collide with data columns")
+    val partCols = meta.spec.map { pf =>
+      val src = fields.find(_.id == pf.sourceId).getOrElse(
+        throw new IllegalStateException(
+          s"$ns.$t: partition source field id ${pf.sourceId} missing from schema"))
+      Partitioning.valueColumn(pf.transform, src.name, src.dataType).as(pf.name)
+    }
+    val staging = tableDir(ns, t).resolve("data")
+      .resolve(s"part-write-${System.currentTimeMillis()}")
+    // Write timestamps as INT64 micros for this write (scoped, restored):
+    // Spark's default INT96 is deprecated AND carries no parquet min/max
+    // statistics, which would blind timestamp file-skipping — Iceberg
+    // writers standardized on micros for the same reason.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.get(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val withParts = df.select(df.columns.map(col).toIndexedSeq ++ partCols: _*)
+      val shaped =
+        if (cluster)
+          withParts.repartition(meta.spec.map(pf => col(pf.name)): _*)
+        else withParts
+      shaped.write.partitionBy(meta.spec.map(_.name): _*)
+        .parquet(staging.toString)
+    } finally spark.conf.set(tsKey, prevTs)
+    val stated = statFiles(findParquet(staging))
+    val withTuples = stated.map { fm =>
+      val rel = staging.relativize(Paths.get(fm.path))
+      val tuple = rel.iterator.asScala.map(_.toString)
+        .filter(_.contains("=")).map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) ->
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.substring(i + 1))
+        }.toMap
+      fm.copy(partition = Some(tuple))
+    }
+    commitSnapshot(ns, t, operation, withTuples)
+  }
+
+  /** Scan-planning file pruning: partition-tuple projection (hidden
+    * partitioning) plus footer min/max bounds, both conservative. This is
+    * the driver-side, metadata-only planning step Iceberg runs over
+    * manifests — no job is launched. */
+  def prunedFiles(ns: String, t: String,
+                  filters: Seq[org.apache.spark.sql.sources.Filter],
+                  asOf: Option[Long] = None): Seq[DataFileMeta] = {
+    val meta = loadTable(ns, t)
+    val fields = meta.currentSchemaVersion.fields
+    meta.filesAsOf(asOf).filter(f => filters.forall(fl =>
+      Partitioning.keepByPartition(meta.spec, fields, f, fl) &&
+        Partitioning.keepByStats(f, meta.schema, fl)))
   }
 
   /** Iceberg-style optimistic-commit retry (`commit.retry.num-retries`,
@@ -407,6 +517,10 @@ class GraftCatalog(val warehouse: String) {
       val cur = meta.currentSchemaVersion
       require(cur.fields.exists(_.name.equalsIgnoreCase(name)),
         s"$ns.$t: no column $name")
+      val doomed = cur.fields.filter(_.name.equalsIgnoreCase(name))
+      require(!meta.spec.exists(pf => doomed.exists(_.id == pf.sourceId)),
+        s"$ns.$t: column $name is a partition source; drop is not allowed " +
+          "(Iceberg refuses this too — the spec would dangle)")
       cur.fields.filterNot(_.name.equalsIgnoreCase(name))
     }
 
@@ -450,6 +564,11 @@ class GraftCatalog(val warehouse: String) {
   private def scanAt(spark: SparkSession, meta: TableMeta, ver: Int,
                      files: Seq[String]): DataFrame =
     projectToCurrent(
+      // the catalog records LEAF files, for which Spark skips Hive-style
+      // partition-column inference — so the `<field>=<value>` directories a
+      // partitioned write produces stay what they are (derived values,
+      // hidden partitioning), never become columns, and duplicate
+      // registrations of one path still count twice
       spark.read.schema(meta.versionOf(ver).struct).parquet(files: _*),
       meta.versionOf(ver), meta.currentSchemaVersion)
 

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => VLiteral, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -119,22 +119,32 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident)
     }
     val meta = cat.loadTable(ns, ident.name)
-    require(meta.deleteFilesAsOf(asOf).isEmpty,
-      s"$ns.${ident.name} carries merge-on-read delete files; materialize before SQL reads")
-    // This path hands Spark ONE stock ParquetTable, which resolves columns
-    // by NAME. That stays correct across add/drop evolution (missing
-    // columns null-fill, extra physical columns are ignored) but NOT when
-    // a live file was written before a rename/type-widening, or when an
-    // added column's name shadows a dropped column's physical data — those
-    // need the id-based projection of GraftCatalog.readTable. Refuse and
-    // direct to materialization, like the merge-on-read debt above.
+    // Scan refusals are computed here but ENFORCED at scan-builder time,
+    // not at resolution: DDL (the very ALTER that would fix a drift) and
+    // plain INSERTs against such a table are legitimate — only READING
+    // the files is unserved.
+    //
+    // (1) merge-on-read delete debt: silently returning deleted rows would
+    // be worse than an error; materialize first.
+    // (2) schema drift: this path hands Spark ONE stock ParquetTable,
+    // which resolves columns by NAME. That stays correct across add/drop
+    // evolution (missing columns null-fill, extra physical columns are
+    // ignored) but NOT when a live file was written before a rename/type-
+    // widening, or when an added column's name shadows a dropped column's
+    // physical data — those need the id-based projection of
+    // GraftCatalog.readTable. Refuse and direct to materialization.
     val drifted = meta.driftedVersions(asOf)
-    require(drifted.isEmpty,
-      s"$ns.${ident.name}: live files were written under schema version(s) " +
-        s"${drifted.mkString(", ")} whose physical layout differs from the " +
-        "current schema (rename/type change); materialize " +
-        "(Maintenance.optimize) before SQL reads — GraftCatalog.readTable " +
-        "serves them directly")
+    val refuseScan =
+      if (meta.deleteFilesAsOf(asOf).nonEmpty) Some(
+        s"$ns.${ident.name} carries merge-on-read delete files; " +
+          "materialize before SQL reads")
+      else if (drifted.nonEmpty) Some(
+        s"$ns.${ident.name}: live files were written under schema version(s) " +
+          s"${drifted.mkString(", ")} whose physical layout differs from the " +
+          "current schema (rename/type change); materialize " +
+          "(Maintenance.optimize) before SQL reads — GraftCatalog.readTable " +
+          "serves them directly")
+      else None
     // In merge-on-read mode the identity columns are declared required —
     // Iceberg marks identifier fields non-null the same way (the analyzer
     // refuses nullable row-id attributes). Nulls there break the user
@@ -149,15 +159,48 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           if (identityCols.contains(f.name)) f.copy(nullable = false) else f))
       }
     new GraftSqlTable(cat, catName, ns, ident.name, served,
-      meta.filesAsOf(asOf).map(_.path), morDml, identityCols)
+      meta.filesAsOf(asOf), morDml, identityCols,
+      meta.spec, meta.currentSchemaVersion.fields, refuseScan)
   }
 
+  /** CREATE TABLE, optionally `PARTITIONED BY` Iceberg-style hidden
+    * transforms: `days(ts)`, `months(d)`, `years(d)`, `hours(ts)`,
+    * `bucket(N, col)`, `truncate(W, col)`, or a bare column (identity).
+    * The spec is stored by stable source-field id; queries keep filtering
+    * on the SOURCE column and the scan prunes files through the transform
+    * ([[GraftPruningScanBuilder]]). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables are unpartitioned (SURVEY.md §2.A A4)")
-    cat.createTable(nsOf(ident), ident.name, schema)
+    def colOf(ref: NamedReference): String = ref.fieldNames match {
+      case Array(one) => one
+      case other => throw new UnsupportedOperationException(
+        s"nested partition source: ${other.mkString(".")}")
+    }
+    val spec = partitions.toSeq.map { t =>
+      def oneRef: String = t.references() match {
+        case Array(r) => colOf(r)
+        case other => throw new UnsupportedOperationException(
+          s"${t.name()} transform needs exactly one source column, " +
+            s"got ${other.length}")
+      }
+      def intArg: Int = t.arguments().collectFirst {
+        case l: VLiteral[_] => l.value().toString.toInt
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"${t.name()} transform needs an integer argument"))
+      t.name() match {
+        case "identity" => ("identity", oneRef)
+        case "years"    => ("year", oneRef)
+        case "months"   => ("month", oneRef)
+        case "days"     => ("day", oneRef)
+        case "hours"    => ("hour", oneRef)
+        case "bucket"   => (s"bucket[$intArg]", oneRef)
+        case "truncate" => (s"truncate[$intArg]", oneRef)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform: $other")
+      }
+    }
+    cat.createTable(nsOf(ident), ident.name, schema, spec)
     loadTable(ident)
   }
 
@@ -197,7 +240,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val ns2 = nsOf(ident)
     val meta = cat.loadTable(ns2, ident.name)
     new GraftSqlTable(cat, catName, ns2, ident.name, meta.schema,
-      meta.filesAsOf(None).map(_.path), morDml, identityCols)
+      meta.filesAsOf(None), morDml, identityCols,
+      meta.spec, meta.currentSchemaVersion.fields)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -250,11 +294,41 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
                                      ns: String, tbl: String,
                                      tableSchema: StructType,
-                                     paths: Seq[String],
+                                     files: Seq[DataFileMeta],
                                      morDml: Boolean = false,
-                                     identityCols: Seq[String] = Nil)
+                                     identityCols: Seq[String] = Nil,
+                                     spec: Seq[PartitionField] = Nil,
+                                     specFields: Seq[FieldMeta] = Nil,
+                                     refuseScan: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with TruncatableTable {
+
+  private def paths: Seq[String] = files.map(_.path)
+
+  /** Enforce the serving refusals (MoR debt / schema drift, computed at
+    * load) on every path that READS file bytes by name. */
+  private def requireServable(): Unit =
+    refuseScan.foreach(msg => throw new IllegalStateException(msg))
+
+  /** Report the Iceberg-style spec back to Spark (`DESCRIBE`, `SHOW CREATE
+    * TABLE` surfaces it as `PARTITIONED BY`). */
+  override def partitioning(): Array[Transform] = spec.toArray.map { pf =>
+    val src = specFields.find(_.id == pf.sourceId)
+      .map(_.name).getOrElse(pf.name)
+    pf.transform match {
+      case "identity" => Expressions.identity(src)
+      case "year"     => Expressions.years(src)
+      case "month"    => Expressions.months(src)
+      case "day"      => Expressions.days(src)
+      case "hour"     => Expressions.hours(src)
+      case b if b.startsWith("bucket[") =>
+        Expressions.bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt, src)
+      case t if t.startsWith("truncate[") =>
+        Expressions.apply("truncate",
+          Expressions.literal(t.stripPrefix("truncate[").stripSuffix("]").toInt),
+          Expressions.column(src))
+    }
+  }
 
   /** SQL `TRUNCATE TABLE`: one EMPTY overwrite snapshot — metadata-only
     * (no file is touched), earlier states stay time-travelable, exactly
@@ -298,7 +372,7 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
         override def command(): RowLevelOperation.Command = info.command()
 
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-          GraftSqlTable.this.newScanBuilder(options)
+          GraftSqlTable.this.rawScanBuilder(options) // never prune a rewrite scan
 
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
           val staging = Paths.get(cat.warehouse, ns, tbl, "data",
@@ -331,9 +405,29 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
       }
     }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetTable(name(), SparkSession.active, options, paths,
-      Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+  /** UNPRUNED scan over every live file — the base for the pruning
+    * builder and the MANDATORY scan for row-level rewrites: the group-based
+    * copy-on-write commit replaces the WHOLE table with the rewritten scan
+    * output, so pruning that scan would drop untouched files' rows.
+    * `recursiveFileLookup` disables Hive partition-column inference —
+    * partitioned writes place files under `<field>=<value>` dirs, but those
+    * are derived values (hidden partitioning), never columns. */
+  private def rawScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    requireServable()
+    GraftPruningScanBuilder.parquetBuilder(name(), tableSchema, paths, options)
+  }
+
+  /** Scans through SQL prune files at PLAN time from the pushed filters:
+    * partition-tuple projection (hidden partitioning) + footer min/max
+    * bounds — Iceberg's manifest-based scan planning, metadata-only. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    requireServable()
+    if (spec.isEmpty && files.forall(f =>
+        f.colRanges.isEmpty && f.strRanges.isEmpty))
+      rawScanBuilder(options)
+    else new GraftPruningScanBuilder(name(), tableSchema, files, spec,
+      specFields, options)
+  }
 
   import org.apache.spark.sql.sources
   import org.apache.spark.sql.Column
@@ -363,6 +457,7 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
     !morDml && filters.forall(filterToColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    requireServable() // rewrites the survivors by reading files by name
     val spark = SparkSession.active
     val cond = filters.flatMap(filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -370,14 +465,20 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
       if (paths.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
       else spark.read.schema(tableSchema).parquet(paths: _*)
-    val dir = Paths.get(cat.warehouse, ns, tbl, "data",
-      s"delete-${System.currentTimeMillis()}")
     // SQL DELETE removes only rows where the predicate is TRUE — a row where
     // it evaluates NULL must survive, so the keep-filter is NOT(coalesce(p,
     // false)), not NOT(p) (which is NULL for NULL inputs and would drop them).
-    current.filter(not(org.apache.spark.sql.functions.coalesce(cond, lit(false))))
-      .write.parquet(dir.toString)
-    cat.registerFiles(ns, tbl, Seq(dir), operation = "overwrite")
+    val kept = current.filter(
+      not(org.apache.spark.sql.functions.coalesce(cond, lit(false))))
+    if (spec.nonEmpty)
+      // keep the surviving rows partition-clustered (tuples re-recorded)
+      cat.writePartitioned(spark, ns, tbl, kept, operation = "overwrite")
+    else {
+      val dir = Paths.get(cat.warehouse, ns, tbl, "data",
+        s"delete-${System.currentTimeMillis()}")
+      kept.write.parquet(dir.toString)
+      cat.registerFiles(ns, tbl, Seq(dir), operation = "overwrite")
+    }
   }
 
   /** Merge-on-read (delta) row-level operation: Spark's WriteDelta plan
@@ -400,7 +501,7 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
         override def command(): RowLevelOperation.Command = info.command()
 
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-          GraftSqlTable.this.newScanBuilder(options)
+          GraftSqlTable.this.rawScanBuilder(options) // never prune a rewrite scan
 
         override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
           identityCols.toArray.map(
@@ -498,15 +599,96 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              val dir = Paths.get(cat.warehouse, ns, tbl, "data",
-                s"insert-${System.currentTimeMillis()}")
-              data.write.parquet(dir.toString)
-              cat.registerFiles(ns, tbl, Seq(dir),
-                operation = if (overwriteMode || overwrite) "overwrite" else "append")
+              val op = if (overwriteMode || overwrite) "overwrite" else "append"
+              if (spec.nonEmpty)
+                // partitioned table: cluster by the spec's transforms and
+                // record each file's partition tuple for scan pruning
+                cat.writePartitioned(SparkSession.active, ns, tbl, data, op)
+              else {
+                val dir = Paths.get(cat.warehouse, ns, tbl, "data",
+                  s"insert-${System.currentTimeMillis()}")
+                data.write.parquet(dir.toString)
+                cat.registerFiles(ns, tbl, Seq(dir), operation = op)
+              }
             }
           }
       }
     }
+}
+
+/** Scan-planning file pruning for the SQL read path. Implements the same
+  * catalyst-filter pushdown interface the stock parquet builder does, so
+  * NOTHING is lost downstream: the pushed filters are (1) translated to
+  * source filters and used to prune the FILE LIST (partition-tuple
+  * projection through the hidden-partitioning transforms + footer min/max
+  * bounds — Iceberg's manifest-based scan planning, driver-side,
+  * metadata-only, no job), then (2) delegated verbatim to a stock parquet
+  * ScanBuilder over the surviving files, which keeps row-group pushdown,
+  * column pruning, and vectorized reads exactly as before (PlanSpec pins
+  * the PushedFilters transparency). */
+private[catalog] class GraftPruningScanBuilder(
+    tableName: String, tableSchema: StructType, files: Seq[DataFileMeta],
+    spec: Seq[PartitionField], specFields: Seq[FieldMeta],
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private var inner: ScanBuilder = _
+
+  private def delegate: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =
+    ensure().asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+
+  private def ensure(): ScanBuilder = {
+    if (inner == null)
+      inner = GraftPruningScanBuilder.parquetBuilder(
+        tableName, tableSchema, files.map(_.path), options)
+    inner
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    if (inner == null) {
+      val translated = filters.flatMap(Partitioning.translateForPruning)
+      val kept = files.filter(f => translated.forall(fl =>
+        Partitioning.keepByPartition(spec, specFields, f, fl) &&
+          Partitioning.keepByStats(f, tableSchema, fl)))
+      GraftPruningScanBuilder.lastPrune = Some((files.size, kept.size))
+      inner = GraftPruningScanBuilder.parquetBuilder(
+        tableName, tableSchema, kept.map(_.path), options)
+    }
+    delegate.pushFilters(filters)
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    ensure().asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(requiredSchema)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    ensure().build()
+}
+
+object GraftPruningScanBuilder {
+  /** (candidate, kept) file counts of the most recent pruned scan —
+    * public observability for specs and the meta_partitioned invariants
+    * (diagnostics only; never read by the planner). */
+  @volatile var lastPrune: Option[(Int, Int)] = None
+
+  /** Stock parquet ScanBuilder over an explicit LEAF-file list. Leaf files
+    * never trigger Hive partition-column inference, so the
+    * `<field>=<value>` directories a partitioned write produces hold
+    * DERIVED values (hidden partitioning), never become columns — and a
+    * file registered by two snapshots is scanned twice, as the snapshot
+    * log says. */
+  def parquetBuilder(tableName: String, schema: StructType,
+                     paths: Seq[String],
+                     options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetTable(tableName, SparkSession.active, options, paths,
+      Some(schema), classOf[ParquetFileFormat]).newScanBuilder(options)
 }
 
 /** Projects incoming rows down to the declared data schema by taking the
@@ -664,10 +846,14 @@ private[catalog] object GraftMetadataTable {
         val s = StructType(Seq(
           StructField("file_path", StringType, nullable = false),
           StructField("size_bytes", LongType, nullable = false),
-          StructField("row_count", LongType, nullable = false)))
+          StructField("row_count", LongType, nullable = false),
+          StructField("partition", StringType, nullable = true)))
         val rs = meta.filesAsOf(None).map { f =>
+          val tuple = f.partition.map(_.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("/")).orNull
           new GenericInternalRow(Array[Any](UTF8String.fromString(f.path),
-            f.sizeBytes, f.rowCount))
+            f.sizeBytes, f.rowCount,
+            if (tuple == null) null else UTF8String.fromString(tuple)))
         }
         (s, rs)
       case "history" =>

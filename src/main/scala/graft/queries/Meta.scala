@@ -583,6 +583,69 @@ object Meta {
     } finally unregisterCatalog(s, cname) // names salted: see helper note
   }
 
+  /** meta_partitioned: Iceberg-style HIDDEN PARTITIONING end-to-end —
+    * lineitem lands in a table partitioned by `year(l_shipdate)` +
+    * `bucket(4, l_suppkey)` (transforms stored by stable field id; the
+    * write clusters rows one-file-per-tuple), then plain SQL filters on
+    * the SOURCE columns and the scan prunes files at PLAN time by
+    * projecting the predicates through the transforms + footer min/max
+    * bounds — queries never name a partition column, which is the whole
+    * point (Iceberg spec "Partition Transforms"; the reference serves
+    * Iceberg tables whose planner does exactly this). Oracle-checked: the
+    * aggregate over the pruned catalog read must hash-match DuckDB over
+    * the RAW lineitem; pruning invariants ride along as bool columns. */
+  private def metaPartitioned: QFn = (s, d) => {
+    import s.implicits._
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "meta_part")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_quantity", "l_returnflag")
+    cat.createTable("nyc", "li_part", li.schema,
+      Seq(("year", "l_shipdate"), ("bucket[4]", "l_suppkey")))
+    cat.writePartitioned(s, "nyc", "li_part", li)
+    val files = cat.loadTable("nyc", "li_part").filesAsOf(None)
+    val tuplesRecorded = files.nonEmpty && files.forall(_.partition.exists(t =>
+      t.contains("l_shipdate_year") && t.contains("l_suppkey_bucket")))
+    val salt = base.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")
+    val cname = "gpart_" + salt
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    try {
+      import graft.catalog.GraftPruningScanBuilder
+      // probe 1: a SOURCE-column date range prunes to one year's buckets
+      GraftPruningScanBuilder.lastPrune = None
+      val rangeN = s.sql(
+        s"""SELECT count(*) FROM $cname.nyc.li_part
+           |WHERE l_shipdate >= DATE'1997-01-01'
+           |  AND l_shipdate < DATE'1997-07-01'""".stripMargin).as[Long].head()
+      val rangePrunes = GraftPruningScanBuilder.lastPrune.exists {
+        case (cand, kept) => kept < cand && kept > 0 } && rangeN > 0
+      // probe 2: a point lookup on the bucketed key scans one bucket per year
+      GraftPruningScanBuilder.lastPrune = None
+      val key = li.select("l_suppkey").head().getLong(0)
+      val pointN = s.sql(
+        s"SELECT count(*) FROM $cname.nyc.li_part WHERE l_suppkey = $key")
+        .as[Long].head()
+      val bucketPrunes = GraftPruningScanBuilder.lastPrune.exists {
+        case (cand, kept) => kept <= cand / 2 } &&
+        pointN == li.where($"l_suppkey" === key).count()
+      // the oracle-checked result: aggregate over the PRUNED read path,
+      // invariants as literal columns (DuckDB supplies `true`)
+      s.sql(
+        s"""SELECT l_returnflag, count(*) AS n_items,
+           |       round(sum(l_quantity), 2) AS sum_qty
+           |FROM $cname.nyc.li_part
+           |WHERE l_shipdate >= DATE'1997-01-01'
+           |  AND l_shipdate < DATE'1997-07-01'
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        .withColumn("tuples_recorded", lit(tuplesRecorded))
+        .withColumn("range_prunes", lit(rangePrunes))
+        .withColumn("bucket_prunes", lit(bucketPrunes))
+    } finally unregisterCatalog(s, cname) // names salted: see helper note
+  }
+
   /** q_sql_entry: SQL text through the Thrift-equivalent entry, over temp
     * views of the testdata (oracle: identical SQL in DuckDB). */
   private def qSqlEntry: QFn = (s, d) => {
@@ -782,18 +845,30 @@ object Meta {
     "meta_concurrent"  -> metaConcurrent,
     "meta_expire"      -> metaExpire,
     "meta_schema_evolution" -> metaSchemaEvolution,
+    "meta_partitioned" -> metaPartitioned,
     "meta_default_catalog" -> metaDefaultCatalog,
     "meta_show_create" -> metaShowCreate,
     "q_sql_entry"      -> qSqlEntry,
     "q_sql_rewrite"    -> qSqlRewrite,
   )
 
-  /** Only q_sql_entry is oracle-able; meta_* exercise engine-native
-    * semantics DuckDB can't see (SURVEY.md §2.9). */
+  /** Most meta_* exercise engine-native semantics DuckDB can't see
+    * (SURVEY.md §2.9); q_sql_entry and meta_partitioned are oracle-able —
+    * the latter's DuckDB twin runs on the RAW lineitem, proving the
+    * partitioned+pruned catalog read returns exactly the same rows. */
   val oracles: Map[String, String] = Map(
     "q_sql_entry" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |       round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "meta_partitioned" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       true AS tuples_recorded, true AS range_prunes,
+        |       true AS bucket_prunes
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1997-01-01'
+        |  AND l_shipdate < DATE '1997-07-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
