@@ -77,11 +77,16 @@ case class SnapshotMeta(id: Long, timestampMs: Long, operation: String,
                         addedFiles: List[DataFileMeta],
                         deleteFiles: Option[List[DataFileMeta]] = None,
                         equalityKeys: Option[List[String]] = None,
-                        schemaVersion: Option[Int] = None) {
+                        schemaVersion: Option[Int] = None,
+                        staged: Option[Boolean] = None) {
   def deletes: List[DataFileMeta] = deleteFiles.getOrElse(Nil)
   /** Schema version this snapshot's files were written under; metadata
     * from before schema evolution existed is implicitly version 1. */
   def schemaVer: Int = schemaVersion.getOrElse(1)
+  /** Write-audit-publish: a STAGED snapshot is committed to the log but
+    * invisible to current reads until published (Iceberg's `spark.wap.id`
+    * stage-only commits). Audit it via time travel to its own id. */
+  def isStaged: Boolean = staged.contains(true)
 }
 
 /** Full table metadata document, persisted as versioned JSON.
@@ -92,7 +97,8 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
                      currentSnapshotId: Long, snapshots: List[SnapshotMeta],
                      schemaVersions: Option[List[SchemaVersion]] = None,
                      tags: Option[Map[String, Long]] = None,
-                     partitionSpec: Option[List[PartitionField]] = None) {
+                     partitionSpec: Option[List[PartitionField]] = None,
+                     lastSnapshotId: Option[Long] = None) {
 
   /** Named immutable snapshot refs (Iceberg tags). */
   def tagMap: Map[String, Long] = tags.getOrElse(Map.empty)
@@ -126,10 +132,23 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
       s"$namespace.$name has no snapshot $id (expired or never committed); " +
         s"available: ${snapshots.map(_.id).mkString(", ")}"))
     val cut = asOf.getOrElse(currentSnapshotId)
-    val upTo = snapshots.filter(_.id <= cut)
+    // staged snapshots are invisible EXCEPT when the read targets one
+    // directly — that's the WAP audit view
+    val upTo = snapshots.filter(sn =>
+      sn.id <= cut && (!sn.isStaged || asOf.contains(sn.id)))
     val lastOverwrite = upTo.lastIndexWhere(_.operation == "overwrite")
     if (lastOverwrite >= 0) upTo.drop(lastOverwrite) else upTo
   }
+
+  /** Next snapshot id: one past the HIGHEST id ever allocated — not
+    * `currentSnapshotId + 1` (staged snapshots sit beyond the current
+    * head) and not the max LIVE id (a discarded staged snapshot's id must
+    * never be recycled: a stale audit reference would silently resolve to
+    * a different snapshot). `lastSnapshotId` is the persisted high-water
+    * mark; legacy metadata without it derives from the log. */
+  def nextSnapshotId: Long =
+    (currentSnapshotId +: lastSnapshotId.getOrElse(0L) +:
+      snapshots.map(_.id)).max + 1
 
   def filesAsOf(asOf: Option[Long]): List[DataFileMeta] =
     stateAsOf(asOf).flatMap(_.addedFiles)
@@ -415,11 +434,11 @@ class GraftCatalog(val warehouse: String) {
   private def commitSnapshot(ns: String, t: String, operation: String,
                              files: Seq[DataFileMeta]): TableMeta = withCommitRetry {
     val (meta, observedVersion) = loadTableAt(ns, t)
-    val snap = SnapshotMeta(meta.currentSnapshotId + 1, System.currentTimeMillis(),
+    val snap = SnapshotMeta(meta.nextSnapshotId, System.currentTimeMillis(),
       operation, files.toList,
       schemaVersion = Some(meta.currentSchemaVersion.version))
     val next = meta.copy(currentSnapshotId = snap.id,
-      snapshots = meta.snapshots :+ snap)
+      snapshots = meta.snapshots :+ snap, lastSnapshotId = Some(snap.id))
     commit(next, expectedVersion = observedVersion)
     // live streams tail the view directory; append the new files to it
     if (operation == "append") syncStreamView(next)
@@ -444,13 +463,13 @@ class GraftCatalog(val warehouse: String) {
     withCommitRetry {
     val (meta, observedVersion) = loadTableAt(ns, t)
     val op = if (addedFiles.nonEmpty) "merge" else "delete"
-    val snap = SnapshotMeta(meta.currentSnapshotId + 1, System.currentTimeMillis(),
+    val snap = SnapshotMeta(meta.nextSnapshotId, System.currentTimeMillis(),
       op, statFiles(expand(addedFiles)).toList,
       deleteFiles = Some(statFiles(expand(deleteFiles)).toList),
       equalityKeys = Some(keys.toList),
       schemaVersion = Some(meta.currentSchemaVersion.version))
     val next = meta.copy(currentSnapshotId = snap.id,
-      snapshots = meta.snapshots :+ snap)
+      snapshots = meta.snapshots :+ snap, lastSnapshotId = Some(snap.id))
     commit(next, expectedVersion = observedVersion)
     next
     }
@@ -601,6 +620,108 @@ class GraftCatalog(val warehouse: String) {
       next
     }
 
+  // -------------------------------------------- write-audit-publish (WAP)
+
+  /** Stage an append WITHOUT making it current — Iceberg's write-audit-
+    * publish stage-only commit (`spark.wap.id`): the snapshot joins the
+    * log (id allocated past every existing one) but `currentSnapshotId`
+    * does not move, so current reads never see it. AUDIT it via time
+    * travel to the returned id (`readTable(asOf)` / `VERSION AS OF`),
+    * then [[publishSnapshot]] or [[discardStaged]]. Metadata-only;
+    * audit-then-publish costs zero data movement. */
+  def stageAppend(ns: String, t: String, paths: Seq[Path]): Long = {
+    val expanded = paths.flatMap(p =>
+      if (Files.isDirectory(p)) findParquet(p) else Seq(p))
+    val stated = statFiles(expanded)
+    withCommitRetry {
+      val (meta, ver) = loadTableAt(ns, t)
+      val snap = SnapshotMeta(meta.nextSnapshotId, System.currentTimeMillis(),
+        "append", stated.toList,
+        schemaVersion = Some(meta.currentSchemaVersion.version),
+        staged = Some(true))
+      commit(meta.copy(snapshots = meta.snapshots :+ snap,
+        lastSnapshotId = Some(snap.id)), expectedVersion = ver)
+      snap.id
+    }
+  }
+
+  /** Publish a staged snapshot: it becomes part of the current state (the
+    * cherry-pick half of WAP). Commits that landed between staging and
+    * publishing are preserved — an append joins the live set regardless
+    * of interleaving, which is exactly why [[stageAppend]] only stages
+    * appends (an overwrite could not be replayed that simply). */
+  def publishSnapshot(ns: String, t: String, snapshotId: Long): TableMeta =
+    withCommitRetry {
+      val (meta, ver) = loadTableAt(ns, t)
+      val sn = meta.snapshots.find(_.id == snapshotId).getOrElse(
+        throw new IllegalArgumentException(s"$ns.$t has no snapshot $snapshotId"))
+      require(sn.isStaged, s"$ns.$t: snapshot $snapshotId is not staged")
+      val next = meta.copy(
+        currentSnapshotId = math.max(meta.currentSnapshotId, snapshotId),
+        snapshots = meta.snapshots.map(s =>
+          if (s.id == snapshotId) s.copy(staged = None) else s))
+      commit(next, expectedVersion = ver)
+      syncStreamView(next)
+      next
+    }
+
+  /** Drop a staged snapshot that failed its audit. Its files are left in
+    * place (the catalog never owned externally-registered data); files
+    * under the warehouse that no other snapshot references are deleted. */
+  def discardStaged(ns: String, t: String, snapshotId: Long): TableMeta =
+    withCommitRetry {
+      val (meta, ver) = loadTableAt(ns, t)
+      val sn = meta.snapshots.find(_.id == snapshotId).getOrElse(
+        throw new IllegalArgumentException(s"$ns.$t has no snapshot $snapshotId"))
+      require(sn.isStaged, s"$ns.$t: snapshot $snapshotId is not staged " +
+        "(published snapshots are dropped via expireSnapshots)")
+      val next = meta.copy(snapshots = meta.snapshots.filterNot(_.id == snapshotId))
+      commit(next, expectedVersion = ver)
+      val live = next.snapshots.flatMap(s => s.addedFiles ++ s.deletes)
+        .map(_.path).toSet
+      val whPrefix =
+        Paths.get(warehouse).toAbsolutePath.toString + java.io.File.separator
+      sn.addedFiles.map(_.path).filterNot(live).filter(_.startsWith(whPrefix))
+        .foreach(p => Files.deleteIfExists(Paths.get(p)))
+      next
+    }
+
+  /** Roll the table back to the state at `snapshotId` — the LINEARIZED
+    * form of Iceberg's `rollback_to_snapshot`: one new overwrite snapshot
+    * re-registering the target state's files (metadata-only, no data
+    * movement). History stays intact and strictly forward — the rolled-
+    * back-over snapshots remain time-travelable, and the snapshot log
+    * never forks (this engine's state model is deliberately linear; see
+    * [[TableMeta.stateAsOf]]). */
+  def rollbackTo(ns: String, t: String, snapshotId: Long): TableMeta =
+    withCommitRetry {
+      val (meta, ver) = loadTableAt(ns, t)
+      val target = meta.snapshots.find(_.id == snapshotId).getOrElse(
+        throw new IllegalArgumentException(s"$ns.$t has no snapshot $snapshotId"))
+      require(!target.isStaged,
+        s"$ns.$t: snapshot $snapshotId is staged; publish or discard it instead")
+      require(meta.deleteFilesAsOf(Some(snapshotId)).isEmpty,
+        s"$ns.$t: state at $snapshotId carries merge-on-read delete files; " +
+          "a metadata-only rollback would resurrect deleted rows — " +
+          "materialize that state first")
+      // the target state's files may span schema versions; the rollback
+      // snapshot can only record ONE writing version, so require one (the
+      // same constraint expiration checkpoints have)
+      val vers = meta.stateAsOf(Some(snapshotId))
+        .filter(_.addedFiles.nonEmpty).map(_.schemaVer).distinct
+      require(vers.size <= 1,
+        s"$ns.$t: state at $snapshotId spans schema versions " +
+          s"${vers.mkString(", ")}; materialize before rolling back")
+      val snap = SnapshotMeta(meta.nextSnapshotId, System.currentTimeMillis(),
+        "overwrite", meta.filesAsOf(Some(snapshotId)),
+        schemaVersion = vers.headOption
+          .orElse(Some(meta.currentSchemaVersion.version)))
+      val next = meta.copy(currentSnapshotId = snap.id,
+        snapshots = meta.snapshots :+ snap, lastSnapshotId = Some(snap.id))
+      commit(next, expectedVersion = ver)
+      next
+    }
+
   /** Resolve a version string — a numeric snapshot id or a tag name — to a
     * snapshot id. */
   def resolveRef(ns: String, t: String, ref: String): Long =
@@ -613,7 +734,9 @@ class GraftCatalog(val warehouse: String) {
     * committed at or before `tsMillis`. Errors when the instant precedes
     * the first commit (nothing existed yet), like Iceberg. */
   def snapshotAsOfTime(ns: String, t: String, tsMillis: Long): Long = {
-    val snaps = loadTable(ns, t).snapshots
+    // staged snapshots never answer wall-clock travel: they were not
+    // current at ANY instant until published
+    val snaps = loadTable(ns, t).snapshots.filterNot(_.isStaged)
     snaps.filter(_.timestampMs <= tsMillis).lastOption.map(_.id).getOrElse(
       throw new IllegalArgumentException(
         s"$ns.$t has no snapshot at or before timestamp $tsMillis " +
@@ -811,6 +934,12 @@ class GraftCatalog(val warehouse: String) {
     require(taggedExpired.isEmpty,
       s"$ns.$t: snapshots ${taggedExpired.map { case (tg, id) => s"$id (tag '$tg')" }
         .mkString(", ")} are tagged; drop the tags before expiring")
+    // a staged (never-published) snapshot in the expired prefix is an
+    // unfinished WAP cycle — finish it (publish/discard) first
+    val stagedExpired = expired.filter(_.isStaged).map(_.id)
+    require(stagedExpired.isEmpty,
+      s"$ns.$t: snapshots ${stagedExpired.mkString(", ")} are staged; " +
+        "publish or discard them before expiring")
     val boundary = expired.last
     val needCheckpoint = retained.head.operation != "overwrite"
     val checkpoint =

@@ -835,11 +835,12 @@ private[catalog] object GraftMetadataTable {
           StructField("operation", StringType, nullable = false),
           StructField("added_data_files", IntegerType, nullable = false),
           StructField("added_rows", LongType, nullable = false),
-          StructField("schema_version", IntegerType, nullable = false)))
+          StructField("schema_version", IntegerType, nullable = false),
+          StructField("is_staged", BooleanType, nullable = false)))
         val rs = meta.snapshots.map { sn =>
           new GenericInternalRow(Array[Any](sn.id, sn.timestampMs * 1000L,
             UTF8String.fromString(sn.operation), sn.addedFiles.size,
-            sn.addedFiles.map(_.rowCount).sum, sn.schemaVer))
+            sn.addedFiles.map(_.rowCount).sum, sn.schemaVer, sn.isStaged))
         }
         (s, rs)
       case "files" =>

@@ -646,6 +646,60 @@ object Meta {
     } finally unregisterCatalog(s, cname) // names salted: see helper note
   }
 
+  /** meta_wap: write-audit-publish + linearized rollback — the snapshot
+    * lifecycle verbs beyond append/overwrite. A staged append is invisible
+    * to current reads, auditable via time travel to its own id, survives
+    * interleaved commits, publishes atomically; a failed audit discards
+    * (warehouse-owned orphans deleted, id never recycled); rollback
+    * restores an earlier state as ONE new overwrite snapshot, history
+    * intact (Iceberg `spark.wap.id` staging + `rollback_to_snapshot`,
+    * linearized). Non-oracle: pure catalog semantics. */
+  private def metaWap: QFn = (s, d) => {
+    import s.implicits._
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "meta_wap")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    def land(df: DataFrame, dir: String): Path = {
+      val p = base.resolve(dir); df.coalesce(1).write.parquet(p.toString); p
+    }
+    val region = graft.Tables.region(s, d)
+    cat.createTable("nyc", "r", region.schema)
+    cat.registerFiles("nyc", "r", Seq(land(region, "b1")))          // snap 1
+    val baseN = cat.readTable(s, "nyc", "r").count()
+    // stage a doubled append; current reads must not move
+    val stagedId = cat.stageAppend("nyc", "r", Seq(land(region, "b2")))
+    val hiddenWhileStaged = cat.readTable(s, "nyc", "r").count() == baseN
+    val auditSeesIt =
+      cat.readTable(s, "nyc", "r", asOf = Some(stagedId)).count() == 2 * baseN
+    // interleaved commit between stage and publish survives
+    cat.registerFiles("nyc", "r", Seq(land(region, "b3")))          // snap 3
+    cat.publishSnapshot("nyc", "r", stagedId)
+    val publishedAll = cat.readTable(s, "nyc", "r").count() == 3 * baseN
+    // failed audit: stage then discard; the id is never recycled
+    val badId = cat.stageAppend("nyc", "r", Seq(land(region, "b4")))
+    cat.discardStaged("nyc", "r", badId)
+    val discarded = cat.readTable(s, "nyc", "r").count() == 3 * baseN
+    cat.registerFiles("nyc", "r", Seq(land(region, "b5")))
+    val idNotRecycled = cat.loadTable("nyc", "r").currentSnapshotId > badId
+    // rollback to the pre-publish state; rolled-over state stays travelable
+    val rolled = cat.rollbackTo("nyc", "r", 1L)
+    val rollbackRestores = cat.readTable(s, "nyc", "r").count() == baseN
+    // asOf 3 sees b1 + the published staged append + b3 (publication made
+    // snapshot 2 part of history for every read at or past its id)
+    val historyIntact =
+      cat.readTable(s, "nyc", "r", asOf = Some(3L)).count() == 3 * baseN &&
+        rolled.snapshots.last.operation == "overwrite"
+    Seq(
+      ("staged_invisible_to_current", baseN, hiddenWhileStaged),
+      ("audit_view_by_snapshot_id", 2 * baseN, auditSeesIt),
+      ("publish_keeps_interleaved_commits", 3 * baseN, publishedAll),
+      ("discard_drops_staged", 3 * baseN, discarded),
+      ("discarded_id_never_recycled", badId, idNotRecycled),
+      ("rollback_restores_state", baseN, rollbackRestores),
+      ("rolled_over_history_travelable", 3 * baseN, historyIntact))
+      .toDF("phase", "n", "invariant_ok")
+  }
+
   /** q_sql_entry: SQL text through the Thrift-equivalent entry, over temp
     * views of the testdata (oracle: identical SQL in DuckDB). */
   private def qSqlEntry: QFn = (s, d) => {
@@ -846,6 +900,7 @@ object Meta {
     "meta_expire"      -> metaExpire,
     "meta_schema_evolution" -> metaSchemaEvolution,
     "meta_partitioned" -> metaPartitioned,
+    "meta_wap"         -> metaWap,
     "meta_default_catalog" -> metaDefaultCatalog,
     "meta_show_create" -> metaShowCreate,
     "q_sql_entry"      -> qSqlEntry,

@@ -97,7 +97,8 @@ class GraftSparkCatalogSpec extends SparkSpec {
     cat.registerFiles("nyc", "t", cat.files("nyc", "t").map(f => Paths.get(f.path)))
     val snaps = spark.sql(s"SELECT * FROM $c.nyc.t.snapshots ORDER BY snapshot_id")
     assert(snaps.schema.fieldNames.toSeq === Seq("snapshot_id", "committed_at",
-      "operation", "added_data_files", "added_rows", "schema_version"))
+      "operation", "added_data_files", "added_rows", "schema_version",
+      "is_staged"))
     assert(snaps.select("operation").as[String].collect().toSeq ===
       Seq("append", "append"))
     val files = spark.sql(s"SELECT * FROM $c.nyc.t.files")
