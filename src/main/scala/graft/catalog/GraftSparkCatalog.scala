@@ -360,7 +360,12 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
     * atomic, time-travel preserving, identical in shape to
     * [[graft.etl.Merge.mergeInto]]. At 100 TB the rewrite cost is
     * O(table) by design (copy-on-write); the O(changed-rows) trade is the
-    * merge-on-read path ([[GraftCatalog.commitMergeOnRead]]). */
+    * merge-on-read path ([[GraftCatalog.commitMergeOnRead]]).
+    *
+    * On a PARTITIONED table this rewrite stages flat files (the delegated
+    * executor-side writers cannot re-derive tuples), so partition pruning
+    * degrades to footer-stats pruning until the next partitioned write or
+    * `Maintenance.optimize` (which re-clusters and re-records tuples). */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     if (morDml) newMorOperationBuilder(info) else newCowOperationBuilder(info)

@@ -53,6 +53,13 @@ object Maintenance {
         indexed.repartitionByRange(nFiles, col("__z"))
           .sortWithinPartitions("__z").drop("__z")
     }
+    // a partitioned table keeps its layout: the rewrite goes back through
+    // the partition-clustered write so every new file carries its tuple
+    // (otherwise materialization would silently degrade partition pruning
+    // to stats-only until the next partitioned append)
+    if (meta.spec.nonEmpty && clusterBy.isEmpty)
+      return cat.writePartitioned(spark, ns, table, clustered,
+        operation = "overwrite")
     val outDir = Paths.get(cat.warehouse, ns, table, "data",
       s"optimize-${System.currentTimeMillis()}")
     clustered.write.parquet(outDir.toString)

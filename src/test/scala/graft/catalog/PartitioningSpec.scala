@@ -229,6 +229,25 @@ class PartitioningSpec extends SparkSpec {
     }
   }
 
+  test("optimize preserves partition tuples on a partitioned table") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "partopt")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    val df = Seq("2024-01-01", "2024-02-01").zipWithIndex.flatMap { case (d, i) =>
+      (0 until 10).map(j => (ts(s"$d 01:00:00"), (i * 10 + j).toLong))
+    }.toDF("ts", "id")
+    cat.createTable("nyc", "opt", df.schema, Seq(("month", "ts")))
+    cat.writePartitioned(spark, "nyc", "opt", df)
+    cat.writePartitioned(spark, "nyc", "opt", df) // second snapshot: 2 files/month
+    graft.etl.Maintenance.optimize(spark, cat, "nyc", "opt")
+    val after = cat.loadTable("nyc", "opt").filesAsOf(None)
+    assert(after.forall(_.partition.exists(_.contains("ts_month"))),
+      "materialization must re-record partition tuples")
+    assert(cat.prunedFiles("nyc", "opt",
+      Seq(sources.EqualTo("ts", ts("2024-02-01 01:00:00"))))
+      .forall(_.partition.get("ts_month") == "2024-02"))
+    assert(cat.readTable(spark, "nyc", "opt").count() === 40)
+  }
+
   test("stats pruning: footer bounds veto files independently of the spec") {
     val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "statpr")
     val cat = new GraftCatalog(base.resolve("wh").toString)
