@@ -36,7 +36,15 @@ case class StrRange(min: String, max: String)
 case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long,
                         colRanges: Option[Map[String, ColRange]] = None,
                         strRanges: Option[Map[String, StrRange]] = None,
-                        partition: Option[Map[String, String]] = None)
+                        partition: Option[Map[String, String]] = None,
+                        specId: Option[Int] = None)
+
+/** One immutable partition spec version (Iceberg "partition spec
+  * evolution"): a table's spec can be replaced without touching any file —
+  * each data file records the spec id it was WRITTEN under, and scan
+  * planning prunes every file with its own spec. Absent id on a file with
+  * a partition tuple means the first spec (pre-evolution metadata). */
+case class PartitionSpecMeta(specId: Int, fields: List[PartitionField])
 
 /** One column of one schema version: Iceberg-style stable field id (never
   * reused, survives renames), display name, Spark DDL type, nullability.
@@ -65,21 +73,31 @@ case class SchemaVersion(version: Int, fields: List[FieldMeta]) {
   * snapshot — while appends accumulate, as a pure-append table's cumulative
   * manifests do).
   *
-  * Merge-on-read extension (Iceberg v2 equality deletes): a snapshot may
-  * also carry `deleteFiles` — parquet files holding the `equalityKeys`
-  * column values of rows deleted WITHOUT rewriting any data file. A delete
-  * file applies only to data files committed in EARLIER snapshots (Iceberg's
-  * sequence-number rule), so a single "merge" snapshot that carries both
-  * delete files and added files upserts atomically: deletes hit the old
-  * state, the added file contributes the new rows untouched.
+  * Merge-on-read extension (Iceberg v2 deletes, both shapes): a snapshot
+  * may also carry `deleteFiles` — parquet files describing rows deleted
+  * WITHOUT rewriting any data file. `deleteKind` selects the shape:
+  *
+  *  - absent / "equality": rows hold the `equalityKeys` column VALUES of
+  *    deleted rows; they apply to data files committed in EARLIER snapshots
+  *    (Iceberg's sequence-number rule), so a single "merge" snapshot that
+  *    carries both delete files and added files upserts atomically.
+  *  - "position": rows hold `(file_path STRING, pos BIGINT)` — the exact
+  *    file and 0-based row ordinal of each deleted row, the Iceberg v2
+  *    position-delete file layout. Cheapest possible delete encoding when
+  *    the writer knows which physical rows die (no key columns copied),
+  *    and the read side is an anti-join on (file, pos) instead of on data
+  *    values — collision-proof even when rows are bit-identical.
   */
 case class SnapshotMeta(id: Long, timestampMs: Long, operation: String,
                         addedFiles: List[DataFileMeta],
                         deleteFiles: Option[List[DataFileMeta]] = None,
                         equalityKeys: Option[List[String]] = None,
                         schemaVersion: Option[Int] = None,
-                        staged: Option[Boolean] = None) {
+                        staged: Option[Boolean] = None,
+                        deleteKind: Option[String] = None) {
   def deletes: List[DataFileMeta] = deleteFiles.getOrElse(Nil)
+  /** Position-delete snapshot? (absent = equality, the original shape) */
+  def isPositionDelete: Boolean = deleteKind.contains("position")
   /** Schema version this snapshot's files were written under; metadata
     * from before schema evolution existed is implicitly version 1. */
   def schemaVer: Int = schemaVersion.getOrElse(1)
@@ -98,15 +116,32 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
                      schemaVersions: Option[List[SchemaVersion]] = None,
                      tags: Option[Map[String, Long]] = None,
                      partitionSpec: Option[List[PartitionField]] = None,
-                     lastSnapshotId: Option[Long] = None) {
+                     lastSnapshotId: Option[Long] = None,
+                     partitionSpecs: Option[List[PartitionSpecMeta]] = None) {
 
   /** Named immutable snapshot refs (Iceberg tags). */
   def tagMap: Map[String, Long] = tags.getOrElse(Map.empty)
 
-  /** Partition spec; empty = unpartitioned (the reference's importer only
-    * creates unpartitioned tables — the spec is the Iceberg-parity
-    * extension beyond it). */
-  def spec: List[PartitionField] = partitionSpec.getOrElse(Nil)
+  /** Full partition-spec history, oldest first. Legacy metadata (single
+    * `partitionSpec`, written before spec evolution existed) folds into a
+    * one-entry history as spec 1. */
+  def specs: List[PartitionSpecMeta] = partitionSpecs.getOrElse(
+    partitionSpec.map(fs => List(PartitionSpecMeta(1, fs))).getOrElse(Nil))
+
+  /** CURRENT partition spec (what new writes cluster by); empty =
+    * unpartitioned (the reference's importer only creates unpartitioned
+    * tables — the spec is the Iceberg-parity extension beyond it). */
+  def spec: List[PartitionField] = specs.lastOption.map(_.fields).getOrElse(Nil)
+
+  /** The spec `f` was WRITTEN under — what scan planning must project
+    * predicates through for THIS file. Unknown spec ids (never committed
+    * here) resolve to no spec: the file is kept, pruning stays
+    * conservative. Files without a recorded id predate evolution and
+    * belong to the first spec. */
+  def specForFile(f: DataFileMeta): List[PartitionField] = f.specId match {
+    case Some(id) => specs.find(_.specId == id).map(_.fields).getOrElse(Nil)
+    case None     => specs.headOption.map(_.fields).getOrElse(Nil)
+  }
   def schema: StructType = StructType.fromDDL(schemaDdl)
 
   /** All schema versions, oldest first. A table that never evolved gets a
@@ -194,6 +229,16 @@ case class ImportSummary(namespace: String, table: String, files: Long, rows: Lo
 case class ExpireResult(expiredSnapshots: Int, deletedFiles: Int,
                         remainingSnapshots: Int)
 
+object GraftCatalog {
+  /** Column names a position-aware read ([[GraftCatalog.readTableWithPositions]])
+    * exposes: the physical file path and 0-based row ordinal, sourced from
+    * Spark's parquet `_metadata` struct. Underscored to stay out of the way
+    * of user schemas (the catalog rejects leading-underscore columns
+    * nowhere, but TPC-H-style schemas never use them). */
+  val PosFileCol = "__graft_file"
+  val PosIdxCol = "__graft_pos"
+}
+
 /** Native table-metadata layer (SURVEY.md §7.2) re-implementing, without
   * any Iceberg dependency, the slice of Iceberg the reference uses
   * (HadoopCatalog + unpartitioned create + metadata-only append + load +
@@ -276,10 +321,42 @@ class GraftCatalog(val warehouse: String) {
       s"$ns.$t: duplicate partition field names in spec")
     val meta = TableMeta(ns, t, schema.toDDL, currentSnapshotId = 0L,
       snapshots = Nil,
-      partitionSpec = if (pf.isEmpty) None else Some(pf))
+      partitionSpecs = if (pf.isEmpty) None
+                       else Some(List(PartitionSpecMeta(1, pf))))
     commit(meta, expectedVersion = 0)
     meta
   }
+
+  /** Replace the table's partition spec — Iceberg partition spec evolution
+    * (`UpdatePartitionSpec`): a metadata-only commit appending a NEW spec
+    * version; no file is touched. Files written earlier keep their old
+    * spec id and their old directory layout, and scans keep pruning them
+    * through the spec they were written under, while new writes cluster by
+    * (and prune through) the new spec. `spec` may be empty — evolving back
+    * to unpartitioned. Source columns resolve against the CURRENT schema
+    * to stable field ids, same as [[createTable]]. */
+  def evolvePartitionSpec(ns: String, t: String,
+                          spec: Seq[(String, String)]): TableMeta =
+    withCommitRetry {
+      val (meta, observedVersion) = loadTableAt(ns, t)
+      val fields = meta.currentSchemaVersion.fields
+      val pf = spec.map { case (transform, srcName) =>
+        val src = fields.find(_.name.equalsIgnoreCase(srcName)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$ns.$t: partition source column $srcName not in schema"))
+        Partitioning.valueColumn(transform, src.name, src.dataType)
+        PartitionField(src.id, transform,
+          Partitioning.defaultName(transform, src.name))
+      }.toList
+      require(pf.map(_.name).distinct.size == pf.size,
+        s"$ns.$t: duplicate partition field names in spec")
+      val nextId = (0 :: meta.specs.map(_.specId)).max + 1
+      val next = meta.copy(
+        partitionSpecs = Some(meta.specs :+ PartitionSpecMeta(nextId, pf)),
+        partitionSpec = None)
+      commit(next, expectedVersion = observedVersion)
+      next
+    }
 
   def loadTable(ns: String, t: String): TableMeta = loadTableAt(ns, t)._1
 
@@ -387,7 +464,9 @@ class GraftCatalog(val warehouse: String) {
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .unescapePathName(seg.substring(i + 1))
         }.toMap
-      fm.copy(partition = Some(tuple))
+      // record the spec the tuples were computed under — after a later
+      // spec evolution, scans still prune THIS file through THIS spec
+      fm.copy(partition = Some(tuple), specId = Some(meta.specs.last.specId))
     }
     commitSnapshot(ns, t, operation, withTuples)
   }
@@ -402,7 +481,7 @@ class GraftCatalog(val warehouse: String) {
     val meta = loadTable(ns, t)
     val fields = meta.currentSchemaVersion.fields
     meta.filesAsOf(asOf).filter(f => filters.forall(fl =>
-      Partitioning.keepByPartition(meta.spec, fields, f, fl) &&
+      Partitioning.keepByPartition(meta.specForFile(f), fields, f, fl) &&
         Partitioning.keepByStats(f, meta.schema, fl)))
   }
 
@@ -475,6 +554,35 @@ class GraftCatalog(val warehouse: String) {
     }
   }
 
+  /** Position-delete commit (Iceberg v2's second delete shape): ONE atomic
+    * snapshot whose delete files hold `(file_path STRING, pos BIGINT)` rows
+    * — the exact physical rows removed, typically produced by filtering
+    * [[readTableWithPositions]]. Cheapest delete encoding (two slim columns
+    * regardless of table width, no key values copied) and immune to value
+    * collisions: bit-identical rows in different files die independently.
+    * Like equality deletes, no data file is rewritten — cost is O(deleted
+    * rows); read-side debt is an anti-join until materialization. */
+  def commitPositionDeletes(ns: String, t: String, deleteFiles: Seq[Path],
+                            addedFiles: Seq[Path] = Nil): TableMeta = {
+    require(deleteFiles.nonEmpty,
+      "position-delete commit needs at least one delete file")
+    val expand = (ps: Seq[Path]) => ps.flatMap(p =>
+      if (Files.isDirectory(p)) findParquet(p) else Seq(p))
+    withCommitRetry {
+      val (meta, observedVersion) = loadTableAt(ns, t)
+      val op = if (addedFiles.nonEmpty) "merge" else "delete"
+      val snap = SnapshotMeta(meta.nextSnapshotId, System.currentTimeMillis(),
+        op, statFiles(expand(addedFiles)).toList,
+        deleteFiles = Some(statFiles(expand(deleteFiles)).toList),
+        schemaVersion = Some(meta.currentSchemaVersion.version),
+        deleteKind = Some("position"))
+      val next = meta.copy(currentSnapshotId = snap.id,
+        snapshots = meta.snapshots :+ snap, lastSnapshotId = Some(snap.id))
+      commit(next, expectedVersion = observedVersion)
+      next
+    }
+  }
+
   // ------------------------------------------------------ schema evolution
 
   /** Commit a new schema version derived from the current one — the
@@ -537,7 +645,10 @@ class GraftCatalog(val warehouse: String) {
       require(cur.fields.exists(_.name.equalsIgnoreCase(name)),
         s"$ns.$t: no column $name")
       val doomed = cur.fields.filter(_.name.equalsIgnoreCase(name))
-      require(!meta.spec.exists(pf => doomed.exists(_.id == pf.sourceId)),
+      // ANY spec version counts: files written under an old spec still
+      // prune through it, which resolves this column by field id
+      require(!meta.specs.flatMap(_.fields)
+          .exists(pf => doomed.exists(_.id == pf.sourceId)),
         s"$ns.$t: column $name is a partition source; drop is not allowed " +
           "(Iceberg refuses this too — the spec would dangle)")
       cur.fields.filterNot(_.name.equalsIgnoreCase(name))
@@ -555,6 +666,19 @@ class GraftCatalog(val warehouse: String) {
       val to = org.apache.spark.sql.types.DataType.fromDDL(newTypeDdl)
       require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f.dataType, to),
         s"$ns.$t: ${f.typeDdl} -> ${to.sql} is not a lossless widening")
+      // bucket transforms hash the PHYSICAL type (Murmur3 of an INT differs
+      // from Murmur3 of the same value as LONG), so widening a bucket
+      // source would silently divert predicate projection away from the
+      // files' recorded buckets — pruning would drop live rows. The other
+      // transforms are canonical-stable across widenings (year/truncate
+      // cast through LONG, identity through string form). Iceberg keeps
+      // bucket stable by hashing ints AS longs; this engine hashes with
+      // Spark's own functions.hash for write/prune symmetry, so it must
+      // refuse instead.
+      require(!meta.specs.flatMap(_.fields).exists(pf =>
+          pf.sourceId == f.id && pf.transform.startsWith("bucket[")),
+        s"$ns.$t: column $name is a bucket-partition source; widening would " +
+          "change the bucket hash and corrupt partition pruning")
       cur.fields.map(x => if (x.id == f.id) x.copy(typeDdl = to.sql) else x)
     }
 
@@ -562,9 +686,11 @@ class GraftCatalog(val warehouse: String) {
     * current schema `to`: resolve by FIELD ID (rename-safe), null-fill
     * fields added since `from`, silently drop removed fields, up-cast
     * widened types. A pure projection — stays inside whole-stage codegen,
-    * costs nothing at scan time. */
+    * costs nothing at scan time. `extra` columns (the row-position columns
+    * of a position-delete read) ride through untouched. */
   private def projectToCurrent(df: DataFrame, from: SchemaVersion,
-                               to: SchemaVersion): DataFrame = {
+                               to: SchemaVersion,
+                               extra: Seq[String] = Nil): DataFrame = {
     if (from.version == to.version) df
     else {
       import org.apache.spark.sql.functions.{col, lit}
@@ -574,22 +700,34 @@ class GraftCatalog(val warehouse: String) {
           case Some(old) => col(old.name).cast(f.dataType).as(f.name)
           case None      => lit(null).cast(f.dataType).as(f.name)
         }
-      }: _*)
+      } ++ extra.map(col): _*)
     }
   }
 
   /** Scan `files` as written (schema version `ver`) and project to the
-    * current schema. */
+    * current schema. With `keepPos`, each row additionally carries the
+    * physical file path and 0-based row ordinal it came from
+    * ([[GraftCatalog.PosFileCol]]/[[GraftCatalog.PosIdxCol]]), taken from
+    * Spark's parquet `_metadata` struct — computed by the reader itself
+    * (constant per file / generated row index), so the scan stays a plain
+    * vectorized scan with zero extra I/O. */
   private def scanAt(spark: SparkSession, meta: TableMeta, ver: Int,
-                     files: Seq[String]): DataFrame =
-    projectToCurrent(
-      // the catalog records LEAF files, for which Spark skips Hive-style
-      // partition-column inference — so the `<field>=<value>` directories a
-      // partitioned write produces stay what they are (derived values,
-      // hidden partitioning), never become columns, and duplicate
-      // registrations of one path still count twice
-      spark.read.schema(meta.versionOf(ver).struct).parquet(files: _*),
-      meta.versionOf(ver), meta.currentSchemaVersion)
+                     files: Seq[String], keepPos: Boolean = false): DataFrame = {
+    // the catalog records LEAF files, for which Spark skips Hive-style
+    // partition-column inference — so the `<field>=<value>` directories a
+    // partitioned write produces stay what they are (derived values,
+    // hidden partitioning), never become columns, and duplicate
+    // registrations of one path still count twice
+    val raw = spark.read.schema(meta.versionOf(ver).struct).parquet(files: _*)
+    import org.apache.spark.sql.functions.col
+    val withPos =
+      if (!keepPos) raw
+      else raw.select(col("*"),
+        col("_metadata.file_path").as(GraftCatalog.PosFileCol),
+        col("_metadata.row_index").as(GraftCatalog.PosIdxCol))
+    projectToCurrent(withPos, meta.versionOf(ver), meta.currentSchemaVersion,
+      extra = if (keepPos) Seq(GraftCatalog.PosFileCol, GraftCatalog.PosIdxCol) else Nil)
+  }
 
   def snapshots(ns: String, t: String): Seq[SnapshotMeta] = loadTable(ns, t).snapshots
 
@@ -752,12 +890,38 @@ class GraftCatalog(val warehouse: String) {
     * `/root/reference/conf/spark-defaults.conf:1-5`). File pruning happens
     * here, before Spark ever plans the scan. */
   def readTable(spark: SparkSession, ns: String, t: String,
-                asOf: Option[Long] = None): DataFrame = {
+                asOf: Option[Long] = None): DataFrame =
+    readInternal(spark, ns, t, asOf, withPos = false)
+
+  /** Read the current table state with two extra columns — the physical
+    * file path and 0-based row ordinal every row came from
+    * ([[GraftCatalog.PosFileCol]] / [[GraftCatalog.PosIdxCol]], sourced
+    * from Spark's parquet `_metadata` struct at zero extra I/O). This is
+    * the scan a POSITION-DELETE writer runs: filter it, keep the two
+    * columns, and the result IS the delete file content. Existing delete
+    * debt (either kind) is applied first, so positions of already-deleted
+    * rows are never re-emitted. */
+  def readTableWithPositions(spark: SparkSession, ns: String, t: String): DataFrame =
+    readInternal(spark, ns, t, None, withPos = true)
+
+  private def readInternal(spark: SparkSession, ns: String, t: String,
+                           asOf: Option[Long], withPos: Boolean): DataFrame = {
     val meta = loadTable(ns, t)
     val snaps = meta.stateAsOf(asOf)
+    // a position-delete snapshot anywhere in the state means every scanned
+    // row must carry its (file, pos) tuple for the anti-join to bind to
+    val needPos = withPos ||
+      snaps.exists(sn => sn.isPositionDelete && sn.deletes.nonEmpty)
+    val schema0 =
+      if (!needPos) meta.schema
+      else StructType(meta.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(GraftCatalog.PosFileCol,
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField(GraftCatalog.PosIdxCol,
+          org.apache.spark.sql.types.LongType, nullable = true)))
     val empty = () => spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    if (!snaps.exists(_.deletes.nonEmpty)) {
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
+    val merged = if (!snaps.exists(_.deletes.nonEmpty)) {
       // fast path (no merge-on-read debt): one multi-file scan per schema
       // version the live files were written under (almost always exactly
       // one), each projected to the current schema by field id
@@ -765,19 +929,28 @@ class GraftCatalog(val warehouse: String) {
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (v, fs) => v -> fs.map(_._2) }
       if (groups.isEmpty) empty()
-      else groups.map { case (v, fs) => scanAt(spark, meta, v, fs) }
+      else groups.map { case (v, fs) => scanAt(spark, meta, v, fs, keepPos = needPos) }
         .reduce(_ unionByName _)
     } else {
       // Merge-on-read: fold the snapshot log. Within one snapshot the
-      // equality deletes apply to the ACCUMULATED earlier state first, then
-      // that snapshot's own added files union in — Iceberg's sequence-number
+      // deletes apply to the ACCUMULATED earlier state first, then that
+      // snapshot's own added files union in — Iceberg's sequence-number
       // rule, which is what makes a one-snapshot upsert atomic. Each delete
       // file is tiny relative to the table, so every anti-join broadcasts;
       // debt is cleared by materialization (overwrite), not by scale-up.
       snaps.foldLeft(empty()) { (acc, sn) =>
         val afterDeletes =
           if (sn.deletes.isEmpty) acc
-          else {
+          else if (sn.isPositionDelete) {
+            // position deletes pin exact (file_path, pos) tuples — applied
+            // to the accumulated earlier state, so a row in a LATER file
+            // can never be hit even if a path were recycled
+            import org.apache.spark.sql.functions.broadcast
+            val del = spark.read.parquet(sn.deletes.map(_.path): _*)
+            acc.join(broadcast(del),
+              acc(GraftCatalog.PosFileCol) === del("file_path") &&
+                acc(GraftCatalog.PosIdxCol) === del("pos"), "left_anti")
+          } else {
             import org.apache.spark.sql.functions.{broadcast, col}
             val keys = sn.equalityKeys.getOrElse(Nil)
             // Equality keys were recorded under THIS snapshot's schema
@@ -810,9 +983,13 @@ class GraftCatalog(val warehouse: String) {
           }
         if (sn.addedFiles.isEmpty) afterDeletes
         else afterDeletes.unionByName(
-          scanAt(spark, meta, sn.schemaVer, sn.addedFiles.map(_.path)))
+          scanAt(spark, meta, sn.schemaVer, sn.addedFiles.map(_.path),
+            keepPos = needPos))
       }
     }
+    if (needPos && !withPos)
+      merged.drop(GraftCatalog.PosFileCol, GraftCatalog.PosIdxCol)
+    else merged
   }
 
   // ------------------------------------------------------- streaming read

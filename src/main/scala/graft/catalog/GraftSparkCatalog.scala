@@ -160,7 +160,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       }
     new GraftSqlTable(cat, catName, ns, ident.name, served,
       meta.filesAsOf(asOf), morDml, identityCols,
-      meta.spec, meta.currentSchemaVersion.fields, refuseScan)
+      meta.spec, meta.currentSchemaVersion.fields, refuseScan,
+      specForFile = meta.specForFile)
   }
 
   /** CREATE TABLE, optionally `PARTITIONED BY` Iceberg-style hidden
@@ -241,7 +242,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val meta = cat.loadTable(ns2, ident.name)
     new GraftSqlTable(cat, catName, ns2, ident.name, meta.schema,
       meta.filesAsOf(None), morDml, identityCols,
-      meta.spec, meta.currentSchemaVersion.fields)
+      meta.spec, meta.currentSchemaVersion.fields,
+      specForFile = meta.specForFile)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -299,7 +301,10 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
                                      identityCols: Seq[String] = Nil,
                                      spec: Seq[PartitionField] = Nil,
                                      specFields: Seq[FieldMeta] = Nil,
-                                     refuseScan: Option[String] = None)
+                                     refuseScan: Option[String] = None,
+                                     // spec the file was WRITTEN under (spec
+                                     // evolution: prune per-file, not per-table)
+                                     specForFile: DataFileMeta => Seq[PartitionField] = _ => Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with TruncatableTable {
 
@@ -427,10 +432,13 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
     * bounds — Iceberg's manifest-based scan planning, metadata-only. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     requireServable()
-    if (spec.isEmpty && files.forall(f =>
-        f.colRanges.isEmpty && f.strRanges.isEmpty))
+    // raw scan only when NOTHING is prunable: no stats and no partition
+    // tuples anywhere (after evolving to unpartitioned, old files' tuples
+    // still prune under the spec they were written with)
+    if (files.forall(f => f.colRanges.isEmpty && f.strRanges.isEmpty &&
+        f.partition.isEmpty))
       rawScanBuilder(options)
-    else new GraftPruningScanBuilder(name(), tableSchema, files, spec,
+    else new GraftPruningScanBuilder(name(), tableSchema, files, specForFile,
       specFields, options)
   }
 
@@ -633,7 +641,7 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
   * the PushedFilters transparency). */
 private[catalog] class GraftPruningScanBuilder(
     tableName: String, tableSchema: StructType, files: Seq[DataFileMeta],
-    spec: Seq[PartitionField], specFields: Seq[FieldMeta],
+    specForFile: DataFileMeta => Seq[PartitionField], specFields: Seq[FieldMeta],
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -657,7 +665,7 @@ private[catalog] class GraftPruningScanBuilder(
     if (inner == null) {
       val translated = filters.flatMap(Partitioning.translateForPruning)
       val kept = files.filter(f => translated.forall(fl =>
-        Partitioning.keepByPartition(spec, specFields, f, fl) &&
+        Partitioning.keepByPartition(specForFile(f), specFields, f, fl) &&
           Partitioning.keepByStats(f, tableSchema, fl)))
       GraftPruningScanBuilder.lastPrune = Some((files.size, kept.size))
       inner = GraftPruningScanBuilder.parquetBuilder(
@@ -823,7 +831,8 @@ private[catalog] class MorDeltaWriter(
   * no job, no tasks, metadata-only — the same cost model as Iceberg's
   * metadata tables, which read manifests, not data. */
 private[catalog] object GraftMetadataTable {
-  val kinds: Set[String] = Set("snapshots", "files", "history")
+  val kinds: Set[String] = Set("snapshots", "files", "history", "partitions",
+    "refs")
 
   def apply(cat: GraftCatalog, catName: String, ns: String, t: String,
             kind: String): Table = {
@@ -872,6 +881,44 @@ private[catalog] object GraftMetadataTable {
           new GenericInternalRow(Array[Any](sn.timestampMs * 1000L, sn.id,
             live.contains(sn.id)))
         }
+        (s, rs)
+      case "partitions" =>
+        // Iceberg `partitions` table: per-partition-tuple rollup straight
+        // from file metadata (spec_id included — after spec evolution one
+        // table legitimately holds tuples of several shapes). Files with
+        // no tuple aggregate under the null partition, like Iceberg's
+        // unpartitioned row.
+        val s = StructType(Seq(
+          StructField("partition", StringType, nullable = true),
+          StructField("spec_id", IntegerType, nullable = false),
+          StructField("file_count", LongType, nullable = false),
+          StructField("record_count", LongType, nullable = false),
+          StructField("total_size_bytes", LongType, nullable = false)))
+        val rs = meta.filesAsOf(None)
+          .groupBy(f => (f.partition.map(_.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("/")),
+            f.specId.getOrElse(if (f.partition.isDefined) 1 else 0)))
+          .toSeq.sortBy(_._1._1.getOrElse(""))
+          .map { case ((tuple, specId), fs) =>
+            new GenericInternalRow(Array[Any](
+              tuple.map(UTF8String.fromString).orNull, specId,
+              fs.size.toLong, fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum))
+          }
+        (s, rs)
+      case "refs" =>
+        // Iceberg `refs` table; this catalog has tags (immutable refs) —
+        // the current head rides along the way Iceberg lists `main`.
+        val s = StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false)))
+        val rs = (meta.tagMap.toSeq.sortBy(_._1).map { case (tag, id) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(tag),
+            UTF8String.fromString("TAG"), id))
+        }) ++ (if (meta.currentSnapshotId > 0)
+          Seq(new GenericInternalRow(Array[Any](UTF8String.fromString("main"),
+            UTF8String.fromString("BRANCH"), meta.currentSnapshotId)))
+        else Nil)
         (s, rs)
     }
     val localRows: Array[InternalRow] = tblRows.toArray

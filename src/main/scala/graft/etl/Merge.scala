@@ -94,6 +94,26 @@ object Merge {
     cat.commitMergeOnRead(ns, table, keys, Seq(delDir), Seq(dataDir))
   }
 
+  /** Merge-on-read DELETE WHERE, POSITION-delete shape (Iceberg v2's other
+    * delete encoding): scan with row positions, filter, and write only the
+    * `(file_path, pos)` tuples of the doomed rows. Compared to
+    * [[deleteWhereMor]] this copies NO key values (two slim columns however
+    * wide the table is) and needs no identity columns at all — the physical
+    * position is the identity. Stacked position deletes compose: the scan
+    * applies existing debt first, so already-deleted positions are never
+    * re-emitted, and the surviving rows keep their ORIGINAL file positions
+    * through the anti-join. An overwrite (compaction/materialize) replaces
+    * the file set, after which prior delete files simply stop participating
+    * in the state fold — positions can never dangle. */
+  def deleteWherePos(spark: SparkSession, cat: GraftCatalog, ns: String,
+                     table: String, cond: org.apache.spark.sql.Column): TableMeta = {
+    import graft.catalog.GraftCatalog.{PosFileCol, PosIdxCol}
+    val doomed = cat.readTableWithPositions(spark, ns, table).filter(cond)
+      .select(col(PosFileCol).as("file_path"), col(PosIdxCol).as("pos"))
+    val delDir = writeAux(cat, ns, table, "posdelete", doomed)
+    cat.commitPositionDeletes(ns, table, Seq(delDir))
+  }
+
   /** Pay down merge-on-read debt: materialize the current state into fresh
     * parquet and commit one overwrite snapshot. Subsequent reads take the
     * single-scan fast path again; earlier snapshots stay time-travelable. */

@@ -646,6 +646,90 @@ object Meta {
     } finally unregisterCatalog(s, cname) // names salted: see helper note
   }
 
+  /** meta_spec_evolution: Iceberg PARTITION SPEC EVOLUTION — the table's
+    * partition layout changes (year → month granularity, then to
+    * unpartitioned) WITHOUT touching any file: each data file records the
+    * spec id it was written under, old files keep pruning through their
+    * old spec, new files through the new one, and one source-column
+    * predicate prunes across BOTH eras at once. Non-oracle: the invariant
+    * columns are the point; correctness of the mixed-spec read is checked
+    * against the raw frame in-query. */
+  private def metaSpecEvolution: QFn = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.sources
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "meta_specevo")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_quantity")
+    // l_shipdate is a TIMESTAMP spanning 1995..2001 (TESTDATA.md)
+    def t(v: String) = java.sql.Timestamp.valueOf(v + " 00:00:00")
+    val cut = t("1998-01-01")
+    val eraA = li.filter(col("l_shipdate") < lit(cut))
+    val eraB = li.filter(col("l_shipdate") >= lit(cut))
+    // era A lands under spec 1: year(l_shipdate)
+    cat.createTable("nyc", "li_evo", li.schema, Seq(("year", "l_shipdate")))
+    cat.writePartitioned(s, "nyc", "li_evo", eraA)
+    val filesA = cat.files("nyc", "li_evo").size
+    // evolve to spec 2: month(l_shipdate) — finer grain; no file rewritten
+    cat.evolvePartitionSpec("nyc", "li_evo", Seq(("month", "l_shipdate")))
+    cat.writePartitioned(s, "nyc", "li_evo", eraB)
+    val meta = cat.loadTable("nyc", "li_evo")
+    val specsOk = meta.specs.map(_.specId) == List(1, 2) &&
+      meta.specs.head.fields.head.transform == "year" &&
+      meta.spec.head.transform == "month"
+    val allFiles = meta.filesAsOf(None)
+    val tagged = allFiles.take(filesA).forall(_.specId.contains(1)) &&
+      allFiles.drop(filesA).forall(_.specId.contains(2)) &&
+      allFiles.drop(filesA).nonEmpty
+    // one source-column predicate prunes BOTH eras, each through its own
+    // spec: only 1995 files (spec 1, year granularity) can survive
+    val f95: sources.Filter = sources.LessThan("l_shipdate", t("1996-01-01"))
+    val kept95 = cat.prunedFiles("nyc", "li_evo", Seq(f95))
+    val prunesBoth = kept95.nonEmpty && kept95.size < allFiles.size &&
+      kept95.forall(_.specId.contains(1))
+    // a predicate inside era B prunes at MONTH grain — finer than any
+    // year-spec table could: exactly one month's files survive era B
+    val fMonth: sources.Filter = sources.And(
+      sources.GreaterThanOrEqual("l_shipdate", t("1999-03-01")),
+      sources.LessThan("l_shipdate", t("1999-04-01")))
+    val keptM = cat.prunedFiles("nyc", "li_evo", Seq(fMonth))
+    val monthGrain = keptM.nonEmpty && keptM.forall(_.specId.contains(2)) &&
+      keptM.forall(_.partition.exists(_.get("l_shipdate_month")
+        .exists(m => m == "1999-03" || m == "1999-02" || m == "1999-04")))
+    // mixed-spec read correctness: pruned scan == raw frame, both shapes
+    val nPruned = cat.readTable(s, "nyc", "li_evo")
+      .filter(col("l_shipdate") < lit(t("1996-01-01"))).count()
+    val nRaw = li.filter(col("l_shipdate") < lit(t("1996-01-01"))).count()
+    val totalOk = cat.readTable(s, "nyc", "li_evo").count() == li.count()
+    // evolve to UNPARTITIONED (spec 3, empty): partitioned writes refuse,
+    // plain file registration works, and the old eras' tuples STILL prune
+    // through the specs they were written under (footer stats prune the
+    // new flat file on its own — both prunings compose per file)
+    cat.evolvePartitionSpec("nyc", "li_evo", Nil)
+    val nowUnpartitioned = cat.loadTable("nyc", "li_evo").spec.isEmpty &&
+      scala.util.Try(cat.writePartitioned(s, "nyc", "li_evo", eraB.limit(1))).isFailure
+    val extra = base.resolve("flat")
+    eraB.limit(10).coalesce(1).write.parquet(extra.toString)
+    cat.registerFiles("nyc", "li_evo", Seq(extra))
+    val keptAfter = cat.prunedFiles("nyc", "li_evo", Seq(f95))
+    val flatKept = nowUnpartitioned &&
+      keptAfter.filter(_.partition.nonEmpty).forall(_.specId.contains(1)) &&
+      // partition pruning ALONE must keep the tuple-less flat file — only
+      // its footer stats (dates ≥ the cut) are allowed to exclude it
+      graft.catalog.Partitioning.keepByPartition(
+        cat.loadTable("nyc", "li_evo").spec,
+        meta.currentSchemaVersion.fields,
+        cat.files("nyc", "li_evo").last, f95)
+    Seq(("specs_evolved", meta.specs.size.toLong, specsOk),
+      ("files_tagged_by_spec", allFiles.size.toLong, tagged),
+      ("one_predicate_prunes_both_eras", kept95.size.toLong, prunesBoth),
+      ("month_grain_after_evolution", keptM.size.toLong, monthGrain),
+      ("mixed_spec_read_correct", nPruned, nPruned == nRaw && totalOk),
+      ("unpartitioned_era_conservative", keptAfter.size.toLong, flatKept))
+      .toDF("phase", "n", "invariant_ok")
+  }
+
   /** meta_wap: write-audit-publish + linearized rollback — the snapshot
     * lifecycle verbs beyond append/overwrite. A staged append is invisible
     * to current reads, auditable via time travel to its own id, survives
@@ -790,6 +874,66 @@ object Meta {
       .toDF("phase", "n_rows", "r0_name", "invariant_ok")
   }
 
+  /** meta_merge_pos: the POSITION-delete merge-on-read shape (Iceberg v2's
+    * second delete encoding — `(file_path, pos)` tuples instead of key
+    * values). The report proves what only position deletes can do:
+    * (a) one physical copy of BIT-IDENTICAL rows dies while the other
+    * copy survives (equality deletes would kill both — there is no value
+    * to discriminate on), (b) stacked position deletes compose without
+    * re-emitting already-dead positions, (c) no data file is rewritten,
+    * (d) materialize clears the debt with results unchanged, (e) time
+    * travel still reaches the pre-delete state. */
+  private def metaMergePos: QFn = (s, d) => {
+    import s.implicits._
+    import graft.catalog.GraftCatalog.PosFileCol
+    val (_, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    // two files with IDENTICAL logical content (5 region rows each): the
+    // position-delete discrimination test needs value-indistinguishable rows
+    val region = graft.Tables.region(s, d)
+    val base = Paths.get(wh).getParent.resolve("posdata")
+    region.coalesce(1).write.parquet(base.resolve("copy_a").toString)
+    region.coalesce(1).write.parquet(base.resolve("copy_b").toString)
+    val parts = Seq("copy_a", "copy_b").flatMap(n =>
+      graft.catalog.Fs.list(base.resolve(n))
+        .filter(_.toString.endsWith(".parquet")))
+    cat.createTable("nyc", "pos_t", region.schema)
+    cat.registerFiles("nyc", "pos_t", parts) // snapshot 1: 10 rows
+    val n0 = cat.readTable(s, "nyc", "pos_t").count()
+    val importedPaths = cat.files("nyc", "pos_t").map(_.path).toSet
+    // (a) kill r_regionkey=0 in copy_a ONLY — the surviving twin is
+    // bit-identical, so no equality delete could express this
+    graft.etl.Merge.deleteWherePos(s, cat, "nyc", "pos_t",
+      col("r_regionkey") === 0 && col(PosFileCol).contains("copy_a"))
+    val n1 = cat.readTable(s, "nyc", "pos_t").count()
+    val survivors = cat.readTable(s, "nyc", "pos_t")
+      .filter(col("r_regionkey") === 0).count()
+    // (b) stacked: kill the remaining key-0 row everywhere; the delete file
+    // must carry exactly ONE position (copy_a's is dead, not re-emitted)
+    graft.etl.Merge.deleteWherePos(s, cat, "nyc", "pos_t",
+      col("r_regionkey") === 0)
+    val secondDelete = cat.snapshots("nyc", "pos_t").last
+    val secondDeleteRows = secondDelete.deletes.map(_.rowCount).sum
+    val n2 = cat.readTable(s, "nyc", "pos_t").count()
+    // (c) merge-on-read: every original data file still live, none rewritten
+    val originalsIntact =
+      importedPaths.subsetOf(cat.files("nyc", "pos_t").map(_.path).toSet)
+    // (d) materialize pays the debt; results unchanged
+    graft.etl.Merge.materialize(s, cat, "nyc", "pos_t")
+    val n3 = cat.readTable(s, "nyc", "pos_t").count()
+    val debtAfter = cat.loadTable("nyc", "pos_t").deleteFilesAsOf(None).size.toLong
+    // (e) pre-delete state still reachable
+    val asOf1 = cat.readTable(s, "nyc", "pos_t", asOf = Some(1L)).count()
+    Seq(("initial", n0, n0 == 10L),
+      ("one_twin_killed", n1, n1 == n0 - 1 && survivors == 1L),
+      ("stacked_no_reemit", secondDeleteRows,
+        secondDelete.isPositionDelete && secondDeleteRows == 1L && n2 == n0 - 2),
+      ("no_rewrite", n2, originalsIntact),
+      ("materialized", n3, n3 == n2 && debtAfter == 0L),
+      ("asof_snapshot_1", asOf1, asOf1 == n0))
+      .toDF("phase", "n", "invariant_ok")
+  }
+
   /** meta_incremental: snapshot-range changelog consumption (A13 follow-on)
     * — a consumer that remembers its last-processed snapshot reads only the
     * delta. Three appends of region; the report proves delta counts per
@@ -885,6 +1029,7 @@ object Meta {
     "meta_import"      -> metaImport,
     "meta_merge"       -> metaMerge,
     "meta_merge_mor"   -> metaMergeMor,
+    "meta_merge_pos"   -> metaMergePos,
     "meta_incremental" -> metaIncremental,
     "meta_file_skip"   -> metaFileSkip,
     "meta_snapshots"   -> metaSnapshots,
@@ -900,6 +1045,7 @@ object Meta {
     "meta_expire"      -> metaExpire,
     "meta_schema_evolution" -> metaSchemaEvolution,
     "meta_partitioned" -> metaPartitioned,
+    "meta_spec_evolution" -> metaSpecEvolution,
     "meta_wap"         -> metaWap,
     "meta_default_catalog" -> metaDefaultCatalog,
     "meta_show_create" -> metaShowCreate,

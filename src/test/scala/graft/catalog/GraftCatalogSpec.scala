@@ -277,4 +277,50 @@ class GraftCatalogSpec extends SparkSpec {
       cat.append("ns", "t", Seq(DataFileMeta("/nope.parquet", 1L, 1L)))
     }
   }
+
+  test("position deletes: per-file row targeting, stacking, materialize") {
+    import spark.implicits._
+    import graft.catalog.GraftCatalog.{PosFileCol, PosIdxCol}
+    import org.apache.spark.sql.functions.col
+    val (data, wh) = freshDirs()
+    val cat = new GraftCatalog(wh.toString)
+    // two files with IDENTICAL logical rows — only positions can tell them apart
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    writeParquet(data.resolve("fa").toString, rows)
+    writeParquet(data.resolve("fb").toString, rows)
+    val (fa, fb) = (singleFile(data.resolve("fa").toString),
+                    singleFile(data.resolve("fb").toString))
+    cat.createTable("ns", "pt", rows.schema)
+    cat.registerFiles("ns", "pt", Seq(fa, fb))
+    assert(cat.readTable(spark, "ns", "pt").count() === 6L)
+    // positions are per-file ordinals: each file contributes 0,1,2
+    val pos = cat.readTableWithPositions(spark, "ns", "pt")
+    assert(pos.columns.contains(PosFileCol) && pos.columns.contains(PosIdxCol))
+    assert(pos.groupBy(PosFileCol).count().collect().forall(_.getLong(1) == 3L))
+    // kill id=2 in file A only — its bit-identical twin in B must survive
+    graft.etl.Merge.deleteWherePos(spark, cat, "ns", "pt",
+      col("id") === 2 && col(PosFileCol).contains("fa"))
+    val after1 = cat.readTable(spark, "ns", "pt")
+    assert(after1.count() === 5L)
+    assert(after1.filter(col("id") === 2).count() === 1L)
+    // the public read never leaks the helper columns
+    assert(!after1.columns.contains(PosFileCol))
+    // stacked delete of the surviving twin: exactly ONE position emitted
+    graft.etl.Merge.deleteWherePos(spark, cat, "ns", "pt", col("id") === 2)
+    val snap2 = cat.snapshots("ns", "pt").last
+    assert(snap2.isPositionDelete && snap2.deletes.map(_.rowCount).sum === 1L)
+    assert(cat.readTable(spark, "ns", "pt").count() === 4L)
+    // no data file was rewritten (merge-on-read)
+    assert(Set(fa, fb).map(_.toAbsolutePath.toString)
+      .subsetOf(cat.files("ns", "pt").map(_.path).toSet))
+    // mixing kinds: an equality delete over the position-debt state
+    graft.etl.Merge.deleteWhereMor(spark, cat, "ns", "pt",
+      col("id") === 3, Seq("id"))
+    assert(cat.readTable(spark, "ns", "pt").count() === 2L) // both id=3 rows die
+    // materialize clears all debt, results unchanged, travel intact
+    graft.etl.Merge.materialize(spark, cat, "ns", "pt")
+    assert(cat.loadTable("ns", "pt").deleteFilesAsOf(None).isEmpty)
+    assert(cat.readTable(spark, "ns", "pt").count() === 2L)
+    assert(cat.readTable(spark, "ns", "pt", asOf = Some(1L)).count() === 6L)
+  }
 }

@@ -117,6 +117,32 @@ class GraftSparkCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL metadata tables: partitions and refs") {
+    val (c, cat) = setup()
+    cat.registerFiles("nyc", "t", cat.files("nyc", "t").map(f => Paths.get(f.path)))
+    cat.createTag("nyc", "t", "after-import", 1L)
+    // refs: every tag + the current head as `main`
+    val refs = spark.sql(s"SELECT * FROM $c.nyc.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs === Seq(("after-import", "TAG", 1L), ("main", "BRANCH", 2L)))
+    // partitions: this table is unpartitioned — one null-partition rollup
+    val parts = spark.sql(
+      s"SELECT partition, file_count, record_count FROM $c.nyc.t.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(parts === Seq((null, 2L, 6L)))
+    // a partitioned table rolls up one row per tuple, spec id included
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-02-05"))
+      .toDF("id", "d").select($"id", $"d".cast("date").as("d"))
+    cat.createTable("nyc", "pp", df.schema, Seq(("month", "d")))
+    cat.writePartitioned(spark, "nyc", "pp", df)
+    val pp = spark.sql(
+      s"""SELECT partition, spec_id, record_count FROM $c.nyc.pp.partitions
+         |ORDER BY partition""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(pp === Seq(("d_month=2024-01", 1, 2L), ("d_month=2024-02", 1, 1L)))
+  }
+
   test("CREATE TABLE AS SELECT creates and populates in one statement") {
     val (c, cat) = setup()
     spark.sql(s"""CREATE TABLE $c.nyc.ctas USING parquet AS

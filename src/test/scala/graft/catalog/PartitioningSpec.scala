@@ -155,6 +155,60 @@ class PartitioningSpec extends SparkSpec {
     assert(full.where($"ts" >= "2024-01-02" && $"ts" < "2024-01-03").count() === 25)
   }
 
+  test("partition spec evolution: per-file spec pruning, guards") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "specevo")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    val mk = (d: String, n: Int) => (0 until n).map(j =>
+      (ts(s"$d 0${j % 9}:00:00"), j.toLong, s"r$j")).toDF("ts", "id", "payload")
+    cat.createTable("nyc", "evo", mk("2024-01-01", 1).schema,
+      Seq(("day", "ts")))
+    cat.writePartitioned(spark, "nyc", "evo", mk("2024-01-01", 10))
+    // evolve day(ts) → bucket[4](id): finer write clustering on a new axis
+    cat.evolvePartitionSpec("nyc", "evo", Seq(("bucket[4]", "id")))
+    cat.writePartitioned(spark, "nyc", "evo", mk("2024-02-01", 10))
+    val meta = cat.loadTable("nyc", "evo")
+    assert(meta.specs.map(_.specId) === List(1, 2))
+    assert(meta.spec.head.transform === "bucket[4]")
+    val files = meta.filesAsOf(None)
+    val (s1, s2) = files.partition(_.specId.contains(1))
+    assert(s1.nonEmpty && s2.nonEmpty)
+    assert(s1.forall(_.partition.exists(_.contains("ts_day"))))
+    assert(s2.forall(_.partition.exists(_.contains("id_bucket"))))
+    // a ts predicate prunes era-1 files by day; era-2 files pass partition
+    // pruning (their spec has no ts field) and are vetoed by footer stats
+    val janOnly = cat.prunedFiles("nyc", "evo",
+      Seq(sources.EqualTo("ts", ts("2024-01-01 03:00:00"))))
+    assert(janOnly.nonEmpty && janOnly.forall(_.specId.contains(1)))
+    // an id predicate prunes era-2 files by bucket; era-1 kept (no id field
+    // in spec 1, id stats overlap) — per-file spec resolution at work
+    val bucketOf3 = Partitioning.canonical("bucket[4]", LongType, 3L).get
+    val id3 = cat.prunedFiles("nyc", "evo", Seq(sources.EqualTo("id", 3L)))
+    assert(id3.filter(_.specId.contains(2))
+      .forall(_.partition.get("id_bucket") == bucketOf3))
+    assert(id3.count(_.specId.contains(2)) < s2.size)
+    // the mixed-spec read serves every row exactly once
+    assert(cat.readTable(spark, "nyc", "evo").count() === 20)
+    // guards: dropping/widening sources of ANY spec version is refused
+    intercept[IllegalArgumentException] {
+      cat.dropColumn("nyc", "evo", "ts") // spec-1 source
+    }
+    intercept[IllegalArgumentException] {
+      cat.widenColumn("nyc", "evo", "id", "decimal(20,0)") // bucket source
+    }
+    // unknown spec id on a file: conservative, never pruned by partition
+    val orphan = files.head.copy(specId = Some(99))
+    assert(meta.specForFile(orphan).isEmpty)
+  }
+
+  test("meta_spec_evolution declared query: all invariants hold") {
+    val rows = graft.queries.Meta.queries("meta_spec_evolution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(_._1).toSeq === Seq("specs_evolved", "files_tagged_by_spec",
+      "one_predicate_prunes_both_eras", "month_grain_after_evolution",
+      "mixed_spec_read_correct", "unpartitioned_era_conservative"))
+    assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
+  }
+
   test("SQL: PARTITIONED BY transforms, INSERT clusters, scans prune") {
     val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "partsql")
     val cat = new GraftCatalog(base.resolve("wh").toString)

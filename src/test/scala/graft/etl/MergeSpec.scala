@@ -117,4 +117,12 @@ class MergeSpec extends SparkSpec {
     assert(cat.readTable(spark, "nyc", "t", asOf = Some(2L)).count() === 2)
     assert(cat.readTable(spark, "nyc", "t", asOf = Some(1L)).count() === 3)
   }
+
+  test("meta_merge_pos declared query: all position-delete invariants hold") {
+    val rows = graft.queries.Meta.queries("meta_merge_pos")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(_._1).toSeq === Seq("initial", "one_twin_killed",
+      "stacked_no_reemit", "no_rewrite", "materialized", "asof_snapshot_1"))
+    assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
+  }
 }
