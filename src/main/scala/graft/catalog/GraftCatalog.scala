@@ -426,15 +426,19 @@ class GraftCatalog(val warehouse: String) {
     val meta = loadTable(ns, t)
     require(meta.spec.nonEmpty, s"$ns.$t has no partition spec; use registerFiles")
     val fields = meta.currentSchemaVersion.fields
-    val collide = meta.spec.map(_.name).filter(n =>
-      df.columns.exists(_.equalsIgnoreCase(n)))
+    // derived partition columns are written under a reserved prefix so an
+    // IDENTITY field (whose Iceberg-style name IS the source column's) can
+    // coexist with the data column it derives from; the prefix is stripped
+    // when the directory layout is parsed back into partition tuples
+    val gp = "__gp_"
+    val collide = df.columns.filter(_.toLowerCase.startsWith(gp))
     require(collide.isEmpty,
-      s"$ns.$t: partition field name(s) ${collide.mkString(", ")} collide with data columns")
+      s"$ns.$t: data column(s) ${collide.mkString(", ")} use the reserved $gp prefix")
     val partCols = meta.spec.map { pf =>
       val src = fields.find(_.id == pf.sourceId).getOrElse(
         throw new IllegalStateException(
           s"$ns.$t: partition source field id ${pf.sourceId} missing from schema"))
-      Partitioning.valueColumn(pf.transform, src.name, src.dataType).as(pf.name)
+      Partitioning.valueColumn(pf.transform, src.name, src.dataType).as(gp + pf.name)
     }
     val staging = tableDir(ns, t).resolve("data")
       .resolve(s"part-write-${System.currentTimeMillis()}")
@@ -449,9 +453,9 @@ class GraftCatalog(val warehouse: String) {
       val withParts = df.select(df.columns.map(col).toIndexedSeq ++ partCols: _*)
       val shaped =
         if (cluster)
-          withParts.repartition(meta.spec.map(pf => col(pf.name)): _*)
+          withParts.repartition(meta.spec.map(pf => col(gp + pf.name)): _*)
         else withParts
-      shaped.write.partitionBy(meta.spec.map(_.name): _*)
+      shaped.write.partitionBy(meta.spec.map(gp + _.name): _*)
         .parquet(staging.toString)
     } finally spark.conf.set(tsKey, prevTs)
     val stated = statFiles(findParquet(staging))
@@ -460,7 +464,7 @@ class GraftCatalog(val warehouse: String) {
       val tuple = rel.iterator.asScala.map(_.toString)
         .filter(_.contains("=")).map { seg =>
           val i = seg.indexOf('=')
-          seg.substring(0, i) ->
+          seg.substring(0, i).stripPrefix(gp) ->
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .unescapePathName(seg.substring(i + 1))
         }.toMap

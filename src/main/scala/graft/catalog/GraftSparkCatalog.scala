@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * style metadata tables resolve as `cat.ns.t.snapshots` / `.files` /
   * `.history` ([[GraftMetadataTable]]). Table RENAME stays unsupported.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catName: String = _
   private var cat: GraftCatalog = _
@@ -253,6 +254,24 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     cat.dropTable(nsOf(ident), ident.name)
 
   // ------------------------------------------------------------- namespaces
+
+  // ------------------------------------------------------------- functions
+
+  /** FunctionCatalog: the one system function (`bucket`) that lets the
+    * planner resolve a scan-reported `bucket(N, col)` transform and prove
+    * two bucket-partitioned tables co-clustered for storage-partitioned
+    * joins — the role Iceberg's `system.bucket` plays for its SPJ. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket") &&
+        (ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def listNamespaces(): Array[Array[String]] =
     cat.listNamespaces().map(ns => Array(ns)).toArray
@@ -661,6 +680,9 @@ private[catalog] class GraftPruningScanBuilder(
     inner
   }
 
+  /** Files the built scan will read (narrowed by pushFilters pruning). */
+  private var scanFiles: Seq[DataFileMeta] = files
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     if (inner == null) {
       val translated = filters.flatMap(Partitioning.translateForPruning)
@@ -668,6 +690,7 @@ private[catalog] class GraftPruningScanBuilder(
         Partitioning.keepByPartition(specForFile(f), specFields, f, fl) &&
           Partitioning.keepByStats(f, tableSchema, fl)))
       GraftPruningScanBuilder.lastPrune = Some((files.size, kept.size))
+      scanFiles = kept
       inner = GraftPruningScanBuilder.parquetBuilder(
         tableName, tableSchema, kept.map(_.path), options)
     }
@@ -682,7 +705,8 @@ private[catalog] class GraftPruningScanBuilder(
       .pruneColumns(requiredSchema)
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    ensure().build()
+    // storage-partitioned-join reporting, when sound and opted into
+    GraftKeyedScan.maybeWrap(ensure().build(), scanFiles, specForFile, specFields)
 }
 
 object GraftPruningScanBuilder {

@@ -730,6 +730,65 @@ object Meta {
       .toDF("phase", "n", "invariant_ok")
   }
 
+  /** meta_spj: STORAGE-PARTITIONED JOIN — two catalog tables co-partitioned
+    * `bucket[8]` on the join key join with ZERO shuffle exchanges: the scans
+    * report KeyGroupedPartitioning, every input partition exposes its
+    * bucket value, and the catalog's `bucket` function proves both sides
+    * co-clustered (the Iceberg SPJ mechanism, SPARK-37375). At 100 TB this
+    * deletes both full-table exchanges from every repeated fact-fact join.
+    * Invariants: the opted-in plan has 0 join shuffles, the control plan
+    * (no opt-in) has ≥2, and both return identical results. */
+  private def metaSpj: QFn = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")), "meta_spj")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    val orders = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val lineitem = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    cat.createTable("nyc", "o_b", orders.schema, Seq(("bucket[8]", "o_orderkey")))
+    cat.createTable("nyc", "l_b", lineitem.schema, Seq(("bucket[8]", "l_orderkey")))
+    cat.writePartitioned(s, "nyc", "o_b", orders)
+    cat.writePartitioned(s, "nyc", "l_b", lineitem)
+    val cname = "gspj_" + base.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    def q = s.sql(
+      s"""SELECT o.o_orderpriority, count(*) AS n_items,
+         |       round(sum(l.l_quantity), 2) AS sum_qty
+         |FROM $cname.nyc.o_b o JOIN $cname.nyc.l_b l
+         |  ON o.o_orderkey = l.l_orderkey
+         |GROUP BY o.o_orderpriority""".stripMargin)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }.size
+    def scoped[T](spj: Boolean)(body: => T): T = {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", spj.toString)
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try body finally {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    try {
+      val (spjRows, spjShuffles) = scoped(spj = true) {
+        (q.orderBy("o_orderpriority").collect().toSeq, shuffles(q)) }
+      val (ctlRows, ctlShuffles) = scoped(spj = false) {
+        (q.orderBy("o_orderpriority").collect().toSeq, shuffles(q)) }
+      // the final GROUP BY (non-partition key) keeps one exchange in both
+      // shapes; SPJ removes exactly the JOIN's two full-table exchanges
+      Seq(("spj_join_shuffle_free", spjShuffles.toLong, spjShuffles == 1),
+        ("control_join_shuffles", ctlShuffles.toLong, ctlShuffles == spjShuffles + 2),
+        ("results_identical", spjRows.size.toLong,
+          spjRows == ctlRows && spjRows.nonEmpty))
+        .toDF("phase", "n", "invariant_ok")
+    } finally unregisterCatalog(s, cname) // names salted: see helper note
+  }
+
   /** meta_wap: write-audit-publish + linearized rollback — the snapshot
     * lifecycle verbs beyond append/overwrite. A staged append is invisible
     * to current reads, auditable via time travel to its own id, survives
@@ -1046,6 +1105,7 @@ object Meta {
     "meta_schema_evolution" -> metaSchemaEvolution,
     "meta_partitioned" -> metaPartitioned,
     "meta_spec_evolution" -> metaSpecEvolution,
+    "meta_spj"         -> metaSpj,
     "meta_wap"         -> metaWap,
     "meta_default_catalog" -> metaDefaultCatalog,
     "meta_show_create" -> metaShowCreate,
