@@ -278,6 +278,60 @@ object Extensions {
       .limit(20)
   }
 
+  /** Connected-components dedup CLUSTERING: candidate pairs → one cluster
+    * id per document (min doc_id of its component) — the step that turns
+    * pairwise near-dup signals into keep/drop decisions (pick one canonical
+    * doc per cluster). Iterative min-label propagation with POINTER
+    * JUMPING: each round a node takes the min of (its label, its
+    * neighbors' labels, its label's label). The third term halves chain
+    * depth every round, so convergence is O(log diameter) rounds — the
+    * shape of the classic MapReduce connected-components algorithms
+    * (large-star/small-star), where plain neighbor propagation alone
+    * would need O(diameter) rounds and a length-banded chain of documents
+    * makes the diameter linear.
+    *
+    * Scale: per round, one equi-join of the constant-width label frame
+    * with the (blocked, never all-pairs) edge list + one self-join +
+    * one min-aggregate; `localCheckpoint` truncates lineage each round
+    * (at 100 TB: reliable checkpointing, same call shape). The driver
+    * loop moves only a change COUNT per round — cluster assignments
+    * never leave the executors. Fixpoint is verified, not assumed: the
+    * loop exits when a round changes nothing, so the result equals the
+    * oracle's true transitive closure. */
+  private def qDedupCluster: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val pairs = bandedPairs(s, d).select(col("d1"), col("d2"))
+    val edges = pairs
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val viaEdges = edges
+        .join(labels.select(col("doc_id").as("d1"), col("label")), "d1")
+        .select(col("d2").as("doc_id"), col("label"))
+      val merged = labels.unionByName(viaEdges)
+        .groupBy("doc_id").agg(min("label").as("label"))
+      // pointer jump: label := label's label (labels always point at real
+      // doc ids, so the inner self-join is total)
+      val next = merged
+        .join(merged.select(col("doc_id").as("label"), col("label").as("ll")),
+          "label")
+        .select(col("doc_id"), col("ll").as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ vector similarity
 
   /** Float-array dot product: the native codegen'd `graft_dot` expression
@@ -564,6 +618,7 @@ object Extensions {
     "q_dedup_minhash_shingle" -> qDedupMinhashShingle,
     "q_dedup_simhash"   -> qDedupSimhash,
     "q_neardup_band"    -> qNeardupBand,
+    "q_dedup_cluster"   -> qDedupCluster,
     "q_neardup_edit"    -> qNeardupEdit,
     "q_dedup_ngram"     -> qDedupNgram,
     "q_vec_cosine"      -> qVecCosine,
@@ -719,6 +774,23 @@ object Extensions {
         |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
         | AND a.doc_id < b.doc_id
         |GROUP BY a.lang ORDER BY a.lang""".stripMargin,
+    // true transitive closure: min reachable doc_id per node — what the
+    // Spark side's pointer-jumping propagation must converge to exactly
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
+        |   AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1, d2 FROM pairs
+        |          UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.d2 AS doc_id, r.label
+        |  FROM reach r JOIN edges e ON e.d1 = r.doc_id)
+        |SELECT doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_neardup_edit" ->
       """SELECT a.doc_id AS d1, b.doc_id AS d2,
         |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,

@@ -38,6 +38,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
   }
 
+  test("q_dedup_cluster: a valid connected-components labeling") {
+    val labels = run("q_dedup_cluster") // (doc_id, cluster_id)
+    assert(labels.count() === nDocs)
+    // the cluster id is the component MIN: never above the member's own id
+    assert(labels.filter(col("cluster_id") > col("doc_id")).count() === 0)
+    // every cluster id is itself a member of its own cluster (a real doc)
+    val selfLabeled = labels.select(col("cluster_id")).distinct()
+      .join(labels.filter(col("doc_id") === col("cluster_id"))
+        .select(col("cluster_id")), Seq("cluster_id"), "left_anti")
+    assert(selfLabeled.count() === 0)
+    // edge consistency: both endpoints of every candidate pair share a label
+    val pairs = run("q_neardup_band") // per-lang pair counts — need raw pairs
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val raw = docs.as("a").join(docs.as("b"),
+      col("a.lang") === col("b.lang") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= 2 &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val l1 = labels.select(col("doc_id").as("d1"), col("cluster_id").as("c1"))
+    val l2 = labels.select(col("doc_id").as("d2"), col("cluster_id").as("c2"))
+    assert(raw.join(l1, "d1").join(l2, "d2")
+      .filter(col("c1") =!= col("c2")).count() === 0)
+    assert(pairs.agg(sum("n_pairs")).head().getLong(0) === raw.count())
+  }
+
   test("q_vec_knn: 10 neighbors, descending similarity, probe excluded") {
     val rows = run("q_vec_knn").collect()
     assert(rows.length === 10)
