@@ -117,10 +117,22 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
                      tags: Option[Map[String, Long]] = None,
                      partitionSpec: Option[List[PartitionField]] = None,
                      lastSnapshotId: Option[Long] = None,
-                     partitionSpecs: Option[List[PartitionSpecMeta]] = None) {
+                     partitionSpecs: Option[List[PartitionSpecMeta]] = None,
+                     branches: Option[Map[String, BranchMeta]] = None) {
 
   /** Named immutable snapshot refs (Iceberg tags). */
   def tagMap: Map[String, Long] = tags.getOrElse(Map.empty)
+
+  /** Named MUTABLE refs (Iceberg branches): each holds its own linear
+    * delta log forked from a main-history snapshot. */
+  def branchMap: Map[String, BranchMeta] = branches.getOrElse(Map.empty)
+
+  def branchOf(name: String): BranchMeta = branchMap.getOrElse(name,
+    throw new IllegalArgumentException(s"$namespace.$name has no branch '$name'"))
+
+  /** The branch (if any) whose private log contains snapshot `id`. */
+  def branchContaining(id: Long): Option[(String, BranchMeta)] =
+    branchMap.find(_._2.snapshots.exists(_.id == id))
 
   /** Full partition-spec history, oldest first. Legacy metadata (single
     * `partitionSpec`, written before spec evolution existed) folds into a
@@ -163,6 +175,18 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
     * not in the log — never committed, or expired by
     * [[GraftCatalog.expireSnapshots]] — is an error, not an empty result. */
   def stateAsOf(asOf: Option[Long]): List[SnapshotMeta] = {
+    // a snapshot id inside a BRANCH's private log: state = main history at
+    // the fork point + the branch's deltas up to the target (each linear)
+    asOf.flatMap(id => branchContaining(id)) match {
+      case Some((_, br)) =>
+        val forkState =
+          if (br.forkId == 0) Nil // branch forked from the empty table
+          else stateAsOf(Some(br.forkId))
+        val chain = forkState ++ br.snapshots.takeWhile(_.id <= asOf.get)
+        val lastOverwrite = chain.lastIndexWhere(_.operation == "overwrite")
+        return if (lastOverwrite >= 0) chain.drop(lastOverwrite) else chain
+      case None => ()
+    }
     asOf.foreach(id => require(snapshots.exists(_.id == id),
       s"$namespace.$name has no snapshot $id (expired or never committed); " +
         s"available: ${snapshots.map(_.id).mkString(", ")}"))
@@ -183,7 +207,8 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
     * mark; legacy metadata without it derives from the log. */
   def nextSnapshotId: Long =
     (currentSnapshotId +: lastSnapshotId.getOrElse(0L) +:
-      snapshots.map(_.id)).max + 1
+      (snapshots.map(_.id) ++
+        branchMap.values.flatMap(_.snapshots.map(_.id)))).max + 1
 
   def filesAsOf(asOf: Option[Long]): List[DataFileMeta] =
     stateAsOf(asOf).flatMap(_.addedFiles)
@@ -228,6 +253,15 @@ case class ImportSummary(namespace: String, table: String, files: Long, rows: Lo
 /** [[GraftCatalog.expireSnapshots]] summary. */
 case class ExpireResult(expiredSnapshots: Int, deletedFiles: Int,
                         remainingSnapshots: Int)
+
+/** One Iceberg-style BRANCH: a mutable named ref carrying its own linear
+  * delta log on top of the main-history snapshot it forked from
+  * (`forkId`; 0 = forked from the empty table). Branch snapshots use the
+  * table-wide id sequence (never recycled), so audit references stay
+  * unambiguous across fast-forward and drop. */
+case class BranchMeta(forkId: Long, snapshots: List[SnapshotMeta]) {
+  def headId: Long = snapshots.lastOption.map(_.id).getOrElse(forkId)
+}
 
 object GraftCatalog {
   /** Column names a position-aware read ([[GraftCatalog.readTableWithPositions]])
@@ -745,6 +779,8 @@ class GraftCatalog(val warehouse: String) {
       require(meta.snapshots.exists(_.id == snapshotId),
         s"$ns.$t has no snapshot $snapshotId to tag")
       require(!meta.tagMap.contains(tag), s"$ns.$t: tag $tag already exists")
+      require(!meta.branchMap.contains(tag),
+        s"$ns.$t: '$tag' already names a branch")
       require(tag.nonEmpty && !tag.forall(_.isDigit),
         s"$ns.$t: tag name '$tag' must be non-empty and not purely numeric " +
           "(would be ambiguous with snapshot ids)")
@@ -761,6 +797,120 @@ class GraftCatalog(val warehouse: String) {
       commit(next, expectedVersion = ver)
       next
     }
+
+  // -------------------------------------------------------------- branches
+
+  /** Create a BRANCH — a mutable named ref with its own delta log, forked
+    * from `fromSnapshot` (default: the current head; on an empty table the
+    * branch forks from the empty state). The Iceberg landing pattern:
+    * write a day's ingest to a branch, audit it there, then
+    * [[fastForward]] main. Metadata-only. */
+  def createBranch(ns: String, t: String, branch: String,
+                   fromSnapshot: Option[Long] = None): TableMeta =
+    withCommitRetry {
+      val (meta, ver) = loadTableAt(ns, t)
+      require(branch.nonEmpty && !branch.forall(_.isDigit) && branch != "main",
+        s"$ns.$t: branch name '$branch' must be non-empty, not numeric, " +
+          "and not 'main'")
+      require(!meta.branchMap.contains(branch),
+        s"$ns.$t: branch $branch already exists")
+      require(!meta.tagMap.contains(branch),
+        s"$ns.$t: '$branch' already names a tag")
+      val fork = fromSnapshot.getOrElse(meta.currentSnapshotId)
+      require(fork == 0 || meta.snapshots.exists(sn => sn.id == fork && !sn.isStaged),
+        s"$ns.$t has no (published) snapshot $fork to branch from")
+      val next = meta.copy(branches =
+        Some(meta.branchMap + (branch -> BranchMeta(fork, Nil))))
+      commit(next, expectedVersion = ver)
+      next
+    }
+
+  /** Commit parquet files to a BRANCH (append, or overwrite replacing the
+    * branch's whole state) — main is untouched; readers of main never see
+    * branch snapshots. Same stat collection and id sequence as main
+    * commits. */
+  def registerFilesToBranch(ns: String, t: String, branch: String,
+                            paths: Seq[Path],
+                            operation: String = "append"): TableMeta = {
+    val expanded = paths.flatMap(p =>
+      if (Files.isDirectory(p)) findParquet(p) else Seq(p))
+    val stated = statFiles(expanded)
+    withCommitRetry {
+      val (meta, ver) = loadTableAt(ns, t)
+      val br = meta.branchOf(branch)
+      val snap = SnapshotMeta(meta.nextSnapshotId, System.currentTimeMillis(),
+        operation, stated.toList,
+        schemaVersion = Some(meta.currentSchemaVersion.version))
+      val next = meta.copy(
+        branches = Some(meta.branchMap +
+          (branch -> br.copy(snapshots = br.snapshots :+ snap))),
+        lastSnapshotId = Some(snap.id))
+      commit(next, expectedVersion = ver)
+      next
+    }
+  }
+
+  /** Read a branch's current state (fork-point main history + the
+    * branch's deltas). */
+  def readBranch(spark: SparkSession, ns: String, t: String,
+                 branch: String): DataFrame = {
+    val head = loadTable(ns, t).branchOf(branch).headId
+    readTable(spark, ns, t, asOf = if (head == 0) None else Some(head))
+  }
+
+  /** FAST-FORWARD main to a branch head: the branch's snapshots graft onto
+    * the main log and become ordinary history; the branch ref is removed.
+    * Allowed ONLY when main still points at the branch's fork — if main
+    * advanced since, the histories diverged and this refuses (Iceberg's
+    * fast_forward has the same ancestor requirement; rebase by re-branching
+    * from the new head). Ids were allocated from the shared sequence, so
+    * the grafted log stays strictly increasing — every existing audit
+    * reference keeps resolving to the same state. */
+  def fastForward(ns: String, t: String, branch: String): TableMeta =
+    withCommitRetry {
+      val (meta, ver) = loadTableAt(ns, t)
+      val br = meta.branchOf(branch)
+      require(meta.currentSnapshotId == br.forkId,
+        s"$ns.$t: main advanced from snapshot ${br.forkId} to " +
+          s"${meta.currentSnapshotId} since branch $branch forked; " +
+          "fast-forward requires main to still be at the fork point " +
+          "(re-branch from the current head to rebase)")
+      val next =
+        if (br.snapshots.isEmpty) // nothing landed: just retire the ref
+          meta.copy(branches = Some(meta.branchMap - branch))
+        else meta.copy(
+          currentSnapshotId = br.headId,
+          snapshots = meta.snapshots ++ br.snapshots,
+          branches = Some(meta.branchMap - branch),
+          lastSnapshotId = Some(math.max(
+            meta.lastSnapshotId.getOrElse(0L), br.headId)))
+      commit(next, expectedVersion = ver)
+      syncStreamView(next)
+      next
+    }
+
+  /** Drop a branch; its never-fast-forwarded files are orphans — the
+    * warehouse-owned ones are deleted (external registrations are the
+    * user's, exactly like [[discardStaged]]). */
+  def dropBranch(ns: String, t: String, branch: String): TableMeta = {
+    val dropped = withCommitRetry {
+      val (meta, ver) = loadTableAt(ns, t)
+      val br = meta.branchOf(branch)
+      val next = meta.copy(branches = Some(meta.branchMap - branch))
+      commit(next, expectedVersion = ver)
+      (br, next)
+    }
+    val (br, next) = dropped
+    val live = (next.snapshots ++
+      next.branchMap.values.flatMap(_.snapshots))
+      .flatMap(sn => sn.addedFiles ++ sn.deletes).map(_.path).toSet
+    val whPrefix =
+      Paths.get(warehouse).toAbsolutePath.toString + java.io.File.separator
+    br.snapshots.flatMap(sn => sn.addedFiles ++ sn.deletes).map(_.path)
+      .distinct.filterNot(live).filter(_.startsWith(whPrefix))
+      .foreach(p => Files.deleteIfExists(Paths.get(p)))
+    next
+  }
 
   // -------------------------------------------- write-audit-publish (WAP)
 
@@ -864,12 +1014,21 @@ class GraftCatalog(val warehouse: String) {
       next
     }
 
-  /** Resolve a version string — a numeric snapshot id or a tag name — to a
-    * snapshot id. */
-  def resolveRef(ns: String, t: String, ref: String): Long =
-    if (ref.forall(_.isDigit) && ref.nonEmpty) ref.toLong
-    else loadTable(ns, t).tagMap.getOrElse(ref, throw new IllegalArgumentException(
-      s"$ns.$t has no tag '$ref'"))
+  /** Resolve a version string — a numeric snapshot id, a tag name, or a
+    * branch name (its current head) — to a snapshot id. */
+  def resolveRef(ns: String, t: String, ref: String): Long = {
+    if (ref.forall(_.isDigit) && ref.nonEmpty) return ref.toLong
+    val meta = loadTable(ns, t)
+    meta.tagMap.get(ref)
+      .orElse(meta.branchMap.get(ref).map { br =>
+        require(br.headId != 0,
+          s"$ns.$t: branch '$ref' has no commits and forked from the " +
+            "empty table — nothing to read")
+        br.headId
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ns.$t has no tag or branch '$ref'"))
+  }
 
   /** Snapshot id current AS OF a wall-clock instant — `TIMESTAMP AS OF`
     * time travel (Iceberg's snapshot-log lookup): the latest snapshot
@@ -1121,6 +1280,13 @@ class GraftCatalog(val warehouse: String) {
     require(stagedExpired.isEmpty,
       s"$ns.$t: snapshots ${stagedExpired.mkString(", ")} are staged; " +
         "publish or discard them before expiring")
+    // a live branch's fork point must survive (its state folds onto it);
+    // branches are transient audit refs — finish them first
+    val branchForks = meta.branchMap.filter { case (_, br) =>
+      expired.exists(_.id == br.forkId) }
+    require(branchForks.isEmpty,
+      s"$ns.$t: branch(es) ${branchForks.keys.mkString(", ")} fork from " +
+        "snapshots in the expired prefix; fast-forward or drop them first")
     val boundary = expired.last
     val needCheckpoint = retained.head.operation != "overwrite"
     val checkpoint =

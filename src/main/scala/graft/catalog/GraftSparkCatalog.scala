@@ -930,8 +930,8 @@ private[catalog] object GraftMetadataTable {
           }
         (s, rs)
       case "refs" =>
-        // Iceberg `refs` table; this catalog has tags (immutable refs) —
-        // the current head rides along the way Iceberg lists `main`.
+        // Iceberg `refs` table: tags (immutable) + branches (mutable, each
+        // at its current head) + the main head, like Iceberg lists `main`.
         val s = StructType(Seq(
           StructField("name", StringType, nullable = false),
           StructField("type", StringType, nullable = false),
@@ -939,6 +939,9 @@ private[catalog] object GraftMetadataTable {
         val rs = (meta.tagMap.toSeq.sortBy(_._1).map { case (tag, id) =>
           new GenericInternalRow(Array[Any](UTF8String.fromString(tag),
             UTF8String.fromString("TAG"), id))
+        }) ++ (meta.branchMap.toSeq.sortBy(_._1).map { case (b, br) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(b),
+            UTF8String.fromString("BRANCH"), br.headId))
         }) ++ (if (meta.currentSnapshotId > 0)
           Seq(new GenericInternalRow(Array[Any](UTF8String.fromString("main"),
             UTF8String.fromString("BRANCH"), meta.currentSnapshotId)))

@@ -730,6 +730,56 @@ object Meta {
       .toDF("phase", "n", "invariant_ok")
   }
 
+  /** meta_branch: Iceberg-style BRANCHES — the audit-branch landing
+    * pattern end-to-end: ingest lands on a branch (main readers never see
+    * it), the branch is audited by ref (`VERSION AS OF 'branch'` /
+    * readBranch), then either fast-forwarded onto main (ids strictly
+    * increasing, history linear, stream view synced) or dropped (orphans
+    * cleaned). Divergence refuses fast-forward, like Iceberg's
+    * fast_forward ancestor requirement. Non-oracle: catalog semantics. */
+  private def metaBranch: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data)
+    val n0 = cat.readTable(s, "nyc", "region").count()
+    // day's landing goes to a branch, NOT main
+    cat.createBranch("nyc", "region", "landing")
+    val lands = Paths.get(cat.warehouse, "nyc", "region", "data", "land1")
+    cat.readTable(s, "nyc", "region").limit(2).coalesce(1)
+      .write.parquet(lands.toString)
+    cat.registerFilesToBranch("nyc", "region", "landing", Seq(lands))
+    val mainDuring = cat.readTable(s, "nyc", "region").count()
+    val branchView = cat.readBranch(s, "nyc", "region", "landing").count()
+    val viaRef = cat.readTable(s, "nyc", "region",
+      asOf = Some(cat.resolveRef("nyc", "region", "landing"))).count()
+    // audit passed → fast-forward; the branch ref retires
+    cat.fastForward("nyc", "region", "landing")
+    val mainAfter = cat.readTable(s, "nyc", "region").count()
+    val refGone = cat.loadTable("nyc", "region").branchMap.isEmpty
+    val idsMonotonic = {
+      val ids = cat.snapshots("nyc", "region").map(_.id)
+      ids == ids.sorted && ids.distinct == ids
+    }
+    // a diverged branch refuses fast-forward
+    cat.createBranch("nyc", "region", "stale")
+    val lands2 = Paths.get(cat.warehouse, "nyc", "region", "data", "land2")
+    cat.readTable(s, "nyc", "region").limit(1).coalesce(1)
+      .write.parquet(lands2.toString)
+    cat.registerFilesToBranch("nyc", "region", "stale", Seq(lands2))
+    cat.registerFiles("nyc", "region",
+      cat.files("nyc", "region").take(1).map(f => Paths.get(f.path)))
+    val refused = scala.util.Try(
+      cat.fastForward("nyc", "region", "stale")).isFailure
+    cat.dropBranch("nyc", "region", "stale")
+    Seq(("main_isolated_during_landing", mainDuring, mainDuring == n0),
+      ("branch_view", branchView, branchView == n0 + 2 && viaRef == branchView),
+      ("fast_forwarded", mainAfter, mainAfter == n0 + 2 && refGone),
+      ("history_linear_monotonic", 1L, idsMonotonic),
+      ("diverged_ff_refused", 1L, refused))
+      .toDF("phase", "n", "invariant_ok")
+  }
+
   /** meta_spj: STORAGE-PARTITIONED JOIN — two catalog tables co-partitioned
     * `bucket[8]` on the join key join with ZERO shuffle exchanges: the scans
     * report KeyGroupedPartitioning, every input partition exposes its
@@ -1106,6 +1156,7 @@ object Meta {
     "meta_partitioned" -> metaPartitioned,
     "meta_spec_evolution" -> metaSpecEvolution,
     "meta_spj"         -> metaSpj,
+    "meta_branch"      -> metaBranch,
     "meta_wap"         -> metaWap,
     "meta_default_catalog" -> metaDefaultCatalog,
     "meta_show_create" -> metaShowCreate,
