@@ -17,6 +17,7 @@ object Bench {
     "q_vec_cosine", "q_vec_knn", "q_embed_neardup_cells", "q_text_quality",
     "q_udtf_ngrams", "meta_import", "meta_sql_catalog", "meta_sql_merge",
     "meta_merge_pos", "meta_spec_evolution", "meta_spj", "meta_branch",
+    "meta_procedures",
     "meta_expire", "meta_concurrent", "meta_schema_evolution", "etl_compact",
     "etl_zorder", "st_join", "st_catalog_sink")
 

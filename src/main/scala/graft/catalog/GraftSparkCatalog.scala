@@ -41,7 +41,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `.history` ([[GraftMetadataTable]]). Table RENAME stays unsupported.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
 
   private var catName: String = _
   private var cat: GraftCatalog = _
@@ -272,6 +272,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         (ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))))
       GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  /** ProcedureCatalog: the Iceberg-style maintenance verbs behind Spark 4's
+    * native `CALL cat.system.<proc>(...)` statement ([[GraftProcedures]]). */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))
+    (if (ok) GraftProcedures.load(cat, ident.name.toLowerCase) else None)
+      .getOrElse(throw new RuntimeException(
+        s"$catName: no such procedure ${ident.namespace.mkString(".")}.${ident.name}"))
+  }
 
   override def listNamespaces(): Array[Array[String]] =
     cat.listNamespaces().map(ns => Array(ns)).toArray

@@ -304,31 +304,51 @@ object Extensions {
     val edges = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // iterate ONLY the pair-connected subgraph — singletons (usually the
+    // vast majority of a corpus) are trivially their own cluster and
+    // rejoin at the end; at 100 TB this shrinks every round's frames from
+    // |corpus| to |docs that share a blocking key|
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
+    // size the loop's shuffles to the SUBGRAPH, not the session default:
+    // a few hundred label rows across 32 partitions pays ~6 exchanges of
+    // pure scheduling overhead per round. One partition per ~50k edges,
+    // capped at the session setting — the same formula a 100 TB run needs,
+    // just landing at the high end there.
+    val nEdges = edges.count()
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(sessionParts.toLong, nEdges / 50000L))
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
-      val viaEdges = edges
-        .join(labels.select(col("doc_id").as("d1"), col("label")), "d1")
-        .select(col("d2").as("doc_id"), col("label"))
-      val merged = labels.unionByName(viaEdges)
-        .groupBy("doc_id").agg(min("label").as("label"))
-      // pointer jump: label := label's label (labels always point at real
-      // doc ids, so the inner self-join is total)
-      val next = merged
-        .join(merged.select(col("doc_id").as("label"), col("label").as("ll")),
-          "label")
-        .select(col("doc_id"), col("ll").as("label"))
-        .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      rounds += 1
-    }
+    try {
+      // pointer jumping converges in O(log diameter) rounds; the cap is a
+      // pathological-input backstop far above any real corpus's need
+      while (changed > 0 && rounds < 50) {
+        val viaEdges = edges
+          .join(labels.select(col("doc_id").as("d1"), col("label")), "d1")
+          .select(col("d2").as("doc_id"), col("label"))
+        val merged = labels.unionByName(viaEdges)
+          .groupBy("doc_id").agg(min("label").as("label"))
+        // pointer jump: label := label's label (labels always point at real
+        // doc ids, so the inner self-join is total)
+        val next = merged
+          .join(merged.select(col("doc_id").as("label"), col("label").as("ll")),
+            "label")
+          .select(col("doc_id"), col("ll").as("label"))
+          .localCheckpoint(true)
+        changed = next.as("n")
+          .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        rounds += 1
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts)
     edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
   }
 

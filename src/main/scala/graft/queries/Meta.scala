@@ -780,6 +780,58 @@ object Meta {
       .toDF("phase", "n", "invariant_ok")
   }
 
+  /** meta_procedures: Spark 4 native `CALL` statements against the
+    * catalog's system procedures — the Iceberg maintenance UX
+    * (`CALL cat.system.expire_snapshots('ns.t', N)` etc.) end-to-end:
+    * branch lifecycle, tag lifecycle, rewrite_data_files compaction, and
+    * snapshot expiration, each returning its report as a driver-side
+    * LocalScan (no job). Non-oracle: catalog semantics. */
+  private def metaProcedures: QFn = (s, d) => {
+    import s.implicits._
+    val (data, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.importFolders(s, data)
+    val cname = "gcall_" + Paths.get(wh).getParent.getFileName.toString
+      .replaceAll("[^a-zA-Z0-9]", "")
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+    try {
+      val n0 = cat.readTable(s, "nyc", "region").count()
+      // branch lifecycle through CALL
+      val fork = s.sql(s"CALL $cname.system.create_branch('nyc.region', 'land')")
+        .head().getLong(1)
+      val lands = Paths.get(wh, "nyc", "region", "data", "landp")
+      cat.readTable(s, "nyc", "region").limit(2).coalesce(1)
+        .write.parquet(lands.toString)
+      cat.registerFilesToBranch("nyc", "region", "land", Seq(lands))
+      val head = s.sql(s"CALL $cname.system.fast_forward('nyc.region', 'land')")
+        .head().getLong(0)
+      val nFf = cat.readTable(s, "nyc", "region").count()
+      // tag + rollback through CALL
+      s.sql(s"CALL $cname.system.create_tag('nyc.region', 'pre', 1)").collect()
+      val tagged = s.sql(
+        s"SELECT count(*) FROM $cname.nyc.region VERSION AS OF 'pre'")
+        .as[Long].head()
+      s.sql(s"CALL $cname.system.drop_tag('nyc.region', 'pre')").collect()
+      val rb = s.sql(s"CALL $cname.system.rollback_to_snapshot('nyc.region', 1)")
+        .head().getLong(1)
+      val nRb = cat.readTable(s, "nyc", "region").count()
+      // compaction + expiration through CALL
+      val rw = s.sql(s"CALL $cname.system.rewrite_data_files('nyc.region')")
+        .head()
+      val ex = s.sql(s"CALL $cname.system.expire_snapshots('nyc.region', 1)")
+        .head()
+      Seq(("branch_create_ff", head, fork == 1L && head == 2L && nFf == n0 + 2),
+        ("tag_read", tagged, tagged == n0),
+        ("rollback", rb, nRb == n0),
+        ("rewrite", rw.getInt(1).toLong, rw.getInt(1) <= rw.getInt(0)),
+        ("expire", ex.getInt(2).toLong,
+          ex.getInt(2) == 1 && cat.readTable(s, "nyc", "region").count() == n0))
+        .toDF("phase", "n", "invariant_ok")
+    } finally unregisterCatalog(s, cname) // names salted: see helper note
+  }
+
   /** meta_spj: STORAGE-PARTITIONED JOIN — two catalog tables co-partitioned
     * `bucket[8]` on the join key join with ZERO shuffle exchanges: the scans
     * report KeyGroupedPartitioning, every input partition exposes its
@@ -1157,6 +1209,7 @@ object Meta {
     "meta_spec_evolution" -> metaSpecEvolution,
     "meta_spj"         -> metaSpj,
     "meta_branch"      -> metaBranch,
+    "meta_procedures"  -> metaProcedures,
     "meta_wap"         -> metaWap,
     "meta_default_catalog" -> metaDefaultCatalog,
     "meta_show_create" -> metaShowCreate,
