@@ -464,17 +464,15 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
   /** Scans through SQL prune files at PLAN time from the pushed filters:
     * partition-tuple projection (hidden partitioning) + footer min/max
     * bounds — Iceberg's manifest-based scan planning, metadata-only. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    requireServable()
-    // raw scan only when NOTHING is prunable: no stats and no partition
-    // tuples anywhere (after evolving to unpartitioned, old files' tuples
-    // still prune under the spec they were written with)
-    if (files.forall(f => f.colRanges.isEmpty && f.strRanges.isEmpty &&
-        f.partition.isEmpty))
-      rawScanBuilder(options)
-    else new GraftPruningScanBuilder(name(), tableSchema, files, specForFile,
-      specFields, options)
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // always the pruning builder: it degrades to a plain delegate scan
+    // when nothing prunes, and it is what serves metadata-only COUNT(*)
+    // (exact per-file row counts exist for every registered file)
+    {
+      requireServable()
+      new GraftPruningScanBuilder(name(), tableSchema, files, specForFile,
+        specFields, options)
+    }
 
   import org.apache.spark.sql.sources
   import org.apache.spark.sql.Column
@@ -679,11 +677,35 @@ private[catalog] class GraftPruningScanBuilder(
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.catalyst.expressions.Expression
 
   private var inner: ScanBuilder = _
+  private var hadFilters = false
+  private var pushedCount: Option[(Int, Long)] = None // (n count cols, total)
+
+  /** METADATA-ONLY COUNT(*): the catalog records every file's exact footer
+    * row count, so an unfiltered global `SELECT count(*)` is answerable
+    * without opening a single data file — the Iceberg manifests-count
+    * optimization, and at 100 TB the difference between milliseconds and a
+    * full-table scan. Strictly conservative: any pushed filter (pruning
+    * keeps a SUPERSET of matching rows), any grouping, or any aggregate
+    * other than plain COUNT(*) declines, and the stock scan proceeds. The
+    * partial-pushdown contract (supportCompletePushDown stays false) means
+    * Spark still runs the final sum over our single pre-counted row. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (hadFilters || agg.groupByExpressions().nonEmpty ||
+        agg.aggregateExpressions().isEmpty ||
+        !agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
+      return false
+    pushedCount =
+      Some((agg.aggregateExpressions().length, files.map(_.rowCount).sum))
+    true
+  }
 
   private def delegate: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =
     ensure().asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
@@ -700,6 +722,7 @@ private[catalog] class GraftPruningScanBuilder(
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     if (inner == null) {
+      hadFilters = filters.nonEmpty
       val translated = filters.flatMap(Partitioning.translateForPruning)
       val kept = files.filter(f => translated.forall(fl =>
         Partitioning.keepByPartition(specForFile(f), specFields, f, fl) &&
@@ -716,12 +739,33 @@ private[catalog] class GraftPruningScanBuilder(
     delegate.pushedFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    ensure().asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-      .pruneColumns(requiredSchema)
+    // with a pushed aggregate the required schema is the AGGREGATE's shape
+    // (e.g. `count(*)`), not table columns — the delegate never sees it
+    if (pushedCount.isEmpty)
+      ensure().asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+        .pruneColumns(requiredSchema)
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    // storage-partitioned-join reporting, when sound and opted into
-    GraftKeyedScan.maybeWrap(ensure().build(), scanFiles, specForFile, specFields)
+    pushedCount match {
+      case Some((nCols, total)) =>
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+        val schema = StructType((0 until nCols).map(i =>
+          org.apache.spark.sql.types.StructField(s"count_$i",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val row: Array[InternalRow] =
+          Array(new GenericInternalRow(Array.fill[Any](nCols)(total)))
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[InternalRow] = row
+          override def readSchema(): StructType = schema
+          override def description(): String =
+            s"$tableName metadata-only count(*) = $total"
+        }
+      case None =>
+        // storage-partitioned-join reporting, when sound and opted into
+        GraftKeyedScan.maybeWrap(ensure().build(), scanFiles, specForFile,
+          specFields)
+    }
 }
 
 object GraftPruningScanBuilder {

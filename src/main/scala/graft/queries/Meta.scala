@@ -217,7 +217,16 @@ object Meta {
       .as[String].collect().toSeq
     val fileRows = s.sql(
       s"SELECT sum(row_count) FROM $cname.nyc.region.files").as[Long].head()
+    // metadata-only COUNT(*): the pushed aggregate plans as a driver-side
+    // LocalTableScan over the pre-counted row — no parquet scan node
+    val cntQ = s.sql(s"SELECT count(*) FROM $cname.nyc.region")
+    val cntPlan = cntQ.queryExecution.executedPlan.toString
+    val metaCount = cntQ.as[Long].head()
+    val metaCountOk = metaCount == regionAfter &&
+      cntPlan.contains("LocalTableScan [count_0") &&
+      !cntPlan.toLowerCase.contains("parquet")
     Seq(("current_doubled", cur, cur == 2 * atS1),
+      ("metadata_only_count", metaCount, metaCountOk),
       ("version_as_of_1", atS1, atS1 > 0),
       ("show_tables", tables, tables >= 10),
       ("sql_join_groups", joined, joined == 5),

@@ -117,6 +117,34 @@ class GraftSparkCatalogSpec extends SparkSpec {
     }
   }
 
+  test("metadata-only COUNT(*): answered from footer counts, no file scan") {
+    val (c, cat) = setup()
+    cat.registerFiles("nyc", "t", cat.files("nyc", "t").map(f => Paths.get(f.path)))
+    val q = spark.sql(s"SELECT count(*) FROM $c.nyc.t")
+    // Spark plans the pushed count as a driver-side LocalTableScan over the
+    // pre-counted row — NO parquet scan node anywhere in the plan
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("LocalTableScan [count_0") &&
+      !planStr.toLowerCase.contains("parquet"),
+      s"expected metadata count scan in plan:\n$planStr")
+    assert(q.as[Long].head() === 6L)
+    // multiple count(*) columns in one aggregate
+    assert(spark.sql(s"SELECT count(*), count(*) FROM $c.nyc.t")
+      .collect().head.toSeq === Seq(6L, 6L))
+    // a FILTER disables it (pruning keeps a superset) — and stays correct
+    val filtered = spark.sql(s"SELECT count(*) FROM $c.nyc.t WHERE id > 1")
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("metadata-only count(*)"))
+    assert(filtered.as[Long].head() === 4L)
+    // grouped and non-star aggregates take the normal path too
+    assert(spark.sql(s"SELECT count(id) FROM $c.nyc.t").as[Long].head() === 6L)
+    assert(spark.sql(s"SELECT name, count(*) FROM $c.nyc.t GROUP BY name")
+      .count() === 3L)
+    // time travel counts the as-of state
+    assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t VERSION AS OF 1")
+      .as[Long].head() === 3L)
+  }
+
   test("SQL metadata tables: partitions and refs") {
     val (c, cat) = setup()
     cat.registerFiles("nyc", "t", cat.files("nyc", "t").map(f => Paths.get(f.path)))
