@@ -13,7 +13,7 @@ object Bench {
     "q_agg_percentile", "q_join_inner", "q_join_multiway", "q_join_asof",
     "q_win_rank", "q_win_running", "q_sort_multi", "q_limit_topk",
     "q_dedup_minhash_shingle", "q_dedup_ngram", "q_dedup_cluster",
-    "q_neardup_edit",
+    "q_dedup_keep", "q_neardup_edit",
     "q_vec_cosine", "q_vec_knn", "q_embed_neardup_cells", "q_text_quality",
     "q_udtf_ngrams", "meta_import", "meta_sql_catalog", "meta_sql_merge",
     "meta_merge_pos", "meta_spec_evolution", "meta_spj", "meta_branch",

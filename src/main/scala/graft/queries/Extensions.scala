@@ -298,7 +298,29 @@ object Extensions {
     * never leave the executors. Fixpoint is verified, not assumed: the
     * loop exits when a round changes nothing, so the result equals the
     * oracle's true transitive closure. */
-  private def qDedupCluster: QFn = (s, d) => {
+  private def qDedupCluster: QFn = (s, d) =>
+    clusterLabels(s, d).orderBy("doc_id")
+
+  /** Keep/drop decisions: within each near-dup cluster keep ONE canonical
+    * document — the longest (ties to the smallest id), the usual
+    * keep-the-richest-copy rule of corpus dedup. One window over the
+    * cluster labels; the decision column is what a filtering pipeline
+    * joins on. */
+  private def qDedupKeep: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val stats = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    clusterLabels(s, d).join(stats, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, cluster_id) connected-components labeling — shared by
+    * [[qDedupCluster]] (the raw labeling) and [[qDedupKeep]] (canonical
+    * selection on top). */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val pairs = bandedPairs(s, d).select(col("d1"), col("d2"))
     val edges = pairs
@@ -349,7 +371,6 @@ object Extensions {
     docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   // ------------------------------------------------------ vector similarity
@@ -639,6 +660,7 @@ object Extensions {
     "q_dedup_simhash"   -> qDedupSimhash,
     "q_neardup_band"    -> qNeardupBand,
     "q_dedup_cluster"   -> qDedupCluster,
+    "q_dedup_keep"      -> qDedupKeep,
     "q_neardup_edit"    -> qNeardupEdit,
     "q_dedup_ngram"     -> qDedupNgram,
     "q_vec_cosine"      -> qVecCosine,
@@ -811,6 +833,26 @@ object Extensions {
         |  FROM reach r JOIN edges e ON e.d1 = r.doc_id)
         |SELECT doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
+        |   AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1, d2 FROM pairs
+        |          UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.d2 AS doc_id, r.label
+        |  FROM reach r JOIN edges e ON e.d1 = r.doc_id),
+        |clusters AS (
+        |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+        |SELECT c.doc_id, c.cluster_id,
+        |       row_number() OVER (PARTITION BY c.cluster_id
+        |                          ORDER BY d.n_chars DESC, c.doc_id) = 1 AS keep
+        |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     "q_neardup_edit" ->
       """SELECT a.doc_id AS d1, b.doc_id AS d2,
         |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,

@@ -297,9 +297,11 @@ class GraftCatalogSpec extends SparkSpec {
     val pos = cat.readTableWithPositions(spark, "ns", "pt")
     assert(pos.columns.contains(PosFileCol) && pos.columns.contains(PosIdxCol))
     assert(pos.groupBy(PosFileCol).count().collect().forall(_.getLong(1) == 3L))
-    // kill id=2 in file A only — its bit-identical twin in B must survive
+    // kill id=2 in file A only — its bit-identical twin in B must survive.
+    // Match the DIRECTORY segment "/fa/": a bare "fa" is two hex chars and
+    // can appear inside the other part-file's random UUID (observed flake)
     graft.etl.Merge.deleteWherePos(spark, cat, "ns", "pt",
-      col("id") === 2 && col(PosFileCol).contains("fa"))
+      col("id") === 2 && col(PosFileCol).contains("/fa/"))
     val after1 = cat.readTable(spark, "ns", "pt")
     assert(after1.count() === 5L)
     assert(after1.filter(col("id") === 2).count() === 1L)

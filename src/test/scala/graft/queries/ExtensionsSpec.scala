@@ -38,6 +38,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
   }
 
+  test("q_dedup_keep: exactly one canonical doc per cluster, the longest") {
+    val keep = run("q_dedup_keep") // (doc_id, cluster_id, keep)
+    assert(keep.count() === nDocs)
+    // exactly one keeper per cluster
+    val perCluster = keep.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"))
+    assert(perCluster.filter(col("n_keep") =!= 1).count() === 0)
+    // the keeper is maximal by n_chars within its cluster
+    val stats = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val withLen = keep.join(stats, "doc_id")
+    val maxLen = withLen.groupBy("cluster_id").agg(max("n_chars").as("max_chars"))
+    assert(withLen.filter(col("keep")).join(maxLen, "cluster_id")
+      .filter(col("n_chars") =!= col("max_chars")).count() === 0)
+  }
+
   test("q_dedup_cluster: a valid connected-components labeling") {
     val labels = run("q_dedup_cluster") // (doc_id, cluster_id)
     assert(labels.count() === nDocs)
