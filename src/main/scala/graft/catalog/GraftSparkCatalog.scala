@@ -684,26 +684,73 @@ private[catalog] class GraftPruningScanBuilder(
 
   private var inner: ScanBuilder = _
   private var hadFilters = false
-  private var pushedCount: Option[(Int, Long)] = None // (n count cols, total)
+  // pushed metadata aggregate: (output schema, the single pre-aggregated row)
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
 
-  /** METADATA-ONLY COUNT(*): the catalog records every file's exact footer
-    * row count, so an unfiltered global `SELECT count(*)` is answerable
-    * without opening a single data file — the Iceberg manifests-count
-    * optimization, and at 100 TB the difference between milliseconds and a
-    * full-table scan. Strictly conservative: any pushed filter (pruning
-    * keeps a SUPERSET of matching rows), any grouping, or any aggregate
-    * other than plain COUNT(*) declines, and the stock scan proceeds. The
-    * partial-pushdown contract (supportCompletePushDown stays false) means
-    * Spark still runs the final sum over our single pre-counted row. */
+  /** METADATA-ONLY aggregates: the catalog records every file's exact
+    * footer row count and per-column min/max bounds, so an unfiltered
+    * global `COUNT(*)` — and `MIN`/`MAX` over columns whose stats are
+    * EXACT in the recorded double (int/short/byte/date: 32-bit values;
+    * never long/float/double/string, where doubles round or footer bounds
+    * truncate) — is answerable without opening a single data file: the
+    * Iceberg manifests-aggregate optimization, at 100 TB the difference
+    * between milliseconds and a full-table scan. Strictly conservative:
+    * any pushed filter (pruning keeps a SUPERSET of matching rows), any
+    * grouping, any other aggregate, or any live file MISSING stats for a
+    * referenced column (e.g. an all-null chunk) declines, and the stock
+    * scan proceeds. The partial-pushdown contract (supportCompletePushDown
+    * stays false) means Spark still runs the final fold over our single
+    * pre-aggregated row. */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types._
     if (hadFilters || agg.groupByExpressions().nonEmpty ||
-        agg.aggregateExpressions().isEmpty ||
-        !agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
+        agg.aggregateExpressions().isEmpty)
       return false
-    pushedCount =
-      Some((agg.aggregateExpressions().length, files.map(_.rowCount).sum))
+    def exactField(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        tableSchema.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+          .filter(f => f.dataType match {
+            case IntegerType | ShortType | ByteType | DateType => true
+            case _ => false
+          })
+      case _ => None
+    }
+    // every live file must carry bounds for the column, else its rows are
+    // invisible to the metadata min/max
+    def bounds(f: StructField): Option[(Double, Double)] = {
+      val per = files.map(_.colRanges.flatMap(_.collectFirst {
+        case (n, r) if n.equalsIgnoreCase(f.name) => r }))
+      if (per.isEmpty || per.exists(_.isEmpty)) None
+      else Some((per.flatten.map(_.min).min, per.flatten.map(_.max).max))
+    }
+    def narrow(f: StructField, v: Double): Any = f.dataType match {
+      case ShortType => v.toShort
+      case ByteType  => v.toByte
+      case _         => v.toInt // int + date (days since epoch)
+    }
+    val resolved = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        Some((StructField(s"count", LongType, nullable = false),
+          files.map(_.rowCount).sum: Any))
+      case m: Min => exactField(m.column).flatMap(f =>
+        bounds(f).map(b => (f.copy(name = "min"), narrow(f, b._1))))
+      case m: Max => exactField(m.column).flatMap(f =>
+        bounds(f).map(b => (f.copy(name = "max"), narrow(f, b._2))))
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) return false
+    // MIN/MAX over an EMPTY table yields null through the normal scan; an
+    // empty pre-aggregated frame would be wrong for COUNT — decline the
+    // whole push instead of special-casing
+    if (files.isEmpty && resolved.flatten.exists(_._1.name != "count"))
+      return false
+    val fields = resolved.flatten.zipWithIndex.map { case ((f, _), i) =>
+      f.copy(name = s"${f.name}_$i") }
+    pushedAgg = Some((StructType(fields), resolved.flatten.map(_._2).toArray))
     true
   }
 
@@ -741,25 +788,21 @@ private[catalog] class GraftPruningScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     // with a pushed aggregate the required schema is the AGGREGATE's shape
     // (e.g. `count(*)`), not table columns — the delegate never sees it
-    if (pushedCount.isEmpty)
+    if (pushedAgg.isEmpty)
       ensure().asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
         .pruneColumns(requiredSchema)
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    pushedCount match {
-      case Some((nCols, total)) =>
+    pushedAgg match {
+      case Some((schema, values)) =>
         import org.apache.spark.sql.catalyst.InternalRow
         import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-        val schema = StructType((0 until nCols).map(i =>
-          org.apache.spark.sql.types.StructField(s"count_$i",
-            org.apache.spark.sql.types.LongType, nullable = false)))
-        val row: Array[InternalRow] =
-          Array(new GenericInternalRow(Array.fill[Any](nCols)(total)))
+        val row: Array[InternalRow] = Array(new GenericInternalRow(values))
         new org.apache.spark.sql.connector.read.LocalScan {
           override def rows(): Array[InternalRow] = row
           override def readSchema(): StructType = schema
           override def description(): String =
-            s"$tableName metadata-only count(*) = $total"
+            s"$tableName metadata-only aggregate ${schema.fieldNames.mkString(",")}"
         }
       case None =>
         // storage-partitioned-join reporting, when sound and opted into

@@ -145,6 +145,35 @@ class GraftSparkCatalogSpec extends SparkSpec {
       .as[Long].head() === 3L)
   }
 
+  test("metadata-only MIN/MAX for 32-bit-exact columns; long/string decline") {
+    val (c, cat) = setup()
+    val df = Seq((5, java.sql.Date.valueOf("2024-03-01"), 10L, "a"),
+      (2, java.sql.Date.valueOf("2023-01-15"), 20L, "b"),
+      (9, java.sql.Date.valueOf("2024-12-31"), 30L, "c"))
+      .toDF("i", "d", "l", "s")
+    cat.createTable("nyc", "mm", df.schema)
+    val dir = Paths.get(cat.warehouse, "nyc", "mm", "data", "f1")
+    df.coalesce(1).write.parquet(dir.toString)
+    cat.registerFiles("nyc", "mm", Seq(dir))
+    // int + date min/max (and a count alongside) come from metadata only
+    val q = spark.sql(s"SELECT min(i), max(i), min(d), max(d), count(*) FROM $c.nyc.mm")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.toLowerCase.contains("parquet"),
+      s"expected metadata-only aggregate plan:\n$plan")
+    val r = q.collect().head
+    assert(r.getInt(0) === 2 && r.getInt(1) === 9)
+    assert(r.getDate(2) === java.sql.Date.valueOf("2023-01-15"))
+    assert(r.getDate(3) === java.sql.Date.valueOf("2024-12-31"))
+    assert(r.getLong(4) === 3L)
+    // LONG (doubles round above 2^53) and STRING (truncated bounds) decline
+    for (expr <- Seq("min(l)", "min(s)")) {
+      val p = spark.sql(s"SELECT $expr FROM $c.nyc.mm")
+        .queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("parquet"), s"$expr must scan:\n$p")
+    }
+    assert(spark.sql(s"SELECT min(l) FROM $c.nyc.mm").collect().head.getLong(0) === 10L)
+  }
+
   test("SQL metadata tables: partitions and refs") {
     val (c, cat) = setup()
     cat.registerFiles("nyc", "t", cat.files("nyc", "t").map(f => Paths.get(f.path)))
