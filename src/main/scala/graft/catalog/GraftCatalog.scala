@@ -127,8 +127,8 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
     * delta log forked from a main-history snapshot. */
   def branchMap: Map[String, BranchMeta] = branches.getOrElse(Map.empty)
 
-  def branchOf(name: String): BranchMeta = branchMap.getOrElse(name,
-    throw new IllegalArgumentException(s"$namespace.$name has no branch '$name'"))
+  def branchOf(branch: String): BranchMeta = branchMap.getOrElse(branch,
+    throw new IllegalArgumentException(s"$namespace.$name has no branch '$branch'"))
 
   /** The branch (if any) whose private log contains snapshot `id`. */
   def branchContaining(id: Long): Option[(String, BranchMeta)] =
@@ -851,11 +851,17 @@ class GraftCatalog(val warehouse: String) {
   }
 
   /** Read a branch's current state (fork-point main history + the
-    * branch's deltas). */
+    * branch's deltas). A branch forked from the EMPTY table with no
+    * commits yet (headId == 0) reads as empty — never as main's current
+    * state, which may have advanced since the fork (branch isolation). */
   def readBranch(spark: SparkSession, ns: String, t: String,
                  branch: String): DataFrame = {
-    val head = loadTable(ns, t).branchOf(branch).headId
-    readTable(spark, ns, t, asOf = if (head == 0) None else Some(head))
+    val meta = loadTable(ns, t)
+    val head = meta.branchOf(branch).headId
+    if (head == 0)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    else readTable(spark, ns, t, asOf = Some(head))
   }
 
   /** FAST-FORWARD main to a branch head: the branch's snapshots graft onto
@@ -1102,18 +1108,27 @@ class GraftCatalog(val warehouse: String) {
       // file is tiny relative to the table, so every anti-join broadcasts;
       // debt is cleared by materialization (overwrite), not by scale-up.
       snaps.foldLeft(empty()) { (acc, sn) =>
+        if (sn.isPositionDelete && sn.deletes.nonEmpty) {
+          // position deletes pin exact (file_path, pos) tuples. Iceberg
+          // v2's sequence rule for POSITION deletes is `<=`: they apply to
+          // data files of the SAME commit as well as all earlier state, so
+          // the snapshot's own added files union in BEFORE the anti-join
+          // (a one-commit upsert that deletes rows of its own new files is
+          // legal). A row in a LATER file can never be hit even if a path
+          // were recycled.
+          import org.apache.spark.sql.functions.broadcast
+          val withOwn =
+            if (sn.addedFiles.isEmpty) acc
+            else acc.unionByName(scanAt(spark, meta, sn.schemaVer,
+              sn.addedFiles.map(_.path), keepPos = needPos))
+          val del = spark.read.parquet(sn.deletes.map(_.path): _*)
+          withOwn.join(broadcast(del),
+            withOwn(GraftCatalog.PosFileCol) === del("file_path") &&
+              withOwn(GraftCatalog.PosIdxCol) === del("pos"), "left_anti")
+        } else {
         val afterDeletes =
           if (sn.deletes.isEmpty) acc
-          else if (sn.isPositionDelete) {
-            // position deletes pin exact (file_path, pos) tuples — applied
-            // to the accumulated earlier state, so a row in a LATER file
-            // can never be hit even if a path were recycled
-            import org.apache.spark.sql.functions.broadcast
-            val del = spark.read.parquet(sn.deletes.map(_.path): _*)
-            acc.join(broadcast(del),
-              acc(GraftCatalog.PosFileCol) === del("file_path") &&
-                acc(GraftCatalog.PosIdxCol) === del("pos"), "left_anti")
-          } else {
+          else {
             import org.apache.spark.sql.functions.{broadcast, col}
             val keys = sn.equalityKeys.getOrElse(Nil)
             // Equality keys were recorded under THIS snapshot's schema
@@ -1148,6 +1163,7 @@ class GraftCatalog(val warehouse: String) {
         else afterDeletes.unionByName(
           scanAt(spark, meta, sn.schemaVer, sn.addedFiles.map(_.path),
             keepPos = needPos))
+        }
       }
     }
     if (needPos && !withPos)
@@ -1310,8 +1326,12 @@ class GraftCatalog(val warehouse: String) {
     val next = meta.copy(snapshots = checkpoint.toList ::: retained)
     commit(next, expectedVersion = ver)
     // orphans: referenced only by expired snapshots, unreachable from any
-    // remaining one, and physically owned by the warehouse
-    val live = (checkpoint.toList ::: retained)
+    // remaining one OR any live branch's private log (a branch may have
+    // registered the same physical file — dropBranch's cleanup already
+    // counts other branches; this is the mirror), and physically owned by
+    // the warehouse
+    val live = ((checkpoint.toList ::: retained) ++
+      meta.branchMap.values.flatMap(_.snapshots))
       .flatMap(sn => sn.addedFiles ++ sn.deletes).map(_.path).toSet
     val whPrefix =
       Paths.get(warehouse).toAbsolutePath.toString + java.io.File.separator

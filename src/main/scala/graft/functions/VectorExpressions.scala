@@ -54,15 +54,20 @@ case class DotProductF(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: Java forbids shadowing an enclosing local, and Spark's
+      // generated methods routinely declare `i` — a literal `int i` here
+      // failed janino compilation whenever this expression was inlined
+      // into such a method
+      val i = ctx.freshName("i")
       s"""
          |int ${ev.value}_n = $a.numElements();
          |if ($b.numElements() != ${ev.value}_n) {
          |  ${ev.isNull} = true;
          |} else {
          |  double ${ev.value}_acc = 0.0;
-         |  for (int i = 0; i < ${ev.value}_n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    ${ev.value}_acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  for (int $i = 0; $i < ${ev.value}_n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    ${ev.value}_acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
          |  if (!${ev.isNull}) ${ev.value} = ${ev.value}_acc;
          |}

@@ -95,6 +95,51 @@ class BranchSpec extends SparkSpec {
     assert(cat.expireSnapshots("nyc", "t", keepLast = 1).expiredSnapshots > 0)
   }
 
+  test("branch forked from the empty table reads empty even after main advances") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "branch0")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("nyc", "t0", df.schema)
+    cat.createBranch("nyc", "t0", "dev") // fork = 0: the empty table
+    val d = base.resolve("d")
+    df.coalesce(1).write.parquet(d.toString)
+    cat.registerFiles("nyc", "t0", Seq(d)) // main advances past the fork
+    val br = cat.readBranch(spark, "nyc", "t0", "dev")
+    // isolation: the branch's state is the empty fork, NOT main's new rows
+    assert(br.count() === 0)
+    assert(br.schema.fieldNames.toSeq === Seq("id", "v"))
+    // a branch commit then reads back without the fork rows
+    cat.registerFilesToBranch("nyc", "t0", "dev", Seq(d))
+    assert(cat.readBranch(spark, "nyc", "t0", "dev").count() === 1)
+    assert(cat.readTable(spark, "nyc", "t0").count() === 1)
+  }
+
+  test("branchOf error names the table, not the branch, as the table") {
+    val (cat, _) = setup()
+    val e = intercept[IllegalArgumentException] {
+      cat.readBranch(spark, "nyc", "t", "ghost")
+    }
+    assert(e.getMessage.contains("nyc.t has no branch 'ghost'"), e.getMessage)
+  }
+
+  test("expireSnapshots keeps files still referenced by a live branch") {
+    val (cat, base) = setup() // main snap 1: 3 rows (files outside warehouse)
+    val shared = land(cat, base, "shared", 4) // warehouse-owned
+    cat.registerFiles("nyc", "t", Seq(shared)) // main snap 2: + shared
+    cat.registerFiles("nyc", "t", Seq(land(cat, base, "ow", 6)),
+      operation = "overwrite") // main snap 3: shared leaves main's state
+    cat.createBranch("nyc", "t", "keep") // forks at snap 3 (retained)
+    cat.registerFilesToBranch("nyc", "t", "keep", Seq(shared))
+    val sharedPaths = cat.loadTable("nyc", "t").branchOf("keep")
+      .snapshots.head.addedFiles.map(_.path)
+    cat.expireSnapshots("nyc", "t", keepLast = 1)
+    // shared sat in the expired main prefix, but the live branch still
+    // references it — expire must not physically delete it
+    assert(sharedPaths.forall(p => Files.exists(Paths.get(p))),
+      "branch-referenced file was deleted by expire")
+    assert(cat.readBranch(spark, "nyc", "t", "keep").count() === 10) // 6 + 4
+  }
+
   test("meta_branch declared query: all invariants hold") {
     val rows = graft.queries.Meta.queries("meta_branch")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))

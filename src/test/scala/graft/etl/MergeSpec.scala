@@ -118,6 +118,26 @@ class MergeSpec extends SparkSpec {
     assert(cat.readTable(spark, "nyc", "t", asOf = Some(1L)).count() === 3)
   }
 
+  test("position deletes hit the SAME commit's added files (<= sequence rule)") {
+    val cat = setup()
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "pos_own")
+    Seq((10L, "x", 1.0), (11L, "y", 2.0)).toDF("id", "name", "score")
+      .coalesce(1).write.parquet(base.resolve("add").toString)
+    // the (file_path, pos) tuple of id=10 INSIDE the about-to-be-added file
+    spark.read.parquet(base.resolve("add").toString)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") === 10L).drop("id")
+      .coalesce(1).write.parquet(base.resolve("del").toString)
+    // one atomic commit: add the file AND delete one of its rows
+    cat.commitPositionDeletes("nyc", "t", Seq(base.resolve("del")),
+      addedFiles = Seq(base.resolve("add")))
+    val ids = cat.readTable(spark, "nyc", "t").select("id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 11L)) // id=10 died in its own commit
+    // pre-merge state is untouched by time travel
+    assert(cat.readTable(spark, "nyc", "t", asOf = Some(1L)).count() === 3)
+  }
+
   test("meta_merge_pos declared query: all position-delete invariants hold") {
     val rows = graft.queries.Meta.queries("meta_merge_pos")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))

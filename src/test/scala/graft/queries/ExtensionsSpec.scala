@@ -99,6 +99,10 @@ class ExtensionsSpec extends SparkSpec {
     ivf.foreach { r =>
       assert(brute(r.getLong(0)) === r.getDouble(2))
     }
+    // the in-query recall column is a real quality gate: ≥80% of the IVF
+    // top-10 must be members of the brute-force exact top-10
+    val recall = ivf.count(_.getBoolean(3)).toDouble / ivf.length
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
 
   test("q_vec_knn_kmeans: trained quantizer returns 10 scored rows with real recall") {
