@@ -1,0 +1,35 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** The REAL HiveThriftServer2 endpoint (SURVEY.md §2.C4/§0 serving layer):
+  * TCP listen, NOSASL JDBC round-trip parity with the in-process plan,
+  * 2-client concurrency, per-connection session isolation, and wire
+  * introspection — the reference's Superset-facing topology end-to-end. */
+class ThriftSpec extends SparkSpec {
+
+  test("meta_thrift_serve declared query: all invariants hold") {
+    val rows = graft.queries.Meta.queries("meta_thrift_serve")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(_._1).toSeq === Seq("server_listening",
+      "jdbc_matches_inprocess", "two_concurrent_clients",
+      "thrift_session_isolation", "show_tables_over_wire"))
+    assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
+  }
+
+  test("wire results carry correct JDBC types and the dialect shims apply") {
+    val port = ThriftServe.ensureStarted(spark)
+    // a computed projection with aliases — types survive the Thrift hop
+    val rows = ThriftServe.query(port,
+      "SELECT cast(2 as bigint) AS a, 'x' AS b, cast(1.5 as double) AS c")
+    assert(rows === Seq(Seq(2L, "x", 1.5)))
+    // the SHOW CREATE VIEW rewrite (I1) happens server-side of the BI
+    // client: GraftSql.sql() is the entry the server session exposes.
+    // Permanent view — SHOW CREATE TABLE does not cover temp views.
+    spark.sql("CREATE OR REPLACE VIEW shim_pv AS SELECT 1 AS one")
+    try {
+      val ddl = GraftSql.viewDefinition(spark, "shim_pv")
+      assert(ddl.exists(_.toUpperCase.contains("CREATE")), ddl.toString)
+    } finally spark.sql("DROP VIEW IF EXISTS shim_pv")
+  }
+}
