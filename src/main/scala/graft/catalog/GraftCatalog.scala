@@ -271,6 +271,90 @@ object GraftCatalog {
     * nowhere, but TPC-H-style schemas never use them). */
   val PosFileCol = "__graft_file"
   val PosIdxCol = "__graft_pos"
+
+  /** Max recorded string-bound length — Iceberg's manifest `truncate(16)`. */
+  private val StrBoundLen = 16
+
+  /** Truncated LOWER bound: a prefix of the min is always ≤ the min. */
+  private[catalog] def truncateMin(s: String): String =
+    if (s.length <= StrBoundLen) s else s.substring(0, StrBoundLen)
+
+  /** Truncated UPPER bound: exact when short enough; else the 16-char
+    * prefix with its last incrementable char bumped and the tail dropped —
+    * strictly greater than every string sharing the prefix. None when no
+    * char can be bumped (skipping must stay conservative). */
+  private[catalog] def truncateMax(s: String): Option[String] =
+    if (s.length <= StrBoundLen) Some(s)
+    else {
+      val prefix = s.substring(0, StrBoundLen)
+      val i = prefix.lastIndexWhere(_ < Char.MaxValue)
+      if (i < 0) None
+      else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
+    }
+
+  /** Row count + per-column [min,max] from ONE footer read: numeric ranges
+    * plus truncated bounds for UTF8 string columns (the stats Iceberg
+    * manifests carry for string file-skipping). Block stats are merged on
+    * the FULL values; truncation happens once at the end. Lives on the
+    * COMPANION so the distributed stat pass can run it inside executor
+    * tasks without capturing the catalog instance. */
+  private[catalog] def footerStats(p: Path)
+      : (Long, Map[String, ColRange], Map[String, StrRange]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val perCol = collection.mutable.Map.empty[String, ColRange]
+      val perStr = collection.mutable.Map.empty[String, (String, String)]
+      r.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { c =>
+          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+          if (st != null && !st.isEmpty && st.hasNonNullValue) {
+            val key = c.getPath.toDotString
+            c.getPrimitiveType.getPrimitiveTypeName match {
+              case INT32 | INT64 | FLOAT | DOUBLE =>
+                val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+                  case (a: Number, b: Number) => (a.doubleValue(), b.doubleValue())
+                }
+                val merged = perCol.get(key)
+                  .map(o => ColRange(math.min(o.min, mn), math.max(o.max, mx)))
+                  .getOrElse(ColRange(mn, mx))
+                perCol(key) = merged
+              case BINARY
+                  if c.getPrimitiveType.getLogicalTypeAnnotation ==
+                    org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+                val mn = st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                val mx = st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                val merged = perStr.get(key)
+                  .map { case (omn, omx) =>
+                    (if (mn < omn) mn else omn, if (mx > omx) mx else omx) }
+                  .getOrElse((mn, mx))
+                perStr(key) = merged
+              case _ => // other binary/logical types: skip
+            }
+          }
+        }
+      }
+      val strRanges = perStr.toMap.flatMap { case (k, (mn, mx)) =>
+        truncateMax(mx).map(tmx => k -> StrRange(truncateMin(mn), tmx))
+      }
+      (r.getRecordCount, perCol.toMap, strRanges)
+    } finally r.close()
+  }
+
+  /** Stat ONE file into its manifest entry — the unit of work both the
+    * driver-pool and the distributed stat passes share. */
+  private[catalog] def statOne(pathStr: String): DataFileMeta = {
+    val p = Paths.get(pathStr)
+    val (rows, ranges, strs) = footerStats(p)
+    DataFileMeta(p.toAbsolutePath.toString, Files.size(p), rows,
+      if (ranges.nonEmpty) Some(ranges) else None,
+      if (strs.nonEmpty) Some(strs) else None)
+  }
 }
 
 /** Native table-metadata layer (SURVEY.md §7.2) re-implementing, without
@@ -1359,21 +1443,37 @@ class GraftCatalog(val warehouse: String) {
       import scala.jdk.CollectionConverters._
       val tasks = files.map { f =>
         new java.util.concurrent.Callable[DataFileMeta] {
-          def call(): DataFileMeta = {
-            val (rows, ranges, strs) = footerStats(f)
-            DataFileMeta(f.toAbsolutePath.toString, Files.size(f), rows,
-              if (ranges.nonEmpty) Some(ranges) else None,
-              if (strs.nonEmpty) Some(strs) else None)
-          }
+          def call(): DataFileMeta =
+            GraftCatalog.statOne(f.toAbsolutePath.toString)
         }
       }
       pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
     } finally pool.shutdown()
   }
 
+  /** File count above which an import's stat pass runs as a Spark job. */
+  private[catalog] val DistributedStatThreshold = 256
+
+  /** The stat pass as a SPARK JOB over the file list — the importer-at-
+    * scale path: a 100k-file table pays one short distributed job (footer
+    * I/O spread over the cluster) instead of driver-bound I/O, and only
+    * the manifest entries (path, size, rows, column ranges) return to the
+    * driver. Produces byte-identical DataFileMeta to [[statFiles]], order
+    * preserved. */
+  private[catalog] def statFilesDistributed(spark: SparkSession,
+                                            files: Seq[Path]): Seq[DataFileMeta] = {
+    val paths = files.map(_.toAbsolutePath.toString)
+    val slices = math.max(1,
+      math.min(paths.size, spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(paths.zipWithIndex, slices)
+      .map { case (p, i) => (i, GraftCatalog.statOne(p)) }
+      .collect().sortBy(_._1).map(_._2).toSeq
+  }
+
   /** Exact per-file row count from the Parquet footer
     * (`ImportParquetFolders.java:140-146`). */
-  private[catalog] def footerRowCount(p: Path): Long = footerStats(p)._1
+  private[catalog] def footerRowCount(p: Path): Long =
+    GraftCatalog.footerStats(p)._1
 
   /** Table schema from the FIRST file's footer — the reference importer's
     * `ParquetSchemaUtil.convert` step (`ImportParquetFolders.java:128-138`).
@@ -1381,77 +1481,15 @@ class GraftCatalog(val warehouse: String) {
   private[catalog] def inferSchema(spark: SparkSession, p: Path): StructType =
     ParquetSchema.infer(spark, p)
 
-  /** Max recorded string-bound length — Iceberg's manifest `truncate(16)`. */
-  private val StrBoundLen = 16
-
-  /** Truncated LOWER bound: a prefix of the min is always ≤ the min. */
-  private[catalog] def truncateMin(s: String): String =
-    if (s.length <= StrBoundLen) s else s.substring(0, StrBoundLen)
-
-  /** Truncated UPPER bound: exact when short enough; else the 16-char
-    * prefix with its last incrementable char bumped and the tail dropped —
-    * strictly greater than every string sharing the prefix. None when no
-    * char can be bumped (skipping must stay conservative). */
+  /** Delegators to the companion's stat helpers (kept on the instance for
+    * spec ergonomics; the implementations live on the object so executor
+    * closures never capture the catalog). */
+  private[catalog] def truncateMin(s: String): String = GraftCatalog.truncateMin(s)
   private[catalog] def truncateMax(s: String): Option[String] =
-    if (s.length <= StrBoundLen) Some(s)
-    else {
-      val prefix = s.substring(0, StrBoundLen)
-      val i = prefix.lastIndexWhere(_ < Char.MaxValue)
-      if (i < 0) None
-      else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
-    }
-
-  /** Row count + per-column [min,max] from ONE footer read: numeric ranges
-    * plus truncated bounds for UTF8 string columns (the stats Iceberg
-    * manifests carry for string file-skipping). Block stats are merged on
-    * the FULL values; truncation happens once at the end. */
+    GraftCatalog.truncateMax(s)
   private[catalog] def footerStats(p: Path)
-      : (Long, Map[String, ColRange], Map[String, StrRange]) = {
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
-    val r = ParquetFileReader.open(in)
-    try {
-      import scala.jdk.CollectionConverters._
-      val perCol = collection.mutable.Map.empty[String, ColRange]
-      val perStr = collection.mutable.Map.empty[String, (String, String)]
-      r.getFooter.getBlocks.asScala.foreach { block =>
-        block.getColumns.asScala.foreach { c =>
-          val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
-          if (st != null && !st.isEmpty && st.hasNonNullValue) {
-            val key = c.getPath.toDotString
-            c.getPrimitiveType.getPrimitiveTypeName match {
-              case INT32 | INT64 | FLOAT | DOUBLE =>
-                val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
-                  case (a: Number, b: Number) => (a.doubleValue(), b.doubleValue())
-                }
-                val merged = perCol.get(key)
-                  .map(o => ColRange(math.min(o.min, mn), math.max(o.max, mx)))
-                  .getOrElse(ColRange(mn, mx))
-                perCol(key) = merged
-              case BINARY
-                  if c.getPrimitiveType.getLogicalTypeAnnotation ==
-                    org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
-                val mn = st.genericGetMin
-                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-                val mx = st.genericGetMax
-                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-                val merged = perStr.get(key)
-                  .map { case (omn, omx) =>
-                    (if (mn < omn) mn else omn, if (mx > omx) mx else omx) }
-                  .getOrElse((mn, mx))
-                perStr(key) = merged
-              case _ => // other binary/logical types: skip
-            }
-          }
-        }
-      }
-      val strRanges = perStr.toMap.flatMap { case (k, (mn, mx)) =>
-        truncateMax(mx).map(tmx => k -> StrRange(truncateMin(mn), tmx))
-      }
-      (r.getRecordCount, perCol.toMap, strRanges)
-    } finally r.close()
-  }
+      : (Long, Map[String, ColRange], Map[String, StrRange]) =
+    GraftCatalog.footerStats(p)
 
   /** Manifest-style file skipping: keep only files whose [min,max] for
     * `column` can intersect [lower, upper]; files without stats are kept
@@ -1539,7 +1577,12 @@ class GraftCatalog(val warehouse: String) {
           if (!tableExists(ns, tname)) {
             createTable(ns, tname, inferSchema(spark, files.head))
           }
-          val metas = statFiles(files)
+          // big imports stat their footers as a Spark job; small ones on
+          // the driver pool (job-submission overhead dominates under ~256)
+          val metas =
+            if (files.size > DistributedStatThreshold)
+              statFilesDistributed(spark, files)
+            else statFiles(files)
           append(ns, tname, metas)
           Some(ImportSummary(ns, tname, metas.size.toLong, metas.map(_.rowCount).sum))
         }

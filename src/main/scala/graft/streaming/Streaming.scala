@@ -47,7 +47,9 @@ object Streaming {
     * below stage exactly that: the 00:03 event arrives when the watermark
     * is 00:20 ≥ its window end 00:10, so the finalized 00:00 window stays
     * at 2. */
-  def stWatermark: QFn = (s, _) => {
+  def stWatermark: QFn = stWatermarkWith("st_watermark_sink")
+
+  private def stWatermarkWith(sink: String): QFn = (s, _) => {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val input = MemoryStream[(Timestamp, String)]
@@ -55,9 +57,12 @@ object Streaming {
       .withWatermark("ts", "5 minutes")
       .groupBy(window(col("ts"), "10 minutes"), col("k"))
       .count()
-      .select(col("window.start").as("w_start"), col("k"), col("count").as("n"))
+      // ntz projection: the finalized rows are a fixed table, so the
+      // RocksDB twin can be hash-checked against a VALUES oracle
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("k"), col("count").as("n"))
     val q = withStatePartitions(s, 4)(counts.writeStream
-      .format("memory").queryName("st_watermark_sink").outputMode("append").start())
+      .format("memory").queryName(sink).outputMode("append").start())
     try {
       input.addData((ts(1), "a"), (ts(2), "a"), (ts(11), "b")) // watermark → 00:06
       q.processAllAvailable()
@@ -67,7 +72,26 @@ object Streaming {
         (ts(40), "c")) // watermark → 00:35; finalizes w[00:20]
       q.processAllAvailable()
     } finally q.stop()
-    s.table("st_watermark_sink").orderBy("w_start", "k")
+    s.table(sink).orderBy("w_start", "k")
+  }
+
+  /** st_watermark_rocksdb: the SAME watermarked windowed aggregation on
+    * the RocksDB state store provider — windowed-agg state (per open
+    * window × key) is the store that grows widest on a 100 TB/day stream,
+    * so off-heap state matters even more here than for dedup. The inputs
+    * are deterministic literals, so the finalized windows are a fixed
+    * table and the run is EXACT-ROWS oracle-checked (like
+    * st_dedup_rocksdb), not merely rows>0. */
+  def stWatermarkRocks: QFn = (s, d) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try stWatermarkWith("st_watermark_rocks_sink")(s, d)
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** st_dedup: dropDuplicatesWithinWatermark on event ids — duplicates in
@@ -455,6 +479,7 @@ object Streaming {
 
   val queries: Map[String, QFn] = Map(
     "st_watermark"    -> stWatermark,
+    "st_watermark_rocksdb" -> stWatermarkRocks,
     "st_dedup"        -> stDedup,
     "st_dedup_rocksdb" -> stDedupRocks,
     "st_sessionize"   -> stSessionize,
@@ -475,6 +500,14 @@ object Streaming {
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'first'),
         |(CAST(2 AS BIGINT), 'first'), (CAST(3 AS BIGINT), 'first'))
         |AS t(event_id, payload) ORDER BY event_id""".stripMargin,
+    // same determinism argument for the watermarked windowed aggregate:
+    // exactly the three finalized windows, in order
+    "st_watermark_rocksdb" ->
+      """SELECT * FROM (VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', 'a', CAST(2 AS BIGINT)),
+        |  (TIMESTAMP '2024-01-01 00:10:00', 'b', CAST(1 AS BIGINT)),
+        |  (TIMESTAMP '2024-01-01 00:20:00', 'b', CAST(1 AS BIGINT)))
+        |AS t(w_start, k, n) ORDER BY w_start, k""".stripMargin,
     "st_file_source" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

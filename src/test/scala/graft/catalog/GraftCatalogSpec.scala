@@ -132,6 +132,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(schema.fieldNames.toSeq === Seq("id")) // narrow first file wins
   }
 
+  test("distributed stat pass: identical DataFileMeta; 1k-file import uses it") {
+    val (data, wh) = freshDirs()
+    val cat = new GraftCatalog(wh.toString)
+    // 1100 one-row files — crosses DistributedStatThreshold (256) so
+    // importFolders takes the Spark-job stat path
+    val tdir = data.resolve("bulk")
+    import spark.implicits._
+    // partitionBy: one directory (one file) per key — a deterministic
+    // 1100-file tree (findParquet walks recursively)
+    spark.range(1100).select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("id").as("bucket"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("v"),
+          org.apache.spark.sql.functions.col("id")).as("name"))
+      .write.partitionBy("bucket").parquet(tdir.toString)
+    val files = cat.findParquet(tdir)
+    assert(files.size >= 1000, s"fixture produced only ${files.size} files")
+    // both stat paths produce byte-identical manifest entries, in order
+    val sample = files.take(300)
+    val pooled = cat.statFiles(sample)
+    val dist = cat.statFilesDistributed(spark, sample)
+    assert(dist === pooled)
+    // end-to-end: the import (distributed path) records exact counts
+    val summary = cat.importFolders(spark, data.toString)
+    assert(summary.map(s => (s.table, s.files, s.rows)) ===
+      Seq(("bulk", files.size.toLong, 1100L)))
+    assert(cat.readTable(spark, "nyc", "bulk").count() === 1100L)
+  }
+
   test("footer min/max stats enable file skipping; statless files are kept") {
     import spark.implicits._
     val (data, wh) = freshDirs()

@@ -35,6 +35,30 @@ class SanitizeSpec extends SparkSpec {
     assert(out.schema("other_ts").dataType === DecimalType(20, 0)) // not timestamp
   }
 
+  test("genuine UINT64 parquet: DECIMAL(20,0) read, values beyond Long.MaxValue") {
+    val path = UnsignedFixture.ensureWritten()
+    val df = spark.read.parquet(path)
+    assert(df.schema("counter").dataType === DecimalType(20, 0))
+    assert(df.schema("small_u").dataType === DecimalType(20, 0))
+    assert(df.schema("timestamp").dataType === DecimalType(20, 0))
+    // unsigned interpretation: stored Long.MinValue + 37i reads 2^63 + 37i
+    val twoPow63 = new java.math.BigInteger("9223372036854775808")
+    val c0 = df.filter(col("event_id") === 0).select("counter").head().getDecimal(0)
+    assert(c0.toBigInteger === twoPow63)
+    val c100 = df.filter(col("event_id") === 100).select("counter").head().getDecimal(0)
+    assert(c100.toBigInteger === twoPow63.add(java.math.BigInteger.valueOf(3700)))
+    // the declared query applies B2 to the unsigned `timestamp` column
+    val q = graft.queries.Etl.queries("etl_sanitize_uint64")(spark, sfDir)
+    assert(q.schema("sanitized_ts").dataType === TimestampNTZType)
+    assert(q.count() === UnsignedFixture.Rows.toLong)
+    val ts0 = q.filter(col("event_id") === 0).select("sanitized_ts")
+      .as[java.time.LocalDateTime].head()
+    assert(ts0.toString === "2024-01-01T00:00")
+    // nulls in the optional unsigned column survive the pass
+    assert(q.filter(col("small_u").isNull).count() ===
+      (0 until UnsignedFixture.Rows).count(_ % 7 == 0).toLong)
+  }
+
   test("rule B3: column order, untouched columns and types preserved") {
     val out = Sanitize.sanitize(fixture)
     assert(out.schema.fieldNames.toSeq === Seq("id", "counter", "timestamp", "label"))

@@ -8,16 +8,27 @@ import graft.SparkSpec
   */
 class StreamingSpec extends SparkSpec {
 
+  private val expectedWindows = Seq(
+    ("2024-01-01T00:00", "a", 2L),
+    ("2024-01-01T00:10", "b", 1L),
+    ("2024-01-01T00:20", "b", 1L))
+
   test("st_watermark: late event below the watermark is dropped") {
     val rows = Streaming.stWatermark(spark, sfDir)
       .collect()
-      .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2)))
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toString,
+        r.getString(1), r.getLong(2)))
     // The 00:03 "a" arrives after the watermark passed 00:06 ⇒ the
     // finalized 00:00 window still counts 2, not 3.
-    assert(rows.toSeq === Seq(
-      ("2024-01-01T00:00:00Z", "a", 2L),
-      ("2024-01-01T00:10:00Z", "b", 1L),
-      ("2024-01-01T00:20:00Z", "b", 1L)))
+    assert(rows.toSeq === expectedWindows)
+  }
+
+  test("st_watermark_rocksdb: RocksDB store reproduces the windowed result") {
+    val rows = Streaming.stWatermarkRocks(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toString,
+        r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === expectedWindows)
   }
 
   test("st_dedup: duplicate event id in a later micro-batch is suppressed") {
