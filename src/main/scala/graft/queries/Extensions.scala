@@ -346,6 +346,24 @@ object Extensions {
       .select(col("doc_id"), col("cluster_id"))
   }
 
+  /** q_dedup_cluster_star: the SAME banded candidate graph labeled by the
+    * GENERAL alternating large-star/small-star contraction
+    * ([[graft.operators.ConnectedComponents]]) instead of the interval
+    * closed form — hash-matched against the identical recursive-CTE
+    * oracle, proving the general algorithm exact on a graph with
+    * thousands of multi-hop chains. This is the operator the pipeline
+    * reaches for when the blocking key is NOT 1-dimensional (MinHash band
+    * co-membership, embedding cells, url/domain keys): O(log²) rounds of
+    * two narrow shuffles each, no driver-side graph, no O(diameter)
+    * propagation. */
+  private def qDedupClusterStar: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = bandedPairs(s, d).select(col("d1"), col("d2"))
+    graft.operators.ConnectedComponents.label(docs, edges)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ vector similarity
 
   /** Float-array dot product: the native codegen'd `graft_dot` expression
@@ -668,6 +686,7 @@ object Extensions {
     "q_dedup_simhash"   -> qDedupSimhash,
     "q_neardup_band"    -> qNeardupBand,
     "q_dedup_cluster"   -> qDedupCluster,
+    "q_dedup_cluster_star" -> qDedupClusterStar,
     "q_dedup_keep"      -> qDedupKeep,
     "q_neardup_edit"    -> qNeardupEdit,
     "q_dedup_ngram"     -> qDedupNgram,
@@ -827,6 +846,23 @@ object Extensions {
     // true transitive closure: min reachable doc_id per node — what the
     // Spark side's pointer-jumping propagation must converge to exactly
     "q_dedup_cluster" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
+        |   AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1, d2 FROM pairs
+        |          UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.d2 AS doc_id, r.label
+        |  FROM reach r JOIN edges e ON e.d1 = r.doc_id)
+        |SELECT doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same transitive closure as q_dedup_cluster: the general star
+    // contraction must reproduce the interval closed form exactly
+    "q_dedup_cluster_star" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2
         |  FROM documents a JOIN documents b
