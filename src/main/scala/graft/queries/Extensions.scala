@@ -346,6 +346,39 @@ object Extensions {
       .select(col("doc_id"), col("cluster_id"))
   }
 
+  /** q_dedup_pipeline: the FULL industrial dedup pipeline in one declared
+    * query — tokenize → MinHash(4) signature → LSH band → bucket
+    * co-membership edges → general star-contraction clustering
+    * ([[graft.operators.ConnectedComponents]]) → canonical keep/drop.
+    * This is the non-interval graph the general algorithm exists for
+    * (band buckets are arbitrary co-membership cliques, not 1-D runs),
+    * and the whole chain is hash-matched against a DuckDB twin whose
+    * closure is a recursive CTE. Scale shape: the signature is
+    * constant-size per doc before the only wide shuffle, bucket edges are
+    * an equi-join on the band key, clustering is O(log²) rounds, and
+    * keep/drop is a projection of the labeling — no all-pairs stage
+    * anywhere. */
+  private def qDedupPipeline: QFn = (s, d) => {
+    val banded = tokens(s, d)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("token")))).as("s0"),
+        min(md5(concat(lit("1:"), col("token")))).as("s1"),
+        min(md5(concat(lit("2:"), col("token")))).as("s2"),
+        min(md5(concat(lit("3:"), col("token")))).as("s3"))
+      .select(col("doc_id"),
+        md5(concat_ws("|", col("s0"), col("s1"), col("s2"), col("s3"))).as("band"))
+    val edges = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val docs = Tables.documents(s, d).select("doc_id")
+    graft.operators.ConnectedComponents.label(docs, edges)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        (col("node") === col("component")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q_dedup_cluster_star: the SAME banded candidate graph labeled by the
     * GENERAL alternating large-star/small-star contraction
     * ([[graft.operators.ConnectedComponents]]) instead of the interval
@@ -687,6 +720,7 @@ object Extensions {
     "q_neardup_band"    -> qNeardupBand,
     "q_dedup_cluster"   -> qDedupCluster,
     "q_dedup_cluster_star" -> qDedupClusterStar,
+    "q_dedup_pipeline"  -> qDedupPipeline,
     "q_dedup_keep"      -> qDedupKeep,
     "q_neardup_edit"    -> qNeardupEdit,
     "q_dedup_ngram"     -> qDedupNgram,
@@ -859,6 +893,31 @@ object Extensions {
         |  SELECT e.d2 AS doc_id, r.label
         |  FROM reach r JOIN edges e ON e.d1 = r.doc_id)
         |SELECT doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the whole pipeline's closure replayed in SQL: signature → band →
+    // bucket edges → recursive-CTE components → canonical keep
+    "q_dedup_pipeline" ->
+      s"""WITH RECURSIVE tok AS ($tokensSql),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('0:' || token)) AS s0, min(md5('1:' || token)) AS s1,
+        |         min(md5('2:' || token)) AS s2, min(md5('3:' || token)) AS s3
+        |  FROM tok GROUP BY doc_id),
+        |band AS (
+        |  SELECT doc_id, md5(s0 || '|' || s1 || '|' || s2 || '|' || s3) AS band
+        |  FROM sig),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1, d2 FROM pairs
+        |          UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.d2 AS doc_id, r.label
+        |  FROM reach r JOIN edges e ON e.d1 = r.doc_id)
+        |SELECT doc_id, min(label) AS cluster_id,
+        |       doc_id = min(label) AS keep
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same transitive closure as q_dedup_cluster: the general star
     // contraction must reproduce the interval closed form exactly

@@ -27,6 +27,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(bands.filter(not(col("band").rlike("^[0-9a-f]{32}$"))).count() === 0)
   }
 
+  test("q_dedup_pipeline: one keeper per cluster; identical texts co-cluster") {
+    val rows = run("q_dedup_pipeline").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length === nDocs)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._3) === 1, s"cluster $cid keepers != 1")
+      assert(cid === members.map(_._1).min, s"cluster $cid id not the min doc")
+      assert(members.filter(_._3).head._1 === cid)
+    }
+    // identical texts ⇒ identical token sets ⇒ same signature/band ⇒ the
+    // clustering MUST put them in one component
+    val cl = rows.map(r => r._1 -> r._2).toMap
+    Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._2).filter(_._2.length > 1)
+      .foreach { case (_, dups) =>
+        assert(dups.map(d => cl(d._1)).toSet.size === 1,
+          s"duplicate texts split across clusters: ${dups.map(_._1).mkString(",")}")
+      }
+  }
+
   test("q_dedup_simhash: one 8-bit signature per doc") {
     val sh = run("q_dedup_simhash")
     assert(sh.count() === nDocs)
