@@ -70,6 +70,22 @@ class PlanSpec extends SparkSpec {
     assert(shuffles("q_dedup_minhash") <= 4)
   }
 
+  test("q_vec_knn: one scan, TakeOrderedAndProject, no join/exchange beyond topk") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val p = plan("q_vec_knn")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "global top-k must be TakeOrderedAndProject, not sort+limit")
+    assert(shuffles("q_vec_knn") === 0, "brute knn is a single-pass scan")
+  }
+
+  test("dedup pipeline: band edges are an equi-join, never cartesian") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val p = plan("q_dedup_pipeline")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
+  }
+
   test("text quality scorers are map-only: the sort is the only exchange") {
     // repetition / rollhash / fingerprint are per-document projections —
     // any extra shuffle means the tokenizer leaked into an aggregation
