@@ -32,7 +32,15 @@ object ConnectedComponents {
   /** Label every node with its component id (= the smallest node id in
     * its component). `nodes`: single numeric-id column; `edges`: two
     * numeric columns (undirected, duplicates/self-loops tolerated).
-    * Isolated nodes label themselves. */
+    * Isolated nodes label themselves.
+    *
+    * Driver-loop economy (measured at sf0.1, where per-round JOB overhead
+    * dominates the tiny shuffles): convergence is tracked by a single-job
+    * (count, xxhash64-xor) signature; only when the signature repeats does
+    * the EXACT canonical-set anti-join run to confirm — the digest can
+    * suggest convergence but never declare it. (Batching two contractions
+    * per checkpoint was measured SLOWER — deeper lineage per job and one
+    * wasted contraction after the fixed point.) */
   def label(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 25): DataFrame = {
     val idCol = nodes.columns.head
     val e0 = edges
@@ -40,15 +48,23 @@ object ConnectedComponents {
         col(edges.columns(1)).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
     var cur = symmetric(e0).localCheckpoint()
+    def sig(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, overflow-free (ANSI-safe) set digest
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var curSig = sig(cur)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val next = symmetric(smallStar(largeStar(cur))).localCheckpoint()
-      // canonical pair sets equal ⇔ no edge changed this round
-      converged =
-        next.count() == cur.count() &&
-          canonical(next).except(canonical(cur)).isEmpty
+      val nextSig = sig(next)
+      if (nextSig == curSig)
+        // exact check: canonical pair sets equal ⇔ truly converged
+        converged = canonical(next).except(canonical(cur)).isEmpty
       cur = next
+      curSig = nextSig
       round += 1
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
