@@ -276,6 +276,25 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentile (QuantileSummaries sketch) — non-oracle like
+    * the HLL twin, but the EXACT percentile is computed in the same query
+    * and a within-1% gate column makes the driver's rows>0 check a real
+    * quality signal. At 100 TB the sketch is the only viable shape: a
+    * constant-size mergeable summary per partition instead of buffering
+    * every value per group. */
+  private def qAggApproxPct: QFn = (s, d) =>
+    Tables.spread(s, Tables.lineitem(s, d))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+        expr("percentile(l_extendedprice, 0.5D)").as("p50_exact"))
+      .select(col("l_returnflag"),
+        round(col("p50_approx"), 4).as("p50_approx"),
+        round(col("p50_exact"), 4).as("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") <= 0.01)
+          .as("within_1pct"))
+      .orderBy("l_returnflag")
+
   // --------------------------------------------------------------- set ops
   private def qUnion: QFn = (s, d) =>
     Tables.customer(s, d).select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -332,6 +351,7 @@ object Relational {
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_agg_percentile"    -> qAggPercentile,
     "q_agg_approx"        -> qAggApprox,
+    "q_agg_approx_pct"    -> qAggApproxPct,
     "q_union"             -> qUnion,
     "q_intersect"         -> qIntersect,
     "q_except"            -> qExcept,

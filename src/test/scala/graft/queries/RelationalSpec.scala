@@ -11,6 +11,15 @@ class RelationalSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
+  test("q_agg_approx_pct: sketch median within 1% of exact in every group") {
+    val rows = run("q_agg_approx_pct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3),
+        s"${r.getString(0)}: approx ${r.getDouble(1)} vs exact ${r.getDouble(2)}")
+    }
+  }
+
   test("outer-join law: |full| = |left| + |right| - |inner| on raw tables") {
     val c = Tables.customer(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
