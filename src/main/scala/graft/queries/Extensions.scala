@@ -346,6 +346,30 @@ object Extensions {
       .select(col("doc_id"), col("cluster_id"))
   }
 
+  /** q_dedup_incremental: dedup a NEW batch against an EXISTING corpus —
+    * the production ingestion shape: the history side is a HASH INDEX
+    * (16-byte md5 per known doc, not the corpus itself), the batch first
+    * self-dedups (first doc_id per hash wins), then anti-joins the index.
+    * At 100 TB the index is bucketed by hash so the anti-join co-locates;
+    * batch cost is O(|batch|), never O(|corpus|). The corpus split is
+    * deterministic (pivot = floor(max(doc_id)/2)), so the result is
+    * hash-oracled. */
+  private def qDedupIncremental: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val pivot = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+      .head().getLong(0)
+    val hist = docs.filter(col("doc_id") < pivot).select("h").distinct()
+    val batch = docs.filter(col("doc_id") >= pivot)
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    batch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(hist, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+      .orderBy("doc_id")
+  }
+
   /** q_dedup_pipeline: the FULL industrial dedup pipeline in one declared
     * query — tokenize → MinHash(4) signature → LSH band → bucket
     * co-membership edges → general star-contraction clustering
@@ -730,6 +754,7 @@ object Extensions {
     "q_dedup_cluster"   -> qDedupCluster,
     "q_dedup_cluster_star" -> qDedupClusterStar,
     "q_dedup_pipeline"  -> qDedupPipeline,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_keep"      -> qDedupKeep,
     "q_neardup_edit"    -> qNeardupEdit,
     "q_dedup_ngram"     -> qDedupNgram,
@@ -903,6 +928,21 @@ object Extensions {
         |  FROM reach r JOIN edges e ON e.d1 = r.doc_id)
         |SELECT doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // new-batch-vs-history dedup with the same deterministic pivot split
+    "q_dedup_incremental" ->
+      """WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |pv AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS p
+        |       FROM documents),
+        |hist AS (SELECT DISTINCT h FROM hashed, pv WHERE doc_id < p),
+        |batch AS (SELECT doc_id, h FROM hashed, pv WHERE doc_id >= p),
+        |firsts AS (
+        |  SELECT doc_id, h,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM batch)
+        |SELECT f.doc_id, f.h
+        |FROM firsts f LEFT JOIN hist ON f.h = hist.h
+        |WHERE hist.h IS NULL AND f.rn = 1
+        |ORDER BY f.doc_id""".stripMargin,
     // the whole pipeline's closure replayed in SQL: signature → band →
     // bucket edges → recursive-CTE components → canonical keep
     "q_dedup_pipeline" ->

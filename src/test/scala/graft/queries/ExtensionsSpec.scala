@@ -48,6 +48,28 @@ class ExtensionsSpec extends SparkSpec {
       }
   }
 
+  test("q_dedup_incremental: accepted docs are new, unique, and from the batch") {
+    val rows = run("q_dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    // hashes unique among accepted (batch self-dedup held)
+    assert(rows.map(_._2).distinct.length === rows.length)
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "md5(text) AS h").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pivot = docs.map(_._1).max / 2
+    val histHashes = docs.filter(_._1 < pivot).map(_._2).toSet
+    // every accepted doc is from the batch half and unseen in history
+    rows.foreach { case (id, h) =>
+      assert(id >= pivot, s"doc $id not in the batch half")
+      assert(!histHashes.contains(h), s"doc $id hash already in history")
+    }
+    // completeness: every batch hash not in history appears exactly once
+    val expected = docs.filter(_._1 >= pivot).map(_._2).distinct
+      .filterNot(histHashes).toSet
+    assert(rows.map(_._2).toSet === expected)
+  }
+
   test("q_dedup_simhash: one 8-bit signature per doc") {
     val sh = run("q_dedup_simhash")
     assert(sh.count() === nDocs)
