@@ -268,6 +268,61 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** st_dedup_catalog: streaming INCREMENTAL dedup into the catalog — the
+    * production ingestion loop end-to-end: each micro-batch first
+    * self-dedups (first doc_id per content hash), then anti-joins the
+    * HASH INDEX formed by the already-committed table state, and only the
+    * accepted rows land as a new append snapshot. Exactly-once across
+    * batches falls out of the snapshot log: a duplicate arriving any
+    * number of micro-batches later hits the index and is dropped. At
+    * 100 TB the index side is a 16-byte hash column of the sink table —
+    * bucket it by hash and every per-batch anti-join co-locates. Inputs
+    * are deterministic literals ⇒ exact-rows oracle (DuckDB computes the
+    * same md5 values). */
+  def stDedupCatalog: QFn = (s, _) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_dedup_cat")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val input = MemoryStream[(Long, String)]
+    val hashed = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    cat.createTable("stream", "docs_dedup", hashed.schema)
+    val q = withStatePartitions(s, 4)(hashed.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val hist = cat.readTable(ss, "stream", "docs_dedup")
+          .select("h").distinct()
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        val accepted = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .join(hist, Seq("h"), "left_anti")
+          .select("doc_id", "text", "h") // restore declared column order
+        if (!accepted.isEmpty) {
+          val dir = base.resolve("landed").resolve(s"batch-$id")
+          accepted.write.mode("overwrite").parquet(dir.toString)
+          cat.registerFiles("stream", "docs_dedup", Seq(dir))
+        }
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start())
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // 3 dups 1 in-batch
+      q.processAllAvailable()
+      input.addData((4L, "beta"), (5L, "gamma")) // 4 dups 2 across batches
+      q.processAllAvailable()
+      input.addData((6L, "alpha")) // still remembered two batches later
+      q.processAllAvailable()
+    } finally q.stop()
+    cat.readTable(s, "stream", "docs_dedup")
+      .select("doc_id", "text", "h").orderBy("doc_id")
+  }
+
   /** st_catalog_source: streaming read FROM the catalog — the Iceberg
     * `readStream` surface ([[graft.catalog.GraftCatalog.streamTable]]):
     * each append snapshot's files flow into a running (or restarted)
@@ -485,6 +540,7 @@ object Streaming {
     "st_sessionize"   -> stSessionize,
     "st_file_source"  -> stFileSource,
     "st_catalog_sink" -> stCatalogSink,
+    "st_dedup_catalog" -> stDedupCatalog,
     "st_catalog_source" -> stCatalogSource,
     "st_join"         -> stJoin,
     "st_join_outer"   -> stJoinOuter,
@@ -511,6 +567,14 @@ object Streaming {
     "st_file_source" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the streaming ingestion dedup is deterministic: only the first
+    // arrival of each content hash may land, across all micro-batches
+    "st_dedup_catalog" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha', md5('alpha')),
+        |  (CAST(2 AS BIGINT), 'beta',  md5('beta')),
+        |  (CAST(5 AS BIGINT), 'gamma', md5('gamma')))
+        |AS t(doc_id, text, h) ORDER BY doc_id""".stripMargin,
     "st_catalog_sink" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
         |       true AS n_snapshots_ge_2

@@ -31,6 +31,12 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === expectedWindows)
   }
 
+  test("st_dedup_catalog: only first arrival of each content hash lands") {
+    val rows = Streaming.stDedupCatalog(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+  }
+
   test("st_dedup: duplicate event id in a later micro-batch is suppressed") {
     val rows = Streaming.stDedup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
