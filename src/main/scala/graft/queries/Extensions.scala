@@ -421,11 +421,32 @@ object Extensions {
     * reaches for when the blocking key is NOT 1-dimensional (MinHash band
     * co-membership, embedding cells, url/domain keys): O(log²) rounds of
     * two narrow shuffles each, no driver-side graph, no O(diameter)
-    * propagation. */
+    * propagation.
+    *
+    * Edge FACTORIZATION before clustering: every exact (lang, n_chars)
+    * block is a clique, so it contributes STAR edges to its block min
+    * (k-1 per block), and the ±2-char band adjacency is carried by edges
+    * between block MINIMA only — identical components to the pairwise
+    * banded graph with |docs| + O(|levels|) edges instead of
+    * sum-of-block-products (the same principle as the LSH-bucket star
+    * edges in [[qDedupPipeline]]). */
   private def qDedupClusterStar: QFn = (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val edges = bandedPairs(s, d).select(col("d1"), col("d2"))
-    graft.operators.ConnectedComponents.label(docs, edges)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val blockMin = docs.groupBy("lang", "n_chars").agg(min("doc_id").as("m"))
+    val intra = docs.join(blockMin, Seq("lang", "n_chars"))
+      .where(col("doc_id") =!= col("m"))
+      .select(col("m").as("d1"), col("doc_id").as("d2"))
+    // band adjacency between representatives; deltas 1..2 suffice — the
+    // symmetric closure inside the CC covers the negative direction
+    val inter = blockMin
+      .withColumn("delta", explode(lit((1 to 2).toArray)))
+      .withColumn("nc2", col("n_chars") + col("delta"))
+      .join(blockMin.select(col("lang"), col("n_chars").as("nc2"),
+        col("m").as("m2")), Seq("lang", "nc2"))
+      .select(col("m").as("d1"), col("m2").as("d2"))
+    graft.operators.ConnectedComponents.label(
+        docs.select("doc_id"), intra.unionByName(inter))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
   }
