@@ -196,7 +196,7 @@ object Extensions {
 
   /** 8-bit SimHash: bit i votes +1/-1 per token on whether hex digit i of
     * md5(token) has its high bit set; positive sum → bit set. */
-  private def qDedupSimhash: QFn = (s, d) => {
+  private def simhashSig(s: SparkSession, d: String): DataFrame = {
     val bitSums = (0 until 8).map { i =>
       sum(when(expr(s"instr('89abcdef', substring(md5(token), ${i + 1}, 1)) > 0"), 1)
         .otherwise(-1)).as(s"b$i")
@@ -208,7 +208,34 @@ object Extensions {
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  private def qDedupSimhash: QFn = (s, d) => simhashSig(s, d).orderBy("doc_id")
+
+  /** q_neardup_simhash: hamming-ball near-dup RETRIEVAL over the SimHash
+    * space — each doc publishes its signature and every one-bit flip
+    * (9 keys/doc), so any pair within hamming distance 1 shares a key and
+    * the pair generator is an EQUI-join on the key, never an all-pairs
+    * bit comparison; the exact hamming filter then runs only on
+    * candidates. The classic blocking scheme for hamming-distance dedup:
+    * at 100 TB, 1+b keys per doc for distance-1 retrieval against a
+    * b-bit signature, one shuffle on the key. Aggregated per distance and
+    * hash-oracled against DuckDB's all-pairs replay. */
+  private def qNeardupSimhash: QFn = (s, d) => {
+    val sig = simhashSig(s, d)
+    val flips = typedLit((0 +: (0 until 8).map(1 << _)).toArray)
+    val keys = sig.withColumn("flip", explode(flips))
+      .select(col("doc_id"), col("simhash"),
+        col("simhash").bitwiseXOR(col("flip")).as("k"))
+    val a = keys.select(col("k"), col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = keys.select(col("k"), col("doc_id").as("d2"), col("simhash").as("s2"))
+    a.join(b, Seq("k")).where(col("d1") < col("d2"))
+      .select("d1", "d2", "s1", "s2").distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int"))
+      .where(col("hamming") <= 1)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("d1")).as("n_left_docs"))
+      .orderBy("hamming")
   }
 
   /** Length-band candidate pairs as an EQUI-join: the ±2-char band is
@@ -776,6 +803,7 @@ object Extensions {
     "q_dedup_cluster_star" -> qDedupClusterStar,
     "q_dedup_pipeline"  -> qDedupPipeline,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_neardup_simhash" -> qNeardupSimhash,
     "q_dedup_keep"      -> qDedupKeep,
     "q_neardup_edit"    -> qNeardupEdit,
     "q_dedup_ngram"     -> qDedupNgram,
@@ -926,6 +954,29 @@ object Extensions {
         |  ${(0 until 8).map(i =>
            s"(CASE WHEN b$i > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")} AS simhash
         |FROM bits ORDER BY doc_id""".stripMargin,
+    // hamming-ball retrieval replayed all-pairs (DuckDB scale allows it;
+    // the engine side must agree while only ever touching candidates)
+    "q_neardup_simhash" ->
+      s"""WITH tok AS ($tokensSql),
+        |bits AS (
+        |  SELECT doc_id,
+        |    ${(0 until 8).map(i =>
+             s"sum(CASE WHEN instr('89abcdef', substring(md5(token), ${i + 1}, 1)) > 0 " +
+             s"THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")}
+        |  FROM tok GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |    ${(0 until 8).map(i =>
+             s"(CASE WHEN b$i > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")} AS simhash
+        |  FROM bits),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1)
+        |SELECT hamming, count(*) AS n_pairs,
+        |       count(DISTINCT d1) AS n_left_docs
+        |FROM pairs GROUP BY hamming ORDER BY hamming""".stripMargin,
     "q_neardup_band" ->
       """SELECT a.lang, count(*) AS n_pairs
         |FROM documents a JOIN documents b

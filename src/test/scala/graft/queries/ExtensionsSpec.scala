@@ -70,6 +70,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.map(_._2).toSet === expected)
   }
 
+  test("q_neardup_simhash: bucket retrieval equals all-pairs ground truth") {
+    val sigs = run("q_dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // all-pairs ground truth, driver-side (only valid at spec scale)
+    val expected = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      h = Integer.bitCount(s1 ^ s2) if h <= 1
+    } yield (h, d1)).groupBy(_._1)
+      .map { case (h, ps) => (h, ps.length.toLong, ps.map(_._2).distinct.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = run("q_neardup_simhash").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
   test("q_dedup_simhash: one 8-bit signature per doc") {
     val sh = run("q_dedup_simhash")
     assert(sh.count() === nDocs)
