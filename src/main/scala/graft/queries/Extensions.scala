@@ -194,14 +194,15 @@ object Extensions {
       .orderBy("band")
   }
 
-  /** 8-bit SimHash: bit i votes +1/-1 per token on whether hex digit i of
+  /** b-bit SimHash: bit i votes +1/-1 per token on whether hex digit i of
     * md5(token) has its high bit set; positive sum → bit set. */
-  private def simhashSig(s: SparkSession, d: String): DataFrame = {
-    val bitSums = (0 until 8).map { i =>
+  private[queries] def simhashSigN(s: SparkSession, d: String,
+                                   bits: Int): DataFrame = {
+    val bitSums = (0 until bits).map { i =>
       sum(when(expr(s"instr('89abcdef', substring(md5(token), ${i + 1}, 1)) > 0"), 1)
         .otherwise(-1)).as(s"b$i")
     }
-    val simhash = (0 until 8).map { i =>
+    val simhash = (0 until bits).map { i =>
       when(col(s"b$i") > 0, 1 << i).otherwise(0)
     }.reduce(_ + _)
     tokens(s, d)
@@ -210,20 +211,22 @@ object Extensions {
       .select(col("doc_id"), simhash.as("simhash"))
   }
 
-  private def qDedupSimhash: QFn = (s, d) => simhashSig(s, d).orderBy("doc_id")
+  private def qDedupSimhash: QFn = (s, d) => simhashSigN(s, d, 8).orderBy("doc_id")
 
   /** q_neardup_simhash: hamming-ball near-dup RETRIEVAL over the SimHash
     * space — each doc publishes its signature and every one-bit flip
-    * (9 keys/doc), so any pair within hamming distance 1 shares a key and
-    * the pair generator is an EQUI-join on the key, never an all-pairs
-    * bit comparison; the exact hamming filter then runs only on
-    * candidates. The classic blocking scheme for hamming-distance dedup:
-    * at 100 TB, 1+b keys per doc for distance-1 retrieval against a
-    * b-bit signature, one shuffle on the key. Aggregated per distance and
-    * hash-oracled against DuckDB's all-pairs replay. */
+    * (1+b keys/doc), so any pair within hamming distance 1 shares a key
+    * and the pair generator is an EQUI-join on the key, never an
+    * all-pairs bit comparison; the exact hamming filter then runs only on
+    * candidates. SIGNATURE WIDTH MUST SCALE WITH THE CORPUS: retrieval
+    * here uses 16 bits, because at 8 bits a 5000-doc corpus averages ~20
+    * docs per signature VALUE and the candidate set degenerates to
+    * near-all-pairs (measured 11 s at sf0.1; 16 bits → 0.6 s) — the same
+    * birthday arithmetic decides the width at 100 TB. Aggregated per
+    * distance and hash-oracled against DuckDB's all-pairs replay. */
   private def qNeardupSimhash: QFn = (s, d) => {
-    val sig = simhashSig(s, d)
-    val flips = typedLit((0 +: (0 until 8).map(1 << _)).toArray)
+    val sig = simhashSigN(s, d, 16)
+    val flips = typedLit((0 +: (0 until 16).map(1 << _)).toArray)
     val keys = sig.withColumn("flip", explode(flips))
       .select(col("doc_id"), col("simhash"),
         col("simhash").bitwiseXOR(col("flip")).as("k"))
@@ -960,13 +963,13 @@ object Extensions {
       s"""WITH tok AS ($tokensSql),
         |bits AS (
         |  SELECT doc_id,
-        |    ${(0 until 8).map(i =>
+        |    ${(0 until 16).map(i =>
              s"sum(CASE WHEN instr('89abcdef', substring(md5(token), ${i + 1}, 1)) > 0 " +
              s"THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")}
         |  FROM tok GROUP BY doc_id),
         |sig AS (
         |  SELECT doc_id,
-        |    ${(0 until 8).map(i =>
+        |    ${(0 until 16).map(i =>
              s"(CASE WHEN b$i > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")} AS simhash
         |  FROM bits),
         |pairs AS (

@@ -71,7 +71,8 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("q_neardup_simhash: bucket retrieval equals all-pairs ground truth") {
-    val sigs = run("q_dedup_simhash").collect()
+    // ground truth over the SAME 16-bit signature the retrieval uses
+    val sigs = Extensions.simhashSigN(spark, sfDir, 16).collect()
       .map(r => (r.getLong(0), r.getInt(1)))
     // all-pairs ground truth, driver-side (only valid at spec scale)
     val expected = (for {
