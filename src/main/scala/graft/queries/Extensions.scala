@@ -195,17 +195,21 @@ object Extensions {
   }
 
   /** b-bit SimHash: bit i votes +1/-1 per token on whether hex digit i of
-    * md5(token) has its high bit set; positive sum → bit set. */
+    * md5(token) has its high bit set; positive sum → bit set. The md5 is
+    * hoisted into ONE projection column before the aggregate — inlined
+    * per bit term it is recomputed b times per token (the 16-bit variant
+    * measured 5.4 s → ~2 s at sf0.1). */
   private[queries] def simhashSigN(s: SparkSession, d: String,
                                    bits: Int): DataFrame = {
     val bitSums = (0 until bits).map { i =>
-      sum(when(expr(s"instr('89abcdef', substring(md5(token), ${i + 1}, 1)) > 0"), 1)
+      sum(when(expr(s"instr('89abcdef', substring(m, ${i + 1}, 1)) > 0"), 1)
         .otherwise(-1)).as(s"b$i")
     }
     val simhash = (0 until bits).map { i =>
       when(col(s"b$i") > 0, 1 << i).otherwise(0)
     }.reduce(_ + _)
     tokens(s, d)
+      .select(col("doc_id"), md5(col("token")).as("m"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
