@@ -217,31 +217,49 @@ object Extensions {
 
   private def qDedupSimhash: QFn = (s, d) => simhashSigN(s, d, 8).orderBy("doc_id")
 
-  /** q_neardup_simhash: hamming-ball near-dup RETRIEVAL over the SimHash
-    * space — each doc publishes its signature and every one-bit flip
-    * (1+b keys/doc), so any pair within hamming distance 1 shares a key
-    * and the pair generator is an EQUI-join on the key, never an
-    * all-pairs bit comparison; the exact hamming filter then runs only on
-    * candidates. SIGNATURE WIDTH MUST SCALE WITH THE CORPUS: retrieval
-    * here uses 16 bits, because at 8 bits a 5000-doc corpus averages ~20
-    * docs per signature VALUE and the candidate set degenerates to
-    * near-all-pairs (measured 11 s at sf0.1; 16 bits → 0.6 s) — the same
-    * birthday arithmetic decides the width at 100 TB. Aggregated per
-    * distance and hash-oracled against DuckDB's all-pairs replay. */
+  /** q_neardup_simhash: hamming-ball near-dup statistics over the SimHash
+    * space, computed WITHOUT enumerating a single doc pair. The join runs
+    * on the SIGNATURE HISTOGRAM (signature → doc count, ≤2^b rows no
+    * matter the corpus): each histogram row publishes its signature and
+    * every one-bit flip (1+b keys), so signature VALUES within hamming
+    * distance 1 meet through an equi-join on the key; pair/doc counts
+    * then follow arithmetically (n·(n-1)/2 within a signature, nA·nB
+    * across). Enumerating pairs is inherently quadratic on duplicate
+    * cliques — a 2311-doc identical-text group alone is 2.7M pairs
+    * (measured 5.6 s; the histogram form runs in ~0.5 s and its cost is
+    * O(2^b), INDEPENDENT of corpus size). Signature width still scales
+    * with the corpus: 16 bits here, by the same birthday arithmetic that
+    * sizes b at 100 TB. Hash-oracled against DuckDB's all-pairs replay. */
   private def qNeardupSimhash: QFn = (s, d) => {
-    val sig = simhashSigN(s, d, 16)
+    val hist = simhashSigN(s, d, 16)
+      .groupBy("simhash").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // both join sides + the ham-0 row consume it
     val flips = typedLit((0 +: (0 until 16).map(1 << _)).toArray)
-    val keys = sig.withColumn("flip", explode(flips))
-      .select(col("doc_id"), col("simhash"),
+    val keys = hist.withColumn("flip", explode(flips))
+      .select(col("simhash"), col("n"),
         col("simhash").bitwiseXOR(col("flip")).as("k"))
-    val a = keys.select(col("k"), col("doc_id").as("d1"), col("simhash").as("s1"))
-    val b = keys.select(col("k"), col("doc_id").as("d2"), col("simhash").as("s2"))
-    a.join(b, Seq("k")).where(col("d1") < col("d2"))
-      .select("d1", "d2", "s1", "s2").distinct()
-      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int"))
-      .where(col("hamming") <= 1)
-      .groupBy("hamming")
-      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("d1")).as("n_left_docs"))
+    // distinct signature pairs at hamming 1 (a pair shares several flip
+    // keys, hence the distinct — on signature VALUES, not docs)
+    val sigPairs = keys.as("a")
+      .join(keys.as("b"),
+        col("a.k") === col("b.k") && col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sa"), col("a.n").as("na"),
+        col("b.simhash").as("sb"), col("b.n").as("nb"))
+      .distinct()
+      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) === 1)
+      .localCheckpoint()
+    val ham0 = hist.where(col("n") >= 2)
+      .agg(lit(0).as("hamming"),
+        sum(col("n") * (col("n") - 1) / 2).cast("long").as("n_pairs"),
+        sum(col("n")).as("n_docs"))
+    val involved = sigPairs.select(col("sa").as("sig"), col("na").as("n"))
+      .unionByName(sigPairs.select(col("sb").as("sig"), col("nb").as("n")))
+      .distinct()
+    val ham1 = sigPairs.agg(lit(1).as("hamming"),
+        sum(col("na") * col("nb")).as("n_pairs"))
+      .crossJoin(involved.agg(sum(col("n")).as("n_docs")))
+    ham0.unionByName(ham1)
+      .where(col("n_pairs").isNotNull && col("n_pairs") > 0)
       .orderBy("hamming")
   }
 
@@ -980,10 +998,14 @@ object Extensions {
         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1)
-        |SELECT hamming, count(*) AS n_pairs,
-        |       count(DISTINCT d1) AS n_left_docs
-        |FROM pairs GROUP BY hamming ORDER BY hamming""".stripMargin,
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+        |sides AS (SELECT hamming, d1 AS doc FROM pairs
+        |          UNION SELECT hamming, d2 FROM pairs)
+        |SELECT p.hamming, p.n_pairs, s.n_docs
+        |FROM (SELECT hamming, count(*) AS n_pairs FROM pairs GROUP BY hamming) p
+        |JOIN (SELECT hamming, count(DISTINCT doc) AS n_docs FROM sides
+        |      GROUP BY hamming) s ON p.hamming = s.hamming
+        |ORDER BY p.hamming""".stripMargin,
     "q_neardup_band" ->
       """SELECT a.lang, count(*) AS n_pairs
         |FROM documents a JOIN documents b

@@ -70,7 +70,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.map(_._2).toSet === expected)
   }
 
-  test("q_neardup_simhash: bucket retrieval equals all-pairs ground truth") {
+  test("q_neardup_simhash: histogram statistics equal all-pairs ground truth") {
     // ground truth over the SAME 16-bit signature the retrieval uses
     val sigs = Extensions.simhashSigN(spark, sfDir, 16).collect()
       .map(r => (r.getLong(0), r.getInt(1)))
@@ -78,8 +78,10 @@ class ExtensionsSpec extends SparkSpec {
     val expected = (for {
       (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
       h = Integer.bitCount(s1 ^ s2) if h <= 1
-    } yield (h, d1)).groupBy(_._1)
-      .map { case (h, ps) => (h, ps.length.toLong, ps.map(_._2).distinct.length.toLong) }
+    } yield (h, d1, d2)).groupBy(_._1)
+      .map { case (h, ps) =>
+        (h, ps.length.toLong,
+          (ps.map(_._2) ++ ps.map(_._3)).distinct.length.toLong) }
       .toSeq.sortBy(_._1)
     val got = run("q_neardup_simhash").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
