@@ -86,6 +86,34 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
   }
 
+  test("incremental dedup: anti-join present, no cartesian anywhere") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, CartesianProductExec}
+    val p = plan("q_dedup_incremental")
+    assert(p.collect { case j: BaseJoinExec if j.joinType.sql == "LEFT ANTI" => j }.nonEmpty,
+      "history exclusion must be a LEFT ANTI join")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("simhash statistics: histogram-sized plan, no doc-level pair join") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    // the only join keys are signature/bucket columns — a doc_id-keyed
+    // join would mean pair enumeration crept back in
+    val p = plan("q_neardup_simhash")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    val joinKeyNames = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.condition.map(_.references.map(_.name).toSeq).getOrElse(Nil) ++
+          (j match {
+            case h: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => h.leftKeys.flatMap(_.references.map(_.name))
+            case h: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => h.leftKeys.flatMap(_.references.map(_.name))
+            case h: org.apache.spark.sql.execution.joins.SortMergeJoinExec => h.leftKeys.flatMap(_.references.map(_.name))
+            case _ => Nil
+          })
+    }.flatten
+    assert(!joinKeyNames.exists(_.contains("doc_id")),
+      s"doc-level join detected: $joinKeyNames")
+  }
+
   test("text quality scorers are map-only: the sort is the only exchange") {
     // repetition / rollhash / fingerprint are per-document projections —
     // any extra shuffle means the tokenizer leaked into an aggregation
