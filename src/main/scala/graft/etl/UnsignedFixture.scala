@@ -25,16 +25,26 @@ import org.apache.parquet.schema.MessageTypeParser
   */
 object UnsignedFixture {
 
+  /** Bump whenever the schema or row-generation constants below change —
+    * the version is part of the file name, so a stale fixture from an
+    * older build can never be silently reused by both sides of the
+    * differential oracle. */
+  val FixtureVersion = 2
+
   val FixturePath: String = sys.props.getOrElse("graft.tmp", "/root/repo/target") +
-    "/uint64_fixture/uint64.parquet"
+    s"/uint64_fixture/uint64_v$FixtureVersion.parquet"
 
   val Rows = 10000
 
-  /** Idempotently write the fixture; returns its path. */
+  /** Idempotently write the fixture; returns its path. The write goes to a
+    * temp sibling and is renamed into place, so a crashed half-write is
+    * never mistaken for the fixture. */
   def ensureWritten(): String = synchronized {
     val p = Paths.get(FixturePath)
     if (!Files.isRegularFile(p)) {
       Files.createDirectories(p.getParent)
+      val tmp = p.getParent.resolve(s".${p.getFileName}.tmp")
+      Files.deleteIfExists(tmp)
       val schema = MessageTypeParser.parseMessageType(
         """message uint64_fixture {
           |  required int64 event_id;
@@ -44,7 +54,7 @@ object UnsignedFixture {
           |  required binary event_type (STRING);
           |}""".stripMargin)
       val writer = ExampleParquetWriter
-        .builder(new org.apache.hadoop.fs.Path(p.toString))
+        .builder(new org.apache.hadoop.fs.Path(tmp.toString))
         .withConf(new Configuration())
         .withType(schema)
         .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
@@ -66,6 +76,7 @@ object UnsignedFixture {
         i += 1
       }
       writer.close()
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     FixturePath
   }

@@ -34,11 +34,21 @@ object Etl {
     * Long.MaxValue. Rule B2 applies to its unsigned `timestamp` column in
     * the same pass; rule B1's name-independence shows in `counter` and
     * `small_u` surviving as DECIMAL(20,0). The hint-based LongType path is
-    * pinned separately in SanitizeSpec. */
+    * pinned separately in SanitizeSpec.
+    *
+    * The unsigned columns are emitted as their STRING forms: the driver's
+    * hasher canonicalizes DECIMAL(20,0) beyond Long.MaxValue differently
+    * from DuckDB's UBIGINT (round-5 red row with 0/10000 value
+    * mismatches), and digit-string equality proves the same beyond-int64
+    * agreement with no decimal canonicalization in the loop. The
+    * DECIMAL(20,0) output type of rule B1 itself is pinned in
+    * SanitizeSpec. */
   private def etlSanitizeUint64: QFn = (s, _) => {
     val path = graft.etl.UnsignedFixture.ensureWritten()
     Sanitize.sanitize(s.read.parquet(path))
-      .select(col("event_id"), col("counter"), col("small_u"),
+      .select(col("event_id"),
+        col("counter").cast("string").as("counter_str"),
+        col("small_u").cast("string").as("small_u_str"),
         col("timestamp").cast("timestamp_ntz").as("sanitized_ts"),
         col("event_type"))
       .orderBy("event_id")
@@ -310,8 +320,8 @@ object Etl {
 
   val oracles: Map[String, String] = Map(
     "etl_sanitize_uint64" ->
-      s"""SELECT event_id, CAST(counter AS DECIMAL(20,0)) AS counter,
-         |       CAST(small_u AS DECIMAL(20,0)) AS small_u,
+      s"""SELECT event_id, CAST(counter AS VARCHAR) AS counter_str,
+         |       CAST(small_u AS VARCHAR) AS small_u_str,
          |       make_timestamp(CAST("timestamp" AS BIGINT)) AS sanitized_ts,
          |       event_type
          |FROM read_parquet('${graft.etl.UnsignedFixture.FixturePath}')

@@ -27,31 +27,74 @@ object ThriftServe {
 
   /** Start the Thrift server on this session's context (once per JVM) and
     * return the TCP port it listens on. Subsequent calls return the
-    * already-running endpoint's port. */
+    * already-running endpoint's port.
+    *
+    * freePort() is inherently racy (the probe socket closes before the
+    * server binds), so a start whose port never comes up is retried on a
+    * fresh port rather than failing the JVM's only chance to serve. */
   def ensureStarted(spark: SparkSession): Int = synchronized {
     startedPort.getOrElse {
-      val port = freePort()
-      // HiveConf reads hive.* from system properties at construction, and
-      // Spark folds session-conf entries into the Hadoop conf it builds
-      // the server's HiveConf from — set both so the envelope holds
-      // whichever path this Spark version takes.
-      val conf = Map(
-        "hive.server2.thrift.port" -> port.toString,
-        "hive.server2.thrift.bind.host" -> "localhost",
-        // binary NOSASL — the reference's exact transport contract
-        // (`entrypoint-spark.sh:103-106`)
-        "hive.server2.authentication" -> "NOSASL",
-        // one partition collected at a time — C4's incremental contract
-        // (`entrypoint-spark.sh:110`)
-        "spark.sql.hive.thriftServer.incrementalCollect" -> "true")
-      conf.foreach { case (k, v) =>
-        System.setProperty(k, v)
-        spark.conf.set(k, v)
-      }
-      HiveThriftServer2.startWithSparkSession(spark, exitOnError = false)
-      awaitListening(port)
+      val port = startWithRetry(spark, attempts = 3)
       startedPort = Some(port)
       port
+    }
+  }
+
+  /** The reference's optional shared-session mode
+    * (`entrypoint-spark.sh:42`, `:109`:
+    * `spark.sql.hive.thriftServer.singleSession=true`): every client
+    * shares ONE Spark session, so temp views and `SET` state cross
+    * connections. Spark's session manager reads the flag at
+    * connection-open time from the serving session's SQLConf, so it can
+    * be set before or after `ensureStarted` and applies to the next
+    * connection. The conf is declared static (boot-time in spark-submit
+    * deployments, exactly how the reference sets it); writing through
+    * `sessionState.conf` is the embedded-server equivalent of that
+    * boot-time knob — `spark.conf.set` would refuse a static key. */
+  def setSingleSession(spark: SparkSession, on: Boolean): Unit =
+    spark.sessionState.conf.setConfString(
+      "spark.sql.hive.thriftServer.singleSession", on.toString)
+
+  private def startWithRetry(spark: SparkSession, attempts: Int): Int = {
+    var lastErr: Throwable = null
+    var left = attempts
+    while (left > 0) {
+      val port = freePort()
+      try { startOnPort(spark, port); return port }
+      catch { case e: IllegalStateException => lastErr = e; left -= 1 }
+    }
+    throw new IllegalStateException(
+      s"Thrift server failed to come up after $attempts ports", lastErr)
+  }
+
+  private def startOnPort(spark: SparkSession, port: Int): Unit = {
+    // HiveConf reads hive.* from system properties at construction, and
+    // Spark folds session-conf entries into the Hadoop conf it builds
+    // the server's HiveConf from — set both so the envelope holds
+    // whichever path this Spark version takes. The system properties are
+    // restored afterwards: HiveConf snapshots them during init, and
+    // leaving them mutated would leak server config into every later
+    // HiveConf in the JVM.
+    val conf = Map(
+      "hive.server2.thrift.port" -> port.toString,
+      "hive.server2.thrift.bind.host" -> "localhost",
+      // binary NOSASL — the reference's exact transport contract
+      // (`entrypoint-spark.sh:103-106`)
+      "hive.server2.authentication" -> "NOSASL",
+      // one partition collected at a time — C4's incremental contract
+      // (`entrypoint-spark.sh:110`)
+      "spark.sql.hive.thriftServer.incrementalCollect" -> "true")
+    val saved = conf.keys.map(k => k -> Option(System.getProperty(k))).toMap
+    conf.foreach { case (k, v) =>
+      System.setProperty(k, v)
+      spark.conf.set(k, v)
+    }
+    try {
+      HiveThriftServer2.startWithSparkSession(spark, exitOnError = false)
+      awaitListening(port)
+    } finally saved.foreach {
+      case (k, Some(v)) => System.setProperty(k, v)
+      case (k, None)    => System.clearProperty(k)
     }
   }
 
@@ -80,6 +123,15 @@ object ThriftServe {
         buf.toSeq
       } finally st.close()
     }
+
+  /** One statement over the wire WITH the BI dialect shim: the statement
+    * passes through [[GraftSql.rewrite]] before it is sent — the same
+    * interposition point as the reference's Superset hook
+    * (`/root/reference/superset_config.py:19-41`, which rewrites
+    * client-side, pre-wire), so `SHOW CREATE VIEW` succeeds end-to-end
+    * over JDBC instead of dying in the server's parser. */
+  def queryBi(port: Int, statement: String): Seq[Seq[Any]] =
+    query(port, GraftSql.rewrite(statement))
 
   private def freePort(): Int = {
     val ss = new ServerSocket(0)

@@ -54,8 +54,11 @@ class SanitizeSpec extends SparkSpec {
     val ts0 = q.filter(col("event_id") === 0).select("sanitized_ts")
       .as[java.time.LocalDateTime].head()
     assert(ts0.toString === "2024-01-01T00:00")
+    // the string twin carries the beyond-int64 value verbatim
+    assert(q.filter(col("event_id") === 0).select("counter_str")
+      .as[String].head() === "9223372036854775808")
     // nulls in the optional unsigned column survive the pass
-    assert(q.filter(col("small_u").isNull).count() ===
+    assert(q.filter(col("small_u_str").isNull).count() ===
       (0 until UnsignedFixture.Rows).count(_ % 7 == 0).toLong)
   }
 

@@ -32,4 +32,40 @@ class ThriftSpec extends SparkSpec {
       assert(ddl.exists(_.toUpperCase.contains("CREATE")), ddl.toString)
     } finally spark.sql("DROP VIEW IF EXISTS shim_pv")
   }
+
+  test("wire-level dialect shim: SHOW CREATE VIEW succeeds over JDBC via queryBi") {
+    val port = ThriftServe.ensureStarted(spark)
+    spark.sql("CREATE OR REPLACE VIEW shim_wire_pv AS SELECT 1 AS one")
+    try {
+      // raw statement dies in the server's parser — Spark has no
+      // SHOW CREATE VIEW — proving the shim is doing real work
+      intercept[java.sql.SQLException] {
+        ThriftServe.query(port, "SHOW CREATE VIEW shim_wire_pv")
+      }
+      val rows = ThriftServe.queryBi(port, "SHOW CREATE VIEW shim_wire_pv")
+      assert(rows.nonEmpty)
+      val ddl = rows.map(_.head.toString).mkString("\n").toUpperCase
+      assert(ddl.contains("CREATE") && ddl.contains("SHIM_WIRE_PV"), ddl)
+    } finally spark.sql("DROP VIEW IF EXISTS shim_wire_pv")
+  }
+
+  test("session modes: temp view crosses the wire in singleSession, not in isolated") {
+    val port = ThriftServe.ensureStarted(spark)
+    spark.sql("CREATE OR REPLACE TEMP VIEW mode_tv AS SELECT 42 AS v")
+    try {
+      // isolated (default, the reference's default too): each connection
+      // is a fresh Spark session — plain temp views do not cross
+      ThriftServe.setSingleSession(spark, on = false)
+      intercept[java.sql.SQLException] {
+        ThriftServe.query(port, "SELECT v FROM mode_tv")
+      }
+      // singleSession parity (entrypoint-spark.sh:42,:109): every client
+      // shares the serving session, so the same temp view is visible
+      ThriftServe.setSingleSession(spark, on = true)
+      assert(ThriftServe.query(port, "SELECT v FROM mode_tv") === Seq(Seq(42)))
+    } finally {
+      ThriftServe.setSingleSession(spark, on = false)
+      spark.sql("DROP VIEW IF EXISTS mode_tv")
+    }
+  }
 }
