@@ -19,8 +19,10 @@ import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
   * SparkContext under the FAIR scheduler — the multi-client topology
   * meta_concurrent models in-process is exercised here over the wire.
   * Serve shared state through GLOBAL temp views (`global_temp.<name>`) or
-  * a registered catalog: Thrift sessions are isolated Spark sessions, so
-  * plain temp views deliberately do NOT cross the boundary.
+  * a registered catalog: by default Thrift sessions are isolated Spark
+  * sessions (the reference's default too), so plain temp views do NOT
+  * cross the boundary — unless [[setSingleSession]] turns on the
+  * reference's optional shared-session mode.
   */
 object ThriftServe {
   @volatile private var startedPort: Option[Int] = None
