@@ -422,9 +422,44 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** (doc_id, band) rows for an r-band × h-hash MinHash LSH signature —
+    * the recall knob of LSH dedup: a pair collides if ANY band's h
+    * min-hashes all agree, so for token-set Jaccard j the collision
+    * probability is 1 − (1 − j^h)^r (the S-curve; r=4,h=4 puts the knee
+    * near j ≈ 0.7, where corpus near-dups live; 1 band of all the hashes
+    * degenerates to exact-signature equality). One aggregation computes
+    * all r·h hashes in a constant-size row per doc; the band explode
+    * multiplies rows by r (not by tokens) AFTER the heavy shuffle. Band
+    * keys are salted with the band index so equal hash runs in different
+    * bands can never alias one bucket. */
+  private[queries] def minhashBandRows(tok: DataFrame, bands: Int,
+                                       hashesPerBand: Int): DataFrame = {
+    val sigCols = (0 until bands * hashesPerBand).map(i =>
+      min(md5(concat(lit(s"$i:"), col("token")))).as(s"s$i"))
+    val bandKeys = (0 until bands).map { b =>
+      md5(concat_ws("|", lit(b.toString) +:
+        (0 until hashesPerBand).map(j => col(s"s${b * hashesPerBand + j}")): _*))
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+  }
+
+  /** Star edges (bucket-min → member) of the band buckets, fed to the
+    * general clustering: k−1 edges per bucket, connectivity identical to
+    * the k²/2 pairwise clique. Pairs colliding in several bands yield
+    * parallel edges; [[graft.operators.ConnectedComponents]] canonicalizes
+    * (distinct) internally, so no extra dedup shuffle here. */
+  private def bandStarEdges(banded: DataFrame): DataFrame = {
+    val bandMin = banded.groupBy("band").agg(min("doc_id").as("d1"))
+    banded.join(bandMin, "band")
+      .where(col("doc_id") =!= col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"))
+  }
+
   /** q_dedup_pipeline: the FULL industrial dedup pipeline in one declared
-    * query — tokenize → MinHash(4) signature → LSH band → bucket
-    * co-membership edges → general star-contraction clustering
+    * query — tokenize → banded MinHash (4 bands × 4 hashes) → LSH bucket
+    * → bucket co-membership edges → general star-contraction clustering
     * ([[graft.operators.ConnectedComponents]]) → canonical keep/drop.
     * This is the non-interval graph the general algorithm exists for
     * (band buckets are arbitrary co-membership cliques, not 1-D runs),
@@ -436,29 +471,18 @@ object Extensions {
     * clique (a 2311-doc bucket in this corpus emits 2310 edges instead of
     * 2.7M; at 100 TB a million-doc bucket emits 10⁶ instead of 5·10¹¹);
     * clustering is O(log²) rounds; keep/drop is a projection of the
-    * labeling — no all-pairs stage
-    * anywhere. */
+    * labeling — no all-pairs stage anywhere. Recall comes from the
+    * multi-band signature (see [[minhashBandRows]]); MinhashBandSpec pins
+    * a moderately-similar pair that clusters at 4×4 but not at 1×16. */
   private def qDedupPipeline: QFn = (s, d) => {
     // checkpointed: the (doc_id, band) frame feeds BOTH sides of the
     // bucket self-join and the clustering loop — without materialization
-    // the 4×md5-per-token signature aggregation re-runs per consumer
-    // (measured 8 s → 2.5 s at sf0.1)
-    val banded = tokens(s, d)
-      .groupBy(col("doc_id"))
-      .agg(
-        min(md5(concat(lit("0:"), col("token")))).as("s0"),
-        min(md5(concat(lit("1:"), col("token")))).as("s1"),
-        min(md5(concat(lit("2:"), col("token")))).as("s2"),
-        min(md5(concat(lit("3:"), col("token")))).as("s3"))
-      .select(col("doc_id"),
-        md5(concat_ws("|", col("s0"), col("s1"), col("s2"), col("s3"))).as("band"))
+    // the 16×md5-per-token signature aggregation re-runs per consumer
+    // (measured 8 s → 2.5 s at sf0.1 with the 4-hash signature)
+    val banded = minhashBandRows(tokens(s, d), bands = 4, hashesPerBand = 4)
       .localCheckpoint()
-    val bandMin = banded.groupBy("band").agg(min("doc_id").as("d1"))
-    val edges = banded.join(bandMin, "band")
-      .where(col("doc_id") =!= col("d1"))
-      .select(col("d1"), col("doc_id").as("d2"))
     val docs = Tables.documents(s, d).select("doc_id")
-    graft.operators.ConnectedComponents.label(docs, edges)
+    graft.operators.ConnectedComponents.label(docs, bandStarEdges(banded))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"),
         (col("node") === col("component")).as("keep"))
       .orderBy("doc_id")
@@ -1051,11 +1075,22 @@ object Extensions {
         |sig AS (
         |  SELECT doc_id,
         |         min(md5('0:' || token)) AS s0, min(md5('1:' || token)) AS s1,
-        |         min(md5('2:' || token)) AS s2, min(md5('3:' || token)) AS s3
+        |         min(md5('2:' || token)) AS s2, min(md5('3:' || token)) AS s3,
+        |         min(md5('4:' || token)) AS s4, min(md5('5:' || token)) AS s5,
+        |         min(md5('6:' || token)) AS s6, min(md5('7:' || token)) AS s7,
+        |         min(md5('8:' || token)) AS s8, min(md5('9:' || token)) AS s9,
+        |         min(md5('10:' || token)) AS s10, min(md5('11:' || token)) AS s11,
+        |         min(md5('12:' || token)) AS s12, min(md5('13:' || token)) AS s13,
+        |         min(md5('14:' || token)) AS s14, min(md5('15:' || token)) AS s15
         |  FROM tok GROUP BY doc_id),
         |band AS (
-        |  SELECT doc_id, md5(s0 || '|' || s1 || '|' || s2 || '|' || s3) AS band
-        |  FROM sig),
+        |  SELECT doc_id, md5('0|' || s0 || '|' || s1 || '|' || s2 || '|' || s3) AS band FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, md5('1|' || s4 || '|' || s5 || '|' || s6 || '|' || s7) FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, md5('2|' || s8 || '|' || s9 || '|' || s10 || '|' || s11) FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, md5('3|' || s12 || '|' || s13 || '|' || s14 || '|' || s15) FROM sig),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2
         |  FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id),

@@ -27,6 +27,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(bands.filter(not(col("band").rlike("^[0-9a-f]{32}$"))).count() === 0)
   }
 
+  test("banded MinHash recall: similar pair collides at 4 bands x 4 hashes, not at 1 x 16") {
+    // Jaccard 18/22 ≈ 0.82 pair: with r=4,h=4 the collision probability
+    // is 1-(1-j^4)^4 ≈ 0.88 and under md5 this concrete pair shares 3 of
+    // 4 bands; the degenerate 1-band 16-hash signature (round-5's shape)
+    // requires all 16 min-hashes equal and misses it — the recall knob
+    // the banding exists for.
+    import spark.implicits._
+    val a = (0 until 20).map(i => s"tok$i")
+    val b = a.take(18) ++ Seq("uniqb1", "uniqb2")
+    val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"), explode(expr(
+      "array_distinct(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''))"))
+      .as("token"))
+    def sharedBands(bands: Int, hashesPerBand: Int): Long =
+      Extensions.minhashBandRows(tok, bands, hashesPerBand)
+        .groupBy("band").agg(countDistinct("doc_id").as("n"))
+        .filter(col("n") === 2).count()
+    assert(sharedBands(4, 4) === 3)
+    assert(sharedBands(1, 16) === 0)
+  }
+
   test("q_dedup_pipeline: one keeper per cluster; identical texts co-cluster") {
     val rows = run("q_dedup_pipeline").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
