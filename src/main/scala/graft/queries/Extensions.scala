@@ -263,6 +263,87 @@ object Extensions {
       .orderBy("hamming")
   }
 
+  /** 64-bit SimHash as a '0'/'1' bit STRING (left = bit 0). Same voting
+    * rule as [[simhashSigN]]; bits beyond md5's 32 hex digits read a
+    * second digest md5('#'||token), both hoisted into one projection.
+    * The string form is deliberate: the differential oracle needs the
+    * identical signature in DuckDB, where BIGINT cannot hold bit 63
+    * (`1::BIGINT << 63` overflows) — a packed-long variant is a cast
+    * away in production, and the pigeonhole block join below only ever
+    * compares substrings, which work the same on either encoding. */
+  private[queries] def simhashSigBits(s: SparkSession, d: String): DataFrame = {
+    val bitSums = (0 until 64).map { i =>
+      val (src, pos) = if (i < 32) ("m1", i + 1) else ("m2", i - 31)
+      sum(when(expr(s"instr('89abcdef', substring($src, $pos, 1)) > 0"), 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val sigStr = concat((0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit("1")).otherwise(lit("0"))): _*)
+    tokens(s, d)
+      .select(col("doc_id"), md5(col("token")).as("m1"),
+        md5(concat(lit("#"), col("token"))).as("m2"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sigStr.as("sig"))
+  }
+
+  /** q_neardup_simhash_k: hamming-radius-k retrieval statistics on 64-bit
+    * SimHash signatures via the PIGEONHOLE multi-index — the production
+    * generalization of [[qNeardupSimhash]]'s radius-1 bit-flip keys
+    * (radius k on b bits would need Σ C(b,i) flip keys; at k=3, b=64
+    * that is 43k keys/signature — dead on arrival). Split the signature
+    * into k+1 = 4 disjoint 16-bit blocks: two signatures within hamming
+    * distance k MUST agree exactly on ≥1 block, so an equi-join per
+    * (block index, block value) finds every candidate and bit-counting
+    * verifies. Everything runs on the signature HISTOGRAM (one row per
+    * distinct signature): candidates are signature-value pairs, doc/pair
+    * counts follow arithmetically, and no join ever keys on doc_id — a
+    * duplicate clique of any size is ONE histogram row, never a
+    * quadratic pair set. Hash-oracled against DuckDB's all-pairs replay
+    * of the identical signature. */
+  private def qNeardupSimhashK: QFn = (s, d) => {
+    val k = 3
+    val blockLen = 64 / (k + 1)
+    val hist = simhashSigBits(s, d)
+      .groupBy("sig").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both join sides + the ham-0 row
+    val keyed = hist
+      .withColumn("block", explode(lit((0 until k + 1).toArray)))
+      .select(col("sig"), col("n"), col("block"),
+        col("sig").substr(col("block") * lit(blockLen) + 1, lit(blockLen))
+          .as("bv"))
+    val ham = (1 to 64).map(i =>
+      when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    val sigPairs = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.block") === col("b.block") && col("a.bv") === col("b.bv") &&
+        col("a.sig") < col("b.sig"))
+      .select(col("a.sig").as("sa"), col("a.n").as("na"),
+        col("b.sig").as("sb"), col("b.n").as("nb"))
+      // a pair within radius k can agree on several blocks — dedup on
+      // signature VALUES (histogram-sized), never on docs
+      .distinct()
+      .withColumn("hamming", ham)
+      .where(col("hamming") <= k)
+      .localCheckpoint()
+    val pairStats = sigPairs.groupBy("hamming")
+      .agg(sum(col("na") * col("nb")).cast("long").as("n_pairs"))
+    val docStats = sigPairs
+      .select(col("hamming"), col("sa").as("sig"), col("na").as("n"))
+      .unionByName(sigPairs.select(col("hamming"), col("sb").as("sig"),
+        col("nb").as("n")))
+      .distinct()
+      .groupBy("hamming").agg(sum("n").cast("long").as("n_docs"))
+    val ham0 = hist.where(col("n") >= 2)
+      .agg(lit(0).as("hamming"),
+        (sum(col("n") * (col("n") - 1)) / 2).cast("long").as("n_pairs"),
+        sum(col("n")).cast("long").as("n_docs"))
+    ham0.unionByName(pairStats.join(docStats, "hamming"))
+      .where(col("n_pairs").isNotNull && col("n_pairs") > 0)
+      .orderBy("hamming")
+  }
+
   /** Length-band candidate pairs as an EQUI-join: the ±2-char band is
     * explosion of 5 deltas on one side, so Spark plans a hash join on
     * (lang, n_chars) — the scalable banding shape, never a theta join. */
@@ -853,6 +934,7 @@ object Extensions {
     "q_dedup_pipeline"  -> qDedupPipeline,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_neardup_simhash" -> qNeardupSimhash,
+    "q_neardup_simhash_k" -> qNeardupSimhashK,
     "q_dedup_keep"      -> qDedupKeep,
     "q_neardup_edit"    -> qNeardupEdit,
     "q_dedup_ngram"     -> qDedupNgram,
@@ -1023,6 +1105,35 @@ object Extensions {
         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+        |sides AS (SELECT hamming, d1 AS doc FROM pairs
+        |          UNION SELECT hamming, d2 FROM pairs)
+        |SELECT p.hamming, p.n_pairs, s.n_docs
+        |FROM (SELECT hamming, count(*) AS n_pairs FROM pairs GROUP BY hamming) p
+        |JOIN (SELECT hamming, count(DISTINCT doc) AS n_docs FROM sides
+        |      GROUP BY hamming) s ON p.hamming = s.hamming
+        |ORDER BY p.hamming""".stripMargin,
+    // all-pairs replay of the identical 64-bit bit-string signature: the
+    // pigeonhole multi-index must reproduce EXACTLY the pairs a full
+    // quadratic scan finds at radius 3
+    "q_neardup_simhash_k" ->
+      s"""WITH tok AS ($tokensSql),
+        |th AS (SELECT doc_id, md5(token) || md5('#' || token) AS m FROM tok),
+        |votes AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN instr('89abcdef',
+        |          substring(m, CAST(i + 1 AS INTEGER), 1)) > 0
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(64) t(i) GROUP BY doc_id, i),
+        |sig AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |                    ORDER BY i) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(hamming(a.sig, b.sig) AS INTEGER) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE hamming(a.sig, b.sig) <= 3),
         |sides AS (SELECT hamming, d1 AS doc FROM pairs
         |          UNION SELECT hamming, d2 FROM pairs)
         |SELECT p.hamming, p.n_pairs, s.n_docs

@@ -110,6 +110,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_neardup_simhash_k: pigeonhole radius-3 equals all-pairs ground truth") {
+    // ground truth over the SAME 64-bit bit-string signature
+    val sigs = Extensions.simhashSigBits(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def ham(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val expected = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      h = ham(s1, s2) if h <= 3
+    } yield (h, d1, d2)).groupBy(_._1)
+      .map { case (h, ps) =>
+        (h, ps.length.toLong,
+          (ps.map(_._2) ++ ps.map(_._3)).distinct.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = run("q_neardup_simhash_k").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(sigs.forall(_._2.length == 64))
+  }
+
   test("q_dedup_simhash: one 8-bit signature per doc") {
     val sh = run("q_dedup_simhash")
     assert(sh.count() === nDocs)

@@ -97,21 +97,24 @@ class PlanSpec extends SparkSpec {
   test("simhash statistics: histogram-sized plan, no doc-level pair join") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     // the only join keys are signature/bucket columns — a doc_id-keyed
-    // join would mean pair enumeration crept back in
-    val p = plan("q_neardup_simhash")
-    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
-    val joinKeyNames = p.collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-        j.condition.map(_.references.map(_.name).toSeq).getOrElse(Nil) ++
-          (j match {
-            case h: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => h.leftKeys.flatMap(_.references.map(_.name))
-            case h: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => h.leftKeys.flatMap(_.references.map(_.name))
-            case h: org.apache.spark.sql.execution.joins.SortMergeJoinExec => h.leftKeys.flatMap(_.references.map(_.name))
-            case _ => Nil
-          })
-    }.flatten
-    assert(!joinKeyNames.exists(_.contains("doc_id")),
-      s"doc-level join detected: $joinKeyNames")
+    // join would mean pair enumeration crept back in. Applies to the
+    // radius-1 bit-flip index AND the radius-k pigeonhole multi-index.
+    for (q <- Seq("q_neardup_simhash", "q_neardup_simhash_k")) {
+      val p = plan(q)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty, q)
+      val joinKeyNames = p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.condition.map(_.references.map(_.name).toSeq).getOrElse(Nil) ++
+            (j match {
+              case h: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => h.leftKeys.flatMap(_.references.map(_.name))
+              case h: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => h.leftKeys.flatMap(_.references.map(_.name))
+              case h: org.apache.spark.sql.execution.joins.SortMergeJoinExec => h.leftKeys.flatMap(_.references.map(_.name))
+              case _ => Nil
+            })
+      }.flatten
+      assert(!joinKeyNames.exists(_.contains("doc_id")),
+        s"$q: doc-level join detected: $joinKeyNames")
+    }
   }
 
   test("text quality scorers are map-only: the sort is the only exchange") {
