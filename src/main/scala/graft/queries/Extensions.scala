@@ -538,6 +538,90 @@ object Extensions {
       .select(col("d1"), col("doc_id").as("d2"))
   }
 
+  /** One bucketed dedup-index fixture per (JVM, sfDir): the corpus hash
+    * index and the incoming batch, each a `bucket[8]`-on-`h` catalog
+    * table — the 100 TB deployment shape [[qDedupIncremental]]'s
+    * docstring promises, where the index is co-located with every
+    * arriving batch and the anti-join never shuffles either side.
+    * Memoized like Meta's spjFixture so bench iterations measure the
+    * anti-join, not repeated bucketed writes. */
+  private val dedupSpjFixtures =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def dedupSpjFixture(s: SparkSession, d: String): String =
+    dedupSpjFixtures.synchronized {
+      dedupSpjFixtures.get(d) match {
+        case Some((cname, wh)) =>
+          // conf entries are per-session: re-register for this session
+          s.conf.set(s"spark.sql.catalog.$cname",
+            classOf[graft.catalog.GraftSparkCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+          cname
+        case None =>
+          val base = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get(
+              sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+            "dedup_spj")
+          val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), md5(col("text")).as("h"))
+          val pivot = docs.agg(floor(max(col("doc_id")) / 2).cast("long"))
+            .head().getLong(0)
+          val hist = docs.filter(col("doc_id") < pivot).select("h").distinct()
+          val batch = docs.filter(col("doc_id") >= pivot)
+          cat.createTable("dd", "hist_b", hist.schema, Seq(("bucket[8]", "h")))
+          cat.createTable("dd", "batch_b", batch.schema, Seq(("bucket[8]", "h")))
+          cat.writePartitioned(s, "dd", "hist_b", hist)
+          cat.writePartitioned(s, "dd", "batch_b", batch)
+          val cname = "gdd_" +
+            base.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")
+          s.conf.set(s"spark.sql.catalog.$cname",
+            classOf[graft.catalog.GraftSparkCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+          dedupSpjFixtures(d) = (cname, cat.warehouse)
+          cname
+      }
+    }
+
+  /** The storage-partitioned incremental-dedup frame: anti-join the
+    * bucketed batch against the bucketed index, then keep the first doc
+    * per surviving hash. Under SPJ both join inputs arrive key-grouped
+    * from storage, so the anti-join AND the follow-up per-hash aggregate
+    * run with ZERO exchanges (pinned in ExtensionsSpec) — at 100 TB the
+    * only data movement of the whole ingestion check is reading the
+    * batch's own buckets. */
+  private[queries] def dedupIncrementalSpjFrame(s: SparkSession,
+                                               d: String): DataFrame = {
+    val cname = dedupSpjFixture(s, d)
+    s.sql(
+      s"""SELECT min(b.doc_id) AS doc_id, b.h
+         |FROM $cname.dd.batch_b b
+         |LEFT ANTI JOIN $cname.dd.hist_b hi ON b.h = hi.h
+         |GROUP BY b.h""".stripMargin)
+  }
+
+  /** q_dedup_incremental_spj: [[qDedupIncremental]] in its deployment
+    * shape — the hash index as a bucket[8] catalog table, the batch
+    * landed co-bucketed, and the exclusion anti-join storage-partitioned
+    * (zero join shuffles; the scoped confs mirror meta_spj's envelope).
+    * Same rows as q_dedup_incremental, same oracle. The checkpoint
+    * materializes under the scoped confs — the returned frame must not
+    * re-plan after they are restored. */
+  private def qDedupIncrementalSpj: QFn = (s, d) => {
+    val checkpointed = {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try dedupIncrementalSpjFrame(s, d).localCheckpoint()
+      finally {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    checkpointed.orderBy("doc_id")
+  }
+
   /** q_dedup_pipeline: the FULL industrial dedup pipeline in one declared
     * query — tokenize → banded MinHash (4 bands × 4 hashes) → LSH bucket
     * → bucket co-membership edges → general star-contraction clustering
@@ -933,6 +1017,7 @@ object Extensions {
     "q_dedup_cluster_star" -> qDedupClusterStar,
     "q_dedup_pipeline"  -> qDedupPipeline,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_dedup_incremental_spj" -> qDedupIncrementalSpj,
     "q_neardup_simhash" -> qNeardupSimhash,
     "q_neardup_simhash_k" -> qNeardupSimhashK,
     "q_dedup_keep"      -> qDedupKeep,
@@ -1165,6 +1250,22 @@ object Extensions {
         |SELECT doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // new-batch-vs-history dedup with the same deterministic pivot split
+    // identical semantics through the bucketed catalog tables — the SPJ
+    // variant must reproduce the plain DataFrame result row for row
+    "q_dedup_incremental_spj" ->
+      """WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |pv AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS p
+        |       FROM documents),
+        |hist AS (SELECT DISTINCT h FROM hashed, pv WHERE doc_id < p),
+        |batch AS (SELECT doc_id, h FROM hashed, pv WHERE doc_id >= p),
+        |firsts AS (
+        |  SELECT doc_id, h,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM batch)
+        |SELECT f.doc_id, f.h
+        |FROM firsts f LEFT JOIN hist ON f.h = hist.h
+        |WHERE hist.h IS NULL AND f.rn = 1
+        |ORDER BY f.doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
         |pv AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS p

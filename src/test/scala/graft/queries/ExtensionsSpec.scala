@@ -110,6 +110,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_dedup_incremental_spj: storage-partitioned anti-join, zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shufflesNow(): Int = Extensions.dedupIncrementalSpjFrame(spark, sfDir)
+      .queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeLike => e }.size
+    def scoped[T](spj: Boolean)(body: => T): T = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", spj.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try body finally {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    scoped(spj = true) {
+      val p = Extensions.dedupIncrementalSpjFrame(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(p.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"SPJ anti-join must be exchange-free:\n$p")
+      // both storage scans really report key-grouped clustering
+      val kgs = p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.KeyGroupedPartitioning] => b
+      }
+      assert(kgs.size === 2, s"expected 2 key-grouped scans:\n$p")
+    }
+    // control: same plan without v2 bucketing pays the join exchanges
+    assert(scoped(spj = false)(shufflesNow()) >= 2)
+    // and the SPJ path reproduces the plain-DataFrame result row for row
+    val spj = run("q_dedup_incremental_spj").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val plain = run("q_dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(spj === plain && spj.nonEmpty)
+  }
+
   test("q_neardup_simhash_k: pigeonhole radius-3 equals all-pairs ground truth") {
     // ground truth over the SAME 64-bit bit-string signature
     val sigs = Extensions.simhashSigBits(spark, sfDir).collect()
