@@ -347,11 +347,18 @@ object GraftCatalog {
   }
 
   /** Stat ONE file into its manifest entry — the unit of work both the
-    * driver-pool and the distributed stat passes share. */
+    * driver-pool and the distributed stat passes share. All I/O goes
+    * through the Hadoop FileSystem resolved from the path's scheme (like
+    * [[footerStats]]'s HadoopInputFile), so an executor task stats
+    * `hdfs://`/`s3a://` files the same as driver-local ones — a
+    * java.nio size probe here would throw NoSuchFileException on any
+    * cluster whose executors don't share the driver's filesystem. */
   private[catalog] def statOne(pathStr: String): DataFileMeta = {
     val p = Paths.get(pathStr)
     val (rows, ranges, strs) = footerStats(p)
-    DataFileMeta(p.toAbsolutePath.toString, Files.size(p), rows,
+    val hp = new org.apache.hadoop.fs.Path(p.toUri)
+    val size = hp.getFileSystem(new Configuration()).getFileStatus(hp).getLen
+    DataFileMeta(p.toAbsolutePath.toString, size, rows,
       if (ranges.nonEmpty) Some(ranges) else None,
       if (strs.nonEmpty) Some(strs) else None)
   }

@@ -52,7 +52,15 @@ object ThriftServe {
     * connection. The conf is declared static (boot-time in spark-submit
     * deployments, exactly how the reference sets it); writing through
     * `sessionState.conf` is the embedded-server equivalent of that
-    * boot-time knob — `spark.conf.set` would refuse a static key. */
+    * boot-time knob — `spark.conf.set` would refuse a static key.
+    *
+    * Side effect to know about: Spark's Thrift session manager enables
+    * the java8 datetime API on every session it serves, so in single-
+    * session mode the first connection flips that conf on the SHARED
+    * session (collected rows then carry java.time.Instant, not
+    * java.sql.Timestamp). A dedicated serving session — the reference's
+    * deployment shape — never notices; an embedded caller sharing the
+    * session with other work should snapshot/restore the conf. */
   def setSingleSession(spark: SparkSession, on: Boolean): Unit =
     spark.sessionState.conf.setConfString(
       "spark.sql.hive.thriftServer.singleSession", on.toString)

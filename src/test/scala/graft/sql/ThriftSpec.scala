@@ -51,6 +51,11 @@ class ThriftSpec extends SparkSpec {
 
   test("session modes: temp view crosses the wire in singleSession, not in isolated") {
     val port = ThriftServe.ensureStarted(spark)
+    // serving a connection in single-session mode mutates the SHARED
+    // session (Spark's session manager turns on the java8 datetime API
+    // for every session it serves) — snapshot and restore, or every
+    // later suite in this JVM reads Instant where it expects Timestamp
+    val java8Before = spark.conf.get("spark.sql.datetime.java8API.enabled")
     spark.sql("CREATE OR REPLACE TEMP VIEW mode_tv AS SELECT 42 AS v")
     try {
       // isolated (default, the reference's default too): each connection
@@ -65,6 +70,7 @@ class ThriftSpec extends SparkSpec {
       assert(ThriftServe.query(port, "SELECT v FROM mode_tv") === Seq(Seq(42)))
     } finally {
       ThriftServe.setSingleSession(spark, on = false)
+      spark.conf.set("spark.sql.datetime.java8API.enabled", java8Before)
       spark.sql("DROP VIEW IF EXISTS mode_tv")
     }
   }
