@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Rounds the most recent [[label]] call took to converge — a scaling
+    * diagnostic (the O(log²) claim is only credible if round counts stay
+    * flat as the graph grows; graft.ScaleSmoke asserts exactly that). */
+  @volatile private[graft] var lastRounds: Int = 0
+
   /** Label every node with its component id (= the smallest node id in
     * its component). `nodes`: single numeric-id column; `edges`: two
     * numeric columns (undirected, duplicates/self-loops tolerated).
@@ -68,6 +73,7 @@ object ConnectedComponents {
       round += 1
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
+    lastRounds = round
     // at convergence the graph is a union of stars centered on component
     // minima, so each node's min visible id IS its component
     val lbl = cur.groupBy("src").agg(min("dst").as("mn"))
