@@ -115,7 +115,13 @@ object Meta {
       .select(lit(1).as("as_of") +: cols: _*)
     val cur = cat.readTable(s, "nyc", "lineitem")
       .select(lit(2).as("as_of") +: cols: _*)
-    atS1.unionByName(cur).orderBy("as_of", "l_orderkey", "l_linenumber")
+    // l_quantity joins the sort because (l_orderkey, l_linenumber) is NOT
+    // unique in the synthetic lineitem — without it the order has real
+    // ties with different values and the row-level compare is at the
+    // mercy of each engine's tie order (a latent flake that fired at
+    // sf0.01 in round 6)
+    atS1.unionByName(cur)
+      .orderBy("as_of", "l_orderkey", "l_linenumber", "l_quantity")
   }
 
   /** meta_show_tables: I2/I3 introspection triple. */
@@ -1380,7 +1386,7 @@ object Meta {
         |UNION ALL
         |SELECT 2 AS as_of, l_orderkey, l_linenumber, l_quantity
         |FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
-        |ORDER BY as_of, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY as_of, l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_sql_entry" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |       round(sum(l_quantity), 2) AS sum_qty
