@@ -306,26 +306,33 @@ object Extensions {
     val blockLen = 64 / (k + 1)
     val hist = simhashSigBits(s, d)
       .groupBy("sig").agg(count(lit(1)).as("n"))
+      // bit-string → two unsigned-32 halves, ONCE per distinct signature:
+      // the verify then costs 2 xor + 2 bit_count per candidate instead of
+      // 64 substring compares (the 64-term form measured 72 s at sf0.1 —
+      // block values are template-skewed, so candidates ≫ survivors)
+      .withColumn("hi", expr("cast(conv(substring(sig, 1, 32), 2, 10) as bigint)"))
+      .withColumn("lo", expr("cast(conv(substring(sig, 33, 32), 2, 10) as bigint)"))
       .localCheckpoint() // feeds both join sides + the ham-0 row
     val keyed = hist
       .withColumn("block", explode(lit((0 until k + 1).toArray)))
-      .select(col("sig"), col("n"), col("block"),
+      .select(col("sig"), col("n"), col("hi"), col("lo"), col("block"),
         col("sig").substr(col("block") * lit(blockLen) + 1, lit(blockLen))
           .as("bv"))
-    val ham = (1 to 64).map(i =>
-      when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
+    val ham = bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+      bit_count(col("a.lo").bitwiseXOR(col("b.lo")))
     val sigPairs = keyed.as("a")
       .join(keyed.as("b"),
         col("a.block") === col("b.block") && col("a.bv") === col("b.bv") &&
-        col("a.sig") < col("b.sig"))
+        col("a.sig") < col("b.sig") && ham <= k)
+      // the radius check rides IN the join condition: candidates die in the
+      // joined stage's codegen, so only true near-dup pairs reach a shuffle
       .select(col("a.sig").as("sa"), col("a.n").as("na"),
-        col("b.sig").as("sb"), col("b.n").as("nb"))
+        col("b.sig").as("sb"), col("b.n").as("nb"),
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).as("hamming"))
       // a pair within radius k can agree on several blocks — dedup on
       // signature VALUES (histogram-sized), never on docs
       .distinct()
-      .withColumn("hamming", ham)
-      .where(col("hamming") <= k)
       .localCheckpoint()
     val pairStats = sigPairs.groupBy("hamming")
       .agg(sum(col("na") * col("nb")).cast("long").as("n_pairs"))
