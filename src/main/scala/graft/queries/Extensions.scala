@@ -510,6 +510,18 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Universal-hash MinHash family (Broder's construction): ONE md5 per
+    * token yields a 60-bit base value x, and hash i is (aᵢ·x + bᵢ) mod p
+    * — integer arithmetic the codegen fuses for free. The earlier family
+    * (an md5 per hash index per token) paid r·h digests per token row:
+    * at 16 hashes that was the dominant cost of the whole dedup pipeline
+    * at sf0.1 and pure waste at 100 TB. p = 2³¹−1 keeps aᵢ·x < 2⁶²
+    * (ANSI-safe); the same constants are interpolated into the DuckDB
+    * oracle so the differential check replays bit-identical signatures. */
+  private[queries] val MinhashP = 2147483647L
+  private[queries] def minhashA(i: Int): Long = ((i + 1) * 2654435761L) % MinhashP
+  private[queries] def minhashB(i: Int): Long = (i * 40503L + 1013904223L) % MinhashP
+
   /** (doc_id, band) rows for an r-band × h-hash MinHash LSH signature —
     * the recall knob of LSH dedup: a pair collides if ANY band's h
     * min-hashes all agree, so for token-set Jaccard j the collision
@@ -523,12 +535,18 @@ object Extensions {
   private[queries] def minhashBandRows(tok: DataFrame, bands: Int,
                                        hashesPerBand: Int): DataFrame = {
     val sigCols = (0 until bands * hashesPerBand).map(i =>
-      min(md5(concat(lit(s"$i:"), col("token")))).as(s"s$i"))
+      min((lit(minhashA(i)) * col("mx") + lit(minhashB(i))) % lit(MinhashP))
+        .as(s"s$i"))
     val bandKeys = (0 until bands).map { b =>
       md5(concat_ws("|", lit(b.toString) +:
-        (0 until hashesPerBand).map(j => col(s"s${b * hashesPerBand + j}")): _*))
+        (0 until hashesPerBand).map(j =>
+          col(s"s${b * hashesPerBand + j}").cast("string")): _*))
     }
-    tok.groupBy(col("doc_id"))
+    tok
+      .withColumn("mx",
+        expr("cast(conv(substring(md5(token), 1, 15), 16, 10) as bigint)") %
+          lit(MinhashP))
+      .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
   }
@@ -1291,25 +1309,22 @@ object Extensions {
     // bucket edges → recursive-CTE components → canonical keep
     "q_dedup_pipeline" ->
       s"""WITH RECURSIVE tok AS ($tokensSql),
+        |base AS (
+        |  SELECT doc_id,
+        |         ('0x' || substring(md5(token), 1, 15))::BIGINT % $MinhashP AS mx
+        |  FROM tok),
         |sig AS (
         |  SELECT doc_id,
-        |         min(md5('0:' || token)) AS s0, min(md5('1:' || token)) AS s1,
-        |         min(md5('2:' || token)) AS s2, min(md5('3:' || token)) AS s3,
-        |         min(md5('4:' || token)) AS s4, min(md5('5:' || token)) AS s5,
-        |         min(md5('6:' || token)) AS s6, min(md5('7:' || token)) AS s7,
-        |         min(md5('8:' || token)) AS s8, min(md5('9:' || token)) AS s9,
-        |         min(md5('10:' || token)) AS s10, min(md5('11:' || token)) AS s11,
-        |         min(md5('12:' || token)) AS s12, min(md5('13:' || token)) AS s13,
-        |         min(md5('14:' || token)) AS s14, min(md5('15:' || token)) AS s15
-        |  FROM tok GROUP BY doc_id),
+        |${(0 until 16).map(i =>
+             s"         min((${minhashA(i)} * mx + ${minhashB(i)}) % $MinhashP) AS s$i")
+             .mkString(",\n")}
+        |  FROM base GROUP BY doc_id),
         |band AS (
-        |  SELECT doc_id, md5('0|' || s0 || '|' || s1 || '|' || s2 || '|' || s3) AS band FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, md5('1|' || s4 || '|' || s5 || '|' || s6 || '|' || s7) FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, md5('2|' || s8 || '|' || s9 || '|' || s10 || '|' || s11) FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, md5('3|' || s12 || '|' || s13 || '|' || s14 || '|' || s15) FROM sig),
+        |${(0 until 4).map { b =>
+             val cols = (0 until 4).map(j => s"CAST(s${b * 4 + j} AS VARCHAR)")
+               .mkString(" || '|' || ")
+             s"  SELECT doc_id, md5('$b|' || $cols) AS band FROM sig"
+           }.mkString("\n  UNION ALL\n")}),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2
         |  FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id),

@@ -29,10 +29,10 @@ class ExtensionsSpec extends SparkSpec {
 
   test("banded MinHash recall: similar pair collides at 4 bands x 4 hashes, not at 1 x 16") {
     // Jaccard 18/22 ≈ 0.82 pair: with r=4,h=4 the collision probability
-    // is 1-(1-j^4)^4 ≈ 0.88 and under md5 this concrete pair shares 3 of
-    // 4 bands; the degenerate 1-band 16-hash signature (round-5's shape)
-    // requires all 16 min-hashes equal and misses it — the recall knob
-    // the banding exists for.
+    // is 1-(1-j^4)^4 ≈ 0.88 and under the universal-hash family this
+    // concrete pair shares 1 of 4 bands; the degenerate 1-band 16-hash
+    // signature (round-5's shape) requires all 16 min-hashes equal and
+    // misses it — the recall knob the banding exists for.
     import spark.implicits._
     val a = (0 until 20).map(i => s"tok$i")
     val b = a.take(18) ++ Seq("uniqb1", "uniqb2")
@@ -45,7 +45,7 @@ class ExtensionsSpec extends SparkSpec {
       Extensions.minhashBandRows(tok, bands, hashesPerBand)
         .groupBy("band").agg(countDistinct("doc_id").as("n"))
         .filter(col("n") === 2).count()
-    assert(sharedBands(4, 4) === 3)
+    assert(sharedBands(4, 4) === 1)
     assert(sharedBands(1, 16) === 0)
   }
 
