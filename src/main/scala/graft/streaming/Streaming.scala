@@ -206,7 +206,13 @@ object Streaming {
       input.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "u3"))
       q.processAllAvailable()
     } finally q.stop()
-    s.table("st_sessionize_sink").orderBy("user")
+    // ntz projection: the finalized sessions are a fixed table in UTC wall
+    // time, so the exact-rows oracle can state them as TIMESTAMP literals
+    s.table("st_sessionize_sink")
+      .select(col("user"), col("n_events"),
+        col("s_start").cast("timestamp_ntz").as("s_start"),
+        col("s_end").cast("timestamp_ntz").as("s_end"))
+      .orderBy("user")
   }
 
   /** st_file_source: production-shaped directory ingestion — readStream
@@ -566,21 +572,37 @@ object Streaming {
   /** st_file_source proves STREAM-BATCH PARITY: draining the landing zone
     * through Structured Streaming must equal the batch aggregate DuckDB
     * computes over the same rows. The stateful demos stay non-oracle. */
+  /** Deterministic literal inputs ⇒ the dedup result is a fixed table;
+    * the default (HDFS) and RocksDB state-store variants run the SAME
+    * query and must both reproduce it exactly. */
+  private val stDedupOracle =
+    """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'first'),
+      |(CAST(2 AS BIGINT), 'first'), (CAST(3 AS BIGINT), 'first'))
+      |AS t(event_id, payload) ORDER BY event_id""".stripMargin
+
+  /** Same determinism argument for the watermarked windowed aggregate:
+    * exactly the three finalized windows, in order, on either store. */
+  private val stWatermarkOracle =
+    """SELECT * FROM (VALUES
+      |  (TIMESTAMP '2024-01-01 00:00:00', 'a', CAST(2 AS BIGINT)),
+      |  (TIMESTAMP '2024-01-01 00:10:00', 'b', CAST(1 AS BIGINT)),
+      |  (TIMESTAMP '2024-01-01 00:20:00', 'b', CAST(1 AS BIGINT)))
+      |AS t(w_start, k, n) ORDER BY w_start, k""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // deterministic literal inputs ⇒ the dedup result is a fixed table;
-    // running it on the RocksDB provider must reproduce it exactly
-    "st_dedup_rocksdb" ->
-      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'first'),
-        |(CAST(2 AS BIGINT), 'first'), (CAST(3 AS BIGINT), 'first'))
-        |AS t(event_id, payload) ORDER BY event_id""".stripMargin,
-    // same determinism argument for the watermarked windowed aggregate:
-    // exactly the three finalized windows, in order
-    "st_watermark_rocksdb" ->
+    "st_dedup" -> stDedupOracle,
+    "st_dedup_rocksdb" -> stDedupOracle,
+    "st_watermark" -> stWatermarkOracle,
+    "st_watermark_rocksdb" -> stWatermarkOracle,
+    // the two closable sessions are a fixed table: u1/u2 time out when the
+    // watermark passes last-event + 10 min; u3's open session is withheld
+    "st_sessionize" ->
       """SELECT * FROM (VALUES
-        |  (TIMESTAMP '2024-01-01 00:00:00', 'a', CAST(2 AS BIGINT)),
-        |  (TIMESTAMP '2024-01-01 00:10:00', 'b', CAST(1 AS BIGINT)),
-        |  (TIMESTAMP '2024-01-01 00:20:00', 'b', CAST(1 AS BIGINT)))
-        |AS t(w_start, k, n) ORDER BY w_start, k""".stripMargin,
+        |  ('u1', CAST(2 AS BIGINT), TIMESTAMP '2024-01-01 00:01:00',
+        |   TIMESTAMP '2024-01-01 00:03:00'),
+        |  ('u2', CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 00:02:00',
+        |   TIMESTAMP '2024-01-01 00:02:00'))
+        |AS t("user", n_events, s_start, s_end) ORDER BY "user"""".stripMargin,
     "st_file_source" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -77,11 +77,12 @@ class StreamingSpec extends SparkSpec {
     val rows = Streaming.stSessionize(spark, sfDir)
       .collect()
       .map(r => (r.getString(0), r.getLong(1),
-        r.getTimestamp(2).toInstant.toString, r.getTimestamp(3).toInstant.toString))
+        r.getAs[java.time.LocalDateTime](2), r.getAs[java.time.LocalDateTime](3)))
     // u1 and u2 timed out once the watermark passed last-event + 10 min;
     // u3's session is still open (no later watermark advance) ⇒ not emitted.
+    def t(m: Int) = java.time.LocalDateTime.of(2024, 1, 1, 0, m)
     assert(rows.toSeq === Seq(
-      ("u1", 2L, "2024-01-01T00:01:00Z", "2024-01-01T00:03:00Z"),
-      ("u2", 1L, "2024-01-01T00:02:00Z", "2024-01-01T00:02:00Z")))
+      ("u1", 2L, t(1), t(3)),
+      ("u2", 1L, t(2), t(2))))
   }
 }
