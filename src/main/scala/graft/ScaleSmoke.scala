@@ -56,7 +56,7 @@ object ScaleSmoke {
     }
 
     val targets = Seq("q_dedup_pipeline", "q_dedup_cluster_star",
-      "q_dedup_incremental", "q_neardup_simhash")
+      "q_dedup_incremental", "q_neardup_simhash", "q_neardup_simhash_k")
     val ccBacked = Set("q_dedup_pipeline", "q_dedup_cluster_star")
 
     def time(name: String, dir: String): (Double, Int) = {
