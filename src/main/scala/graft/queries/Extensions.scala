@@ -980,6 +980,76 @@ object Extensions {
     } finally emb.unpersist()
   }
 
+  // ------------------------------------------------- corpus curation ops
+
+  /** q_sample_split: deterministic hash sampling + train/val/test split —
+    * the reproducible way to subset 100 TB. Each doc gets a stable draw in
+    * [0,100) from md5 of its id (never rand(): retries, re-runs and
+    * different partition layouts must all agree on membership), thresholded
+    * 80/10/10. Map-only per doc + one small group-by; the same predicate
+    * pushed to a scan filters a split without materializing it. Exact
+    * oracle: DuckDB reproduces the identical draws. */
+  private def qSampleSplit: QFn = (s, d) => {
+    val draw = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)") % 100
+    Tables.documents(s, d)
+      .withColumn("draw", draw)
+      .withColumn("split",
+        when(col("draw") < 80, "train")
+          .when(col("draw") < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
+  }
+
+  /** q_pack_sequences: concat-then-chunk sequence packing — the way LLM
+    * pretraining batches are built: the token stream in stable doc order
+    * is chunked into fixed context windows, and each doc lands in window
+    * ⌊tokens-before-it / budget⌋. One window function PARTITIONED BY lang
+    * (the shard key): no global sort, no single-partition bottleneck —
+    * at 100 TB the partition key is the shard and the plan is identical.
+    * Per-window report; exact oracle via the same window arithmetic. */
+  private def qPackSequences: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), size(expr(tokensExpr)).as("n_tokens"))
+      .withColumn("before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("win_id", expr(s"before div $budget"))
+      .groupBy("lang", "win_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("win_tokens"))
+      .orderBy("lang", "win_id")
+  }
+
+  /** q_decontaminate: benchmark-overlap decontamination — flag corpus
+    * docs sharing ≥3 distinct word-3-gram shingle hashes with a held-out
+    * benchmark set (docs with doc_id % 97 == 0 stand in for the
+    * benchmark; production uses 8-13-gram shingles on real text — the
+    * synthetic corpus' short template sentences need 3-grams to exhibit
+    * overlap, the plan is shingle-size-agnostic). The benchmark shingle
+    * index is tiny next to the corpus and BROADCAST; the corpus side is a
+    * lazy shingle flat-map ([[graft.functions.NGramsGenerator]]) + one
+    * equi-join on hash + a per-doc count — never doc×doc, and corpus docs
+    * with no shared shingle die map-side in the broadcast join. Exact
+    * oracle: DuckDB replays the same shingles. */
+  private def qDecontaminate: QFn = (s, d) => {
+    val sh = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), expr(toksOrdered).as("toks"))
+      .selectExpr("doc_id", "graft_ngrams(toks, 3) AS (pos, sh)")
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "h")
+      // sh is distinct (doc_id, h): the plain count IS distinct shingles
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- UDF / UDAF
 
   /** Scalar UDF surface demo (K1). A native column expression would codegen
@@ -1054,12 +1124,60 @@ object Extensions {
     "q_vec_knn_kmeans"  -> qVecKnnKmeans,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_embed_neardup_cells" -> qEmbedNeardupCells,
+    "q_sample_split"    -> qSampleSplit,
+    "q_pack_sequences"  -> qPackSequences,
+    "q_decontaminate"   -> qDecontaminate,
     "q_udf_scalar"      -> qUdfScalar,
     "q_udaf_geomean"    -> qUdafGeomean,
     "q_udtf_ngrams"     -> qUdtfNgrams,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_split" ->
+      """WITH drawn AS (
+        |  SELECT lang, n_chars,
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 100 AS draw
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN draw < 80 THEN 'train'
+        |            WHEN draw < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM drawn GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |             t -> t <> '')) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT lang, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (
+        |           PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM toks)
+        |SELECT lang, CAST(bef // 2048 AS BIGINT) AS win_id,
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS win_tokens
+        |FROM cum GROUP BY lang, win_id ORDER BY lang, win_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> t <> '') AS L
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(1, len(L) - 1)),
+        |           i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2]))) AS sh
+        |  FROM toks),
+        |hs AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM sh),
+        |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 97 = 0)
+        |SELECT hs.doc_id, count(*) AS n_shared
+        |FROM hs JOIN bench ON hs.h = bench.h
+        |WHERE hs.doc_id % 97 <> 0
+        |GROUP BY hs.doc_id HAVING count(*) >= 3
+        |ORDER BY doc_id""".stripMargin,
     "q_text_dedup" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

@@ -273,4 +273,61 @@ class ExtensionsSpec extends SparkSpec {
     assert(q.filter(col("alnum_ratio") < 0 || col("alnum_ratio") > 1).count() === 0)
     assert(q.filter(col("n_words") === 0 && col("avg_word_len").isNotNull).count() === 0)
   }
+
+  test("q_sample_split: splits partition the corpus and are deterministic") {
+    val rows = run("q_sample_split").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    // every doc lands in exactly one (lang, split) cell
+    assert(rows.map(_._2).sum === nDocs)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // membership is a pure function of doc_id: a re-run is identical
+    val again = run("q_sample_split").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+    // the 80/10/10 thresholds hold corpus-wide within hash noise
+    val bySplit = rows.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("q_pack_sequences: windows are contiguous and conserve tokens") {
+    val rows = run("q_pack_sequences").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(sum(size(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))))
+      .head().getLong(0)
+    assert(rows.map(_._4).sum === totalTokens)
+    rows.groupBy(_._1).foreach { case (lang, ws) =>
+      val ids = ws.map(_._2).sorted
+      // window ids run 0..n with no gaps: the token stream is chunked,
+      // never skipped
+      assert(ids.head === 0L && ids.last === ids.length - 1L,
+        s"$lang windows not contiguous: ${ids.mkString(",")}")
+      assert(ws.forall(_._3 >= 1L)) // every window holds at least one doc
+    }
+  }
+
+  test("q_decontaminate: flags exactly the docs sharing >=3 shingles with the benchmark") {
+    val rows = run("q_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // no benchmark doc flags itself; every flag meets the threshold
+    rows.foreach { case (id, n) =>
+      assert(id % 97 != 0L); assert(n >= 3L)
+    }
+    // ground truth recomputed driver-side from raw text (spec scale)
+    def shingles(text: String): Set[String] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val benchSh = docs.filter(_._1 % 97 == 0).flatMap(_._2).toSet
+    val expected = docs.filter(_._1 % 97 != 0)
+      .map { case (id, sh) => id -> sh.count(benchSh.contains).toLong }
+      .filter(_._2 >= 3).toMap
+    assert(rows.toMap === expected)
+  }
 }

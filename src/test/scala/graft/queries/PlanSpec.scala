@@ -124,4 +124,15 @@ class PlanSpec extends SparkSpec {
     assert(shuffles("q_text_rollhash") <= 1)
     assert(shuffles("q_text_fingerprint") <= 1)
   }
+
+  test("corpus curation: sampling is map-side, decontamination broadcasts") {
+    // the split is a pure per-doc hash + one small group-by: agg + sort
+    assert(shuffles("q_sample_split") <= 2)
+    // the benchmark shingle index must be the broadcast side — a
+    // sort-merge join on shingle hash would shuffle the whole corpus's
+    // shingle stream at 100 TB
+    val p = plan("q_decontaminate")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
 }
