@@ -329,6 +329,21 @@ object Etl {
     "etl_sanitize_ts" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS sanitized_ts
         |FROM events ORDER BY event_id""".stripMargin,
+    // the change report over the unsigned fixture is a fixed table: the
+    // one uint64 epoch column is rewritten decimal(20,0) → timestamp
+    "etl_sanitize_report" ->
+      """SELECT * FROM (VALUES ('timestamp', 'decimal(20,0)', 'timestamp'))
+        |AS t(column_name, from_type, to_type) ORDER BY column_name""".stripMargin,
+    // the mirror-tree rewrite report is a fixed table: both raw event
+    // files need the one cast and are written; the clean lookup passes
+    // through untouched; dry-run and mirror invariants hold everywhere
+    "etl_sanitize_tree" ->
+      """SELECT * FROM (VALUES
+        |  ('clean/lookup.parquet', false, CAST(0 AS BIGINT), true, true),
+        |  ('raw/events_a.parquet', true, CAST(1 AS BIGINT), true, true),
+        |  ('raw/nested/events_b.prq', true, CAST(1 AS BIGINT), true, true))
+        |AS t(rel_path, written, n_casts, dry_run_consistent, mirror_ok)
+        |ORDER BY rel_path""".stripMargin,
     "etl_compact" ->
       """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
         |       count(DISTINCT l_orderkey) AS n_orders
