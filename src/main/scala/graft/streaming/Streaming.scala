@@ -406,6 +406,7 @@ object Streaming {
       ("exactly_once_total", run1 + run2, run1 + run2 == total),
       ("dml_refused", 1L, refused))
       .toDF("phase", "n", "invariant_ok")
+      .orderBy("phase")
   }
 
   /** st_join: watermarked STREAM-STREAM self-join — click→purchase
@@ -618,6 +619,21 @@ object Streaming {
       """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
         |       true AS n_snapshots_ge_2
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the catalog-source counts are data-derived (the even-id half lands
+    // as snapshot 1, the odd half as the delta): DuckDB recomputes them
+    // from events; the invariant flags are pinned true — a broken
+    // exactly-once or a non-refused DML mismatches here
+    "st_catalog_source" ->
+      """WITH c AS (SELECT count(*) AS total,
+        |                  count(*) FILTER (event_id % 2 = 0) AS half
+        |           FROM events)
+        |SELECT * FROM (
+        |  SELECT 'run1_snapshot1_rows' AS phase, half AS n,
+        |         true AS invariant_ok FROM c
+        |  UNION ALL SELECT 'run2_delta_only', total - half, true FROM c
+        |  UNION ALL SELECT 'exactly_once_total', total, true FROM c
+        |  UNION ALL SELECT 'dml_refused', 1, true)
+        |ORDER BY phase""".stripMargin,
     "st_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |                  CAST(ts AS TIMESTAMP) AS ts FROM events)
