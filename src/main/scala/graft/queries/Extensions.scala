@@ -1050,6 +1050,40 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q_mix_temperature: temperature-based source mixing — the multinomial
+    * resampling used to rebalance skewed corpora for training (α = 0.5
+    * upweights tail languages: quota_l ∝ √n_l, capped at n_l, scaled to a
+    * target half the corpus). Quotas are a 5-row parameter fetch computed
+    * driver-side (sorted, so the float sum order is fixed); membership is
+    * rank-by-deterministic-hash within each language — a total order, so
+    * selection has no float-boundary accept predicate and re-runs agree
+    * exactly. One window partitioned by lang + one group-by; at 100 TB
+    * the stats fetch is k rows and everything else is the same plan.
+    * Hash-oracled: DuckDB recomputes quotas and ranks independently. */
+  private def qMixTemperature: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang").collect().map(r => r.getString(0) -> r.getLong(1))
+    val denom = counts.map { case (_, n) => math.sqrt(n.toDouble) }.sum
+    val target = counts.map(_._2).sum / 2
+    val quotas = counts.map { case (l, n) =>
+      l -> math.min(n, math.floor(math.sqrt(n.toDouble) / denom * target).toLong) }
+    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (l, q)) =>
+      when(col("lang") === l, lit(q)).otherwise(acc) }
+    val w = Window.partitionBy("lang").orderBy("draw", "doc_id")
+    docs.select(col("doc_id"), col("lang"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("draw"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("q", quotaCol)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= col("q"), 1L).otherwise(0L)).as("n_sampled"),
+        max("q").as("quota"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------- UDF / UDAF
 
   /** Scalar UDF surface demo (K1). A native column expression would codegen
@@ -1127,6 +1161,7 @@ object Extensions {
     "q_sample_split"    -> qSampleSplit,
     "q_pack_sequences"  -> qPackSequences,
     "q_decontaminate"   -> qDecontaminate,
+    "q_mix_temperature" -> qMixTemperature,
     "q_udf_scalar"      -> qUdfScalar,
     "q_udaf_geomean"    -> qUdafGeomean,
     "q_udtf_ngrams"     -> qUdtfNgrams,
@@ -1178,6 +1213,27 @@ object Extensions {
         |WHERE hs.doc_id % 97 <> 0
         |GROUP BY hs.doc_id HAVING count(*) >= 3
         |ORDER BY doc_id""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH stats AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |               sum(sqrt(n)) AS denom FROM stats),
+        |quota AS (
+        |  SELECT lang, n,
+        |         least(n, CAST(floor(sqrt(n) / denom * (total // 2)) AS BIGINT))
+        |           AS q
+        |  FROM stats, tot),
+        |ranked AS (
+        |  SELECT lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |           doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN rk <= q THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_sampled,
+        |       max(q) AS quota
+        |FROM ranked r JOIN quota USING (lang)
+        |GROUP BY r.lang ORDER BY lang""".stripMargin,
     "q_text_dedup" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

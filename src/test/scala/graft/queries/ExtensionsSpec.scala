@@ -308,6 +308,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q_mix_temperature: quotas fill exactly and upweight tail languages") {
+    val rows = run("q_mix_temperature").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // quota ≤ n by construction and rank-selection fills it exactly
+    rows.foreach { case (lang, n, sampled, quota) =>
+      assert(quota <= n, s"$lang quota over corpus")
+      assert(sampled === quota, s"$lang quota not filled")
+    }
+    // α=0.5 upweights the tail: the smallest language keeps a larger
+    // fraction than the largest
+    val smallest = rows.minBy(_._2); val largest = rows.maxBy(_._2)
+    if (smallest._2 < largest._2)
+      assert(smallest._3.toDouble / smallest._2 > largest._3.toDouble / largest._2)
+    // membership is a pure function of the data: a re-run is identical
+    assert(run("q_mix_temperature").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq === rows.toSeq)
+  }
+
   test("q_decontaminate: flags exactly the docs sharing >=3 shingles with the benchmark") {
     val rows = run("q_decontaminate").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
