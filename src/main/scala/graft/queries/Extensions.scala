@@ -1057,8 +1057,11 @@ object Extensions {
     * driver-side (sorted, so the float sum order is fixed); membership is
     * rank-by-deterministic-hash within each language — a total order, so
     * selection has no float-boundary accept predicate and re-runs agree
-    * exactly. One window partitioned by lang + one group-by; at 100 TB
-    * the stats fetch is k rows and everything else is the same plan.
+    * exactly. Cost shape: the rank is one window partitioned by lang,
+    * i.e. a per-language sort of the draws — exact but not free at
+    * 100 TB; the production trade is a draw-threshold prefilter at
+    * rate ≈ quota/n (map-only, no sort) with an exact rank trim over the
+    * ~quota survivors, same plan as here on 1000× less data.
     * Hash-oracled: DuckDB recomputes quotas and ranks independently. */
   private def qMixTemperature: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
