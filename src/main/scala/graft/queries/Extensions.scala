@@ -556,7 +556,7 @@ object Extensions {
     * the k²/2 pairwise clique. Pairs colliding in several bands yield
     * parallel edges; [[graft.operators.ConnectedComponents]] canonicalizes
     * (distinct) internally, so no extra dedup shuffle here. */
-  private def bandStarEdges(banded: DataFrame): DataFrame = {
+  private[queries] def bandStarEdges(banded: DataFrame): DataFrame = {
     val bandMin = banded.groupBy("band").agg(min("doc_id").as("d1"))
     banded.join(bandMin, "band")
       .where(col("doc_id") =!= col("d1"))
@@ -633,18 +633,28 @@ object Extensions {
     * materializes under the scoped confs — the returned frame must not
     * re-plan after they are restored. */
   private def qDedupIncrementalSpj: QFn = (s, d) => {
-    val checkpointed = {
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try dedupIncrementalSpjFrame(s, d).localCheckpoint()
-      finally {
-        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-        s.conf.set("spark.sql.adaptive.enabled", "true")
-        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      }
+    val checkpointed = withSpjConfs(s) {
+      dedupIncrementalSpjFrame(s, d).localCheckpoint()
     }
     checkpointed.orderBy("doc_id")
+  }
+
+  /** Scoped SPJ conf envelope: snapshots the caller's values and restores
+    * the SNAPSHOTS (not hardcoded defaults) afterwards, so an embedded
+    * caller running with AQE off — or a non-default broadcast threshold —
+    * gets its session back unchanged. */
+  private[queries] def withSpjConfs[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
   }
 
   /** q_dedup_pipeline: the FULL industrial dedup pipeline in one declared
@@ -664,19 +674,67 @@ object Extensions {
     * labeling — no all-pairs stage anywhere. Recall comes from the
     * multi-band signature (see [[minhashBandRows]]); MinhashBandSpec pins
     * a moderately-similar pair that clusters at 4×4 but not at 1×16. */
-  private def qDedupPipeline: QFn = (s, d) => {
-    // checkpointed: the (doc_id, band) frame feeds BOTH sides of the
-    // bucket self-join and the clustering loop — without materialization
-    // the 16×md5-per-token signature aggregation re-runs per consumer
-    // (measured 8 s → 2.5 s at sf0.1 with the 4-hash signature)
-    val banded = minhashBandRows(tokens(s, d), bands = 4, hashesPerBand = 4)
+  private def qDedupPipeline: QFn = (s, d) =>
+    dedupPipelineFrame(Tables.spread(s, Tables.documents(s, d)), verify = None)
+
+  /** q_dedup_pipeline_verified: the pipeline with its PRECISION knob — LSH
+    * band collisions are CANDIDATES, not matches; without verification a
+    * single false-positive bucket chains unrelated docs into one cluster
+    * (the classic LSH over-merge). Each star edge is checked against
+    * exact token-set Jaccard ≥ 0.7 (the 4×4 S-curve knee) BEFORE
+    * clustering: per-edge work on the candidate set — O(|edges|), never
+    * all-pairs — so at 100 TB the verify cost tracks the near-dup rate,
+    * not the corpus. Hash-oracled: DuckDB replays star edges, the exact
+    * Jaccard gate (integer cross-multiply, no float boundary), and the
+    * closure. */
+  private def qDedupPipelineVerified: QFn = (s, d) =>
+    dedupPipelineFrame(Tables.spread(s, Tables.documents(s, d)),
+      verify = Some((7, 10)))
+
+  /** tokenize → banded MinHash (4×4) → LSH bucket → star edges →
+    * [optional exact-Jaccard edge verify] → star-contraction clustering →
+    * canonical keep/drop. `verify = Some((num, den))` keeps an edge iff
+    * jaccard ≥ num/den. The (doc_id, band) frame is checkpointed: it
+    * feeds BOTH sides of the bucket self-join and the clustering loop —
+    * without materialization the per-token signature aggregation re-runs
+    * per consumer (measured 8 s → 2.5 s at sf0.1). With verification the
+    * token-set frame is checkpointed too, so tokenization runs once for
+    * signatures and for the Jaccard gate. */
+  private[queries] def dedupPipelineFrame(docs: DataFrame,
+      verify: Option[(Int, Int)]): DataFrame = {
+    val withSets = docs.select(col("doc_id"),
+      expr(s"array_distinct($tokensExpr)").as("toks"))
+    val sets = if (verify.isDefined) withSets.localCheckpoint() else withSets
+    val tok = sets.select(col("doc_id"), explode(col("toks")).as("token"))
+    val banded = minhashBandRows(tok, bands = 4, hashesPerBand = 4)
       .localCheckpoint()
-    val docs = Tables.documents(s, d).select("doc_id")
-    graft.operators.ConnectedComponents.label(docs, bandStarEdges(banded))
+    val star = bandStarEdges(banded)
+    val edges = verify match {
+      case Some((num, den)) => verifyEdgesJaccard(sets, star, num, den)
+      case None             => star
+    }
+    graft.operators.ConnectedComponents.label(docs.select("doc_id"), edges)
       .select(col("node").as("doc_id"), col("component").as("cluster_id"),
         (col("node") === col("component")).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** Exact token-set Jaccard gate over candidate edges: two hash joins
+    * pull each endpoint's token set, the intersection/union sizes are
+    * computed per edge (map-side after the joins), and the threshold is
+    * an integer cross-multiply — `den·|∩| ≥ num·|∪|` — so both engines
+    * agree bit-for-bit with no float boundary. Parallel edges from
+    * multi-band collisions are distinct'd first so each candidate pair
+    * is verified once. */
+  private[queries] def verifyEdgesJaccard(docSets: DataFrame, edges: DataFrame,
+      num: Int, den: Int): DataFrame =
+    edges.distinct()
+      .join(docSets.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
+      .join(docSets.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .filter(lit(den) * col("inter") >=
+        lit(num) * (size(col("t1")) + size(col("t2")) - col("inter")))
+      .select("d1", "d2")
 
   /** q_dedup_cluster_star: the SAME banded candidate graph labeled by the
     * GENERAL alternating large-star/small-star contraction
@@ -1005,18 +1063,49 @@ object Extensions {
   /** q_pack_sequences: concat-then-chunk sequence packing — the way LLM
     * pretraining batches are built: the token stream in stable doc order
     * is chunked into fixed context windows, and each doc lands in window
-    * ⌊tokens-before-it / budget⌋. One window function PARTITIONED BY lang
-    * (the shard key): no global sort, no single-partition bottleneck —
-    * at 100 TB the partition key is the shard and the plan is identical.
-    * Per-window report; exact oracle via the same window arithmetic. */
-  private def qPackSequences: QFn = (s, d) => {
+    * ⌊tokens-before-it / budget⌋. The prefix sum is a TWO-PASS sharded
+    * computation (see [[packSequencesFrame]]): a lang key alone has ~5
+    * values, so a single `Window.partitionBy(lang)` would serialize each
+    * language's entire token stream through one task at 100 TB. */
+  private def qPackSequences: QFn = (s, d) =>
+    packSequencesFrame(Tables.spread(s, Tables.documents(s, d)),
+      budget = 2048, nShards = 8)
+
+  /** Sharded sequence packing via a two-pass prefix sum. Shards are
+    * contiguous doc_id ranges (`doc_id div width`), so shard order IS
+    * doc_id order and the sharded result is bit-identical to the
+    * single-window form — the oracle needs no shard arithmetic at all.
+    * Pass 1 computes the running token count WITHIN each (lang, shard);
+    * pass 2 aggregates one row per (lang, shard) — #langs × nShards rows,
+    * trivially small at any corpus size — cumulates those in shard order,
+    * and broadcasts the offsets back. The wide window therefore has
+    * #langs × nShards partitions instead of #langs: at 100 TB nShards
+    * tracks cluster parallelism and no task ever sees more than one
+    * shard of one language. The 4-column token projection is
+    * localCheckpoint'd so tokenization runs once, not once per pass
+    * (at cluster scale: a persisted intermediate ~10⁻³ the corpus). */
+  private[queries] def packSequencesFrame(docs: DataFrame, budget: Int,
+                                          nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val budget = 2048
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.spread(s, Tables.documents(s, d))
+    val maxId = docs.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0)
+    val width = math.max(1L, (maxId + nShards) / nShards)
+    val toks = docs
       .select(col("doc_id"), col("lang"), size(expr(tokensExpr)).as("n_tokens"))
-      .withColumn("before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("shard", expr(s"doc_id div $width"))
+      .localCheckpoint()
+    val wLocal = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wShard = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("lang", "shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+      .withColumn("offset", coalesce(sum("shard_tokens").over(wShard), lit(0L)))
+      .select("lang", "shard", "offset")
+    toks
+      .withColumn("local_before",
+        coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("before", col("offset") + col("local_before"))
       .withColumn("win_id", expr(s"before div $budget"))
       .groupBy("lang", "win_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("win_tokens"))
@@ -1053,37 +1142,79 @@ object Extensions {
   /** q_mix_temperature: temperature-based source mixing — the multinomial
     * resampling used to rebalance skewed corpora for training (α = 0.5
     * upweights tail languages: quota_l ∝ √n_l, capped at n_l, scaled to a
-    * target half the corpus). Quotas are a 5-row parameter fetch computed
-    * driver-side (sorted, so the float sum order is fixed); membership is
+    * target half the corpus). Quotas are a per-language parameter fetch
+    * computed driver-side (sorted, so the float sum order is fixed) and
+    * shipped back as a BROADCAST quota table (a when-chain would stop
+    * scaling past a handful of sources); membership is
     * rank-by-deterministic-hash within each language — a total order, so
     * selection has no float-boundary accept predicate and re-runs agree
-    * exactly. Cost shape: the rank is one window partitioned by lang,
-    * i.e. a per-language sort of the draws — exact but not free at
-    * 100 TB; the production trade is a draw-threshold prefilter at
-    * rate ≈ quota/n (map-only, no sort) with an exact rank trim over the
-    * ~quota survivors, same plan as here on 1000× less data.
+    * exactly. Plan shape: a map-only draw-threshold PREFILTER at rate
+    * ≈ 1.25·quota/n (+ absolute slack, see [[mixDrawThreshold]]) cuts
+    * each language to ~quota survivors BEFORE the rank window, so the
+    * per-language sort that makes selection exact runs on ~quota rows,
+    * never on n — the trim a 100 TB mix actually executes. Selection is
+    * unchanged: the q smallest draws all survive any threshold that
+    * admits ≥ q rows, which the slack guarantees beyond 20σ.
     * Hash-oracled: DuckDB recomputes quotas and ranks independently. */
-  private def qMixTemperature: QFn = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
+  private def qMixTemperature: QFn = (s, d) =>
+    mixTemperatureFrame(s, Tables.documents(s, d))
+
+  /** Per-language (n, quota): one small driver aggregate, lang-sorted so
+    * the √n accumulation order is fixed (the oracle sums in the same
+    * order via an ordered aggregate). */
+  private[queries] def mixQuotas(docs: DataFrame): Seq[(String, Long, Long)] = {
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-      .orderBy("lang").collect().map(r => r.getString(0) -> r.getLong(1))
+      .orderBy("lang").collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val denom = counts.map { case (_, n) => math.sqrt(n.toDouble) }.sum
     val target = counts.map(_._2).sum / 2
-    val quotas = counts.map { case (l, n) =>
-      l -> math.min(n, math.floor(math.sqrt(n.toDouble) / denom * target).toLong) }
-    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (l, q)) =>
-      when(col("lang") === l, lit(q)).otherwise(acc) }
-    val w = Window.partitionBy("lang").orderBy("draw", "doc_id")
+    counts.map { case (l, n) =>
+      (l, n, math.min(n, math.floor(math.sqrt(n.toDouble) / denom * target).toLong))
+    }
+  }
+
+  /** Draw threshold admitting ≈ 1.25·q + 4096 of n uniform 60-bit draws:
+    * survivor count is Binomial(n, p) with mean ≥ q + (q/4 + 4096), i.e.
+    * the top-q selection survives the prefilter with ≥ 20σ margin at any
+    * n, while the admitted fraction tends to 1.25·q/n as n grows (and the
+    * filter degenerates to keep-all when q is within a margin of n —
+    * exactly the small-corpus case where the sort is already cheap). */
+  private[queries] def mixDrawThreshold(n: Long, q: Long): Long = {
+    val full = BigInt(1) << 60 // draws are uniform in [0, 2^60)
+    val admit = BigInt(5) * q / 4 + 4096
+    if (admit >= n) Long.MaxValue else (full * admit / n).toLong
+  }
+
+  /** The prefiltered mix frame: draw + broadcast quota join + threshold
+    * filter — map-only, no shuffle before the rank window. Factored out
+    * so the spec can pin the survivor count on a skewed fixture. */
+  private[queries] def mixSurvivors(s: SparkSession, docs: DataFrame,
+      quotas: Seq[(String, Long, Long)]): DataFrame = {
+    import s.implicits._
+    val quotaDf = quotas
+      .map { case (l, n, q) => (l, n, q, mixDrawThreshold(n, q)) }
+      .toDF("lang", "n", "q", "thr")
     docs.select(col("doc_id"), col("lang"),
         expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
           .as("draw"))
+      .join(broadcast(quotaDf), "lang")
+      .filter(col("draw") < col("thr"))
+  }
+
+  private[queries] def mixTemperatureFrame(s: SparkSession,
+                                           docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val quotas = mixQuotas(docs)
+    val quotaDf = quotas.toDF("lang", "n", "q")
+    val w = Window.partitionBy("lang").orderBy("draw", "doc_id")
+    val sampled = mixSurvivors(s, docs, quotas)
       .withColumn("rk", row_number().over(w))
-      .withColumn("q", quotaCol)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("rk") <= col("q"), 1L).otherwise(0L)).as("n_sampled"),
-        max("q").as("quota"))
+      .filter(col("rk") <= col("q"))
+      .groupBy("lang").agg(count(lit(1)).as("sampled"))
+    quotaDf.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n").as("n_docs"),
+        coalesce(col("sampled"), lit(0L)).as("n_sampled"),
+        col("q").as("quota"))
       .orderBy("lang")
   }
 
@@ -1148,6 +1279,7 @@ object Extensions {
     "q_dedup_cluster"   -> qDedupCluster,
     "q_dedup_cluster_star" -> qDedupClusterStar,
     "q_dedup_pipeline"  -> qDedupPipeline,
+    "q_dedup_pipeline_verified" -> qDedupPipelineVerified,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_incremental_spj" -> qDedupIncrementalSpj,
     "q_neardup_simhash" -> qNeardupSimhash,
@@ -1218,8 +1350,10 @@ object Extensions {
         |ORDER BY doc_id""".stripMargin,
     "q_mix_temperature" ->
       """WITH stats AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |-- denom accumulates in lang order, matching the engine's
+        |-- lang-sorted driver-side left fold (float sums don't commute)
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
-        |               sum(sqrt(n)) AS denom FROM stats),
+        |               sum(sqrt(n) ORDER BY lang) AS denom FROM stats),
         |quota AS (
         |  SELECT lang, n,
         |         least(n, CAST(floor(sqrt(n) / denom * (total // 2)) AS BIGINT))
@@ -1507,6 +1641,50 @@ object Extensions {
         |  FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id),
         |edges AS (SELECT d1, d2 FROM pairs
         |          UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.d2 AS doc_id, r.label
+        |  FROM reach r JOIN edges e ON e.d1 = r.doc_id)
+        |SELECT doc_id, min(label) AS cluster_id,
+        |       doc_id = min(label) AS keep
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // independent replay of the verified pipeline: banded signatures →
+    // star edges → exact-Jaccard gate (integer cross-multiply) → closure
+    "q_dedup_pipeline_verified" ->
+      s"""WITH RECURSIVE tok AS ($tokensSql),
+        |base AS (
+        |  SELECT doc_id,
+        |         ('0x' || substring(md5(token), 1, 15))::BIGINT % $MinhashP AS mx
+        |  FROM tok),
+        |sig AS (
+        |  SELECT doc_id,
+        |${(0 until 16).map(i =>
+             s"         min((${minhashA(i)} * mx + ${minhashB(i)}) % $MinhashP) AS s$i")
+             .mkString(",\n")}
+        |  FROM base GROUP BY doc_id),
+        |band AS (
+        |${(0 until 4).map { b =>
+             val cols = (0 until 4).map(j => s"CAST(s${b * 4 + j} AS VARCHAR)")
+               .mkString(" || '|' || ")
+             s"  SELECT doc_id, md5('$b|' || $cols) AS band FROM sig"
+           }.mkString("\n  UNION ALL\n")}),
+        |bmin AS (SELECT band, min(doc_id) AS d1 FROM band GROUP BY band),
+        |star AS (SELECT DISTINCT m.d1, b.doc_id AS d2
+        |         FROM band b JOIN bmin m ON b.band = m.band
+        |         WHERE b.doc_id <> m.d1),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |ov AS (SELECT s.d1, s.d2, count(*) AS i
+        |       FROM star s
+        |       JOIN tok t1 ON t1.doc_id = s.d1
+        |       JOIN tok t2 ON t2.doc_id = s.d2 AND t2.token = t1.token
+        |       GROUP BY s.d1, s.d2),
+        |good AS (SELECT ov.d1, ov.d2
+        |         FROM ov JOIN sz z1 ON z1.doc_id = ov.d1
+        |                 JOIN sz z2 ON z2.doc_id = ov.d2
+        |         WHERE 10 * ov.i >= 7 * (z1.n + z2.n - ov.i)),
+        |edges AS (SELECT d1, d2 FROM good
+        |          UNION ALL SELECT d2 AS d1, d1 AS d2 FROM good),
         |reach(doc_id, label) AS (
         |  SELECT doc_id, doc_id AS label FROM documents
         |  UNION

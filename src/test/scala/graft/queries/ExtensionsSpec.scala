@@ -116,13 +116,15 @@ class ExtensionsSpec extends SparkSpec {
       .queryExecution.executedPlan
       .collect { case e: ShuffleExchangeLike => e }.size
     def scoped[T](spj: Boolean)(body: => T): T = {
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", spj.toString)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try body finally {
-        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      try body finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
     }
     scoped(spj = true) {
@@ -325,6 +327,132 @@ class ExtensionsSpec extends SparkSpec {
     // membership is a pure function of the data: a re-run is identical
     assert(run("q_mix_temperature").collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq === rows.toSeq)
+  }
+
+  test("q_dedup_incremental_spj: conf envelope restored to the CALLER's values") {
+    // an embedded caller running with AQE off / a custom broadcast
+    // threshold must get its session back unchanged (round-6 VERDICT #3)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2097152")
+    try {
+      run("q_dedup_incremental_spj").collect()
+      assert(spark.conf.get("spark.sql.adaptive.enabled") === "false",
+        "scoped SPJ confs must restore the caller's AQE value, not a default")
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") === "2097152")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("packSequencesFrame: sharded two-pass prefix sum equals the single-window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 200L).map { i =>
+      (i, if (i % 2 == 0) "aa" else "bb",
+        (0 until (i % 7 + 1).toInt).map(j => s"w${i}x$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val sharded = Extensions.packSequencesFrame(docs, budget = 16, nShards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: the unsharded single-window computation (the 100 TB
+    // scale-killer shape — correct, just serial; the sharded plan must
+    // reproduce it bit for bit)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs.select(col("doc_id"), col("lang"),
+        size(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+          .as("n_tokens"))
+      .withColumn("before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("win_id", expr("before div 16"))
+      .groupBy("lang", "win_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("win_tokens"))
+      .orderBy("lang", "win_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sharded.toSeq === ref.toSeq)
+    assert(sharded.nonEmpty)
+  }
+
+  test("mix prefilter: rank input is ~quota rows and selection matches the full sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed corpus: the head language must actually be CUT map-side
+    val all = (0L until 9900L).map(i => (i, "xx")) ++
+      (10000L until 10100L).map(i => (i, "yy"))
+    val docs = all.toDF("doc_id", "lang")
+    val quotas = Extensions.mixQuotas(docs)
+    val q = quotas.map { case (l, _, qq) => l -> qq }.toMap
+    val n = quotas.map { case (l, nn, _) => l -> nn }.toMap
+    val nSurv = Extensions.mixSurvivors(spark, docs, quotas)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // prefilter cuts the head language, never below its quota, and the
+    // rank window's input is ~quota rows — NOT n (the round-6 weak flag)
+    assert(nSurv("xx") < n("xx"), "prefilter must cut the head language")
+    assert(nSurv("xx") >= q("xx"))
+    assert(nSurv("xx") <= 5L * q("xx") / 4 + 8192)
+    // the trimmed selection is EXACTLY the full-sort selection: compare
+    // the selected doc set against a driver-side total-order replay
+    def drawOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = all.groupBy(_._2).flatMap { case (l, ds) =>
+      ds.map(d => (drawOf(d._1), d._1)).sorted.take(q(l).toInt).map(_._2)
+    }.toSet
+    val w = Window.partitionBy("lang").orderBy("draw", "doc_id")
+    val sel = Extensions.mixSurvivors(spark, docs, quotas)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("q"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel === expected)
+    val got = Extensions.mixTemperatureFrame(spark, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (l, nd, sampled, quota) =>
+      assert(nd === n(l)); assert(quota === q(l)); assert(sampled === quota)
+    }
+  }
+
+  test("q_dedup_pipeline_verified: a band-colliding dissimilar pair no longer co-clusters") {
+    import spark.implicits._
+    // seeded random docs over a small vocab: LSH band collisions between
+    // genuinely dissimilar docs (false positives) are guaranteed to occur
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docsSeq = (0L until 300L).map { i =>
+      (i, "xx", rnd.shuffle(vocab).take(8).mkString(" "))
+    }
+    val docs = docsSeq.toDF("doc_id", "lang", "text")
+    val tokSets = docsSeq.map { case (id, _, t) => id -> t.split(" ").toSet }.toMap
+    val sets = docs.select(col("doc_id"), expr(
+      "array_distinct(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''))")
+      .as("toks"))
+    val tok = sets.select(col("doc_id"), explode(col("toks")).as("token"))
+    val star = Extensions.bandStarEdges(
+        Extensions.minhashBandRows(tok, 4, 4)).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def interUnion(a: Long, b: Long): (Int, Int) = {
+      val (x, y) = (tokSets(a), tokSets(b))
+      (x.intersect(y).size, x.union(y).size)
+    }
+    // the exact complement of the 0.7 gate, same integer arithmetic
+    val dropped = star.filter { case (a, b) =>
+      val (i, u) = interUnion(a, b); 10 * i < 7 * u }
+    assert(dropped.nonEmpty, "fixture must produce LSH false positives")
+    val unv = Extensions.dedupPipelineFrame(docs, None).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ver = Extensions.dedupPipelineFrame(docs, Some((7, 10))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unverified: every collision merges blindly — the over-merge
+    dropped.foreach { case (a, b) => assert(unv(a) === unv(b)) }
+    // verified: at least one dissimilar pair is split by the gate
+    assert(dropped.exists { case (a, b) => ver(a) != ver(b) },
+      "the verify stage must cut at least one false-positive merge")
+    // and recall is untouched: colliding pairs ABOVE the gate still merge
+    star.filter { case (a, b) =>
+      val (i, u) = interUnion(a, b); 10 * i >= 7 * u }
+      .foreach { case (a, b) => assert(ver(a) === ver(b)) }
   }
 
   test("q_decontaminate: flags exactly the docs sharing >=3 shingles with the benchmark") {

@@ -81,9 +81,45 @@ class PlanSpec extends SparkSpec {
   test("dedup pipeline: band edges are an equi-join, never cartesian") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    val p = plan("q_dedup_pipeline")
-    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
-    assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
+    for (q <- Seq("q_dedup_pipeline", "q_dedup_pipeline_verified")) {
+      val p = plan(q)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty, q)
+      assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty, q)
+    }
+  }
+
+  test("sequence packing: the wide prefix-sum window is keyed by (lang, shard)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // lang alone has ~5 values: a lang-keyed running total serializes each
+    // language's whole token stream through one task at 100 TB (round-6
+    // weak flag). The wide window must carry the composite shard key; the
+    // per-shard offset window runs on #langs × nShards rows only.
+    val wins = plan("q_pack_sequences").collect { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "pack prefix-sum window must partition by (lang, shard)")
+  }
+
+  test("temperature mix: rank window sits above a broadcast-quota prefilter") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q_mix_temperature")
+    // quotas join the corpus as a broadcast table, never a shuffle
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    // the draw-threshold prefilter runs BELOW the rank window, so the
+    // per-language sort sees ~quota survivors, not the corpus. Catalyst
+    // may keep it as a Filter or fold it into the broadcast join's
+    // condition — both are the map-side cut; either satisfies the pin.
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    val prefiltered = wins.head.child.collect {
+      case f: FilterExec
+        if f.condition.references.exists(_.name == "thr") => f
+      case j: BroadcastHashJoinExec
+        if j.condition.exists(_.references.exists(_.name == "thr")) => j
+    }
+    assert(prefiltered.nonEmpty,
+      "draw < thr prefilter must be in the rank window's subtree")
   }
 
   test("incremental dedup: anti-join present, no cartesian anywhere") {
