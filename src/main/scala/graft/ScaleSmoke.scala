@@ -43,8 +43,12 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the fixture key includes the SOURCE dir, not just the multiplier —
+    // otherwise switching SPARK_GRAFT_SF_DIR would silently reuse a
+    // corpus scaled from a different base and skew the reported ratios
+    val srcTag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val scaledDir = Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target"))
-      .resolve(s"scale${mult}x")
+      .resolve(s"scale${mult}x_$srcTag")
     val scaledDocs = scaledDir.resolve("documents.parquet")
     if (!Files.exists(scaledDocs)) {
       val docs = Tables.documents(spark, sfDir)

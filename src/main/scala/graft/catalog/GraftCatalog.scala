@@ -299,10 +299,13 @@ object GraftCatalog {
     * COMPANION so the distributed stat pass can run it inside executor
     * tasks without capturing the catalog instance. */
   private[catalog] def footerStats(p: Path)
+      : (Long, Map[String, ColRange], Map[String, StrRange]) =
+    footerStats(new org.apache.hadoop.fs.Path(p.toUri))
+
+  private[catalog] def footerStats(hp: org.apache.hadoop.fs.Path)
       : (Long, Map[String, ColRange], Map[String, StrRange]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri), new Configuration())
+    val in = HadoopInputFile.fromPath(hp, new Configuration())
     val r = ParquetFileReader.open(in)
     try {
       import scala.jdk.CollectionConverters._
@@ -348,17 +351,23 @@ object GraftCatalog {
 
   /** Stat ONE file into its manifest entry — the unit of work both the
     * driver-pool and the distributed stat passes share. All I/O goes
-    * through the Hadoop FileSystem resolved from the path's scheme (like
-    * [[footerStats]]'s HadoopInputFile), so an executor task stats
-    * `hdfs://`/`s3a://` files the same as driver-local ones — a
-    * java.nio size probe here would throw NoSuchFileException on any
-    * cluster whose executors don't share the driver's filesystem. */
+    * through the Hadoop FileSystem resolved from the path's scheme
+    * end-to-end (the footer read AND the size probe), so an executor
+    * task stats `hdfs://`/`s3a://` files the same as driver-local ones.
+    * Scheme-less paths keep the previous java.nio canonicalization so
+    * existing manifests (plain absolute paths) stay byte-identical;
+    * scheme-qualified strings are passed to Hadoop verbatim — they must
+    * never round-trip through java.nio, which would mangle `hdfs://x/y`
+    * into a relative file path. */
   private[catalog] def statOne(pathStr: String): DataFileMeta = {
-    val p = Paths.get(pathStr)
-    val (rows, ranges, strs) = footerStats(p)
-    val hp = new org.apache.hadoop.fs.Path(p.toUri)
+    val hasScheme =
+      new org.apache.hadoop.fs.Path(pathStr).toUri.getScheme != null
+    val canonical =
+      if (hasScheme) pathStr else Paths.get(pathStr).toAbsolutePath.toString
+    val hp = new org.apache.hadoop.fs.Path(canonical)
+    val (rows, ranges, strs) = footerStats(hp)
     val size = hp.getFileSystem(new Configuration()).getFileStatus(hp).getLen
-    DataFileMeta(p.toAbsolutePath.toString, size, rows,
+    DataFileMeta(canonical, size, rows,
       if (ranges.nonEmpty) Some(ranges) else None,
       if (strs.nonEmpty) Some(strs) else None)
   }

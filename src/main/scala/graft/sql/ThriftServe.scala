@@ -70,8 +70,14 @@ object ThriftServe {
     var left = attempts
     while (left > 0) {
       val port = freePort()
+      // NonFatal, not just IllegalStateException: a failed start leaves
+      // global Hive server state behind, so a second attempt in the same
+      // JVM can surface a DIFFERENT exception type — any startup failure
+      // deserves the fresh-port retry (rethrown after the budget).
       try { startOnPort(spark, port); return port }
-      catch { case e: IllegalStateException => lastErr = e; left -= 1 }
+      catch {
+        case scala.util.control.NonFatal(e) => lastErr = e; left -= 1
+      }
     }
     throw new IllegalStateException(
       s"Thrift server failed to come up after $attempts ports", lastErr)
