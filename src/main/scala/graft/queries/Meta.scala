@@ -598,6 +598,7 @@ object Meta {
         ("sql_serves_after_materialize", served, served == 3L),
         ("sql_alter_table_add", sqlAltered, sqlAltered == 3L))
         .toDF("phase", "n", "invariant_ok")
+        .orderBy("phase") // total key: phase strings are unique
     } finally unregisterCatalog(s, cname) // names salted: see helper note
   }
 
@@ -829,6 +830,7 @@ object Meta {
       ("history_linear_monotonic", 1L, idsMonotonic),
       ("diverged_ff_refused", 1L, refused))
       .toDF("phase", "n", "invariant_ok")
+      .orderBy("phase") // total key: phase strings are unique
   }
 
   /** meta_procedures: Spark 4 native `CALL` statements against the
@@ -1017,6 +1019,7 @@ object Meta {
       ("rollback_restores_state", baseN, rollbackRestores),
       ("rolled_over_history_travelable", 3 * baseN, historyIntact))
       .toDF("phase", "n", "invariant_ok")
+      .orderBy("phase") // total key: phase strings are unique
   }
 
   /** q_sql_entry: SQL text through the Thrift-equivalent entry, over temp
@@ -1422,5 +1425,166 @@ object Meta {
         |WHERE l_shipdate >= DATE '1997-01-01'
         |  AND l_shipdate < DATE '1997-07-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // independent replay of the import summary: the demo tree holds ONE
+    // file per source table (plus the .prq alias of region and the
+    // re-imported region), so the summary is 1 file × the raw table's
+    // row count — which DuckDB counts from the same parquet, at any SF
+    "meta_import" ->
+      """WITH imported(tbl, nr) AS (
+        |  SELECT 'customer', count(*) FROM customer
+        |  UNION ALL SELECT 'documents', count(*) FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        |  UNION ALL SELECT 'events', count(*) FROM events
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |  UNION ALL SELECT 'nation', count(*) FROM nation
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'part', count(*) FROM part
+        |  UNION ALL SELECT 'region', count(*) FROM region
+        |  UNION ALL SELECT 'region', count(*) FROM region
+        |  UNION ALL SELECT 'region_prq', count(*) FROM region
+        |  UNION ALL SELECT 'supplier', count(*) FROM supplier)
+        |SELECT 'nyc' AS namespace, tbl AS "table",
+        |       CAST(1 AS BIGINT) AS n_files, CAST(nr AS BIGINT) AS n_rows
+        |FROM imported ORDER BY "table", n_files""".stripMargin,
+    // two metadata-only appends of the same one-file folders: snapshot
+    // ids run 1..2 per table, each append adds 1 file of the raw table's
+    // row count — replayable from the same parquet at any SF
+    "meta_snapshots" ->
+      """WITH imported(tbl, nr) AS (
+        |  SELECT 'customer', count(*) FROM customer
+        |  UNION ALL SELECT 'documents', count(*) FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        |  UNION ALL SELECT 'events', count(*) FROM events
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |  UNION ALL SELECT 'nation', count(*) FROM nation
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'part', count(*) FROM part
+        |  UNION ALL SELECT 'region', count(*) FROM region
+        |  UNION ALL SELECT 'region_prq', count(*) FROM region
+        |  UNION ALL SELECT 'supplier', count(*) FROM supplier)
+        |SELECT tbl AS "table", CAST(sid AS BIGINT) AS snapshot_id,
+        |       'append' AS operation,
+        |       CAST(1 AS BIGINT) AS n_files, CAST(nr AS BIGINT) AS n_rows
+        |FROM imported, (VALUES (1), (2)) s(sid)
+        |ORDER BY "table", snapshot_id""".stripMargin,
+    // lifecycle probes on the constant-size region table (5 rows at every
+    // SF — verified identical at sf0.001/0.01/0.1): the phase counts and
+    // invariant verdicts are fixture constants, replayed as VALUES
+    "meta_schema_evolution" ->
+      """SELECT * FROM (VALUES
+        |  ('add_null_fills_old_files', CAST(1 AS BIGINT), true),
+        |  ('dropped_id_never_resurfaces', CAST(3 AS BIGINT), true),
+        |  ('evolved_schema', CAST(4 AS BIGINT), true),
+        |  ('rename_keeps_old_data', CAST(2 AS BIGINT), true),
+        |  ('sql_alter_table_add', CAST(3 AS BIGINT), true),
+        |  ('sql_refuses_drift', CAST(1 AS BIGINT), true),
+        |  ('sql_serves_after_materialize', CAST(3 AS BIGINT), true),
+        |  ('widen_upcasts_old_files', CAST(3 AS BIGINT), true))
+        |  v(phase, n, invariant_ok)
+        |ORDER BY phase""".stripMargin,
+    "meta_branch" ->
+      """SELECT * FROM (VALUES
+        |  ('branch_view', CAST(7 AS BIGINT), true),
+        |  ('diverged_ff_refused', CAST(1 AS BIGINT), true),
+        |  ('fast_forwarded', CAST(7 AS BIGINT), true),
+        |  ('history_linear_monotonic', CAST(1 AS BIGINT), true),
+        |  ('main_isolated_during_landing', CAST(5 AS BIGINT), true))
+        |  v(phase, n, invariant_ok)
+        |ORDER BY phase""".stripMargin,
+    "meta_wap" ->
+      """SELECT * FROM (VALUES
+        |  ('audit_view_by_snapshot_id', CAST(10 AS BIGINT), true),
+        |  ('discard_drops_staged', CAST(15 AS BIGINT), true),
+        |  ('discarded_id_never_recycled', CAST(4 AS BIGINT), true),
+        |  ('publish_keeps_interleaved_commits', CAST(15 AS BIGINT), true),
+        |  ('rollback_restores_state', CAST(5 AS BIGINT), true),
+        |  ('rolled_over_history_travelable', CAST(15 AS BIGINT), true),
+        |  ('staged_invisible_to_current', CAST(5 AS BIGINT), true))
+        |  v(phase, n, invariant_ok)
+        |ORDER BY phase""".stripMargin,
+    // the importer's folder→table naming is the listing contract: one
+    // entry per demo folder, never temporary
+    "meta_show_tables" ->
+      """SELECT 'nyc' AS namespace, t AS "tableName", false AS "isTemporary"
+        |FROM (VALUES ('customer'), ('documents'), ('embeddings'),
+        |  ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
+        |  ('region'), ('region_prq'), ('supplier')) v(t)
+        |ORDER BY "tableName"""".stripMargin,
+    // the fixture creates exactly one permanent and one temp view; the
+    // three probe flags are the I5/I1 contract (skip ⇒ None, permanent ⇒
+    // DDL text, temp ⇒ degrades to None)
+    "meta_show_views" ->
+      """SELECT * FROM (VALUES
+        |  ('default', 'gview_perm', false, true, true, true),
+        |  ('default', 'gview_region', true, true, true, true))
+        |  v(namespace, "viewName", "isTemporary", skip_flag_short_circuits,
+        |    perm_ddl_probed, temp_probe_degrades_to_none)
+        |ORDER BY "viewName"""".stripMargin,
+    // DESCRIBE over the imported demo tree: the column/type listing is
+    // fixed by the testdata schemas (TESTDATA.md), independent of SF
+    "meta_describe" ->
+      """SELECT "tableName", col_name, data_type, true AS nullable
+        |FROM (VALUES
+        |  ('customer', 'c_acctbal', 'double'),
+        |  ('customer', 'c_custkey', 'bigint'),
+        |  ('customer', 'c_mktsegment', 'string'),
+        |  ('customer', 'c_name', 'string'),
+        |  ('customer', 'c_nationkey', 'int'),
+        |  ('documents', 'doc_id', 'bigint'),
+        |  ('documents', 'lang', 'string'),
+        |  ('documents', 'n_chars', 'bigint'),
+        |  ('documents', 'source', 'string'),
+        |  ('documents', 'text', 'string'),
+        |  ('embeddings', 'embedding', 'array<float>'),
+        |  ('embeddings', 'label', 'int'),
+        |  ('embeddings', 'vec_id', 'bigint'),
+        |  ('events', 'event_id', 'bigint'),
+        |  ('events', 'event_type', 'string'),
+        |  ('events', 'props', 'string'),
+        |  ('events', 'ts', 'bigint'),
+        |  ('events', 'user_id', 'bigint'),
+        |  ('events', 'value', 'double'),
+        |  ('lineitem', 'l_discount', 'double'),
+        |  ('lineitem', 'l_extendedprice', 'double'),
+        |  ('lineitem', 'l_linenumber', 'int'),
+        |  ('lineitem', 'l_linestatus', 'string'),
+        |  ('lineitem', 'l_orderkey', 'bigint'),
+        |  ('lineitem', 'l_partkey', 'bigint'),
+        |  ('lineitem', 'l_quantity', 'double'),
+        |  ('lineitem', 'l_returnflag', 'string'),
+        |  ('lineitem', 'l_shipdate', 'timestamp_ntz'),
+        |  ('lineitem', 'l_suppkey', 'bigint'),
+        |  ('lineitem', 'l_tax', 'double'),
+        |  ('nation', 'n_name', 'string'),
+        |  ('nation', 'n_nationkey', 'int'),
+        |  ('nation', 'n_regionkey', 'int'),
+        |  ('orders', 'o_custkey', 'bigint'),
+        |  ('orders', 'o_orderdate', 'timestamp_ntz'),
+        |  ('orders', 'o_orderkey', 'bigint'),
+        |  ('orders', 'o_orderpriority', 'string'),
+        |  ('orders', 'o_orderstatus', 'string'),
+        |  ('orders', 'o_totalprice', 'double'),
+        |  ('part', 'p_brand', 'string'),
+        |  ('part', 'p_name', 'string'),
+        |  ('part', 'p_partkey', 'bigint'),
+        |  ('part', 'p_retailprice', 'double'),
+        |  ('part', 'p_size', 'int'),
+        |  ('part', 'p_type', 'string'),
+        |  ('region', 'r_name', 'string'),
+        |  ('region', 'r_regionkey', 'int'),
+        |  ('region_prq', 'r_name', 'string'),
+        |  ('region_prq', 'r_regionkey', 'int'),
+        |  ('supplier', 's_acctbal', 'double'),
+        |  ('supplier', 's_name', 'string'),
+        |  ('supplier', 's_nationkey', 'int'),
+        |  ('supplier', 's_suppkey', 'bigint'))
+        |  v("tableName", col_name, data_type)
+        |ORDER BY "tableName", col_name""".stripMargin,
+    // the I1 shim maps SHOW CREATE VIEW → SHOW CREATE TABLE and passes
+    // everything else through — one deterministic row
+    "q_sql_rewrite" ->
+      """SELECT 'SHOW CREATE VIEW some_view' AS input_stmt,
+        |       'SHOW CREATE TABLE some_view' AS rewritten_stmt,
+        |       true AS passthrough_ok""".stripMargin,
   )
 }
