@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   *  - q_neardup_simhash: the histogram join is O(2^b) — duplicating every
   *    doc multiplies counts on EXISTING histogram rows, so time should be
   *    near-FLAT at ×MULT.
+  *  - q_dedup_pipeline_verified: the Jaccard gate is per-edge work on the
+  *    candidate set — edges grow linearly with the dup cliques (star
+  *    edges), so verify cost must track edges, never pairs.
+  *  - q_pack_sequences / q_mix_temperature / q_decontaminate (curation
+  *    tier): the sharded prefix sum, the prefilter+rank trim, and the
+  *    broadcast shingle join are all ~linear scans — wall must grow
+  *    sub-quadratically (≈×MULT at worst) with the corpus.
   *
   * Prints one JSON line per operator:
   * `{"query":…,"base_sec":…,"scaled_sec":…,"ratio":…,"rounds_base":N,
@@ -59,8 +66,10 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(scaledDocs.toString)
     }
 
-    val targets = Seq("q_dedup_pipeline", "q_dedup_cluster_star",
-      "q_dedup_incremental", "q_neardup_simhash", "q_neardup_simhash_k")
+    val targets = Seq("q_dedup_pipeline", "q_dedup_pipeline_verified",
+      "q_dedup_cluster_star", "q_dedup_incremental", "q_neardup_simhash",
+      "q_neardup_simhash_k", "q_pack_sequences", "q_mix_temperature",
+      "q_decontaminate")
     val ccBacked = Set("q_dedup_pipeline", "q_dedup_cluster_star")
 
     def time(name: String, dir: String): (Double, Int) = {
