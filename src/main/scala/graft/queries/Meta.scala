@@ -244,6 +244,7 @@ object Meta {
         snapOps == Seq("append", "append", "append")),
       ("metadata_table_files", fileRows, fileRows == regionAfter))
       .toDF("phase", "n", "invariant_ok")
+      .orderBy("phase") // total key: phase strings are unique
     } finally unregisterCatalog(s, cname) // names salted: see helper note
   }
 
@@ -300,6 +301,7 @@ object Meta {
           snaps == Seq("append", "overwrite", "overwrite", "overwrite")),
         ("time_travel_pre_dml", travel, travel == before))
         .toDF("phase", "n", "invariant_ok")
+        .orderBy("phase") // total key: phase strings are unique
     } finally {
       s.catalog.dropTempView(srcView)
       unregisterCatalog(s, cname) // names salted: see helper note
@@ -366,6 +368,7 @@ object Meta {
         ("delete_result", afterDelete, afterDelete == before),
         ("served_after_materialize", served, served == before))
         .toDF("phase", "n", "invariant_ok")
+        .orderBy("phase") // total key: phase strings are unique
     } finally {
       s.catalog.dropTempView(srcView)
       unregisterCatalog(s, cname) // names salted: see helper note
@@ -401,6 +404,7 @@ object Meta {
       Seq(("unprefixed_select", n, n > 0),
         ("unprefixed_join_groups", joined, joined == 5))
         .toDF("phase", "n", "invariant_ok")
+        .orderBy("phase") // total key: phase strings are unique
     } finally {
       s.conf.set("spark.sql.defaultCatalog", prev)
       unregisterCatalog(s, cname) // names salted: see helper note
@@ -454,6 +458,7 @@ object Meta {
       ("travel_to_checkpoint", travelBoundary, travelBoundary == 40L),
       ("retained_deltas_resolve", cur2, cur2 == 150L))
       .toDF("phase", "n", "invariant_ok")
+      .orderBy("phase") // total key: phase strings are unique
   }
 
   /** meta_concurrent: multi-client serving parity — the reference runs a
@@ -525,6 +530,7 @@ object Meta {
       ("fair_scheduler_mode", if (fairMode) 1L else 0L, fairMode),
       ("short_not_starved_by_long", 1L, shortEnd > 0 && longEnd > shortEnd))
       .toDF("phase", "n", "invariant_ok")
+      .orderBy("phase") // total key: phase strings are unique
   }
 
   /** meta_schema_evolution: Iceberg-style schema evolution — metadata-only
@@ -882,6 +888,7 @@ object Meta {
         ("expire", ex.getInt(2).toLong,
           ex.getInt(2) == 1 && cat.readTable(s, "nyc", "region").count() == n0))
         .toDF("phase", "n", "invariant_ok")
+        .orderBy("phase") // total key: phase strings are unique
     } finally unregisterCatalog(s, cname) // names salted: see helper note
   }
 
@@ -965,6 +972,7 @@ object Meta {
       ("results_identical", spjRows.size.toLong,
         spjRows == ctlRows && spjRows.nonEmpty))
       .toDF("phase", "n", "invariant_ok")
+      .orderBy("phase") // total key: phase strings are unique
   }
 
   /** meta_wap: write-audit-publish + linearized rollback — the snapshot
@@ -1066,6 +1074,7 @@ object Meta {
     Seq(("initial", n0, ""), ("after_merge", n1, updated),
       ("after_delete", n2, ""), ("asof_snapshot_1", asOfImport, ""))
       .toDF("phase", "n_rows", "r0_name")
+      .orderBy("phase") // total key: phase strings are unique
   }
 
   /** meta_merge_mor: the same DML surface as meta_merge but MERGE-ON-READ —
@@ -1110,6 +1119,7 @@ object Meta {
       ("materialized", n3, "", debtAfter == 0L && n3 == n2),
       ("asof_snapshot_1", asOfImport, "", asOfImport == n0))
       .toDF("phase", "n_rows", "r0_name", "invariant_ok")
+      .orderBy("phase") // total key: phase strings are unique
   }
 
   /** meta_merge_pos: the POSITION-delete merge-on-read shape (Iceberg v2's
@@ -1191,6 +1201,7 @@ object Meta {
       ("materialized", n3, n3 == n2 && debtAfter == 0L),
       ("asof_snapshot_1", asOf1, asOf1 == n0))
       .toDF("phase", "n", "invariant_ok")
+      .orderBy("phase") // total key: phase strings are unique
   }
 
   /** meta_incremental: snapshot-range changelog consumption (A13 follow-on)
@@ -1222,6 +1233,7 @@ object Meta {
       ("composes_to_full", total, d01 + d13 == total),
       ("dml_range_refused", 0L, refused))
       .toDF("phase", "n_rows", "invariant_ok")
+      .orderBy("phase") // total key: phase strings are unique
   }
 
   /** meta_file_skip: manifest-style file skipping observable end-to-end —
@@ -1405,7 +1417,124 @@ object Meta {
     * (SURVEY.md §2.9); q_sql_entry and meta_partitioned are oracle-able —
     * the latter's DuckDB twin runs on the RAW lineitem, proving the
     * partitioned+pruned catalog read returns exactly the same rows. */
+  /** VALUES oracle for a lifecycle probe whose phase counts are fixture
+    * constants (verified identical at sf0.001/0.01/0.1 — the fixtures
+    * are built from the constant-size region table or synthesized rows,
+    * never from an SF-scaled table). Rows are emitted phase-sorted to
+    * match the queries' ORDER BY phase. */
+  private def probeOracle(nCol: String, rows: Seq[(String, Long)]): String =
+    "SELECT * FROM (VALUES\n" +
+      rows.sortBy(_._1).map { case (p, n) =>
+        s"  ('$p', CAST($n AS BIGINT), true)" }.mkString(",\n") +
+      s")\n  v(phase, $nCol, invariant_ok)\nORDER BY phase"
+
+  /** Expected SHOW CREATE TABLE text per imported demo table, written
+    * from the testdata schemas (TESTDATA.md) — the independent replay of
+    * the I4 DDL surface. Multi-line DDL is assembled with chr(10) so the
+    * oracle SQL itself stays single-line-per-value. */
+  private val showCreateDdls: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey BIGINT", "c_name STRING", "c_nationkey INT",
+      "c_acctbal DOUBLE", "c_mktsegment STRING"),
+    "documents" -> Seq("doc_id BIGINT", "text STRING", "lang STRING",
+      "source STRING", "n_chars BIGINT"),
+    "embeddings" -> Seq("vec_id BIGINT", "embedding ARRAY<FLOAT>", "label INT"),
+    "events" -> Seq("event_id BIGINT", "ts BIGINT", "user_id BIGINT",
+      "event_type STRING", "value DOUBLE", "props STRING"),
+    "lineitem" -> Seq("l_orderkey BIGINT", "l_partkey BIGINT",
+      "l_suppkey BIGINT", "l_linenumber INT", "l_quantity DOUBLE",
+      "l_extendedprice DOUBLE", "l_discount DOUBLE", "l_tax DOUBLE",
+      "l_returnflag STRING", "l_linestatus STRING",
+      "l_shipdate TIMESTAMP_NTZ"),
+    "nation" -> Seq("n_nationkey INT", "n_name STRING", "n_regionkey INT"),
+    "orders" -> Seq("o_orderkey BIGINT", "o_custkey BIGINT",
+      "o_orderstatus STRING", "o_totalprice DOUBLE",
+      "o_orderdate TIMESTAMP_NTZ", "o_orderpriority STRING"),
+    "part" -> Seq("p_partkey BIGINT", "p_name STRING", "p_brand STRING",
+      "p_type STRING", "p_size INT", "p_retailprice DOUBLE"),
+    "region" -> Seq("r_regionkey INT", "r_name STRING"),
+    "region_prq" -> Seq("r_regionkey INT", "r_name STRING"),
+    "supplier" -> Seq("s_suppkey BIGINT", "s_name STRING",
+      "s_nationkey INT", "s_acctbal DOUBLE"))
+
+  private def ddlSqlExpr(t: String, cols: Seq[String]): String = {
+    val lines = Seq(s"CREATE TABLE nyc.$t (") ++
+      cols.init.map(c => s"  $c,") ++
+      Seq(s"  ${cols.last}", ")", "USING parquet")
+    lines.map(l => s"'$l'").mkString(" || chr(10) || ")
+  }
+
   val oracles: Map[String, String] = Map(
+    "meta_merge" ->
+      """SELECT * FROM (VALUES
+        |  ('after_delete', CAST(5 AS BIGINT), ''),
+        |  ('after_merge', CAST(6 AS BIGINT), 'UPDATED'),
+        |  ('asof_snapshot_1', CAST(5 AS BIGINT), ''),
+        |  ('initial', CAST(5 AS BIGINT), ''))
+        |  v(phase, n_rows, r0_name)
+        |ORDER BY phase""".stripMargin,
+    "meta_merge_mor" ->
+      """SELECT * FROM (VALUES
+        |  ('after_delete', CAST(5 AS BIGINT), '', true),
+        |  ('after_merge', CAST(6 AS BIGINT), 'UPDATED', true),
+        |  ('asof_snapshot_1', CAST(5 AS BIGINT), '', true),
+        |  ('initial', CAST(5 AS BIGINT), '', true),
+        |  ('materialized', CAST(5 AS BIGINT), '', true))
+        |  v(phase, n_rows, r0_name, invariant_ok)
+        |ORDER BY phase""".stripMargin,
+    "meta_merge_pos" -> probeOracle("n", Seq(
+      "initial" -> 10L, "one_twin_killed" -> 9L, "stacked_no_reemit" -> 1L,
+      "no_rewrite" -> 8L, "materialized" -> 8L, "asof_snapshot_1" -> 10L)),
+    "meta_incremental" -> probeOracle("n_rows", Seq(
+      "delta_0_1" -> 5L, "delta_1_3" -> 10L, "delta_3_3_empty" -> 0L,
+      "composes_to_full" -> 15L, "dml_range_refused" -> 0L)),
+    "meta_sql_merge" -> probeOracle("n", Seq(
+      "merge_upsert" -> 7L, "merge_updated_names" -> 2L, "sql_update" -> 2L,
+      "merge_delete_clause" -> 5L, "overwrite_snapshots" -> 3L,
+      "time_travel_pre_dml" -> 5L)),
+    "meta_sql_merge_mor" -> probeOracle("n", Seq(
+      "mor_merge_snapshot" -> 1L, "mor_merge_cost_changed_rows" -> 3L,
+      "mor_upsert_result" -> 6L, "sql_read_refused_on_debt" -> 1L,
+      "mor_delete_snapshot" -> 1L, "delete_result" -> 5L,
+      "served_after_materialize" -> 5L)),
+    "meta_expire" -> probeOracle("n", Seq(
+      "expire_to_overwrite_head" -> 3L, "orphans_deleted_from_disk" -> 3L,
+      "travel_to_expired_throws" -> 1L, "current_state_intact" -> 40L,
+      "expire_with_boundary_checkpoint" -> 1L, "travel_to_checkpoint" -> 40L,
+      "retained_deltas_resolve" -> 150L)),
+    "meta_concurrent" -> probeOracle("n", Seq(
+      "all_clients_completed" -> 4L, "session_isolation" -> 4L,
+      "no_parent_conf_leak" -> 0L, "fair_scheduler_mode" -> 1L,
+      "short_not_starved_by_long" -> 1L)),
+    "meta_default_catalog" -> probeOracle("n", Seq(
+      "unprefixed_select" -> 5L, "unprefixed_join_groups" -> 5L)),
+    "meta_spj" -> probeOracle("n", Seq(
+      "spj_join_shuffle_free" -> 1L, "control_join_shuffles" -> 3L,
+      "results_identical" -> 5L)),
+    "meta_procedures" -> probeOracle("n", Seq(
+      "branch_create_ff" -> 2L, "tag_read" -> 5L, "rollback" -> 3L,
+      "rewrite" -> 1L, "expire" -> 1L)),
+    // the two lineitem-derived phases replay from the raw table's count
+    // (the demo import registers lineitem once, then doubles it), so the
+    // oracle holds at any SF; the rest are region/catalog constants
+    "meta_sql_catalog" ->
+      """SELECT phase, n, invariant_ok FROM (
+        |  SELECT 'current_doubled' AS phase,
+        |         CAST(2 * (SELECT count(*) FROM lineitem) AS BIGINT) AS n,
+        |         true AS invariant_ok
+        |  UNION ALL SELECT 'metadata_only_count', 20, true
+        |  UNION ALL SELECT 'metadata_table_files', 20, true
+        |  UNION ALL SELECT 'metadata_table_snapshots', 3, true
+        |  UNION ALL SELECT 'show_tables', 11, true
+        |  UNION ALL SELECT 'sql_insert', 20, true
+        |  UNION ALL SELECT 'sql_join_groups', 5, true
+        |  UNION ALL SELECT 'version_as_of_1',
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT), true)
+        |ORDER BY phase""".stripMargin,
+    "meta_show_create" ->
+      ("SELECT * FROM (VALUES\n" +
+        showCreateDdls.map { case (t, cols) =>
+          s"  ('$t', ${ddlSqlExpr(t, cols)})" }.mkString(",\n") +
+        ")\n  v(\"tableName\", createtab_stmt)\nORDER BY \"tableName\""),
     "meta_time_travel" ->
       """SELECT 1 AS as_of, l_orderkey, l_linenumber, l_quantity FROM lineitem
         |UNION ALL

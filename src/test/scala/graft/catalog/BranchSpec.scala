@@ -145,7 +145,7 @@ class BranchSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.map(_._1).toSeq === Seq("main_isolated_during_landing",
       "branch_view", "fast_forwarded", "history_linear_monotonic",
-      "diverged_ff_refused"))
+      "diverged_ff_refused").sorted) // query emits phase-sorted
     assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
   }
 

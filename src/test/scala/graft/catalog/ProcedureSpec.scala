@@ -69,7 +69,7 @@ class ProcedureSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.map(_._1).toSeq === Seq("branch_create_ff", "tag_read",
-      "rollback", "rewrite", "expire"))
+      "rollback", "rewrite", "expire").sorted) // query emits phase-sorted
     assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
   }
 

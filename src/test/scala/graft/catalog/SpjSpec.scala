@@ -93,7 +93,7 @@ class SpjSpec extends SparkSpec {
     val rows = graft.queries.Meta.queries("meta_spj")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.map(_._1).toSeq === Seq("spj_join_shuffle_free",
-      "control_join_shuffles", "results_identical"))
+      "control_join_shuffles", "results_identical").sorted) // phase-sorted
     assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
   }
 

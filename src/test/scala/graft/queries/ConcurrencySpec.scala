@@ -13,7 +13,7 @@ class ConcurrencySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.map(_._1).toSeq === Seq("all_clients_completed",
       "session_isolation", "no_parent_conf_leak", "fair_scheduler_mode",
-      "short_not_starved_by_long"))
+      "short_not_starved_by_long").sorted) // query emits phase-sorted
     assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
   }
 }
