@@ -456,15 +456,20 @@ object Streaming {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
-  /** st_join_outer (non-oracle): LEFT-OUTER stream-stream join — the
-    * semantics inner joins don't exercise: an unmatched click may only be
-    * null-extended once the watermark PROVES no future purchase can match
+  /** st_join_outer: LEFT-OUTER stream-stream join — the semantics inner
+    * joins don't exercise: an unmatched click may only be null-extended
+    * once the watermark PROVES no future purchase can match
     * (wm > click_ts + 10 min), because emitting earlier could contradict a
     * late purchase. The invariants verify both directions against the
     * batch join: no phantom null-extensions (every emitted one is truly
     * unmatched) and completeness for clicks whose window is strictly
     * inside the final watermark (min of both sides' max event time − 1 h;
-    * exact-boundary rows are left to the engine). */
+    * exact-boundary rows are left to the engine). Hash-oracled: the
+    * reported counts are the DETERMINISTIC quantities — the matched-pair
+    * count and the strictly-closed unmatched-click floor, both replayable
+    * as batch joins in DuckDB; the engine's raw null-extension count
+    * (which may legitimately include watermark-boundary rows) is pinned
+    * by the `null_extended_closed` invariant verdict, not the hash. */
   def stJoinOuter: QFn = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
@@ -550,10 +555,11 @@ object Streaming {
     val (nNull, nClosed) = (g.getLong(2), g.getLong(3))
     val (phantom, missing) = (g.getLong(4), g.getLong(5))
     Seq(("matched", nMatched, nMatched == innerRows),
-      ("null_extended", nNull, nNull >= nClosed),
+      ("null_extended_closed", nClosed, nNull >= nClosed),
       ("no_phantom_null_extension", phantom, phantom == 0L),
       ("closed_windows_all_emitted", missing, missing == 0L))
       .toDF("phase", "n", "invariant_ok")
+      .orderBy("phase") // total key: phase strings are unique
   }
 
   val queries: Map[String, QFn] = Map(
@@ -644,5 +650,35 @@ object Streaming {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
         |ORDER BY user_id, click_id, purchase_id""".stripMargin,
+    // replays the two deterministic outer-join quantities as batch joins:
+    // matched pairs, and unmatched clicks whose 10-minute window closed
+    // strictly before the final watermark (min of both sides' max event
+    // time − 1 h, − 1 s guard); the two zero rows are the soundness /
+    // completeness violation counts the engine must not produce
+    "st_join_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |inner_j AS (SELECT c.click_id FROM c JOIN p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE),
+        |wm AS (SELECT least((SELECT max(ts) FROM c),
+        |                    (SELECT max(ts) FROM p))
+        |              - INTERVAL 1 HOUR AS cut),
+        |closed AS (SELECT count(*) AS n FROM c
+        |  WHERE c.click_id NOT IN (SELECT click_id FROM inner_j)
+        |    AND c.ts + INTERVAL 10 MINUTE <
+        |        (SELECT cut FROM wm) - INTERVAL 1 SECOND)
+        |SELECT * FROM (VALUES
+        |  ('closed_windows_all_emitted', CAST(0 AS BIGINT), true),
+        |  ('matched', (SELECT CAST(count(*) AS BIGINT) FROM inner_j), true),
+        |  ('no_phantom_null_extension', CAST(0 AS BIGINT), true),
+        |  ('null_extended_closed', (SELECT CAST(n AS BIGINT) FROM closed),
+        |   true))
+        |  v(phase, n, invariant_ok)
+        |ORDER BY phase""".stripMargin,
   )
 }

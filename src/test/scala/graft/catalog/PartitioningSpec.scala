@@ -205,7 +205,8 @@ class PartitioningSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.map(_._1).toSeq === Seq("specs_evolved", "files_tagged_by_spec",
       "one_predicate_prunes_both_eras", "month_grain_after_evolution",
-      "mixed_spec_read_correct", "unpartitioned_era_conservative"))
+      "mixed_spec_read_correct",
+      "unpartitioned_era_conservative").sorted) // query emits phase-sorted
     assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
   }
 

@@ -13,7 +13,8 @@ class ThriftSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.map(_._1).toSeq === Seq("server_listening",
       "jdbc_matches_inprocess", "two_concurrent_clients",
-      "thrift_session_isolation", "show_tables_over_wire"))
+      "thrift_session_isolation",
+      "show_tables_over_wire").sorted) // query emits phase-sorted
     assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
   }
 
