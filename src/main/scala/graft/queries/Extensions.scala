@@ -1218,6 +1218,182 @@ object Extensions {
       .orderBy("lang")
   }
 
+  // ------------------------------------------- curation: PII + quality funnel
+
+  /** Deterministic PII salt: the synthetic corpus carries no PII, so each
+    * doc is suffixed with doc_id-derived email / IPv4 / phone tokens (plus
+    * modulus-gated extras so the per-doc counts VARY) — the same literal
+    * arithmetic the oracle replays — and the redaction regexes then have
+    * real text to scrub. */
+  private[queries] def piiSalted: Column = concat(
+    col("text"),
+    lit(" reach doc"), col("doc_id").cast("string"),
+    lit("@example.com from 10."),
+    (col("doc_id") % 240).cast("string"), lit("."),
+    ((col("doc_id") * 7) % 250).cast("string"), lit("."),
+    (col("doc_id") % 250).cast("string"),
+    lit(" or 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" and doc"), col("doc_id").cast("string"), lit("b@test.org")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" via 192.168."), (col("doc_id") % 100).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" alt 555-"),
+        lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")))
+
+  // Character classes, bounded repeats, and \b only — the regex subset on
+  // which Java regex (Spark codegen) and RE2 (the DuckDB oracle) agree.
+  private[queries] val piiEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val piiIpPat =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[queries] val piiPhonePat = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** q_pii_redact (L36): PII scrubbing — the redaction pass a production
+    * corpus runs before training: emails, IPv4 addresses, and phone-shaped
+    * digit runs replaced by typed placeholders (email first: its pattern
+    * subsumes neither of the others, and redacting it cannot create new
+    * digit runs). Map-only — three codegen'd regexp passes and a hash, no
+    * shuffle except the output sort: at 100 TB this is pure scan
+    * throughput. Counts are taken pre-redaction; the redacted text is
+    * pinned by md5 so the oracle verifies the actual replacement output,
+    * not just the match counts. */
+  private def qPiiRedact: QFn = (s, d) =>
+    Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), piiSalted.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(piiEmailPat)).cast("int").as("n_emails"),
+        regexp_count(col("t"), lit(piiIpPat)).cast("int").as("n_ips"),
+        regexp_count(col("t"), lit(piiPhonePat)).cast("int").as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          piiEmailPat, "<EMAIL>"), piiIpPat, "<IP>"), piiPhonePat, "<PHONE>"))
+          .as("redacted_md5"))
+      .orderBy("doc_id")
+
+  /** Per-doc Gopher-style quality-rule flags (MassiveText §A.1.1 family),
+    * shared by the rule report and the curation funnel. Rules use
+    * INTEGER-ONLY arithmetic (ratios as cross-multiplied comparisons) so
+    * the engine and the oracle cannot disagree on a float boundary. All
+    * map-only. */
+  private[queries] def gopherFlags(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val markers = Seq("the", "and", "le", "la", "el", "los", "der", "und")
+    docs
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        expr(tokensExpr).as("toks"),
+        length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("n_alnum"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("n_symbols"),
+        length(col("text")).as("n_len"),
+        markers.map(m => padded.like(s"% $m %")).reduce(_ || _).as("r_stop"))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("grams", when(size(col("toks")) >= 3, expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .otherwise(expr("array()")))
+      .withColumn("n_grams", size(col("grams")))
+      .withColumn("n_dgrams", size(array_distinct(col("grams"))))
+      .withColumn("r_words", col("n_words").between(50, 100000))
+      .withColumn("r_wlen", col("n_words") > 0 &&
+        col("n_alnum") >= col("n_words") * 3 &&
+        col("n_alnum") <= col("n_words") * 12)
+      .withColumn("r_sym", col("n_symbols") * 10 <= col("n_len") * 3)
+      .withColumn("r_rep",
+        (col("n_grams") - col("n_dgrams")) * 20 <= col("n_grams"))
+      .select("doc_id", "lang", "n_chars", "text",
+        "r_words", "r_wlen", "r_sym", "r_stop", "r_rep")
+  }
+
+  /** q_quality_gopher (L37): the corpus-level quality-rule report — for
+    * each Gopher-style rule (word count in [50,100k], mean word length
+    * in [3,12], symbol ratio ≤ 0.3, ≥1 stopword marker, duplicate-3-gram
+    * fraction ≤ 0.05 — the MassiveText bounds where the corpus can
+    * exhibit them) and for their conjunction, how many docs pass/fail.
+    * One map-side flag pass + ONE partial-aggregating global sum (a
+    * single row crosses the exchange), unpivoted by `stack` into the
+    * 6-row report. */
+  private def qQualityGopher: QFn = (s, d) =>
+    gopherFlags(Tables.spread(s, Tables.documents(s, d)))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r_words"), 1L).otherwise(0L)).as("p1"),
+        sum(when(col("r_wlen"), 1L).otherwise(0L)).as("p2"),
+        sum(when(col("r_sym"), 1L).otherwise(0L)).as("p3"),
+        sum(when(col("r_stop"), 1L).otherwise(0L)).as("p4"),
+        sum(when(col("r_rep"), 1L).otherwise(0L)).as("p5"),
+        sum(when(col("r_words") && col("r_wlen") && col("r_sym") &&
+          col("r_stop") && col("r_rep"), 1L).otherwise(0L)).as("pall"))
+      .selectExpr(
+        """stack(6,
+          |  'all_rules', pall, 'r1_words', p1, 'r2_word_len', p2,
+          |  'r3_symbol_ratio', p3, 'r4_stopword', p4, 'r5_repetition', p5)
+          |  AS (rule, n_pass)""".stripMargin,
+        "n_docs")
+      .select(col("rule"), col("n_pass"),
+        (col("n_docs") - col("n_pass")).as("n_fail"))
+      .orderBy("rule")
+
+  /** q_curation_funnel (L38): the end-to-end curation summary every
+    * pipeline run reports — cumulative survivors (docs + chars) through
+    * raw → quality rules → exact dedup (keep-first per content hash) →
+    * benchmark decontamination → train split. Plan shape: one map-side
+    * flag pass; keep-first via ONE window over md5(text) ordered
+    * quality-first (so "first among quality survivors" needs no separate
+    * filtered subplan); the contamination list is the q_decontaminate
+    * broadcast-join subplan reduced to a tiny id set, re-broadcast for
+    * the flag join; then a single one-row aggregate stacked into 5 stage
+    * rows — no stage rematerializes the corpus. */
+  private def qCurationFunnel: QFn = (s, d) =>
+    curationFunnelFrame(s, Tables.spread(s, Tables.documents(s, d)))
+
+  /** Factored so the spec can pin stage arithmetic on a synthetic corpus
+    * (exact duplicates, a contaminated doc, quality rejects). */
+  private[queries] def curationFunnelFrame(s: SparkSession,
+                                           docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flags = gopherFlags(docs)
+      .withColumn("q", col("r_words") && col("r_wlen") && col("r_sym") &&
+        col("r_stop") && col("r_rep"))
+    val sh = docs
+      .select(col("doc_id"), expr(toksOrdered).as("toks"))
+      .selectExpr("doc_id", "graft_ngrams(toks, 3) AS (pos, sh)")
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .select(col("doc_id"), lit(true).as("contam"))
+    val draw = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)") % 100
+    val wKeep = Window.partitionBy(md5(col("text")))
+      .orderBy(when(col("q"), 0).otherwise(1), col("doc_id"))
+    val staged = flags
+      .withColumn("keep", row_number().over(wKeep) === 1 && col("q"))
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .withColumn("s3", col("keep"))
+      .withColumn("s4", col("s3") && col("doc_id") % 97 =!= 0 &&
+        coalesce(col("contam"), lit(false)) === false)
+      .withColumn("s5", col("s4") && draw < 80)
+    staged
+      .agg(count(lit(1)).as("n1"), sum(col("n_chars")).as("c1"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("q"), col("n_chars")).otherwise(0L)).as("c2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("s3"), col("n_chars")).otherwise(0L)).as("c3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("s4"), col("n_chars")).otherwise(0L)).as("c4"),
+        sum(when(col("s5"), 1L).otherwise(0L)).as("n5"),
+        sum(when(col("s5"), col("n_chars")).otherwise(0L)).as("c5"))
+      .selectExpr(
+        """stack(5,
+          |  1, 'raw', n1, c1, 2, 'quality', n2, c2, 3, 'dedup', n3, c3,
+          |  4, 'decontaminated', n4, c4, 5, 'train_split', n5, c5)
+          |  AS (stage_id, stage, n_docs, sum_chars)""".stripMargin)
+      .orderBy("stage_id")
+  }
+
   // ------------------------------------------------------------- UDF / UDAF
 
   /** Scalar UDF surface demo (K1). A native column expression would codegen
@@ -1297,6 +1473,9 @@ object Extensions {
     "q_pack_sequences"  -> qPackSequences,
     "q_decontaminate"   -> qDecontaminate,
     "q_mix_temperature" -> qMixTemperature,
+    "q_pii_redact"      -> qPiiRedact,
+    "q_quality_gopher"  -> qQualityGopher,
+    "q_curation_funnel" -> qCurationFunnel,
     "q_udf_scalar"      -> qUdfScalar,
     "q_udaf_geomean"    -> qUdafGeomean,
     "q_udtf_ngrams"     -> qUdtfNgrams,
@@ -1821,5 +2000,174 @@ object Extensions {
         |  FROM toks)
         |SELECT ngram, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
         |FROM ng GROUP BY ngram ORDER BY ngram""".stripMargin,
+    "q_pii_redact" ->
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |         text || ' reach doc' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com from 10.' || CAST(doc_id % 240 AS VARCHAR) ||
+        |         '.' || CAST((doc_id * 7) % 250 AS VARCHAR) ||
+        |         '.' || CAST(doc_id % 250 AS VARCHAR) ||
+        |         ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |         CASE WHEN doc_id % 3 = 0 THEN ' and doc' ||
+        |           CAST(doc_id AS VARCHAR) || 'b@test.org' ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0 THEN ' via 192.168.' ||
+        |           CAST(doc_id % 100 AS VARCHAR) || '.' ||
+        |           CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ' alt 555-' ||
+        |           lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+        |           ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
+        |    AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b')) AS INT)
+        |    AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM salted ORDER BY doc_id""".stripMargin,
+    "q_quality_gopher" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> t <> '') AS L,
+        |         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        |           AS n_alnum,
+        |         length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+        |           AS n_symbols,
+        |         length(text) AS n_len
+        |  FROM documents),
+        |g AS (
+        |  SELECT *, len(L) AS n_words,
+        |         list_transform(range(1, greatest(1, len(L) - 1)),
+        |           i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2]) AS grams
+        |  FROM toks),
+        |f AS (
+        |  SELECT
+        |    (n_words BETWEEN 50 AND 100000) AS r1,
+        |    (n_words > 0 AND n_alnum >= n_words * 3
+        |       AND n_alnum <= n_words * 12) AS r2,
+        |    (n_symbols * 10 <= n_len * 3) AS r3,
+        |    (' ' || lower(text) || ' ' LIKE '% the %'
+        |       OR ' ' || lower(text) || ' ' LIKE '% and %'
+        |       OR ' ' || lower(text) || ' ' LIKE '% le %'
+        |       OR ' ' || lower(text) || ' ' LIKE '% la %'
+        |       OR ' ' || lower(text) || ' ' LIKE '% el %'
+        |       OR ' ' || lower(text) || ' ' LIKE '% los %'
+        |       OR ' ' || lower(text) || ' ' LIKE '% der %'
+        |       OR ' ' || lower(text) || ' ' LIKE '% und %') AS r4,
+        |    ((len(grams) - len(list_distinct(grams))) * 20
+        |       <= len(grams)) AS r5
+        |  FROM g),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |         sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS p1,
+        |         sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS p2,
+        |         sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS p3,
+        |         sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS p4,
+        |         sum(CASE WHEN r5 THEN 1 ELSE 0 END) AS p5,
+        |         sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5
+        |             THEN 1 ELSE 0 END) AS pall
+        |  FROM f)
+        |SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
+        |       CAST(n - n_pass AS BIGINT) AS n_fail
+        |FROM (
+        |  SELECT 'all_rules' AS rule, pall AS n_pass, n FROM a
+        |  UNION ALL SELECT 'r1_words', p1, n FROM a
+        |  UNION ALL SELECT 'r2_word_len', p2, n FROM a
+        |  UNION ALL SELECT 'r3_symbol_ratio', p3, n FROM a
+        |  UNION ALL SELECT 'r4_stopword', p4, n FROM a
+        |  UNION ALL SELECT 'r5_repetition', p5, n FROM a)
+        |ORDER BY rule""".stripMargin,
+    "q_curation_funnel" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> t <> '') AS L,
+        |         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        |           AS n_alnum,
+        |         length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+        |           AS n_symbols,
+        |         length(text) AS n_len
+        |  FROM documents),
+        |g AS (
+        |  SELECT *, len(L) AS n_words,
+        |         list_transform(range(1, greatest(1, len(L) - 1)),
+        |           i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2]) AS grams
+        |  FROM toks),
+        |f AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    ((n_words BETWEEN 50 AND 100000)
+        |     AND (n_words > 0 AND n_alnum >= n_words * 3
+        |          AND n_alnum <= n_words * 12)
+        |     AND (n_symbols * 10 <= n_len * 3)
+        |     AND (' ' || lower(text) || ' ' LIKE '% the %'
+        |          OR ' ' || lower(text) || ' ' LIKE '% and %'
+        |          OR ' ' || lower(text) || ' ' LIKE '% le %'
+        |          OR ' ' || lower(text) || ' ' LIKE '% la %'
+        |          OR ' ' || lower(text) || ' ' LIKE '% el %'
+        |          OR ' ' || lower(text) || ' ' LIKE '% los %'
+        |          OR ' ' || lower(text) || ' ' LIKE '% der %'
+        |          OR ' ' || lower(text) || ' ' LIKE '% und %')
+        |     AND ((len(grams) - len(list_distinct(grams))) * 20
+        |          <= len(grams))) AS q
+        |  FROM g),
+        |keepers AS (
+        |  SELECT *, (row_number() OVER (
+        |    PARTITION BY md5(text)
+        |    ORDER BY CASE WHEN q THEN 0 ELSE 1 END, doc_id) = 1 AND q)
+        |    AS keep
+        |  FROM f),
+        |shtoks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> t <> '') AS L
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(1, len(L) - 1)),
+        |           i -> L[i] || ' ' || L[i+1] || ' ' || L[i+2]))) AS sh
+        |  FROM shtoks),
+        |hs AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM sh),
+        |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT hs.doc_id FROM hs JOIN bench ON hs.h = bench.h
+        |  WHERE hs.doc_id % 97 <> 0
+        |  GROUP BY hs.doc_id HAVING count(*) >= 3),
+        |staged AS (
+        |  SELECT k.*,
+        |    (keep AND k.doc_id % 97 <> 0 AND c.doc_id IS NULL) AS s4,
+        |    (keep AND k.doc_id % 97 <> 0 AND c.doc_id IS NULL AND
+        |     ('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |       % 100 < 80) AS s5
+        |  FROM keepers k LEFT JOIN contam c ON k.doc_id = c.doc_id),
+        |a AS (
+        |  SELECT count(*) AS n1, sum(n_chars) AS c1,
+        |    sum(CASE WHEN q THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN q THEN n_chars ELSE 0 END) AS c2,
+        |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n3,
+        |    sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS c3,
+        |    sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS n4,
+        |    sum(CASE WHEN s4 THEN n_chars ELSE 0 END) AS c4,
+        |    sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS n5,
+        |    sum(CASE WHEN s5 THEN n_chars ELSE 0 END) AS c5
+        |  FROM staged)
+        |SELECT CAST(stage_id AS INT) AS stage_id, stage,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(sum_chars AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT 1 AS stage_id, 'raw' AS stage, n1 AS n_docs, c1 AS sum_chars
+        |    FROM a
+        |  UNION ALL SELECT 2, 'quality', n2, c2 FROM a
+        |  UNION ALL SELECT 3, 'dedup', n3, c3 FROM a
+        |  UNION ALL SELECT 4, 'decontaminated', n4, c4 FROM a
+        |  UNION ALL SELECT 5, 'train_split', n5, c5 FROM a)
+        |ORDER BY stage_id""".stripMargin,
   )
 }
