@@ -19,6 +19,18 @@ class PlanSpec extends SparkSpec {
   private def shuffles(name: String): Int =
     plan(name).collect { case e: ShuffleExchangeLike => e }.size
 
+  /** Exchanges that move data BY KEY (hash or single-partition) — the ones
+    * that cost at 100 TB. RoundRobin is Tables.spread's small-input
+    * fan-out (a no-op at scale: a big scan already has >= width
+    * partitions) and Range is the declared output sort. */
+  private def keyedShuffles(name: String) =
+    plan(name).collect { case e: ShuffleExchangeLike => e.outputPartitioning }
+      .filter {
+        case _: org.apache.spark.sql.catalyst.plans.physical.RangePartitioning => false
+        case _: org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning => false
+        case _ => true
+      }
+
   test("scan/filter queries shuffle only for the final sort") {
     assert(shuffles("q_scan_project") <= 1)
     assert(shuffles("q_filter_pred") <= 1)
@@ -170,5 +182,36 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_decontaminate")
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("PII redaction is map-only: no keyed exchange at all") {
+    // three regexp passes + a hash are a single projection — at 100 TB
+    // this must run at scan throughput; any hash or single-partition
+    // exchange means a counter or the salt leaked out of the map stage
+    // (the output range-sort and the small-input spread are exempt)
+    assert(keyedShuffles("q_pii_redact").isEmpty)
+    assert(plan("q_pii_redact").collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }.isEmpty)
+  }
+
+  test("gopher report: one single-row aggregate crosses the exchange") {
+    // flag pass is map-side; the partial aggregate reduces each task to
+    // ONE row before the exchange, stack unpivots after — so the report
+    // costs one scan regardless of corpus size (sort of 6 rows is free)
+    assert(keyedShuffles("q_quality_gopher").size <= 1)
+  }
+
+  test("curation funnel: dedup window + broadcast contamination, no corpus re-join") {
+    // keyed exchanges allowed: the content-hash dedup window (the ONE
+    // full-corpus shuffle), the shingle subplan's two distincts, the
+    // candidate group-by, and the one-row report aggregate; the
+    // contamination id set must broadcast back — a sort-merge join there
+    // re-shuffles the whole corpus at 100 TB
+    val p = plan("q_curation_funnel")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 2)
+    assert(keyedShuffles("q_curation_funnel").size <= 5)
   }
 }
