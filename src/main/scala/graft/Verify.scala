@@ -11,6 +11,8 @@ object Verify {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
     }
+    // the DDL oracles probe this dir's parquet footers (Meta.oracleSfDir)
+    sys.props("graft.sfdir") = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

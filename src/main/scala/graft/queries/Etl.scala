@@ -21,10 +21,10 @@ object Etl {
     * `counter` (uint64 surrogate) + a decimal(20,0) epoch-µs `timestamp` +
     * an untouched string, derived deterministically from events. */
   private def uintFixture(s: SparkSession, d: String): DataFrame =
-    Tables.eventsRawNs(s, d) // explicit-schema raw read: ts is the ns long
+    Tables.eventsRawMicros(s, d) // unit-probed raw read: ts is the µs long
       .select(col("event_id"),
         col("event_id").cast(DecimalType(20, 0)).as("counter"),
-        expr("ts div 1000").cast(DecimalType(20, 0)).as("timestamp"),
+        col("ts").cast(DecimalType(20, 0)).as("timestamp"),
         col("event_type"))
 
   /** etl_sanitize_uint64: rule B1 on a GENUINE unsigned parquet file

@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.Tables.QFn
 import graft.catalog.GraftCatalog
 import graft.sql.GraftSql
@@ -1461,13 +1462,26 @@ object Meta {
     * from the testdata schemas (TESTDATA.md) — the independent replay of
     * the I4 DDL surface. Multi-line DDL is assembled with chr(10) so the
     * oracle SQL itself stays single-line-per-value. */
-  private val showCreateDdls: Seq[(String, Seq[String])] = Seq(
+  /** sfDir whose parquet footer decides events.ts's declared type in the
+    * DDL oracles — set by the Verify/Bench mains (`graft.sfdir`); the unit
+    * is identical across the driver's sf dirs, so the default only matters
+    * for ad-hoc runs. Probed, not remembered: the driver regenerated the
+    * fixture NANOS→MICROS in round 7 and a hard-coded 'ts BIGINT' went red
+    * (the engine rightly infers TIMESTAMP_NTZ for a MICROS footer, BIGINT
+    * for NANOS like Iceberg). */
+  private def oracleSfDir: String =
+    sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01")
+
+  private def eventsTsSqlType: String =
+    if (Tables.eventsTsUnit(oracleSfDir) == "NANOS") "BIGINT" else "TIMESTAMP_NTZ"
+
+  private def showCreateDdls: Seq[(String, Seq[String])] = Seq(
     "customer" -> Seq("c_custkey BIGINT", "c_name STRING", "c_nationkey INT",
       "c_acctbal DOUBLE", "c_mktsegment STRING"),
     "documents" -> Seq("doc_id BIGINT", "text STRING", "lang STRING",
       "source STRING", "n_chars BIGINT"),
     "embeddings" -> Seq("vec_id BIGINT", "embedding ARRAY<FLOAT>", "label INT"),
-    "events" -> Seq("event_id BIGINT", "ts BIGINT", "user_id BIGINT",
+    "events" -> Seq("event_id BIGINT", s"ts $eventsTsSqlType", "user_id BIGINT",
       "event_type STRING", "value DOUBLE", "props STRING"),
     "lineitem" -> Seq("l_orderkey BIGINT", "l_partkey BIGINT",
       "l_suppkey BIGINT", "l_linenumber INT", "l_quantity DOUBLE",
@@ -1492,7 +1506,7 @@ object Meta {
     lines.map(l => s"'$l'").mkString(" || chr(10) || ")
   }
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "meta_merge" ->
       """SELECT * FROM (VALUES
         |  ('after_delete', CAST(5 AS BIGINT), ''),
@@ -1759,7 +1773,7 @@ object Meta {
     // DESCRIBE over the imported demo tree: the column/type listing is
     // fixed by the testdata schemas (TESTDATA.md), independent of SF
     "meta_describe" ->
-      """SELECT "tableName", col_name, data_type, true AS nullable
+      s"""SELECT "tableName", col_name, data_type, true AS nullable
         |FROM (VALUES
         |  ('customer', 'c_acctbal', 'double'),
         |  ('customer', 'c_custkey', 'bigint'),
@@ -1777,7 +1791,7 @@ object Meta {
         |  ('events', 'event_id', 'bigint'),
         |  ('events', 'event_type', 'string'),
         |  ('events', 'props', 'string'),
-        |  ('events', 'ts', 'bigint'),
+        |  ('events', 'ts', '${eventsTsSqlType.toLowerCase}'),
         |  ('events', 'user_id', 'bigint'),
         |  ('events', 'value', 'double'),
         |  ('lineitem', 'l_discount', 'double'),

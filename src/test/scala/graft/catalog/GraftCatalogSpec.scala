@@ -98,18 +98,33 @@ class GraftCatalogSpec extends SparkSpec {
     // leaked spark.sql.legacy.parquet.nanosAsLong into the shared session,
     // and per-folder isolation silently swallowed the failure — the table
     // just vanished. Footer-based inference must import it standalone.
-    assume(Files.exists(Paths.get("/root/testdata/sf0.001/events.parquet")))
+    // synthesized NANOS fixture: the driver testdata no longer carries
+    // NANOS (round 7 regenerated it as MICROS), so the regression is
+    // pinned on a file this test writes itself
     assert(!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
     val (data, wh) = freshDirs()
-    val edir = data.resolve("events"); Files.createDirectories(edir)
-    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
-      edir.resolve("events.parquet"))
+    val edir = data.resolve("events")
+    graft.TsUnitFixture.writeEvents(edir, "NANOS", rows = 1000)
     val cat = new GraftCatalog(wh.toString)
     val out = cat.importFolders(spark, data.toString)
     assert(out.map(_.table) === Seq("events"))
     val schema = cat.loadTable("nyc", "events").schema
     assert(schema("ts").dataType === LongType) // NANOS → BIGINT, like Iceberg
     assert(cat.readTable(spark, "nyc", "events").count() === 1000)
+  }
+
+  test("import reads a TIMESTAMP(MICROS) footer natively as TIMESTAMP_NTZ") {
+    // the round-7 driver fixture's actual shape: µs NTZ must come through
+    // Spark's own inference (no BIGINT fallback, no session conf)
+    val (data, wh) = freshDirs()
+    val edir = data.resolve("events")
+    graft.TsUnitFixture.writeEvents(edir, "MICROS", rows = 100)
+    val cat = new GraftCatalog(wh.toString)
+    cat.importFolders(spark, data.toString)
+    val schema = cat.loadTable("nyc", "events").schema
+    assert(schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(cat.readTable(spark, "nyc", "events").count() === 100)
   }
 
   test("schema is fixed by the FIRST file; no merge") {
