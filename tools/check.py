@@ -39,6 +39,14 @@ def main():
 
     import os
     failed = []
+
+    def reset(c):
+        # some errors leave the connection's implicit transaction aborted,
+        # which would fail every later query with TransactionContext Error
+        try:
+            c.execute("ROLLBACK")
+        except Exception:
+            pass
     for name in sorted(os.listdir(out_dir)):
         if name in oracles or not os.path.isdir(f"{out_dir}/{name}"):
             continue
@@ -48,6 +56,7 @@ def main():
             status = f"rows-only {name} ({n} rows)"
             print(f"OK    {status}" if n > 0 else f"WARN  {status} — EMPTY")
         except Exception as e:
+            reset(con)
             failed.append((name, f"non-oracle output unreadable: {e}"))
     for name, sql in sorted(oracles.items()):
         try:
@@ -58,6 +67,7 @@ def main():
                 "SELECT " + ", ".join(f'"{c}"' for c in spark_cols) +
                 f" FROM '{out_dir}/{name}/*.parquet'").fetchall()
         except Exception as e:
+            reset(con)
             failed.append((name, f"spark output unreadable: {e}"))
             continue
         try:
@@ -68,6 +78,7 @@ def main():
             oracle_rows = [tuple(r[i] for i in order)
                            for r in oracle_rel.fetchall()]
         except Exception as e:
+            reset(con)
             failed.append((name, f"oracle failed: {e}"))
             continue
         if spark_cols != oracle_cols:
