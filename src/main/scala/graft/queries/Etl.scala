@@ -333,6 +333,39 @@ object Etl {
     rows.map { case (n, t, x, y, b, ok) => (n, t, x, y, b, ok && curvesWin) }
       .toDF("layout", "n_files", "kept_orderkey", "kept_partkey",
         "kept_both", "invariant_ok")
+      .orderBy("layout")
+  }
+
+  /** Observed files-kept counts per scale factor for the three clustered
+    * layouts — deterministic for a fixed layout build (the range
+    * partitioner's sampling is seeded; verified identical across fresh
+    * JVMs), so they can act as a hash-level regression pin on the
+    * footer-stats file-skipping logic. The in-query `invariant_ok` column
+    * already self-checks result parity (pruned reads return exactly the
+    * unpruned rows) and curves-beat-linear; this VALUES oracle gates the
+    * actual skip counts too. Keyed on the verify dir's basename (the
+    * driver gate runs sf0.01); an unknown dir keeps the rows-only check. */
+  private val zorderKept: Map[String, Seq[(String, Long, Long, Long)]] = Map(
+    "sf0.001" -> Seq(("hilbert", 22L, 20L, 7L), ("linear", 14L, 64L, 14L),
+      ("zorder", 28L, 23L, 9L)),
+    "sf0.01"  -> Seq(("hilbert", 23L, 19L, 5L), ("linear", 14L, 64L, 14L),
+      ("zorder", 31L, 22L, 11L)),
+    "sf0.1"   -> Seq(("hilbert", 23L, 21L, 7L), ("linear", 14L, 64L, 14L),
+      ("zorder", 30L, 23L, 11L)))
+
+  private def zorderOracle: Map[String, String] = {
+    val tag = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01"))
+      .getFileName.toString
+    zorderKept.get(tag).map { rows =>
+      "etl_zorder" -> ("SELECT * FROM (VALUES\n" + rows.map {
+        case (n, x, y, b) =>
+          s"  ('$n', CAST(64 AS BIGINT), CAST($x AS BIGINT), " +
+            s"CAST($y AS BIGINT), CAST($b AS BIGINT), true)"
+      }.mkString(",\n") +
+        ")\n  v(layout, n_files, kept_orderkey, kept_partkey, kept_both," +
+        " invariant_ok)\nORDER BY layout")
+    }.toMap
   }
 
   val queries: Map[String, QFn] = Map(
@@ -347,7 +380,7 @@ object Etl {
     "etl_zorder"          -> etlZorder,
   )
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = zorderOracle ++ Map(
     "etl_sanitize_uint64" ->
       s"""SELECT event_id, CAST(counter AS VARCHAR) AS counter_str,
          |       CAST(small_u AS VARCHAR) AS small_u_str,
