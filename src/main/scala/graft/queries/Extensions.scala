@@ -746,6 +746,50 @@ object Extensions {
       .select("d1", "d2")
   }
 
+  /** q_neardup_incremental: NEAR-dup screening of an incoming batch
+    * against an accumulated corpus — the per-crawl-snapshot shape of
+    * production pretraining dedup (each new crawl is checked against the
+    * index of everything already kept; CCNet/RefinedWeb style), and the
+    * fuzzy companion to the exact-hash [[qDedupIncremental]]. Batch =
+    * `doc_id % 97 = 0` (the decontaminate split convention), corpus = the
+    * rest. The corpus side's banded MinHash signatures are the INDEX — at
+    * deployment they are precomputed once and stored bucketed on `band`
+    * (exactly [[dedupSpjFixture]]'s layout), so a batch only ever joins
+    * its own band keys against the matching buckets: O(batch +
+    * collisions), never corpus × batch. Band collisions are CANDIDATES
+    * and pass the same exact-Jaccard ≥ 0.7 gate as the pipeline
+    * ([[verifyEdgesJaccard]] — integer cross-multiply, per-edge work).
+    * Output: one verdict row per batch doc (candidate/match counts, the
+    * nearest kept doc), hash-oracled against a DuckDB replay of the full
+    * signature → band → collision → Jaccard chain. */
+  private def qNeardupIncremental: QFn = (s, d) => {
+    val docs = Tables.spread(s, Tables.documents(s, d))
+    // one tokenization feeds the signatures AND the Jaccard verify
+    val withSets = docs.select(col("doc_id"),
+      expr(s"array_distinct($tokensExpr)").as("toks")).localCheckpoint()
+    val tok = withSets.select(col("doc_id"), explode(col("toks")).as("token"))
+    val banded = minhashBandRows(tok, bands = 4, hashesPerBand = 4)
+    val isBatch = col("doc_id") % 97 === 0
+    // checkpointed: the candidate list feeds BOTH the Jaccard verify and
+    // the per-doc candidate count — without it the signature aggregation
+    // (the expensive stage) would run once per consumer
+    val cand = banded.filter(isBatch).select(col("doc_id").as("d1"), col("band"))
+      .join(banded.filter(!isBatch).select(col("doc_id").as("d2"), col("band")),
+        "band")
+      .select("d1", "d2").distinct().localCheckpoint()
+    val verified = verifyEdgesJaccard(withSets, cand, 7, 10)
+    val cagg = cand.groupBy("d1").agg(count(lit(1)).as("n_candidates"))
+    val vagg = verified.groupBy("d1").agg(count(lit(1)).as("n_matches"),
+      min(col("d2")).as("nearest_doc"))
+    withSets.filter(isBatch).select("doc_id")
+      .join(cagg, col("doc_id") === cagg("d1"), "left").drop("d1")
+      .join(vagg, col("doc_id") === vagg("d1"), "left").drop("d1")
+      .na.fill(0L, Seq("n_candidates", "n_matches"))
+      .withColumn("is_neardup", col("n_matches") > 0)
+      .select("doc_id", "n_candidates", "n_matches", "is_neardup", "nearest_doc")
+      .orderBy("doc_id")
+  }
+
   /** q_dedup_cluster_star: the SAME banded candidate graph labeled by the
     * GENERAL alternating large-star/small-star contraction
     * ([[graft.operators.ConnectedComponents]]) instead of the interval
@@ -1483,6 +1527,7 @@ object Extensions {
     "q_dedup_pipeline_verified" -> qDedupPipelineVerified,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_incremental_spj" -> qDedupIncrementalSpj,
+    "q_neardup_incremental" -> qNeardupIncremental,
     "q_neardup_simhash" -> qNeardupSimhash,
     "q_neardup_simhash_k" -> qNeardupSimhashK,
     "q_dedup_keep"      -> qDedupKeep,
@@ -1820,6 +1865,57 @@ object Extensions {
         |FROM firsts f LEFT JOIN hist ON f.h = hist.h
         |WHERE hist.h IS NULL AND f.rn = 1
         |ORDER BY f.doc_id""".stripMargin,
+    // batch-vs-corpus near-dup: signature → band → cross-side collision →
+    // exact-Jaccard gate → per-batch-doc verdict, replayed end-to-end
+    "q_neardup_incremental" ->
+      s"""WITH tok AS ($tokensSql),
+        |base AS (
+        |  SELECT doc_id,
+        |         ('0x' || substring(md5(token), 1, 15))::BIGINT % $MinhashP AS mx
+        |  FROM tok),
+        |sig AS (
+        |  SELECT doc_id,
+        |${(0 until 16).map(i =>
+             s"         min((${minhashA(i)} * mx + ${minhashB(i)}) % $MinhashP) AS s$i")
+             .mkString(",\n")}
+        |  FROM base GROUP BY doc_id),
+        |band AS (
+        |${(0 until 4).map { b =>
+             val cols = (0 until 4).map(j => s"CAST(s${b * 4 + j} AS VARCHAR)")
+               .mkString(" || '|' || ")
+             s"  SELECT doc_id, md5('$b|' || $cols) AS band FROM sig"
+           }.mkString("\n  UNION ALL\n")}),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS bd, c.doc_id AS cd
+        |  FROM band a JOIN band c ON a.band = c.band
+        |  WHERE a.doc_id % 97 = 0 AND c.doc_id % 97 <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.bd, c.cd, count(*) AS i
+        |  FROM cand c
+        |  JOIN tok t1 ON t1.doc_id = c.bd
+        |  JOIN tok t2 ON t2.doc_id = c.cd AND t2.token = t1.token
+        |  GROUP BY c.bd, c.cd),
+        |ver AS (
+        |  SELECT c.bd, c.cd
+        |  FROM cand c
+        |  JOIN inter i ON i.bd = c.bd AND i.cd = c.cd
+        |  JOIN sz s1 ON s1.doc_id = c.bd
+        |  JOIN sz s2 ON s2.doc_id = c.cd
+        |  WHERE 10 * i.i >= 7 * (s1.n + s2.n - i.i)),
+        |batch AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+        |cagg AS (SELECT bd, count(*) AS n_candidates FROM cand GROUP BY bd),
+        |vagg AS (SELECT bd, count(*) AS n_matches, min(cd) AS nearest_doc
+        |         FROM ver GROUP BY bd)
+        |SELECT b.doc_id,
+        |       CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |       CAST(coalesce(v.n_matches, 0) AS BIGINT) AS n_matches,
+        |       coalesce(v.n_matches, 0) > 0 AS is_neardup,
+        |       v.nearest_doc
+        |FROM batch b
+        |LEFT JOIN cagg c ON c.bd = b.doc_id
+        |LEFT JOIN vagg v ON v.bd = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // the whole pipeline's closure replayed in SQL: signature → band →
     // bucket edges → recursive-CTE components → canonical keep
     "q_dedup_pipeline" ->

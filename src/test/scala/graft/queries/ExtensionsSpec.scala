@@ -455,6 +455,35 @@ class ExtensionsSpec extends SparkSpec {
       .foreach { case (a, b) => assert(ver(a) === ver(b)) }
   }
 
+  test("q_neardup_incremental: exact-dup twins in the corpus are always flagged") {
+    // identical token sets ⇒ identical 16-hash signature ⇒ all 4 bands
+    // collide ⇒ candidate, and Jaccard 1 ≥ 0.7 ⇒ verified match — so a
+    // batch doc whose text also occurs on the corpus side MUST be flagged
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(lower(col("text"))).as("h"))
+    val corpusH = docs.filter(col("doc_id") % 97 =!= 0)
+      .select("h").distinct().collect().map(_.getString(0)).toSet
+    val mustFlag = docs.filter(col("doc_id") % 97 === 0)
+      .collect().filter(r => corpusH(r.getString(1)))
+      .map(_.getLong(0)).toSet
+    val out = run("q_neardup_incremental").collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_neardup"))
+      .map(_.getLong(0)).toSet
+    assert(mustFlag.subsetOf(flagged),
+      s"exact twins ${mustFlag -- flagged} were not flagged")
+    // verdict rows cover exactly the batch, and counts are consistent
+    assert(out.length ===
+      docs.filter(col("doc_id") % 97 === 0).count().toInt)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_matches")) <=
+        r.getLong(r.fieldIndex("n_candidates")))
+      assert(r.getAs[Boolean]("is_neardup") ===
+        (r.getLong(r.fieldIndex("n_matches")) > 0))
+      if (r.getAs[Boolean]("is_neardup"))
+        assert(!r.isNullAt(r.fieldIndex("nearest_doc")))
+    }
+  }
+
   test("q_decontaminate: flags exactly the docs sharing >=3 shingles with the benchmark") {
     val rows = run("q_decontaminate").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
