@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   *    not deeper).
   *  - q_dedup_incremental: O(batch) anti-join — time grows ~linearly in
   *    the batch, never in pairs.
+  *  - q_neardup_incremental: batch-vs-corpus band collisions + per-edge
+  *    Jaccard — cost tracks batch + collisions, never corpus × batch.
   *  - q_neardup_simhash: the histogram join is O(2^b) — duplicating every
   *    doc multiplies counts on EXISTING histogram rows, so time should be
   *    near-FLAT at ×MULT.
@@ -67,7 +69,8 @@ object ScaleSmoke {
     }
 
     val targets = Seq("q_dedup_pipeline", "q_dedup_pipeline_verified",
-      "q_dedup_cluster_star", "q_dedup_incremental", "q_neardup_simhash",
+      "q_dedup_cluster_star", "q_dedup_incremental", "q_neardup_incremental",
+      "q_neardup_simhash",
       "q_neardup_simhash_k", "q_pack_sequences", "q_mix_temperature",
       "q_decontaminate")
     val ccBacked = Set("q_dedup_pipeline", "q_dedup_cluster_star")

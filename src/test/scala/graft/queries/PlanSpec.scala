@@ -142,6 +142,24 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("incremental near-dup: band-keyed candidates, broadcast verify, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("q_neardup_incremental")
+    // batch and corpus signatures must only ever meet on the band key —
+    // any cross/nested-loop form would be the corpus×batch scan the
+    // banded index exists to avoid
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
+    // every equi-join keys on band, doc id, or the verify edge ends —
+    // never on a non-key column that would fan out
+    val keyed = p.collect { case j: BaseJoinExec => j.leftKeys.map(_.sql) }
+    assert(keyed.nonEmpty)
+    // the Jaccard gate streams the token-set side against BROADCAST edges
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "candidate edges must broadcast into the verify joins")
+  }
+
   test("simhash statistics: histogram-sized plan, no doc-level pair join") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     // the only join keys are signature/bucket columns — a doc_id-keyed
