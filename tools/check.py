@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Dev-only differential checker mirroring the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [skipName,skipName,...]
+
+The optional third argument names oracles to SKIP (reported as
+"skipped"): used for the sf0.1 gate, where a handful of DuckDB replays
+are themselves quadratic/recursive (all-pairs similarity, recursive-CTE
+closures) and would run for hours on 10x data — their engine side is
+hash-verified at sf0.01.
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over <sfDir>'s parquet
@@ -30,6 +36,7 @@ def norm(v):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -59,6 +66,9 @@ def main():
             reset(con)
             failed.append((name, f"non-oracle output unreadable: {e}"))
     for name, sql in sorted(oracles.items()):
+        if name in skip:
+            print(f"SKIP  {name} (quadratic DuckDB replay)")
+            continue
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -102,7 +112,10 @@ def main():
             print(f"OK    {name} ({len(spark_rows)} rows)")
     for name, why in failed:
         print(f"FAIL  {name}: {why}")
-    print(f"\n{len(oracles) - len(failed)}/{len(oracles)} oracle queries match")
+    n_skipped = len(skip & set(oracles))
+    n_run = len(oracles) - n_skipped
+    tail = f" ({n_skipped} skipped)" if n_skipped else ""
+    print(f"\n{n_run - len(failed)}/{n_run} oracle queries match{tail}")
     sys.exit(1 if failed else 0)
 
 
