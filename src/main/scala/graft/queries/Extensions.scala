@@ -752,11 +752,13 @@ object Extensions {
     * index of everything already kept; CCNet/RefinedWeb style), and the
     * fuzzy companion to the exact-hash [[qDedupIncremental]]. Batch =
     * `doc_id % 97 = 0` (the decontaminate split convention), corpus = the
-    * rest. The corpus side's banded MinHash signatures are the INDEX — at
-    * deployment they are precomputed once and stored bucketed on `band`
-    * (exactly [[dedupSpjFixture]]'s layout), so a batch only ever joins
-    * its own band keys against the matching buckets: O(batch +
-    * collisions), never corpus × batch. Band collisions are CANDIDATES
+    * rest. The banded MinHash signatures of the corpus's exact-dedup
+    * REPRESENTATIVES (min doc_id per distinct text — the kept set, the
+    * only thing production ever indexes) are the INDEX — at deployment
+    * they are precomputed once and stored bucketed on `band` (exactly
+    * [[dedupSpjFixture]]'s layout), so a batch only ever joins its own
+    * band keys against the matching buckets: O(batch + collisions),
+    * never corpus × batch. Band collisions are CANDIDATES
     * and pass the same exact-Jaccard ≥ 0.7 gate as the pipeline
     * ([[verifyEdgesJaccard]] — integer cross-multiply, per-edge work).
     * Output: one verdict row per batch doc (candidate/match counts, the
@@ -764,12 +766,26 @@ object Extensions {
     * signature → band → collision → Jaccard chain. */
   private def qNeardupIncremental: QFn = (s, d) => {
     val docs = Tables.spread(s, Tables.documents(s, d))
-    // one tokenization feeds the signatures AND the Jaccard verify
-    val withSets = docs.select(col("doc_id"),
+    val isBatch = col("doc_id") % 97 === 0
+    // The INDEX side is exact-deduped first: one representative (min
+    // doc_id) per distinct corpus text. This is what production does —
+    // the index is the KEPT set after dedup, never the raw corpus — and
+    // it is what bounds the band buckets: without it the 10× scaling
+    // smoke's exact-dup cliques made a single batch doc collide with a
+    // 23k-doc identical-text bucket and emit 23k verify edges (measured
+    // 52× wall at 10× data; with representatives the index is
+    // corpus-size-independent and the cost tracks the batch alone).
+    val reps = docs.filter(!isBatch)
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+    val universe = docs.filter(isBatch).select("doc_id", "text")
+      .unionByName(reps)
+    // one tokenization (batch + representatives only) feeds the
+    // signatures AND the Jaccard verify
+    val withSets = universe.select(col("doc_id"),
       expr(s"array_distinct($tokensExpr)").as("toks")).localCheckpoint()
     val tok = withSets.select(col("doc_id"), explode(col("toks")).as("token"))
     val banded = minhashBandRows(tok, bands = 4, hashesPerBand = 4)
-    val isBatch = col("doc_id") % 97 === 0
     // checkpointed: the candidate list feeds BOTH the Jaccard verify and
     // the per-doc candidate count — without it the signature aggregation
     // (the expensive stage) would run once per consumer
@@ -1868,7 +1884,13 @@ object Extensions {
     // batch-vs-corpus near-dup: signature → band → cross-side collision →
     // exact-Jaccard gate → per-batch-doc verdict, replayed end-to-end
     "q_neardup_incremental" ->
-      s"""WITH tok AS ($tokensSql),
+      s"""WITH reps AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents
+        |  WHERE doc_id % 97 <> 0 GROUP BY text),
+        |universe AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+        |  UNION ALL SELECT doc_id, text FROM reps),
+        |tok AS (${tokensSql.replace("FROM documents", "FROM universe")}),
         |base AS (
         |  SELECT doc_id,
         |         ('0x' || substring(md5(token), 1, 15))::BIGINT % $MinhashP AS mx
