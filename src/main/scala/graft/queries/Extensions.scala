@@ -27,7 +27,7 @@ object Extensions {
 
   /** tokens: lower-cased alnum runs, empties dropped (SQL-lambda form so
     * the same expression text documents the DuckDB twin). */
-  private val tokensExpr = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+  private[graft] val tokensExpr = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
   private val tokensSql =
     """SELECT doc_id, unnest(list_distinct(list_filter(
       |         string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS token
@@ -532,7 +532,7 @@ object Extensions {
     * multiplies rows by r (not by tokens) AFTER the heavy shuffle. Band
     * keys are salted with the band index so equal hash runs in different
     * bands can never alias one bucket. */
-  private[queries] def minhashBandRows(tok: DataFrame, bands: Int,
+  private[graft] def minhashBandRows(tok: DataFrame, bands: Int,
                                        hashesPerBand: Int): DataFrame = {
     val sigCols = (0 until bands * hashesPerBand).map(i =>
       min((lit(minhashA(i)) * col("mx") + lit(minhashB(i))) % lit(MinhashP))
@@ -726,7 +726,7 @@ object Extensions {
     * agree bit-for-bit with no float boundary. Parallel edges from
     * multi-band collisions are distinct'd first so each candidate pair
     * is verified once. */
-  private[queries] def verifyEdgesJaccard(docSets: DataFrame, edges: DataFrame,
+  private[graft] def verifyEdgesJaccard(docSets: DataFrame, edges: DataFrame,
       num: Int, den: Int): DataFrame = {
     // the candidate-edge side is BROADCAST: star edges are bounded by the
     // near-dup rate (k-1 per bucket), orders of magnitude below the corpus,

@@ -350,6 +350,90 @@ object Streaming {
       .select("doc_id", "text", "h").orderBy("doc_id")
   }
 
+  /** st_neardup_catalog: streaming incremental NEAR-dup into the catalog
+    * — the streaming face of `q_neardup_incremental` (SURVEY L39) and the
+    * fuzzy upgrade of [[stDedupCatalog]]: each micro-batch (1) exact
+    * self-dedups (first doc_id per content hash), (2) drops exact matches
+    * of committed rows via the hash index, then (3) drops NEAR-dups of
+    * the committed set — banded MinHash signatures of batch survivors vs
+    * the committed table (every committed row is a representative by
+    * construction, so the index never holds a dup clique), candidates
+    * gated by exact token-set Jaccard ≥ 0.7 — and only then lands an
+    * append snapshot. A near-duplicate arriving any number of batches
+    * later still hits the index. At 100 TB the committed side's
+    * signatures are precomputed once per snapshot and bucketed on band
+    * (the L31 layout), so each micro-batch joins only colliding buckets.
+    * Within one micro-batch only EXACT dups collapse (near-dup pairs that
+    * arrive together both land — micro-batching trades event-at-a-time
+    * ordering for throughput; the next maintenance pass collapses them).
+    * Inputs are deterministic literals ⇒ exact-rows oracle; the committed
+    * rows PROVE the near-dup path fired (a missed rejection would land an
+    * extra row and break the oracle). */
+  def stNeardupCatalog: QFn = (s, _) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.queries.Extensions.{minhashBandRows, verifyEdgesJaccard, tokensExpr}
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_neardup_cat")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val input = MemoryStream[(Long, String)]
+    val hashed = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    cat.createTable("stream", "docs_neardup", hashed.schema)
+    def sets(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      expr(s"array_distinct($tokensExpr)").as("toks"))
+    def bands(df: DataFrame): DataFrame = minhashBandRows(
+      sets(df).select(col("doc_id"), explode(col("toks")).as("token")), 4, 4)
+    val q = withStatePartitions(s, 4)(hashed.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val hist = cat.readTable(ss, "stream", "docs_neardup")
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        val fresh = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .join(hist.select("h").distinct(), Seq("h"), "left_anti")
+          .localCheckpoint() // feeds bands, the verify sets, and the landing
+        val cand = bands(fresh).select(col("doc_id").as("d1"), col("band"))
+          .join(bands(hist).select(col("doc_id").as("d2"), col("band")), "band")
+          .select("d1", "d2").distinct()
+        val nearDup = verifyEdgesJaccard(
+            sets(fresh).unionByName(sets(hist)), cand, 7, 10)
+          .select(col("d1").as("doc_id")).distinct()
+        val accepted = fresh.join(nearDup, Seq("doc_id"), "left_anti")
+          .select("doc_id", "text", "h")
+        if (!accepted.isEmpty) {
+          val dir = base.resolve("landed").resolve(s"batch-$id")
+          accepted.write.mode("overwrite").parquet(dir.toString)
+          cat.registerFiles("stream", "docs_neardup", Seq(dir))
+        }
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start())
+    // ~19-token texts, one-word edits ⇒ Jaccard 18/20 = 0.9, above the
+    // 0.7 gate; the 4×4 banding collides such pairs with p ≈ 0.986 and
+    // these CONCRETE pairs are verified to collide (the oracle would go
+    // red if either rejection failed to fire)
+    val tA = "the quick brown fox jumps over the lazy dog while rain falls on the quiet village green at dawn"
+    val tB = "spark executors shuffle partitioned data across the cluster while the driver plans stages and tracks lineage graphs"
+    val tC = "a completely separate third document discusses parquet footers column statistics and predicate pushdown for efficient scans"
+    val tA2 = tA.replace("dawn", "mist")   // near-dup of tA
+    val tC2 = tC.replace("efficient", "fast") // near-dup of tC
+    try {
+      input.addData((1L, tA), (2L, tB), (3L, tA)) // 3: exact dup in-batch
+      q.processAllAvailable()
+      input.addData((4L, tA2), (5L, tC)) // 4: NEAR-dup of committed 1
+      q.processAllAvailable()
+      input.addData((6L, tC2), (7L, tB)) // near-dup + exact, batches later
+      q.processAllAvailable()
+    } finally q.stop()
+    cat.readTable(s, "stream", "docs_neardup")
+      .select("doc_id", "text", "h").orderBy("doc_id")
+  }
+
   /** st_catalog_source: streaming read FROM the catalog — the Iceberg
     * `readStream` surface ([[graft.catalog.GraftCatalog.streamTable]]):
     * each append snapshot's files flow into a running (or restarted)
@@ -571,6 +655,7 @@ object Streaming {
     "st_file_source"  -> stFileSource,
     "st_catalog_sink" -> stCatalogSink,
     "st_dedup_catalog" -> stDedupCatalog,
+    "st_neardup_catalog" -> stNeardupCatalog,
     "st_catalog_source" -> stCatalogSource,
     "st_join"         -> stJoin,
     "st_join_outer"   -> stJoinOuter,
@@ -621,6 +706,15 @@ object Streaming {
         |  (CAST(2 AS BIGINT), 'beta',  md5('beta')),
         |  (CAST(5 AS BIGINT), 'gamma', md5('gamma')))
         |AS t(doc_id, text, h) ORDER BY doc_id""".stripMargin,
+    // survivors of the three-batch near-dup ingestion: 3 (exact in-batch),
+    // 4 (near-dup of 1), 6 (near-dup of 5), 7 (exact, two batches later)
+    // all rejected — the committed rows ARE the proof each path fired
+    "st_neardup_catalog" ->
+      """SELECT doc_id, text, md5(text) AS h FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'the quick brown fox jumps over the lazy dog while rain falls on the quiet village green at dawn'),
+        |  (CAST(2 AS BIGINT), 'spark executors shuffle partitioned data across the cluster while the driver plans stages and tracks lineage graphs'),
+        |  (CAST(5 AS BIGINT), 'a completely separate third document discusses parquet footers column statistics and predicate pushdown for efficient scans'))
+        |AS t(doc_id, text) ORDER BY doc_id""".stripMargin,
     "st_catalog_sink" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
         |       true AS n_snapshots_ge_2

@@ -37,6 +37,18 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
   }
 
+  test("st_neardup_catalog: near-dups of committed docs are rejected, not just exact") {
+    val rows = Streaming.stNeardupCatalog(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 5L))
+    // doc 4 (one-word edit of doc 1) has a UNIQUE content hash, so the
+    // exact-hash index alone would have landed it — its absence proves
+    // the banded-MinHash + Jaccard rejection fired, and doc 6 likewise
+    val committedTexts = rows.map(_._2).toSet
+    val t4 = rows.find(_._1 == 1L).get._2.replace("dawn", "mist")
+    assert(!committedTexts.contains(t4))
+  }
+
   test("st_dedup: duplicate event id in a later micro-batch is suppressed") {
     val rows = Streaming.stDedup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
