@@ -52,7 +52,12 @@ object ConnectedComponents {
       .select(col(edges.columns(0)).cast("long").as("src"),
         col(edges.columns(1)).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
-    var cur = symmetric(e0).localCheckpoint()
+    // LAZY checkpoints: the signature job right after each contraction is
+    // the materializing action, so every round schedules ONE job instead
+    // of two (eager checkpoint + agg) — at local/sf0.1 scale the per-job
+    // scheduling floor dominates these tiny shuffles. Later rounds still
+    // read the materialized checkpoint, never the lineage.
+    var cur = symmetric(e0).localCheckpoint(eager = false)
     def sig(e: DataFrame): (Long, Long) = {
       // bit_xor: order-independent, overflow-free (ANSI-safe) set digest
       val r = e.agg(count(lit(1)),
@@ -63,7 +68,7 @@ object ConnectedComponents {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = symmetric(smallStar(largeStar(cur))).localCheckpoint()
+      val next = symmetric(smallStar(largeStar(cur))).localCheckpoint(eager = false)
       val nextSig = sig(next)
       if (nextSig == curSig)
         // exact check: canonical pair sets equal ⇔ truly converged
