@@ -67,4 +67,47 @@ object Maintenance {
       .filter(_.getFileName.toString.endsWith(".parquet"))
     cat.registerFiles(ns, table, parts, operation = "overwrite")
   }
+
+  /** Collapse near-duplicates that LANDED in the committed table — the
+    * maintenance companion the streaming near-dup ingester
+    * ([[graft.streaming.Streaming.stNeardupCatalog]]) defers to: within
+    * one micro-batch only exact dups collapse, so a near-dup pair
+    * arriving together lands twice (and a crash between the data and
+    * index commits can leave rows under-indexed, letting a later
+    * near-dup land). This pass runs the batch dedup-pipeline chain
+    * (banded MinHash → exact-Jaccard-verified edges → star-contraction
+    * connected components → min-doc_id keeper;
+    * [[graft.queries.Extensions.dedupPipelineFrame]]) over the WHOLE
+    * committed table and commits ONE overwrite snapshot holding only the
+    * keepers — readers before/after see consistent snapshots, time
+    * travel still reaches the pre-maintenance state. When the table has
+    * `sigs`/`toks` index side tables, they are rebuilt for the keeper
+    * set in step, so the per-batch screen keeps joining a
+    * representative-only index. O(table) by design — run it off the hot
+    * ingest path (exactly like [[optimize]]); at 100 TB the chain is the
+    * same banded/bucketed layout the batch pipeline proves sub-linear. */
+  def neardupMaintain(spark: SparkSession, cat: GraftCatalog, ns: String,
+                      table: String, sigsTable: Option[String] = None,
+                      toksTable: Option[String] = None): TableMeta = {
+    import graft.queries.Extensions.{dedupPipelineFrame, docTokenSets, docBandRows}
+    val docs = cat.readTable(spark, ns, table)
+    val verdict = dedupPipelineFrame(docs.select("doc_id", "text"),
+      verify = Some((7, 10)))
+    // one keeper compute feeds the data rewrite and both index rebuilds
+    val keepers = docs.join(
+      verdict.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      .localCheckpoint()
+    val stamp = System.currentTimeMillis()
+    def rewrite(t: String, df: org.apache.spark.sql.DataFrame): TableMeta = {
+      val dir = Paths.get(cat.warehouse, ns, t, "data", s"maintain-$stamp")
+      df.write.parquet(dir.toString)
+      cat.registerFiles(ns, t, Seq(dir), operation = "overwrite")
+    }
+    val meta = rewrite(table, keepers)
+    val keeperSets = if (sigsTable.isDefined || toksTable.isDefined)
+      docTokenSets(keepers).localCheckpoint() else null
+    sigsTable.foreach(t => rewrite(t, docBandRows(keeperSets)))
+    toksTable.foreach(t => rewrite(t, keeperSets))
+    meta
+  }
 }

@@ -354,9 +354,13 @@ object Etl {
   }
 
   /** Observed files-kept counts per scale factor for the three clustered
-    * layouts — deterministic for a fixed layout build (the range
-    * partitioner's sampling is seeded; verified identical across fresh
-    * JVMs), so they can act as a hash-level regression pin on the
+    * layouts — deterministic for a fixed layout build because the build
+    * assigns files via `ntile` over a total (`__z`, tiebreaker) order and
+    * writes one file per tile id (see [[zorderFixture]]'s writeLayout;
+    * verified identical across fresh JVMs — the earlier
+    * `repartitionByRange` build was JVM-history-dependent through the
+    * range partitioner's sampling and was replaced for exactly this
+    * reason), so they can act as a hash-level regression pin on the
     * footer-stats file-skipping logic. The in-query `invariant_ok` column
     * already self-checks result parity (pruned reads return exactly the
     * unpruned rows) and curves-beat-linear; this VALUES oracle gates the
@@ -385,6 +389,70 @@ object Etl {
     }.toMap
   }
 
+  // the same near-dup fixture texts the streaming ingester uses: ~19
+  // tokens, one-word edits ⇒ token-set Jaccard 18/20 = 0.9, above the
+  // 7/10 gate, and the 4×4 banding collides these concrete pairs
+  private val MaintTextA =
+    "the quick brown fox jumps over the lazy dog while rain falls on the quiet village green at dawn"
+  private val MaintTextB =
+    "spark executors shuffle partitioned data across the cluster while the driver plans stages and tracks lineage graphs"
+  private val MaintTextC =
+    "a completely separate third document discusses parquet footers column statistics and predicate pushdown for efficient scans"
+
+  /** etl_neardup_maintain: the maintenance pass the streaming near-dup
+    * ingester defers to (SURVEY L40 →
+    * [[graft.etl.Maintenance.neardupMaintain]]). The fixture is exactly
+    * the committed state such an ingester leaves behind: batch 0 landed
+    * docs 1, 2 AND 4 (a one-word edit of doc 1 — near-dup pairs arriving
+    * in the SAME micro-batch both land, since only exact dups collapse
+    * in-batch), batch 1 landed doc 5; the sigs/toks index side tables
+    * cover all four rows. The pass collapses doc 4 into keeper 1 with ONE
+    * overwrite snapshot per table and rebuilds the index for keepers
+    * only. Output: post-maintenance rows FULL-joined with per-doc index
+    * coverage (4 band rows + 1 token-set row each) plus the
+    * pre-maintenance row count read back via time travel — a stale index
+    * row for the dropped doc, a missed collapse, or a purged history
+    * would each break the exact-rows oracle. */
+  private def etlNeardupMaintain: QFn = (s, _) => {
+    import s.implicits._
+    import graft.queries.Extensions.{docTokenSets, docBandRows}
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "etl_neardup_maint")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val proto = Seq((0L, "x")).toDF("doc_id", "text")
+    cat.createTable("maint", "docs", proto.schema)
+    cat.createTable("maint", "docs_sigs", docBandRows(docTokenSets(proto)).schema)
+    cat.createTable("maint", "docs_toks", docTokenSets(proto).schema)
+    def land(id: Int, rows: Seq[(Long, String)]): Unit = {
+      val df = rows.toDF("doc_id", "text")
+      val dir = base.resolve(s"batch-$id")
+      df.write.parquet(dir.resolve("data").toString)
+      val sets = docTokenSets(df).localCheckpoint()
+      docBandRows(sets).write.parquet(dir.resolve("sigs").toString)
+      sets.write.parquet(dir.resolve("toks").toString)
+      cat.registerFiles("maint", "docs", Seq(dir.resolve("data")))
+      cat.registerFiles("maint", "docs_sigs", Seq(dir.resolve("sigs")))
+      cat.registerFiles("maint", "docs_toks", Seq(dir.resolve("toks")))
+    }
+    land(0, Seq((1L, MaintTextA), (2L, MaintTextB),
+      (4L, MaintTextA.replace("dawn", "mist"))))
+    land(1, Seq((5L, MaintTextC)))
+    val before = cat.loadTable("maint", "docs").currentSnapshotId
+    graft.etl.Maintenance.neardupMaintain(s, cat, "maint", "docs",
+      sigsTable = Some("docs_sigs"), toksTable = Some("docs_toks"))
+    val nBefore = cat.readTable(s, "maint", "docs", asOf = Some(before)).count()
+    val docs = cat.readTable(s, "maint", "docs").select("doc_id", "text")
+    val sig = cat.readTable(s, "maint", "docs_sigs")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sig_bands"))
+    val tok = cat.readTable(s, "maint", "docs_toks")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tok_rows"))
+    docs.join(sig, Seq("doc_id"), "full").join(tok, Seq("doc_id"), "full")
+      .withColumn("n_before", lit(nBefore))
+      .select("doc_id", "text", "n_sig_bands", "n_tok_rows", "n_before")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
     "etl_sanitize_uint64" -> etlSanitizeUint64,
     "etl_sanitize_ts"     -> etlSanitizeTs,
@@ -395,6 +463,7 @@ object Etl {
     "etl_bucket_join"     -> etlBucketJoin,
     "etl_partition_prune" -> etlPartitionPrune,
     "etl_zorder"          -> etlZorder,
+    "etl_neardup_maintain" -> etlNeardupMaintain,
   )
 
   def oracles: Map[String, String] = zorderOracle ++ Map(
@@ -441,5 +510,18 @@ object Etl {
         |FROM events
         |WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // deterministic literal fixture ⇒ the post-maintenance state is a
+    // fixed table: keeper docs 1/2/5 (doc 4 collapsed into 1), each
+    // covered by exactly 4 band rows + 1 token-set row in the rebuilt
+    // index, with all 4 pre-maintenance rows still reachable via time
+    // travel
+    "etl_neardup_maintain" ->
+      s"""SELECT * FROM (VALUES
+         |  (CAST(1 AS BIGINT), '$MaintTextA', CAST(4 AS BIGINT),
+         |   CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+         |  (2, '$MaintTextB', 4, 1, 4),
+         |  (5, '$MaintTextC', 4, 1, 4))
+         |AS t(doc_id, text, n_sig_bands, n_tok_rows, n_before)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -700,7 +700,7 @@ object Extensions {
     * per consumer (measured 8 s → 2.5 s at sf0.1). With verification the
     * token-set frame is checkpointed too, so tokenization runs once for
     * signatures and for the Jaccard gate. */
-  private[queries] def dedupPipelineFrame(docs: DataFrame,
+  private[graft] def dedupPipelineFrame(docs: DataFrame,
       verify: Option[(Int, Int)]): DataFrame = {
     val withSets = docs.select(col("doc_id"),
       expr(s"array_distinct($tokensExpr)").as("toks"))
@@ -719,6 +719,25 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** One tokenization per doc: the distinct token set feeds BOTH the
+    * banded MinHash signatures and the exact-Jaccard verify. This is the
+    * row format of the persisted `*_toks` index side tables (streaming
+    * ingestion + maintenance); at scale the strings would be 64-bit token
+    * hashes — Jaccard over hashed tokens is equivalent up to collisions. */
+  private[graft] def docTokenSets(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      expr(s"array_distinct($tokensExpr)").as("toks"))
+
+  /** (doc_id, band) LSH rows for already-tokenized docs — the same 4×4
+    * banding as the batch pipeline (L25/L39), and the row format of the
+    * persisted `*_sigs` index side tables, so streaming ingestion, the
+    * maintenance pass, and the batch pipeline agree on which pairs are
+    * candidates. */
+  private[graft] def docBandRows(sets: DataFrame): DataFrame =
+    minhashBandRows(
+      sets.select(col("doc_id"), explode(col("toks")).as("token")),
+      bands = 4, hashesPerBand = 4)
+
   /** Exact token-set Jaccard gate over candidate edges: two hash joins
     * pull each endpoint's token set, the intersection/union sizes are
     * computed per edge (map-side after the joins), and the threshold is
@@ -727,19 +746,33 @@ object Extensions {
     * multi-band collisions are distinct'd first so each candidate pair
     * is verified once. */
   private[graft] def verifyEdgesJaccard(docSets: DataFrame, edges: DataFrame,
-      num: Int, den: Int): DataFrame = {
-    // the candidate-edge side is BROADCAST: star edges are bounded by the
-    // near-dup rate (k-1 per bucket), orders of magnitude below the corpus,
-    // so both token-set joins stream the (heavy, array-carrying) docSets
-    // side with NO shuffle of it. Round 7 ran these as two shuffled joins
-    // — the token arrays crossed the wire twice for a candidate set of a
-    // few hundred rows. At a corpus scale where the candidate set itself
-    // outgrows a broadcast, drop the hint and the joins degrade to the
-    // shuffle plan this replaced.
+      num: Int, den: Int): DataFrame =
+    verifyEdgesJaccardSides(docSets, docSets, edges, num, den)
+
+  /** Two-sided form of the Jaccard gate: `d1` endpoints resolve against
+    * `leftSets`, `d2` endpoints against `rightSets` — the incremental /
+    * streaming shape, where the left side is a fresh batch and the right
+    * side a PRECOMPUTED committed-token-set table that must stay a plain
+    * scan (never re-tokenized). */
+  private[graft] def verifyEdgesJaccardSides(leftSets: DataFrame,
+      rightSets: DataFrame, edges: DataFrame, num: Int, den: Int): DataFrame = {
+    // Both probe-side inputs carry an explicit BROADCAST hint: the
+    // candidate edges first (bounded by the near-dup rate — k−1 per band
+    // bucket, orders of magnitude below the corpus), then the edge×t1
+    // intermediate for the second join (edge-count rows, each carrying one
+    // token array — still candidate-bounded). Hinting the intermediate
+    // matters because a hint on `cand` pins only the FIRST join; the
+    // second join's left input is that join's output, outside the hinted
+    // subtree, so without its own hint the planner falls back to
+    // stats/AQE. The token-set sides therefore stream with no shuffle.
+    // If the candidate set ever outgrows the broadcast threshold, drop
+    // both hints and the joins degrade to shuffled hash joins — correct,
+    // just paying the token-array shuffle these hints avoid.
     val cand = broadcast(edges.distinct())
-    cand
-      .join(docSets.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
-      .join(docSets.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
+    val withT1 = broadcast(cand
+      .join(leftSets.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1"))
+    withT1
+      .join(rightSets.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
       .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
       .filter(lit(den) * col("inter") >=
         lit(num) * (size(col("t1")) + size(col("t2")) - col("inter")))
@@ -1205,21 +1238,25 @@ object Extensions {
     * overlap, the plan is shingle-size-agnostic). The benchmark shingle
     * index is tiny next to the corpus and BROADCAST; the corpus side is a
     * lazy shingle flat-map ([[graft.functions.NGramsGenerator]]) + one
-    * equi-join on hash + a per-doc count — never doc×doc, and corpus docs
-    * with no shared shingle die map-side in the broadcast join. Exact
+    * equi-join on hash + a per-doc distinct count — never doc×doc. Order
+    * matters at scale: the broadcast join runs FIRST, so corpus shingles
+    * with no benchmark match die map-side and never reach an exchange;
+    * the per-(doc, hash) dedup happens inside the countDistinct
+    * aggregate, whose partial (map-side) phase sees only collision
+    * survivors. The round-8 form distinct'd the full (doc_id, h) shingle
+    * stream BEFORE the join — a corpus-sized keyed shuffle that dominated
+    * the 10× smoke (3.46×); this plan shuffles only matches. Exact
     * oracle: DuckDB replays the same shingles. */
   private def qDecontaminate: QFn = (s, d) => {
     val sh = Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id"), expr(toksOrdered).as("toks"))
       .selectExpr("doc_id", "graft_ngrams(toks, 3) AS (pos, sh)")
       .select(col("doc_id"), md5(col("sh")).as("h"))
-      .distinct()
     val bench = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
     sh.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), "h")
-      // sh is distinct (doc_id, h): the plain count IS distinct shingles
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("h")).as("n_shared"))
       .filter(col("n_shared") >= 3)
       .orderBy("doc_id")
   }
@@ -1439,15 +1476,17 @@ object Extensions {
     val flags = gopherFlags(docs)
       .withColumn("q", col("r_words") && col("r_wlen") && col("r_sym") &&
         col("r_stop") && col("r_rep"))
+    // same join-before-dedup order as q_decontaminate: non-matching
+    // corpus shingles die map-side in the broadcast join; only collision
+    // survivors reach the countDistinct exchange
     val sh = docs
       .select(col("doc_id"), expr(toksOrdered).as("toks"))
       .selectExpr("doc_id", "graft_ngrams(toks, 3) AS (pos, sh)")
       .select(col("doc_id"), md5(col("sh")).as("h"))
-      .distinct()
     val bench = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
     val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .groupBy("doc_id").agg(countDistinct(col("h")).as("n_shared"))
       .filter(col("n_shared") >= 3)
       .select(col("doc_id"), lit(true).as("contam"))
     val draw = expr(

@@ -350,30 +350,61 @@ object Streaming {
       .select("doc_id", "text", "h").orderBy("doc_id")
   }
 
+  import graft.queries.Extensions.{docTokenSets, docBandRows}
+
+  /** The per-micro-batch NEAR-dup screen: fresh (already exact-deduped)
+    * batch rows against the PRECOMPUTED committed-side index — `sigsHist`
+    * (doc_id, band) for candidate generation and `toksHist` (doc_id,
+    * toks) for the exact-Jaccard gate. Only the BATCH side is tokenized
+    * and MinHashed (both index tables lack a text column, so re-deriving
+    * history signatures inside the batch plan is structurally
+    * impossible); the committed side contributes two plain scans, joined
+    * on `band` and on the broadcast candidate edges. Per-batch cost is
+    * O(batch + collisions) regardless of committed-set size — at 100 TB
+    * the sigs table is bucketed on band (the L31 layout) and each batch
+    * joins only its colliding buckets. Returns the rejected doc_ids. */
+  private[graft] def neardupScreen(fresh: DataFrame, sigsHist: DataFrame,
+      toksHist: DataFrame): DataFrame = {
+    val freshSets = docTokenSets(fresh).localCheckpoint()
+    val cand = docBandRows(freshSets).select(col("doc_id").as("d1"), col("band"))
+      .join(sigsHist.select(col("doc_id").as("d2"), col("band")), "band")
+      .select("d1", "d2").distinct()
+    graft.queries.Extensions
+      .verifyEdgesJaccardSides(freshSets, toksHist, cand, 7, 10)
+      .select(col("d1").as("doc_id")).distinct()
+  }
+
   /** st_neardup_catalog: streaming incremental NEAR-dup into the catalog
     * — the streaming face of `q_neardup_incremental` (SURVEY L39) and the
     * fuzzy upgrade of [[stDedupCatalog]]: each micro-batch (1) exact
     * self-dedups (first doc_id per content hash), (2) drops exact matches
     * of committed rows via the hash index, then (3) drops NEAR-dups of
-    * the committed set — banded MinHash signatures of batch survivors vs
-    * the committed table (every committed row is a representative by
-    * construction, so the index never holds a dup clique), candidates
-    * gated by exact token-set Jaccard ≥ 0.7 — and only then lands an
-    * append snapshot. A near-duplicate arriving any number of batches
-    * later still hits the index. At 100 TB the committed side's
-    * signatures are precomputed once per snapshot and bucketed on band
-    * (the L31 layout), so each micro-batch joins only colliding buckets.
-    * Within one micro-batch only EXACT dups collapse (near-dup pairs that
-    * arrive together both land — micro-batching trades event-at-a-time
-    * ordering for throughput; the next maintenance pass collapses them).
-    * Inputs are deterministic literals ⇒ exact-rows oracle; the committed
-    * rows PROVE the near-dup path fired (a missed rejection would land an
-    * extra row and break the oracle). */
+    * the committed set via [[neardupScreen]] (every committed row is a
+    * representative by construction, so the index never holds a dup
+    * clique), and only then lands an append snapshot. The committed-side
+    * index is PERSISTED: each accepted batch also appends its banded
+    * signatures to `docs_neardup_sigs` and its token sets to
+    * `docs_neardup_toks`, so the next batch's plan joins precomputed
+    * index tables instead of re-tokenizing and re-MinHashing the whole
+    * committed history — per-batch work stays O(batch + collisions) as
+    * the table grows. (At scale the toks table would store 64-bit token
+    * hashes rather than strings; Jaccard over hashed tokens is
+    * equivalent up to hash collisions.) A near-duplicate arriving any
+    * number of batches later still hits the index. Commit order is data
+    * → sigs → toks: a crash between commits leaves accepted rows
+    * UNDER-indexed (a later near-dup might land, which the
+    * `etl_neardup_maintain` pass collapses), never rows rejected against
+    * a phantom. Within one micro-batch only EXACT dups collapse
+    * (near-dup pairs that arrive together both land — micro-batching
+    * trades event-at-a-time ordering for throughput;
+    * `etl_neardup_maintain` collapses them). Inputs are deterministic
+    * literals ⇒ exact-rows oracle; the committed rows PROVE the near-dup
+    * path fired (a missed rejection would land an extra row and break
+    * the oracle). */
   def stNeardupCatalog: QFn = (s, _) => {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    import graft.queries.Extensions.{minhashBandRows, verifyEdgesJaccard, tokensExpr}
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
       "st_neardup_cat")
@@ -382,32 +413,38 @@ object Streaming {
     val hashed = input.toDF().toDF("doc_id", "text")
       .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
     cat.createTable("stream", "docs_neardup", hashed.schema)
-    def sets(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      expr(s"array_distinct($tokensExpr)").as("toks"))
-    def bands(df: DataFrame): DataFrame = minhashBandRows(
-      sets(df).select(col("doc_id"), explode(col("toks")).as("token")), 4, 4)
+    // index side-table schemas derived from the same transforms that
+    // will populate them (a one-row batch prototype, never executed)
+    val proto = Seq((0L, "x")).toDF("doc_id", "text")
+    cat.createTable("stream", "docs_neardup_sigs",
+      docBandRows(docTokenSets(proto)).schema)
+    cat.createTable("stream", "docs_neardup_toks", docTokenSets(proto).schema)
     val q = withStatePartitions(s, 4)(hashed.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val ss = batch.sparkSession
         val hist = cat.readTable(ss, "stream", "docs_neardup")
+        val sigsHist = cat.readTable(ss, "stream", "docs_neardup_sigs")
+        val toksHist = cat.readTable(ss, "stream", "docs_neardup_toks")
         val w = Window.partitionBy("h").orderBy("doc_id")
         val fresh = batch
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
           .join(hist.select("h").distinct(), Seq("h"), "left_anti")
-          .localCheckpoint() // feeds bands, the verify sets, and the landing
-        val cand = bands(fresh).select(col("doc_id").as("d1"), col("band"))
-          .join(bands(hist).select(col("doc_id").as("d2"), col("band")), "band")
-          .select("d1", "d2").distinct()
-        val nearDup = verifyEdgesJaccard(
-            sets(fresh).unionByName(sets(hist)), cand, 7, 10)
-          .select(col("d1").as("doc_id")).distinct()
-        val accepted = fresh.join(nearDup, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // feeds the screen AND the landing
+        val rejected = neardupScreen(fresh, sigsHist, toksHist)
+        val accepted = fresh.join(rejected, Seq("doc_id"), "left_anti")
           .select("doc_id", "text", "h")
+          .localCheckpoint() // one compute feeds data + sigs + toks writes
         if (!accepted.isEmpty) {
           val dir = base.resolve("landed").resolve(s"batch-$id")
-          accepted.write.mode("overwrite").parquet(dir.toString)
-          cat.registerFiles("stream", "docs_neardup", Seq(dir))
+          accepted.write.mode("overwrite").parquet(dir.resolve("data").toString)
+          val aSets = docTokenSets(accepted).localCheckpoint()
+          docBandRows(aSets).write.mode("overwrite")
+            .parquet(dir.resolve("sigs").toString)
+          aSets.write.mode("overwrite").parquet(dir.resolve("toks").toString)
+          cat.registerFiles("stream", "docs_neardup", Seq(dir.resolve("data")))
+          cat.registerFiles("stream", "docs_neardup_sigs", Seq(dir.resolve("sigs")))
+          cat.registerFiles("stream", "docs_neardup_toks", Seq(dir.resolve("toks")))
         }
         ()
       }

@@ -151,6 +151,17 @@ class MaintenanceSpec extends SparkSpec {
       graft.catalog.ExpireResult(0, 0, 2))
   }
 
+  test("etl_neardup_maintain: in-batch near-dup collapses, index rebuilt for keepers") {
+    val rows = graft.queries.Etl.queries("etl_neardup_maintain")(spark, sfDir)
+      .collect()
+    // keepers 1, 2, 5; doc 4 (near-dup of 1 that landed in the same
+    // batch) collapsed; each keeper carries 4 band rows + 1 token-set row
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 5L))
+    assert(rows.forall(r => r.getLong(2) === 4L && r.getLong(3) === 1L))
+    // all four pre-maintenance rows remain reachable via time travel
+    assert(rows.forall(_.getLong(4) === 4L))
+  }
+
   test("expireSnapshots refuses a boundary carrying merge-on-read debt") {
     val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "expire_mor")
     val cat = new GraftCatalog(base.resolve("wh").toString)

@@ -153,11 +153,60 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
     // every equi-join keys on band, doc id, or the verify edge ends —
     // never on a non-key column that would fan out
-    val keyed = p.collect { case j: BaseJoinExec => j.leftKeys.map(_.sql) }
+    val allowedKeys = Set("band", "d1", "d2", "doc_id")
+    val keyed = p.collect { case j: BaseJoinExec =>
+      j.leftKeys.flatMap(_.references.map(_.name))
+    }
     assert(keyed.nonEmpty)
+    for (ks <- keyed)
+      assert(ks.forall(allowedKeys), s"non-key join columns: $ks")
     // the Jaccard gate streams the token-set side against BROADCAST edges
     assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
       "candidate edges must broadcast into the verify joins")
+  }
+
+  test("streaming near-dup screen: committed index is scanned, never re-derived") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "screen_pin")
+    val committed = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val sets = Extensions.docTokenSets(committed)
+    Extensions.docBandRows(sets).write.parquet(base.resolve("sigs").toString)
+    sets.write.parquet(base.resolve("toks").toString)
+    val fresh = Seq((10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try graft.streaming.Streaming.neardupScreen(fresh,
+        spark.read.parquet(base.resolve("sigs").toString),
+        spark.read.parquet(base.resolve("toks").toString))
+      .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the committed side contributes exactly two parquet scans — the
+    // (doc_id, band) sigs index and the (doc_id, toks) token sets.
+    // Neither carries a text column, so re-tokenizing / re-MinHashing
+    // history inside the per-micro-batch plan is structurally impossible
+    // — this is the pin that the round-8 O(committed-set)-per-batch
+    // recompute cannot regress.
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    assert(scans.size === 2)
+    assert(scans.forall(f => !f.output.map(_.name).contains("text")),
+      "index scans must not expose a text column")
+    // and no tokenizer anywhere in the plan: the batch side tokenizes
+    // once at its checkpoint, history never
+    assert(!p.toString.contains("split(lower("))
+    // candidates come from the band-keyed join; verify from broadcast
+    // edges — never pair enumeration
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
+    val allowed = Set("band", "d1", "d2", "doc_id")
+    val keyed = p.collect { case j: BaseJoinExec =>
+      j.leftKeys.flatMap(_.references.map(_.name))
+    }
+    assert(keyed.nonEmpty)
+    for (ks <- keyed) assert(ks.forall(allowed), s"non-key join columns: $ks")
   }
 
   test("simhash statistics: histogram-sized plan, no doc-level pair join") {
@@ -198,8 +247,27 @@ class PlanSpec extends SparkSpec {
     // sort-merge join on shingle hash would shuffle the whole corpus's
     // shingle stream at 100 TB
     val p = plan("q_decontaminate")
-    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    val bj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bj.nonEmpty)
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    // the corpus-side (streamed) input of the broadcast join must be
+    // exchange-free: shingles that miss the benchmark index die map-side,
+    // BEFORE any shuffle. The round-8 plan distinct'd the full (doc_id,
+    // h) shingle stream first — a corpus-sized keyed shuffle under the
+    // join that dominated the 10× smoke.
+    for (j <- bj) {
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case _ => j.right
+      }
+      // (the RoundRobin spread fan-out is exempt — a no-op on a wide scan)
+      val keyed = streamed.collect { case e: ShuffleExchangeLike =>
+        e.outputPartitioning
+      }.filterNot(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+      assert(keyed.isEmpty,
+        "corpus shingle stream must reach the broadcast join unshuffled")
+    }
   }
 
   test("PII redaction is map-only: no keyed exchange at all") {
