@@ -1010,14 +1010,28 @@ object Extensions {
 
   /** k-means coarse quantizer: 3 Lloyd iterations from the given
     * deterministic seeds, each iteration one assignment scan + one
-    * per-(cell, dim) average — only k×dim floats return to the driver. */
+    * per-(cell, dim) mean — only k×dim floats return to the driver. The
+    * mean folds member values in vec_id order (sorted collect + explicit
+    * `aggregate`), NOT a mergeable `avg`: partial float sums commute only
+    * approximately, so a plain avg makes the centroids — and through
+    * boundary vectors the cell assignment — depend on the scan's
+    * partition layout. The fixed fold order buys bit-reproducible
+    * centroids on any cluster size, which is what lets the downstream
+    * cell report carry an exact oracle. Training runs on a bounded
+    * sample at 100 TB (see [[qVecKnnIvf]] doc), so the per-(cell, dim)
+    * collect is bounded too. */
   private def trainCells(s: SparkSession, emb: DataFrame,
                          init: Seq[Seq[Float]]): Seq[Seq[Float]] = {
     var cents: Seq[Seq[Float]] = init
     for (_ <- 1 to 3) {
       cents = assignCells(s, emb, cents)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v")).as("cv"))
+        .select(col("vec_id"), col("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(expr("aggregate(transform(array_sort(collect_list(struct(vec_id, v))), " +
+          "x -> x.v), cast(0 as double), (a, x) -> a + x)").as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"), (col("sv") / col("n")).as("cv"))
         .groupBy("cell")
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), " +
           "x -> cast(x.cv as float))").as("centroid"))
@@ -1112,17 +1126,19 @@ object Extensions {
       .orderBy("label")
   }
 
-  /** q_embed_neardup_cells (non-oracle): the 100 TB-honest blocking for
-    * embedding near-dup — the blocking key is a LEARNED k-means cell id
-    * (the same coarse quantizer as q_vec_knn_kmeans), not a pre-existing
-    * label column, because real corpora don't ship one. The pair join is
-    * an EQUI join on cell: shuffle-partitionable, skew-bounded by cell
+  /** q_embed_neardup_cells: the 100 TB-honest blocking for embedding
+    * near-dup — the blocking key is a LEARNED k-means cell id (the same
+    * coarse quantizer as q_vec_knn_kmeans), not a pre-existing label
+    * column, because real corpora don't ship one. The pair join is an
+    * EQUI join on cell: shuffle-partitionable, skew-bounded by cell
     * size, never theta/cross. Per-cell report plus a candidate-reduction
     * invariant (within-cell pairs strictly fewer than all-pairs, computed
-    * from the k cell sizes — a k-row driver fetch, not data). The
-    * label-blocked [[qEmbedNeardup]] stays as the oracle-checked variant:
-    * the synthetic embeddings are not label-clustered in cosine space, so
-    * a learned-cell pair list has no SQL-expressible ground truth. */
+    * from the k cell sizes — a k-row driver fetch, not data). Oracled via
+    * the observed-values pin [[embedCellsObserved]]: the fixed-fold-order
+    * [[trainCells]] makes the cell assignment bit-deterministic, and
+    * DuckDB recomputes the pair/reduction arithmetic from the pinned
+    * sizes. The label-blocked [[qEmbedNeardup]] remains the
+    * SQL-replayed variant covering nonzero similarity counts. */
   private def qEmbedNeardupCells: QFn = (s, d) => {
     val dot = dotF(s) _
     // assignment + the pair join reuse the scan 3x (a, b, sizes); the
@@ -1606,7 +1622,45 @@ object Extensions {
     "q_udtf_ngrams"     -> qUdtfNgrams,
   )
 
-  val oracles: Map[String, String] = Map(
+  /** Observed per-cell near-dup reports per scale factor — deterministic
+    * now that [[trainCells]] folds member values in fixed vec_id order
+    * (verified byte-identical across local[4] and local[32] sessions, so
+    * the values are partition-layout-independent, like the zorder skip
+    * counts in [[Etl]]). Keyed on the verify dir's basename; an unknown
+    * dir keeps the rows-only check. n_similar is 0 throughout: the
+    * synthetic embeddings have no ≥0.8-cosine pairs inside learned cells
+    * — the counting path is still exercised (the label-blocked
+    * [[qEmbedNeardup]] oracle covers nonzero counts). */
+  private val embedCellsObserved: Map[String, Seq[(Long, Long)]] = Map(
+    "sf0.001" -> Seq(1L -> 71L, 2L -> 52L, 3L -> 63L, 4L -> 66L,
+      5L -> 66L, 6L -> 63L, 7L -> 59L, 8L -> 60L),
+    "sf0.01" -> Seq(1L -> 56L, 2L -> 64L, 3L -> 59L, 4L -> 63L,
+      5L -> 55L, 6L -> 68L, 7L -> 72L, 8L -> 63L),
+    "sf0.1" -> Seq(1L -> 249L, 2L -> 257L, 3L -> 258L, 4L -> 257L,
+      5L -> 248L, 6L -> 251L, 7L -> 257L, 8L -> 223L))
+
+  private def embedCellsOracle: Map[String, String] = {
+    val tag = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01"))
+      .getFileName.toString
+    embedCellsObserved.get(tag).map { cells =>
+      // n_pairs = C(n_vectors, 2) within each cell; reduction vs the
+      // all-pairs total is recomputed by DuckDB from the pinned sizes
+      "q_embed_neardup_cells" -> ("WITH sizes(cell, n_vectors) AS (VALUES\n" +
+        cells.map { case (c, n) =>
+          s"  (CAST($c AS BIGINT), CAST($n AS BIGINT))"
+        }.mkString(",\n") + ")\n" +
+        """SELECT cell, n_vectors,
+          |       n_vectors * (n_vectors - 1) // 2 AS n_pairs,
+          |       CAST(0 AS BIGINT) AS n_similar,
+          |       (SELECT sum(n_vectors * (n_vectors - 1) // 2) FROM sizes)
+          |         < (SELECT sum(n_vectors) * (sum(n_vectors) - 1) // 2
+          |            FROM sizes) AS reduction_ok
+          |FROM sizes ORDER BY cell""".stripMargin)
+    }.toMap
+  }
+
+  def oracles: Map[String, String] = embedCellsOracle ++ Map(
     "q_sample_split" ->
       """WITH drawn AS (
         |  SELECT lang, n_chars,
