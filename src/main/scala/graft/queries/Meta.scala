@@ -1347,9 +1347,13 @@ object Meta {
     * a `HiveThriftServer2` endpoint on TCP, binary NOSASL, reached through
     * the Hive JDBC driver (`/root/reference/entrypoint-spark.sh:66-142`,
     * `:103-110`). Invariants: the port accepts connections; a declared
-    * query returns IDENTICAL rows over the wire and in-process; two
-    * concurrent clients (the `docker-compose.yml:36-37` topology) each
-    * complete with correct results on separate connections; per-connection
+    * query returns IDENTICAL rows over the wire and in-process; SIX
+    * concurrent clients (Superset fires more than the
+    * `docker-compose.yml:36-37` two-container topology suggests — each
+    * dashboard tile is a connection) each complete with correct results
+    * on separate connections; a trivial statement is not starved by a
+    * long all-core aggregate on another connection (meta_concurrent's
+    * FAIR no-starvation invariant over the real TCP path); per-connection
     * Thrift sessions are isolated (a temp view created on one connection
     * is invisible on another — HS2's session model); and SHOW TABLES
     * introspection works over the wire (PyHive's first call). Oracled as
@@ -1371,10 +1375,11 @@ object Meta {
       .map(r => (r.get(0).asInstanceOf[Number].longValue(), r.getString(1))).toSeq
     val wire = ThriftServe.query(port, stmt)
       .map(r => (r(0).asInstanceOf[Number].longValue(), r(1).toString))
-    // 2-client concurrency probe over separate TCP connections
+    // 6-client concurrency probe over separate TCP connections
+    val nClients = 6
     val res = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
-    val threads = (1 to 2).map { i =>
+    val threads = (1 to nClients).map { i =>
       new Thread(() => {
         try {
           val rows = ThriftServe.query(port,
@@ -1385,7 +1390,51 @@ object Meta {
     }
     threads.foreach(_.start()); threads.foreach(_.join(120000))
     val concurrentOk = errs.isEmpty &&
-      (1 to 2).forall(i => res.get(i) == local.size.toLong + i)
+      (1 to nClients).forall(i => res.get(i) == local.size.toLong + i)
+    // FAIR no-starvation over the wire: while a long aggregate holds one
+    // connection, a trivial statement on ANOTHER open connection must
+    // complete first. Both connections are opened BEFORE the race so
+    // session setup isn't on the timed path. Two knobs make the race
+    // deterministic rather than a scheduler coin-flip: the long scan is
+    // split into 200 small tasks (slots free continuously — a few
+    // monolithic tasks would hold every slot to the end), and the short
+    // session is moved to its own FAIR pool via the per-session
+    // `spark.sql.thriftserver.scheduler.pool` conf, so the root FAIR
+    // scheduler hands it the next free slot even though the default
+    // pool's internal order is FIFO. Under Thrift even `SELECT 1` runs
+    // as a (one-task) job — incremental collect drives toLocalIterator —
+    // which is exactly why an unpooled short statement QUEUES behind a
+    // saturating scan: this probe pins the serving-side fix.
+    val fairOk = ThriftServe.withConnection(port) { longC =>
+      ThriftServe.withConnection(port) { shortC =>
+        @volatile var longEnd = 0L
+        @volatile var shortEnd = 0L
+        val longStarted = new java.util.concurrent.CountDownLatch(1)
+        val lt = new Thread(() => {
+          try {
+            val st = longC.createStatement()
+            longStarted.countDown()
+            val rs = st.executeQuery(
+              "SELECT sum(id % 1000000) AS s FROM range(0, 12000000000, 1, 200)")
+            rs.next(); longEnd = System.nanoTime(); st.close()
+          } catch { case t: Throwable => errs.add(t) }
+        })
+        val sh = new Thread(() => {
+          try {
+            longStarted.await()
+            Thread.sleep(150)
+            val pst = shortC.createStatement()
+            pst.execute("SET spark.sql.thriftserver.scheduler.pool=thrift-short")
+            pst.close() // let the long statement reach the executor
+            val st = shortC.createStatement()
+            val rs = st.executeQuery("SELECT 1 AS one")
+            rs.next(); shortEnd = System.nanoTime(); st.close()
+          } catch { case t: Throwable => errs.add(t) }
+        })
+        lt.start(); sh.start(); lt.join(180000); sh.join(180000)
+        errs.isEmpty && shortEnd != 0L && longEnd != 0L && shortEnd < longEnd
+      }
+    }
     // per-connection session isolation: a TEMP view made on connection A
     // must not resolve on connection B
     val isoOk = ThriftServe.withConnection(port) { a =>
@@ -1404,7 +1453,8 @@ object Meta {
       ("server_listening", if (port > 0) 1L else 0L, port > 0),
       ("jdbc_matches_inprocess", wire.size.toLong,
         wire.nonEmpty && wire == local),
-      ("two_concurrent_clients", res.size.toLong, concurrentOk),
+      ("six_concurrent_clients", res.size.toLong, concurrentOk),
+      ("short_not_starved_by_long", 1L, fairOk),
       ("thrift_session_isolation", 1L, isoOk),
       ("show_tables_over_wire", 1L, shown))
       .toDF("phase", "n", "invariant_ok")
@@ -1580,8 +1630,8 @@ object Meta {
         ")\n  v(\"tableName\", createtab_stmt)\nORDER BY \"tableName\""),
     "meta_thrift_serve" -> probeOracle("n", Seq(
       "server_listening" -> 1L, "jdbc_matches_inprocess" -> 5L,
-      "two_concurrent_clients" -> 2L, "thrift_session_isolation" -> 1L,
-      "show_tables_over_wire" -> 1L)),
+      "six_concurrent_clients" -> 6L, "short_not_starved_by_long" -> 1L,
+      "thrift_session_isolation" -> 1L, "show_tables_over_wire" -> 1L)),
     // file counts replay as distinct-year / distinct-month aggregates:
     // partitioned writes land exactly one file per partition value, so
     // the manifest's file census is a date census of the raw rows

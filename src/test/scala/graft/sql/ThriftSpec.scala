@@ -4,16 +4,17 @@ import graft.SparkSpec
 
 /** The REAL HiveThriftServer2 endpoint (SURVEY.md §2.C4/§0 serving layer):
   * TCP listen, NOSASL JDBC round-trip parity with the in-process plan,
-  * 2-client concurrency, per-connection session isolation, and wire
-  * introspection — the reference's Superset-facing topology end-to-end. */
+  * 6-client concurrency with a no-starvation race, per-connection session
+  * isolation, and wire introspection — the reference's Superset-facing
+  * topology end-to-end. */
 class ThriftSpec extends SparkSpec {
 
   test("meta_thrift_serve declared query: all invariants hold") {
     val rows = graft.queries.Meta.queries("meta_thrift_serve")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.map(_._1).toSeq === Seq("server_listening",
-      "jdbc_matches_inprocess", "two_concurrent_clients",
-      "thrift_session_isolation",
+      "jdbc_matches_inprocess", "six_concurrent_clients",
+      "short_not_starved_by_long", "thrift_session_isolation",
       "show_tables_over_wire").sorted) // query emits phase-sorted
     assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
   }
