@@ -68,11 +68,17 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(scaledDocs.toString)
     }
 
-    val targets = Seq("q_dedup_pipeline", "q_dedup_pipeline_verified",
+    val allTargets = Seq("q_dedup_pipeline", "q_dedup_pipeline_verified",
       "q_dedup_cluster_star", "q_dedup_incremental", "q_neardup_incremental",
       "q_neardup_simhash",
       "q_neardup_simhash_k", "q_pack_sequences", "q_mix_temperature",
       "q_decontaminate")
+    // SPARK_GRAFT_ONLY: comma-separated target filter for iteration
+    // ("none" runs only the streaming-screen block below)
+    val targets = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(only) => allTargets.filter(only.split(",").toSet)
+      case None       => allTargets
+    }
     val ccBacked = Set("q_dedup_pipeline", "q_dedup_cluster_star")
 
     def time(name: String, dir: String): (Double, Int) = {
@@ -89,8 +95,68 @@ object ScaleSmoke {
     }
 
     // warm up the JVM on the base corpus before any timed run
-    SparkEntry.queries(targets.head)(spark, sfDir)
+    SparkEntry.queries(allTargets.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+
+    // st_neardup_screen: the streaming ingester's PER-BATCH cost as the
+    // committed index grows ×MULT with the batch held FIXED — the L40
+    // claim: the screen joins precomputed (doc_id, band) / (doc_id, toks)
+    // side tables, so per-batch wall tracks batch + collisions, not
+    // committed-set size. The index build is NOT timed: it is the
+    // accumulated catalog state, appended incrementally at ingest time.
+    // (At 100 TB the sigs table is additionally bucketed on band — the
+    // L31 layout — making the candidate join co-located; unbucketed here,
+    // so the ratio bounds the WORST case of re-scanning the index.)
+    {
+      import graft.queries.Extensions.{docTokenSets, docBandRows}
+      val isBatch = col("doc_id") % 97 === 0
+      val baseDocs = Tables.documents(spark, sfDir)
+      val batch = baseDocs.filter(isBatch)
+        .select("doc_id", "text").localCheckpoint()
+      val committedBase = baseDocs.filter(!isBatch).select("doc_id", "text")
+      val span = baseDocs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      // a committed corpus is NEAR-DUP-FREE BY CONSTRUCTION (the screen
+      // itself guarantees it), so it grows by NEW content — clique
+      // replication would hand every batch doc MULT× collision partners,
+      // a state the ingester can never reach. Replicas therefore live in
+      // disjoint token spaces (per-replica token prefix): ×MULT unique
+      // committed docs, batch collisions unchanged.
+      val committedScaled = (0 until mult).map { i =>
+        if (i == 0) committedBase
+        else committedBase
+          .withColumn("doc_id", col("doc_id") + lit(i * span))
+          .withColumn("text",
+            regexp_replace(col("text"), "([a-z0-9]+)", s"r${i}x$$1"))
+      }.reduce(_ unionByName _)
+      def indexFor(docs: org.apache.spark.sql.DataFrame, tag: String)
+          : (String, String) = {
+        val sigs = scaledDir.resolve(s"screen_sigs_$tag")
+        val toks = scaledDir.resolve(s"screen_toks_$tag")
+        if (!Files.exists(sigs)) {
+          val sets = docTokenSets(docs).localCheckpoint()
+          docBandRows(sets).write.mode("overwrite").parquet(sigs.toString)
+          sets.write.mode("overwrite").parquet(toks.toString)
+        }
+        (sigs.toString, toks.toString)
+      }
+      def screenTime(docs: org.apache.spark.sql.DataFrame, tag: String)
+          : Double = {
+        val (sigs, toks) = indexFor(docs, tag)
+        var best = Double.MaxValue
+        for (_ <- 1 to 2) {
+          val t0 = System.nanoTime()
+          graft.streaming.Streaming.neardupScreen(batch,
+              spark.read.parquet(sigs), spark.read.parquet(toks))
+            .write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        best
+      }
+      val tb = screenTime(committedBase, "base")
+      val ts = screenTime(committedScaled, "scaled")
+      println(f"""{"query":"st_neardup_screen","mult":$mult,""" +
+        f""""base_sec":$tb%.2f,"scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f}""")
+    }
     targets.foreach { q =>
       val (tb, rb) = time(q, sfDir)
       val (ts, rs) = time(q, scaledDir.toString)

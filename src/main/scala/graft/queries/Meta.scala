@@ -1523,7 +1523,15 @@ object Meta {
     sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01")
 
   private def eventsTsSqlType: String =
-    if (Tables.eventsTsUnit(oracleSfDir) == "NANOS") "BIGINT" else "TIMESTAMP_NTZ"
+    // Try: the probe reads a parquet footer at ORACLE-BUILD time, and any
+    // SparkEntry.oracleSql caller outside the Verify/Bench mains (a dev
+    // box without /root/testdata) must still get a usable oracle map —
+    // degrade to the current fixture's MICROS type instead of failing
+    // every oracle because one DDL string couldn't probe
+    scala.util.Try(Tables.eventsTsUnit(oracleSfDir)).toOption match {
+      case Some("NANOS") => "BIGINT"
+      case _             => "TIMESTAMP_NTZ"
+    }
 
   private def showCreateDdls: Seq[(String, Seq[String])] = Seq(
     "customer" -> Seq("c_custkey BIGINT", "c_name STRING", "c_nationkey INT",

@@ -67,7 +67,21 @@ def main():
             failed.append((name, f"non-oracle output unreadable: {e}"))
     for name, sql in sorted(oracles.items()):
         if name in skip:
-            print(f"SKIP  {name} (quadratic DuckDB replay)")
+            # the DuckDB replay is skipped, but the engine dump must still
+            # be readable and non-empty — otherwise a broken skipped query
+            # would pass silently
+            try:
+                n = con.sql(
+                    f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'"
+                ).fetchone()[0]
+                if n > 0:
+                    print(f"SKIP  {name} (quadratic DuckDB replay; "
+                          f"{n} rows readable)")
+                else:
+                    failed.append((name, "skipped oracle but output EMPTY"))
+            except Exception as e:
+                reset(con)
+                failed.append((name, f"skipped oracle output unreadable: {e}"))
             continue
         try:
             spark_rel = con.sql(

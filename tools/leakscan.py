@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Repo-side leak scan with provenance.
+
+The per-round LEAKCHECK.json records category hit lists but not WHICH
+commit was scanned, so a round bump doesn't prove a fresh scan. This
+scanner re-runs an equivalent check over the working tree and stamps the
+result with the scanned commit SHA + UTC timestamp; run it before a
+round lands and keep the output next to the round gates:
+
+    python3 tools/leakscan.py > target/LEAKSCAN.json
+
+Categories mirror the round gate: non-public imports/URLs, cloud bucket
+URIs, chat/tracker short links, credential-looking strings, and
+unexplained environment variables. Everything here is a generic pattern
+— the scan must be runnable by anyone from the public tree alone.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+SCAN_DIRS = ["src", "tools", "Bench.scala", "Verify.scala"]
+EXTS = {".scala", ".py", ".sbt", ".md", ".properties", ".conf", ".xml"}
+
+# env vars the build legitimately reads (documented in README/skill)
+ENV_ALLOW = {
+    "SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS", "SPARK_GRAFT_ONLY",
+    "SPARK_GRAFT_SCALE_MULT", "SPARK_GRAFT_BENCH_RUNS",
+    "SPARK_GRAFT_BENCH_BUDGET", "COURSIER_MODE", "HOME", "PATH", "TMPDIR",
+}
+
+PATTERNS = {
+    "nonpublic-import": re.compile(
+        r"^\s*import\s+(?!java\.|javax\.|scala\.|org\.apache\.|org\.scalatest"
+        r"|org\.scalacheck|graft\.|spark\.implicits|s\.implicits"
+        r"|sess\.implicits|org\.slf4j|com\.fasterxml|org\.rocksdb"
+        r"|org\.json4s"  # ships in /opt/spark/jars — public Spark dep
+        r"|duckdb|math\b|re\b|os\b|sys\b|json\b|subprocess\b|datetime\b)"
+        r"([a-zA-Z_][\w.]*)", re.M),
+    "nonpublic-url": re.compile(
+        r"https?://(?!localhost|127\.0\.0\.1|github\.com|spark\.apache\.org"
+        r"|iceberg\.apache\.org|arxiv\.org|doi\.org|en\.wikipedia\.org"
+        r"|duckdb\.org|docs\.oracle\.com|www\.w3\.org|maven\.apache\.org"
+        r"|repo1\.maven\.org)[\w.-]+"),
+    "bucket-uri": re.compile(r"\b(?:s3a?|gs|abfss?|wasbs?)://[\w./-]+"),
+    "chat-link": re.compile(r"\b(?:slack\.com/archives|go/[a-z][\w-]{1,30}\b)"),
+    "credential": re.compile(
+        r"(?:api[_-]?key|secret|token|password)\s*[:=]\s*['\"][A-Za-z0-9+/_-]{16,}"),
+    "env-var": re.compile(r"""(?:sys\.env(?:\.get)?\(|os\.environ(?:\.get)?[\[(])\s*['"]([A-Z][A-Z0-9_]+)['"]"""),
+}
+
+
+def files():
+    for root_entry in SCAN_DIRS:
+        if os.path.isfile(root_entry):
+            yield root_entry
+            continue
+        for dirpath, _, names in os.walk(root_entry):
+            for n in names:
+                if os.path.splitext(n)[1] in EXTS:
+                    yield os.path.join(dirpath, n)
+
+
+def main():
+    hits = {k: [] for k in PATTERNS}
+    for path in files():
+        try:
+            text = open(path, encoding="utf-8", errors="replace").read()
+        except OSError:
+            continue
+        for cat, rx in PATTERNS.items():
+            for m in rx.finditer(text):
+                if cat == "env-var" and m.group(1) in ENV_ALLOW:
+                    continue
+                line = text.count("\n", 0, m.start()) + 1
+                hits[cat].append(f"{path}:{line}: {m.group(0)[:120].strip()}")
+    sha = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                         text=True).stdout.strip() or "unknown"
+    dirty = bool(subprocess.run(["git", "status", "--porcelain"],
+                                capture_output=True, text=True).stdout.strip())
+    out = {
+        "scanned_commit": sha,
+        "working_tree_dirty": dirty,
+        "scanned_at_utc": datetime.now(timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "n_hits": sum(len(v) for v in hits.values()),
+        "hits": hits,
+    }
+    json.dump(out, sys.stdout, indent=2)
+    print()
+    return 1 if out["n_hits"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
