@@ -33,9 +33,19 @@ import org.apache.spark.sql.functions._
   *    broadcast shingle join are all ~linear scans — wall must grow
   *    sub-quadratically (≈×MULT at worst) with the corpus.
   *
+  *  - st_neardup_screen: the streaming ingester's per-batch screen with
+  *    the batch held fixed and the committed index grown ×MULT with NEW
+  *    content — per-batch wall must stay near-flat (the L40 persisted-
+  *    index claim).
+  *
   * Prints one JSON line per operator:
-  * `{"query":…,"base_sec":…,"scaled_sec":…,"ratio":…,"rounds_base":N,
-  *   "rounds_scaled":N}` (rounds only for the CC-backed pair).
+  * `{"query":…,"base_sec":…,"scaled_sec":…,"ratio":…,
+  *   "shuffle_mb_base":…,"shuffle_mb_scaled":…,"rounds_base":N,
+  *   "rounds_scaled":N}` (rounds only for the CC-backed pair). Shuffle
+  * bytes written are reported because they predict 100 TB cost better
+  * than local wall: on a 32-thread box everything fits in page cache,
+  * so a corpus-sized shuffle that would saturate a cluster's network
+  * barely moves wall time here.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -72,7 +82,7 @@ object ScaleSmoke {
       "q_dedup_cluster_star", "q_dedup_incremental", "q_neardup_incremental",
       "q_neardup_simhash",
       "q_neardup_simhash_k", "q_pack_sequences", "q_mix_temperature",
-      "q_decontaminate")
+      "q_decontaminate", "q_curation_funnel")
     // SPARK_GRAFT_ONLY: comma-separated target filter for iteration
     // ("none" runs only the streaming-screen block below)
     val targets = sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -81,17 +91,37 @@ object ScaleSmoke {
     }
     val ccBacked = Set("q_dedup_pipeline", "q_dedup_cluster_star")
 
-    def time(name: String, dir: String): (Double, Int) = {
+    // shuffle bytes written per timed run — the number that predicts
+    // 100 TB cost better than local wall time (wall hides shuffle cost
+    // when everything fits in page cache; bytes don't). Listener events
+    // are async, so each reading drains with a short settle wait.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def drainedShuffleMb(): Double = {
+      Thread.sleep(500) // let the async listener bus drain
+      shuffleBytes.getAndSet(0L) / 1e6
+    }
+
+    def time(name: String, dir: String): (Double, Int, Double) = {
       var best = Double.MaxValue
       var rounds = 0
+      var mb = 0.0
       for (_ <- 1 to 2) {
+        drainedShuffleMb() // discard bytes from any previous work
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
         rounds = graft.operators.ConnectedComponents.lastRounds
+        mb = drainedShuffleMb() // identical across reps (same plan)
       }
-      (best, rounds)
+      (best, rounds, mb)
     }
 
     // warm up the JVM on the base corpus before any timed run
@@ -140,30 +170,35 @@ object ScaleSmoke {
         (sigs.toString, toks.toString)
       }
       def screenTime(docs: org.apache.spark.sql.DataFrame, tag: String)
-          : Double = {
+          : (Double, Double) = {
         val (sigs, toks) = indexFor(docs, tag)
         var best = Double.MaxValue
+        var mb = 0.0
         for (_ <- 1 to 2) {
+          drainedShuffleMb()
           val t0 = System.nanoTime()
           graft.streaming.Streaming.neardupScreen(batch,
               spark.read.parquet(sigs), spark.read.parquet(toks))
             .write.format("noop").mode("overwrite").save()
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          mb = drainedShuffleMb()
         }
-        best
+        (best, mb)
       }
-      val tb = screenTime(committedBase, "base")
-      val ts = screenTime(committedScaled, "scaled")
+      val (tb, mbB) = screenTime(committedBase, "base")
+      val (ts, mbS) = screenTime(committedScaled, "scaled")
       println(f"""{"query":"st_neardup_screen","mult":$mult,""" +
-        f""""base_sec":$tb%.2f,"scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f}""")
+        f""""base_sec":$tb%.2f,"scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f,""" +
+        f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f}""")
     }
     targets.foreach { q =>
-      val (tb, rb) = time(q, sfDir)
-      val (ts, rs) = time(q, scaledDir.toString)
+      val (tb, rb, mbB) = time(q, sfDir)
+      val (ts, rs, mbS) = time(q, scaledDir.toString)
       val rounds = if (ccBacked(q))
         s""","rounds_base":$rb,"rounds_scaled":$rs""" else ""
       println(f"""{"query":"$q","mult":$mult,"base_sec":$tb%.2f,""" +
-        f""""scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f$rounds}""")
+        f""""scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f,""" +
+        f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f$rounds}""")
     }
     spark.stop()
   }

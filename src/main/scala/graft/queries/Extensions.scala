@@ -756,22 +756,24 @@ object Extensions {
     * scan (never re-tokenized). */
   private[graft] def verifyEdgesJaccardSides(leftSets: DataFrame,
       rightSets: DataFrame, edges: DataFrame, num: Int, den: Int): DataFrame = {
-    // Both probe-side inputs carry an explicit BROADCAST hint: the
-    // candidate edges first (bounded by the near-dup rate — k−1 per band
-    // bucket, orders of magnitude below the corpus), then the edge×t1
-    // intermediate for the second join (edge-count rows, each carrying one
-    // token array — still candidate-bounded). Hinting the intermediate
-    // matters because a hint on `cand` pins only the FIRST join; the
-    // second join's left input is that join's output, outside the hinted
-    // subtree, so without its own hint the planner falls back to
-    // stats/AQE. The token-set sides therefore stream with no shuffle.
-    // If the candidate set ever outgrows the broadcast threshold, drop
-    // both hints and the joins degrade to shuffled hash joins — correct,
-    // just paying the token-array shuffle these hints avoid.
+    // The candidate-edge side is BROADCAST: star edges are bounded by the
+    // near-dup rate (k−1 per bucket), orders of magnitude below the
+    // corpus, so the FIRST token-set join streams the (heavy,
+    // array-carrying) left side with no shuffle of it. The hint pins only
+    // that first join — the second join's left input is the first join's
+    // output, outside the hinted subtree, so its shape is the planner's
+    // (stats/AQE) call; its inputs are a candidate-bounded intermediate
+    // and the streamed right side, so the WORST case is a shuffle of
+    // candidate-sized rows plus the right corpus — never corpus×corpus.
+    // Do NOT hint the intermediate to "fix" that: broadcasting edge×t1
+    // pushes token ARRAYS through a driver collect + broadcast, measured
+    // 3× slower at sf0.1 and 5.1× (vs 2.6×) on the 10× smoke. If the
+    // candidate set ever outgrows the broadcast threshold, drop the hint
+    // and both joins degrade to shuffled plans — correct, just paying
+    // the token-array shuffle the hint avoids.
     val cand = broadcast(edges.distinct())
-    val withT1 = broadcast(cand
-      .join(leftSets.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1"))
-    withT1
+    cand
+      .join(leftSets.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
       .join(rightSets.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
       .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
       .filter(lit(den) * col("inter") >=
