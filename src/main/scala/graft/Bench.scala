@@ -64,7 +64,17 @@ object Bench {
     val maxRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val perQueryBudget =
       sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble).getOrElse(12.0)
-    val results = selected.map { case (name, fn) =>
+    // Deterministic name order (comparable across rounds — map-iteration
+    // order reshuffles whenever a query is added), with meta_thrift_serve
+    // LAST: its first rep starts the in-JVM HiveThriftServer2, whose
+    // Hive-classloading/JIT-deopt storm degrades the next ~60 s of
+    // measurements. Round 8's "q_sort_multi 2.98 s" noise reading and a
+    // round-9 run where q_vec_knn read 9.8 s were both post-thrift
+    // victims of whatever query the map order happened to put next.
+    val ordered = selected.toSeq.sortBy { case (name, _) =>
+      (if (name == "meta_thrift_serve") 1 else 0, name)
+    }
+    val results = ordered.map { case (name, fn) =>
       var best = Double.MaxValue
       var spent = 0.0
       var runs = 0
@@ -86,7 +96,8 @@ object Bench {
     def r2(v: Double): Double = math.round(v * 100) / 100.0
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val byName = results.toMap
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // `value` is the sum over ALL n_queries queries; when `headline` is true
     // the `queries` map is only the representative subset (its own sum rides
     // in `headline_sum`), so a consumer must not recompute `value` from it.
@@ -102,7 +113,7 @@ object Bench {
       line(results, isHeadline = false) + "\n")
     // stdout: headline subset only, so the whole line fits the driver's
     // 2000-char tail window even with sbt's epilogue after it
-    val head = headline.flatMap(n => results.get(n).map(n -> _))
+    val head = headline.flatMap(n => byName.get(n).map(n -> _))
     if (head.nonEmpty) println(line(head, isHeadline = true))
     else println(line(results, isHeadline = false))
     System.out.flush()
