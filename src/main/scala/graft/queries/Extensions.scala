@@ -931,7 +931,7 @@ object Extensions {
       .limit(10)
   }
 
-  /** IVF-style ANN (non-oracle): the coarse quantizer is k-means trained
+  /** IVF-style ANN: the coarse quantizer is k-means trained
     * DRIVER-SIDE on a small deterministic sample (the 100 smallest
     * vec_ids) — the honest 100 TB IVF shape: quantizer training touches a
     * sample that fits on one machine, and the full corpus pays exactly ONE
@@ -986,7 +986,7 @@ object Extensions {
       .orderBy(desc("cos_sim"), asc("vec_id"))
   }
 
-  /** Trained-IVF ANN (non-oracle): the coarse quantizer is LEARNED — k-means
+  /** Trained-IVF ANN: the coarse quantizer is LEARNED — k-means
     * trained by 3 Lloyd iterations, each expressed as a Spark plan: assign =
     * one scan with the k×dim centroid table broadcast as a literal and an
     * argmin over `transform()`; update = posexplode + avg per (cell, dim).
@@ -996,7 +996,10 @@ object Extensions {
     * data. Deterministic: init = embeddings of the k smallest vec_ids, and
     * ties in argmin resolve to the first (lowest) cell. Each result row
     * carries `in_exact_topk`, so recall against the brute-force baseline
-    * ([[qVecKnn]]) is verified inside the query itself. */
+    * ([[qVecKnn]]) is verified inside the query itself. Both trained
+    * variants are hash-oracled since round 9 via observed-result pins
+    * ([[knnKmeansObserved]]/[[knnIvfObserved]]) — training is
+    * deterministic end to end. */
   /** One Lloyd-assignment scan: each vector labeled with its nearest cell
     * (cosine distance to the k×dim centroid literal, argmin ties → lowest
     * cell). The centroid table is a broadcast-sized query parameter.
@@ -1641,6 +1644,68 @@ object Extensions {
     "sf0.1" -> Seq(1L -> 249L, 2L -> 257L, 3L -> 258L, 4L -> 257L,
       5L -> 248L, 6L -> 251L, 7L -> 257L, 8L -> 223L))
 
+  /** Observed top-10 results of the two trained-quantizer ANN variants —
+    * deterministic for the same reason as [[embedCellsObserved]]: seeds
+    * are the k smallest vec_ids, [[trainCells]] folds in fixed order, the
+    * driver-side IVF Lloyd loop iterates the sample in vec_id order, and
+    * assignment/scoring are per-row expressions. Verified byte-identical
+    * across local[4] and local[32] at every SF. The in-query
+    * `in_exact_topk` recall flags are part of the pinned rows, so a
+    * recall regression now breaks the hash gate, not just the spec. */
+  private val knnKmeansObserved: Map[String, Seq[(Long, Double, Boolean)]] = Map(
+    "sf0.001" -> Seq((17L, 0.3345, true), (225L, 0.3151, true),
+      (12L, 0.311, true), (483L, 0.3005, true), (260L, 0.2987, true),
+      (73L, 0.2972, true), (212L, 0.2814, true), (347L, 0.2745, true),
+      (402L, 0.2745, true), (299L, 0.2687, true)),
+    "sf0.01" -> Seq((365L, 0.37, true), (334L, 0.3627, true),
+      (387L, 0.3311, true), (423L, 0.2969, true), (73L, 0.2954, true),
+      (7L, 0.2928, true), (320L, 0.2879, true), (190L, 0.2818, true),
+      (388L, 0.2763, true), (483L, 0.2567, false)),
+    "sf0.1" -> Seq((1204L, 0.4065, true), (291L, 0.3919, true),
+      (1020L, 0.376, true), (510L, 0.3445, true), (1511L, 0.3288, true),
+      (144L, 0.3243, true), (1978L, 0.3192, true), (1407L, 0.3191, true),
+      (142L, 0.3113, true), (794L, 0.3108, true)))
+
+  private val knnIvfObserved: Map[String, Seq[(Long, Long, Double, Boolean)]] = Map(
+    "sf0.001" -> Seq((17L, 1L, 0.3345, true), (225L, 1L, 0.3151, true),
+      (12L, 1L, 0.311, true), (483L, 1L, 0.3005, true),
+      (73L, 1L, 0.2972, true), (212L, 1L, 0.2814, true),
+      (347L, 1L, 0.2745, true), (402L, 1L, 0.2745, true),
+      (299L, 1L, 0.2687, true), (232L, 1L, 0.2673, false)),
+    "sf0.01" -> Seq((334L, 8L, 0.3627, true), (423L, 1L, 0.2969, true),
+      (73L, 1L, 0.2954, true), (7L, 8L, 0.2928, true),
+      (320L, 1L, 0.2879, true), (190L, 1L, 0.2818, true),
+      (344L, 1L, 0.2525, false), (498L, 1L, 0.2507, false),
+      (165L, 1L, 0.2449, false), (131L, 1L, 0.2406, false)),
+    "sf0.1" -> Seq((1204L, 1L, 0.4065, true), (291L, 1L, 0.3919, true),
+      (1020L, 8L, 0.376, true), (510L, 1L, 0.3445, true),
+      (1511L, 1L, 0.3288, true), (144L, 1L, 0.3243, true),
+      (1407L, 1L, 0.3191, true), (794L, 1L, 0.3108, true),
+      (1841L, 1L, 0.3099, false), (633L, 1L, 0.3096, false)))
+
+  private def knnOracles: Map[String, String] = {
+    val tag = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01"))
+      .getFileName.toString
+    val km = knnKmeansObserved.get(tag).map { rows =>
+      "q_vec_knn_kmeans" -> ("SELECT * FROM (VALUES\n" + rows.map {
+        case (v, c, t) =>
+          s"  (CAST($v AS BIGINT), CAST($c AS DOUBLE), $t)"
+      }.mkString(",\n") +
+        ")\n  t(vec_id, cos_sim, in_exact_topk)\n" +
+        "ORDER BY cos_sim DESC, vec_id")
+    }
+    val ivf = knnIvfObserved.get(tag).map { rows =>
+      "q_vec_knn_ivf" -> ("SELECT * FROM (VALUES\n" + rows.map {
+        case (v, cl, c, t) =>
+          s"  (CAST($v AS BIGINT), CAST($cl AS BIGINT), CAST($c AS DOUBLE), $t)"
+      }.mkString(",\n") +
+        ")\n  t(vec_id, cell, cos_sim, in_exact_topk)\n" +
+        "ORDER BY cos_sim DESC, vec_id")
+    }
+    (km.toSeq ++ ivf.toSeq).toMap
+  }
+
   private def embedCellsOracle: Map[String, String] = {
     val tag = java.nio.file.Paths.get(
       sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01"))
@@ -1662,7 +1727,7 @@ object Extensions {
     }.toMap
   }
 
-  def oracles: Map[String, String] = embedCellsOracle ++ Map(
+  def oracles: Map[String, String] = embedCellsOracle ++ knnOracles ++ Map(
     "q_sample_split" ->
       """WITH drawn AS (
         |  SELECT lang, n_chars,
