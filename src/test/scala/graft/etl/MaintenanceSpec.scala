@@ -162,6 +162,48 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows.forall(_.getLong(4) === 4L))
   }
 
+  test("neardupMaintain repairs an under-indexed table (crash between data and index commits)") {
+    // the streaming ingester commits data → sigs → toks; a crash between
+    // the first and second commit leaves accepted rows UNDER-indexed, so
+    // a later near-dup of those rows screens clean and lands. The
+    // documented repair is the maintenance pass — prove it end to end.
+    import graft.queries.Extensions.{docTokenSets, docBandRows}
+    import graft.streaming.Streaming.neardupScreen
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "underindex")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    val tA = "the quick brown fox jumps over the lazy dog while rain falls on the quiet village green at dawn"
+    val proto = Seq((0L, "x")).toDF("doc_id", "text")
+    cat.createTable("m", "docs", proto.schema)
+    cat.createTable("m", "docs_sigs", docBandRows(docTokenSets(proto)).schema)
+    cat.createTable("m", "docs_toks", docTokenSets(proto).schema)
+    // batch 0 lands doc 1 but CRASHES before the index commits
+    val d0 = Seq((1L, tA)).toDF("doc_id", "text")
+    d0.write.parquet(base.resolve("b0").toString)
+    cat.registerFiles("m", "docs", Seq(base.resolve("b0")))
+    // batch 1: a near-dup of doc 1 screens against the EMPTY index → lands
+    val d1 = Seq((9L, tA.replace("dawn", "mist"))).toDF("doc_id", "text")
+    val rejected = neardupScreen(d1,
+      cat.readTable(spark, "m", "docs_sigs"),
+      cat.readTable(spark, "m", "docs_toks")).count()
+    assert(rejected === 0, "under-indexed table must NOT reject (that's the hole)")
+    d1.write.parquet(base.resolve("b1").toString)
+    cat.registerFiles("m", "docs", Seq(base.resolve("b1")))
+    assert(cat.readTable(spark, "m", "docs").count() === 2)
+    // the maintenance pass collapses the pair and rebuilds the index
+    Maintenance.neardupMaintain(spark, cat, "m", "docs",
+      sigsTable = Some("docs_sigs"), toksTable = Some("docs_toks"))
+    val kept = cat.readTable(spark, "m", "docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L))
+    // and the rebuilt index now rejects the same near-dup
+    val rejectedAfter = neardupScreen(d1,
+      cat.readTable(spark, "m", "docs_sigs"),
+      cat.readTable(spark, "m", "docs_toks"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rejectedAfter === Seq(9L))
+  }
+
   test("expireSnapshots refuses a boundary carrying merge-on-read debt") {
     val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "expire_mor")
     val cat = new GraftCatalog(base.resolve("wh").toString)
