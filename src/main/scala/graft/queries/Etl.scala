@@ -453,6 +453,44 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** etl_shard_export (L42): the pipeline's LAST MILE — export the
+    * curated corpus as N deterministic training shards a trainer can
+    * consume. Shard membership is a pure function of doc_id (the
+    * q_sample_split md5-draw convention — retries, re-runs, and any
+    * partition layout agree), the write is ONE hash-clustered pass
+    * through the catalog's partitioned writer (each shard lands as
+    * exactly one file in its own directory — the layout data loaders
+    * want; at 100 TB the same plan with a size-capped writer yields
+    * one DIRECTORY per shard, still one shuffle), and the commit is one
+    * catalog snapshot, so a failed export is invisible. Output: per-
+    * shard doc counts, char sums, an md5-derived content checksum
+    * (DuckDB replays all three), and a files-census invariant from the
+    * manifest — a lost or double-written shard breaks the oracle. */
+  private def etlShardExport: QFn = (s, d) => {
+    val nShards = 8
+    val draw = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "etl_shard")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val docs = Tables.documents(s, d).withColumn("shard", draw % nShards)
+    cat.createTable("export", "train_shards", docs.schema,
+      Seq("identity" -> "shard"))
+    cat.writePartitioned(s, "export", "train_shards", docs)
+    val files = cat.files("export", "train_shards")
+    val perShard = files.groupBy(_.partition.flatMap(_.get("shard")))
+    val oneFilePerShard = perShard.size == nShards &&
+      perShard.forall { case (k, fs) => k.isDefined && fs.size == 1 }
+    cat.readTable(s, "export", "train_shards")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)" +
+          " % 1000000000")).as("content_sum"))
+      .withColumn("one_file_per_shard", lit(oneFilePerShard))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, QFn] = Map(
     "etl_sanitize_uint64" -> etlSanitizeUint64,
     "etl_sanitize_ts"     -> etlSanitizeTs,
@@ -464,6 +502,7 @@ object Etl {
     "etl_partition_prune" -> etlPartitionPrune,
     "etl_zorder"          -> etlZorder,
     "etl_neardup_maintain" -> etlNeardupMaintain,
+    "etl_shard_export"    -> etlShardExport,
   )
 
   def oracles: Map[String, String] = zorderOracle ++ Map(
@@ -523,5 +562,16 @@ object Etl {
          |  (5, '$MaintTextC', 4, 1, 4))
          |AS t(doc_id, text, n_sig_bands, n_tok_rows, n_before)
          |ORDER BY doc_id""".stripMargin,
+    // DuckDB replays the md5-draw shard assignment and all three per-shard
+    // aggregates; the files-census invariant is pinned true
+    "etl_shard_export" ->
+      """SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |         % 8 AS shard,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substring(md5(text), 1, 15))::BIGINT
+        |                % 1000000000) AS BIGINT) AS content_sum,
+        |       true AS one_file_per_shard
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
   )
 }
