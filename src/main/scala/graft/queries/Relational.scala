@@ -359,9 +359,34 @@ object Relational {
     "q_limit_topk"        -> qLimitTopk,
   )
 
-  /** DuckDB-dialect oracles over the same parquet files (q_agg_approx is
-    * intentionally absent — nondeterministic across engines, SURVEY §5.3.3). */
-  val oracles: Map[String, String] = Map(
+  /** Observed HLL counts per scale factor. approx_count_distinct IS
+    * deterministic for fixed data: HLL register updates are a max —
+    * commutative and idempotent — so partition layout cannot change the
+    * estimate (verified identical across local[4]/local[32] at every
+    * SF). The cross-ENGINE value still differs (DuckDB's HLL is a
+    * different sketch), so the oracle is an observed-values pin, like
+    * the zorder skip counts. approx_percentile stays non-oracle: its
+    * QuantileSummaries merge is partition-order-dependent (measured
+    * 52877.09 vs 52874.26 at sf0.1 between local[4] and local[32]) —
+    * its within-1%-of-exact gate is the honest check. */
+  private val approxObserved: Map[String, Seq[(String, Long)]] = Map(
+    "sf0.001" -> Seq("A" -> 195L, "N" -> 195L, "R" -> 195L),
+    "sf0.01"  -> Seq("A" -> 1947L, "N" -> 1947L, "R" -> 1947L),
+    "sf0.1"   -> Seq("A" -> 19459L, "N" -> 19522L, "R" -> 19522L))
+
+  private def approxOracle: Map[String, String] = {
+    val tag = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01"))
+      .getFileName.toString
+    approxObserved.get(tag).map { rows =>
+      "q_agg_approx" -> ("SELECT * FROM (VALUES\n" + rows.map {
+        case (f, n) => s"  ('$f', CAST($n AS BIGINT))"
+      }.mkString(",\n") +
+        ")\n  t(l_returnflag, approx_parts)\nORDER BY l_returnflag")
+    }.toMap
+  }
+
+  def oracles: Map[String, String] = approxOracle ++ Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
