@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Windows.queries ++
     graft.queries.Scalars.queries ++
+    graft.queries.Analytics.queries ++
     graft.queries.Extensions.queries ++
     graft.queries.Meta.queries ++
     graft.queries.Etl.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
     graft.queries.Windows.oracles ++
     graft.queries.Scalars.oracles ++
+    graft.queries.Analytics.oracles ++
     graft.queries.Extensions.oracles ++
     graft.queries.Meta.oracles ++
     graft.queries.Etl.oracles ++

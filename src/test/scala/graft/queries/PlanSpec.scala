@@ -300,4 +300,51 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 2)
     assert(keyedShuffles("q_curation_funnel").size <= 5)
   }
+
+  test("correlated scalar subquery decorrelates: keyed agg+join, no per-row replay") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
+      CartesianProductExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val p = plan("q_subquery_scalar")
+    // a non-decorrelated plan would re-run the aggregate per outer row
+    // (cartesian/nested-loop); Catalyst must rewrite to one per-nation
+    // aggregate joined back on the correlation key
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
+    assert(p.collect { case a: BaseAggregateExec => a }.nonEmpty)
+    // nation-key agg (partial+final share one exchange) + join + sort
+    assert(keyedShuffles("q_subquery_scalar").size <= 2)
+  }
+
+  test("NOT IN subquery plans the null-aware anti join, build side broadcast") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = plan("q_subquery_notin")
+    val anti = p.collect {
+      case j: BaseJoinExec if j.joinType.sql == "LEFT ANTI" => j }
+    assert(anti.nonEmpty, "NOT IN must become an anti join")
+    // the filtered order-key set is orders-of-magnitude below the probe
+    // side at any scale — it must broadcast, never shuffle the customers
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(keyedShuffles("q_subquery_notin").isEmpty)
+  }
+
+  test("lateral explode runs map-side: Generate + the declared sort only") {
+    import org.apache.spark.sql.execution.GenerateExec
+    val p = plan("q_lateral_explode")
+    assert(p.collect { case g: GenerateExec => g }.nonEmpty)
+    assert(keyedShuffles("q_lateral_explode").isEmpty,
+      "tokenize+positional filter must not shuffle; only the output sort may")
+  }
+
+  test("ts resample: user filter reaches the scan; grid explode is partition-local") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.GenerateExec
+    val p = plan("q_ts_resample")
+    val scans = p.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.metadata("PushedFilters").contains("LessThan(user_id,50)")),
+      "user_id predicate must be pushed into every events scan")
+    assert(p.collect { case g: GenerateExec => g }.nonEmpty,
+      "hour grid must come from sequence+explode, not a join against a calendar")
+  }
 }
