@@ -169,6 +169,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q_join_skew_salted (§2.D D3's static face): the fact⋈dim join run
+    * through [[graft.etl.Skew.saltedJoin]] — the shape for a key too hot
+    * for AQE's runtime split (one key holding a double-digit share of a
+    * 100 TB fact): the fact side scatters into 8 deterministic sub-keys,
+    * the dim side replicates 8×, and the hot partition becomes 8 even
+    * ones. Salting is semantically invisible, so the oracle is the PLAIN
+    * join — the hash match proves the mitigation changes only the
+    * partitioning, never the result. */
+  private def qJoinSkewSalted: QFn = (s, d) => {
+    val o = Tables.orders(s, d).withColumnRenamed("o_custkey", "k")
+    val c = Tables.customer(s, d).withColumnRenamed("c_custkey", "k")
+      .select("k", "c_mktsegment")
+    graft.etl.Skew.saltedJoin(o, c, "k", "o_orderkey", salt = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy("c_mktsegment")
+  }
+
   // ----------------------------------------------------------- aggregates
   private def qAggGlobal: QFn = (s, d) =>
     Tables.lineitem(s, d).agg(
@@ -340,6 +359,7 @@ object Relational {
     "q_join_theta"        -> qJoinTheta,
     "q_join_range"        -> qJoinRange,
     "q_join_asof"         -> qJoinAsof,
+    "q_join_skew_salted"  -> qJoinSkewSalted,
     "q_agg_global"        -> qAggGlobal,
     "q_agg_groupby"       -> qAggGroupby,
     "q_agg_pivot"         -> qAggPivot,
@@ -469,6 +489,12 @@ object Relational {
         |           FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+    // the PLAIN join: salting must be semantically invisible
+    "q_join_skew_salted" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_global" ->
       """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
         |       round(avg(l_extendedprice), 4) AS avg_price,

@@ -301,6 +301,19 @@ class PlanSpec extends SparkSpec {
     assert(keyedShuffles("q_curation_funnel").size <= 5)
   }
 
+  test("salted join really joins on (key, salt) with the dim side exploded") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = plan("q_join_skew_salted")
+    val joins = p.collect { case j: BaseJoinExec => j }
+    assert(joins.exists(j =>
+      j.leftKeys.size == 2 &&
+        j.leftKeys.flatMap(_.references.map(_.name)).contains("_graft_salt")),
+      "join must key on (k, _graft_salt) — a single-key join means the salt folded away")
+    assert(p.collect { case g: GenerateExec => g }.nonEmpty,
+      "dim side must replicate via explode of the salt range")
+  }
+
   test("correlated scalar subquery decorrelates: keyed agg+join, no per-row replay") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
       CartesianProductExec}

@@ -32,6 +32,18 @@ class RelationalSpec extends SparkSpec {
     assert(left >= inner && right >= inner)
   }
 
+  test("salted join is semantically invisible: same rows as the plain join") {
+    val plain = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("rev"))
+    val salted = run("q_join_skew_salted")
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("semi + anti partition the left side") {
     val customers = Tables.customer(spark, sfDir).count()
     assert(run("q_join_semi").count() + run("q_join_anti").count() === customers)
