@@ -61,6 +61,40 @@ object Extensions {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("lang", "source")
 
+  /** q_text_tfidf: TF-IDF keyword extraction — top-3 terms per document.
+    * The RANKING keys are pure integers (term count in doc DESC, corpus
+    * document-frequency ASC, term ASC): more-frequent-in-doc and
+    * rarer-in-corpus is exactly tf-idf's order for fixed doc length, and
+    * integer keys can't be split by cross-engine float noise; the float
+    * tf·idf itself — (n/len)·ln((N+1)/(df+1)) — is carried as a rounded
+    * DISPLAY column only.
+    *
+    * Scale: tokens flat-map → (doc, term) count → term document-frequency
+    * — all keyed aggregates with map-side partials; the corpus size N
+    * joins back as a one-row broadcast; the top-3 window partitions by
+    * doc_id over rows already reduced to distinct (doc, term). */
+  private def qTextTfidf: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = Tables.spread(s, docs)
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    val docLen = tf.groupBy("doc_id").agg(sum("n").as("len"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n").desc, col("df").asc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(nd))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"),
+        round((col("n").cast("double") / col("len")) *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 4).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Per-doc quality scoring: token count, alnum density, mean word length. */
   private def qTextQuality: QFn = (s, d) =>
     Tables.spread(s, Tables.documents(s, d))
@@ -913,6 +947,21 @@ object Extensions {
   private def probeLit(s: SparkSession, d: String): Column =
     typedLit(probeRow(s, d)._2)
 
+  /** q_vec_centroid: per-label mean embedding, emitted as (label, pos,
+    * centroid-component) rows — the training step behind every
+    * coarse-quantizer index (IVF lists, k-means cells) exposed as its own
+    * operator. posexplode keeps the component index explicit, the
+    * (label, pos) aggregate is a plain mergeable avg, and nothing ever
+    * re-assembles arrays: 100 TB of vectors reduce to labels × dim rows. */
+  private def qVecCentroid: QFn = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      // + 0.0 canonicalizes IEEE -0.0 (a mean that rounds to zero from
+      // below differs from the oracle only in the sign bit otherwise)
+      .agg((round(avg(col("x")), 4) + lit(0.0)).as("c"), count(lit(1)).as("n_vecs"))
+      .orderBy("label", "pos")
+
   private def qVecCosine: QFn = (s, d) =>
     Tables.embeddings(s, d)
       .select(col("vec_id"),
@@ -1586,6 +1635,7 @@ object Extensions {
   val queries: Map[String, QFn] = Map(
     "q_text_dedup"      -> qTextDedup,
     "q_text_tokens"     -> qTextTokens,
+    "q_text_tfidf"      -> qTextTfidf,
     "q_doc_stats"       -> qDocStats,
     "q_text_quality"    -> qTextQuality,
     "q_text_langid"     -> qTextLangid,
@@ -1610,6 +1660,7 @@ object Extensions {
     "q_neardup_edit"    -> qNeardupEdit,
     "q_dedup_ngram"     -> qDedupNgram,
     "q_vec_cosine"      -> qVecCosine,
+    "q_vec_centroid"    -> qVecCentroid,
     "q_vec_knn"         -> qVecKnn,
     "q_vec_knn_ivf"     -> qVecKnnIvf,
     "q_vec_knn_kmeans"  -> qVecKnnKmeans,
@@ -1805,6 +1856,25 @@ object Extensions {
         |                t -> t <> '')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY token""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(n) AS len FROM tf GROUP BY 1),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.tok, tf.n, dfreq.df, dl.len, nd.n_docs,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.n DESC, dfreq.df ASC, tf.tok ASC) AS rk
+        |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN nd)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok,
+        |       round((CAST(n AS DOUBLE) / len) * ln((n_docs + 1.0) / (df + 1.0)), 4)
+        |         AS tfidf
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "q_doc_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |       round(avg(n_chars), 4) AS avg_chars,
@@ -2243,6 +2313,14 @@ object Extensions {
         |JOIN sz sa ON sa.doc_id = i.d1
         |JOIN sz sb ON sb.doc_id = i.d2
         |ORDER BY i.d1, i.d2""".stripMargin,
+    "q_vec_centroid" ->
+      """SELECT label, CAST(pos AS INTEGER) AS pos,
+        |       round(avg(CAST(x AS DOUBLE)), 4) + 0.0 AS c,
+        |       count(*) AS n_vecs
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |             unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
     "q_vec_cosine" ->
       """WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
         |z AS (SELECT vec_id, unnest(embedding) AS e, unnest(pe) AS q

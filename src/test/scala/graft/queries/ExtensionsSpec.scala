@@ -276,6 +276,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(q.filter(col("n_words") === 0 && col("avg_word_len").isNotNull).count() === 0)
   }
 
+  test("q_text_tfidf: top-3 per doc, rarer-in-corpus wins ties, idf nonnegative") {
+    val rows = run("q_text_tfidf")
+    assert(rows.filter(col("rk") < 1 || col("rk") > 3).count() === 0)
+    assert(rows.groupBy("doc_id").count().filter(col("count") > 3).count() === 0)
+    // idf = ln((N+1)/(df+1)) >= 0 since df <= N, and tf > 0 → score >= 0
+    assert(rows.filter(col("tfidf") < 0).count() === 0)
+    // every doc with at least one token gets keywords
+    val docsWithTokens = Tables.documents(spark, sfDir)
+      .filter(size(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")) > 0).count()
+    assert(rows.select("doc_id").distinct().count() === docsWithTokens)
+  }
+
+  test("q_vec_centroid: labels x dims grid, components within observed range") {
+    val rows = run("q_vec_centroid")
+    val labels = Tables.embeddings(spark, sfDir).select("label").distinct().count()
+    assert(rows.count() === labels * 64)
+    // a mean component can never escape the per-component min/max envelope
+    val env = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    val out = rows.join(env, "pos")
+      .filter(col("c") < col("lo") - 0.001 || col("c") > col("hi") + 0.001)
+    assert(out.count() === 0)
+    // group sizes sum back to |embeddings| per dimension
+    val perPos = rows.groupBy("pos").agg(sum("n_vecs").as("t")).select("t").distinct()
+    assert(perPos.count() === 1)
+  }
+
   test("q_sample_split: splits partition the corpus and are deterministic") {
     val rows = run("q_sample_split").collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))

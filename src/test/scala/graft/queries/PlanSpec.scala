@@ -301,6 +301,16 @@ class PlanSpec extends SparkSpec {
     assert(keyedShuffles("q_curation_funnel").size <= 5)
   }
 
+  test("tfidf: keyed joins only; the sole nested-loop is the one-row corpus-size broadcast") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
+      CartesianProductExec}
+    val p = plan("q_text_tfidf")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    // N joins back as a single-row broadcast — anything more means a
+    // data-sized side entered a nested loop
+    assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.size <= 1)
+  }
+
   test("salted join really joins on (key, salt) with the dim side exploded") {
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
