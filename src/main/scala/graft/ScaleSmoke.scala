@@ -32,6 +32,9 @@ import org.apache.spark.sql.functions._
   *    tier): the sharded prefix sum, the prefilter+rank trim, and the
   *    broadcast shingle join are all ~linear scans — wall must grow
   *    sub-quadratically (≈×MULT at worst) with the corpus.
+  *  - q_text_tfidf: token flat-map + three keyed aggregates + a per-doc
+  *    top-3 window — every stage linear in tokens; the corpus-size
+  *    broadcast stays one row at any MULT.
   *
   *  - st_neardup_screen: the streaming ingester's per-batch screen with
   *    the batch held fixed and the committed index grown ×MULT with NEW
@@ -82,7 +85,7 @@ object ScaleSmoke {
       "q_dedup_cluster_star", "q_dedup_incremental", "q_neardup_incremental",
       "q_neardup_simhash",
       "q_neardup_simhash_k", "q_pack_sequences", "q_mix_temperature",
-      "q_decontaminate", "q_curation_funnel")
+      "q_decontaminate", "q_curation_funnel", "q_text_tfidf")
     // SPARK_GRAFT_ONLY: comma-separated target filter for iteration
     // ("none" runs only the streaming-screen block below)
     val targets = sys.env.get("SPARK_GRAFT_ONLY") match {
