@@ -167,6 +167,33 @@ object Analytics {
       .orderBy("user_id", "hr")
   }
 
+  /** q_agg_listagg: ordered string aggregation (LISTAGG/STRING_AGG — the
+    * BI "show me the members" cell). Deterministic via array_sort before
+    * the join: collect_list order is partition-dependent, the sorted
+    * array is not. Bounded output: one row per region. */
+  private def qAggListagg: QFn = (s, d) =>
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+        .as("nations"), count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+
+  /** q_agg_histogram: fixed-width value histogram of order totals — the
+    * distribution profile every corpus/feature analysis starts with.
+    * Integer bucket ids from floor-division keep both engines exact;
+    * per-bucket min/max round-trip the bucket bounds. Map-side bucket
+    * assignment + one keyed agg. */
+  private def qAggHistogram: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy("bucket")
+
   val queries: Map[String, QFn] = Map(
     "q_subquery_scalar"   -> qSubqueryScalar,
     "q_subquery_notin"    -> qSubqueryNotin,
@@ -176,9 +203,22 @@ object Analytics {
     "q_agg_unpivot"       -> qAggUnpivot,
     "q_sample_stratified" -> qSampleStratified,
     "q_ts_resample"       -> qTsResample,
+    "q_agg_listagg"       -> qAggListagg,
+    "q_agg_histogram"     -> qAggHistogram,
   )
 
   def oracles: Map[String, String] = Map(
+    "q_agg_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       CAST(count(*) AS BIGINT) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |       count(*) AS n_orders,
+        |       round(min(o_totalprice), 2) AS lo,
+        |       round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_subquery_scalar" ->
       """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
         |FROM customer c

@@ -80,6 +80,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_agg_listagg: sorted member lists, counts consistent") {
+    run("q_agg_listagg").collect().foreach { r =>
+      val members = r.getString(1).split(",")
+      assert(members.length === r.getLong(2))
+      assert(members.sorted.toSeq === members.toSeq, "members must be sorted")
+    }
+  }
+
+  test("q_agg_histogram: buckets partition the orders, bounds inside bucket") {
+    val h = run("q_agg_histogram")
+    assert(h.agg(sum("n_orders")).collect()(0).getLong(0) ===
+      Tables.orders(spark, sfDir).count())
+    assert(h.filter(col("lo") > col("hi")).count() === 0)
+    assert(h.filter(col("lo") < col("bucket") * 50000 ||
+      col("hi") >= (col("bucket") + 1) * 50000).count() === 0)
+  }
+
   test("q_ts_resample: contiguous hourly grid, forward fill total, gaps empty") {
     val rows = run("q_ts_resample")
     assert(rows.filter(col("v_ff").isNull).count() === 0,
