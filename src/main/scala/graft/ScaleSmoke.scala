@@ -247,6 +247,37 @@ object ScaleSmoke {
           f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f}""")
       }
     }
+    // time-series tier at ×MULT event volume: events replicate with FRESH
+    // user ids (growth = more concurrent users, the realistic shape; the
+    // per-user history length stays fixed, so user-keyed state does not
+    // deepen). Claims under test:
+    //  - q_join_asof: the union+window as-of join is one user-keyed
+    //    shuffle — linear in events, no per-user blowup.
+    //  - q_window_session / q_window_sliding: sessionization and sliding
+    //    windows are user/window-keyed aggs — linear scan, bounded state.
+    //  - q_dedup_latest: latest-per-key window — one keyed shuffle.
+    if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("events"))) {
+      val scaledEv = scaledDir.resolve("events.parquet")
+      if (!Files.exists(scaledEv)) {
+        val ev = Tables.events(spark, sfDir)
+        val uspan = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+        val espan = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+        (0 until mult)
+          .map(i => ev
+            .withColumn("user_id", col("user_id") + lit(i * uspan))
+            .withColumn("event_id", col("event_id") + lit(i * espan)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(scaledEv.toString)
+      }
+      for (q <- Seq("q_join_asof", "q_window_session", "q_window_sliding",
+          "q_dedup_latest")) {
+        val (tb, _, mbB) = time(q, sfDir)
+        val (ts, _, mbS) = time(q, scaledDir.toString)
+        println(f"""{"query":"$q","mult":$mult,"base_sec":$tb%.2f,""" +
+          f""""scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f,""" +
+          f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f}""")
+      }
+    }
     spark.stop()
   }
 }
