@@ -194,6 +194,30 @@ object Analytics {
         round(max(col("o_totalprice")), 2).as("hi"))
       .orderBy("bucket")
 
+  /** q_sql_params: named-parameter SQL (`:seg`, `:minbal`) — the bind
+    * path every BI client uses; parameters reach Catalyst as literals, so
+    * pushdown/pruning work exactly as with inline constants. */
+  private def qSqlParams: QFn = (s, d) => {
+    val c = view(s, d, "customer")
+    s.sql(
+      s"""SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+         |FROM $c WHERE c_mktsegment = :seg AND c_acctbal > :minbal
+         |ORDER BY c_custkey""".stripMargin,
+      Map("seg" -> "BUILDING", "minbal" -> Int.box(5000)))
+  }
+
+  /** q_json_variant: the Spark 4 VARIANT path over semi-structured props
+    * (`parse_json` → `variant_get`) — the modern replacement for
+    * string-path JSON extraction (q_json_funcs covers the classic form);
+    * deciles of the extracted int keep the result integral. */
+  private def qJsonVariant: QFn = (s, d) =>
+    Tables.events(s, d)
+      .select(expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy(floor(col("k") / 10).cast("long").as("decile"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy("decile")
+
   val queries: Map[String, QFn] = Map(
     "q_subquery_scalar"   -> qSubqueryScalar,
     "q_subquery_notin"    -> qSubqueryNotin,
@@ -205,9 +229,21 @@ object Analytics {
     "q_ts_resample"       -> qTsResample,
     "q_agg_listagg"       -> qAggListagg,
     "q_agg_histogram"     -> qAggHistogram,
+    "q_sql_params"        -> qSqlParams,
+    "q_json_variant"      -> qJsonVariant,
   )
 
   def oracles: Map[String, String] = Map(
+    "q_sql_params" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        |FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_json_variant" ->
+      """SELECT CAST(floor(k / 10) AS BIGINT) AS decile, count(*) AS n,
+        |       min(k) AS k_min, max(k) AS k_max
+        |FROM (SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY decile""".stripMargin,
     "q_agg_listagg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
         |       CAST(count(*) AS BIGINT) AS n_nations

@@ -97,6 +97,23 @@ class AnalyticsSpec extends SparkSpec {
       col("hi") >= (col("bucket") + 1) * 50000).count() === 0)
   }
 
+  test("q_sql_params: bound parameters behave exactly like inline literals") {
+    val bound = run("q_sql_params")
+    val inline = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("bal"))
+    assert(bound.count() === inline.count())
+    assert(bound.exceptAll(inline).count() === 0)
+  }
+
+  test("q_json_variant: deciles partition the events, bounds stay inside") {
+    val v = run("q_json_variant")
+    assert(v.agg(sum("n")).collect()(0).getLong(0) ===
+      Tables.events(spark, sfDir).count())
+    assert(v.filter(col("k_min") < col("decile") * 10 ||
+      col("k_max") >= (col("decile") + 1) * 10).count() === 0)
+  }
+
   test("q_ts_resample: contiguous hourly grid, forward fill total, gaps empty") {
     val rows = run("q_ts_resample")
     assert(rows.filter(col("v_ff").isNull).count() === 0,

@@ -301,6 +301,16 @@ class PlanSpec extends SparkSpec {
     assert(keyedShuffles("q_curation_funnel").size <= 5)
   }
 
+  test("bound SQL parameters push down to the scan like inline literals") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = plan("q_sql_params").collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.forall { s =>
+      val pushed = s.metadata("PushedFilters")
+      pushed.contains("c_mktsegment") && pushed.contains("c_acctbal")
+    }, "both parameterized predicates must reach the parquet scan")
+  }
+
   test("tfidf: keyed joins only; the sole nested-loop is the one-row corpus-size broadcast") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
       CartesianProductExec}
