@@ -278,6 +278,34 @@ object ScaleSmoke {
           f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f}""")
       }
     }
+    // vector tier at ×MULT embedding volume (fresh vec_ids, labels and
+    // the probe unchanged — replica 0 keeps original ids, so probeLit
+    // picks the same vector). Claims under test:
+    //  - q_vec_knn: brute top-k stays ONE scan + TakeOrderedAndProject —
+    //    linear wall, zero shuffle at any MULT.
+    //  - q_vec_centroid: posexplode + (label, pos) agg — map-side
+    //    partials keep the exchange at labels × dim rows, flat shuffle.
+    //  - q_embed_neardup_cells: the grid-cell blocking must keep the
+    //    pair join inside cells — cost tracks cell occupancy, never
+    //    corpus².
+    if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("vectors"))) {
+      val scaledEm = scaledDir.resolve("embeddings.parquet")
+      if (!Files.exists(scaledEm)) {
+        val em = Tables.embeddings(spark, sfDir)
+        val span = em.agg(max(col("vec_id"))).head().getLong(0) + 1
+        (0 until mult)
+          .map(i => em.withColumn("vec_id", col("vec_id") + lit(i * span)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(scaledEm.toString)
+      }
+      for (q <- Seq("q_vec_knn", "q_vec_centroid", "q_embed_neardup_cells")) {
+        val (tb, _, mbB) = time(q, sfDir)
+        val (ts, _, mbS) = time(q, scaledDir.toString)
+        println(f"""{"query":"$q","mult":$mult,"base_sec":$tb%.2f,""" +
+          f""""scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f,""" +
+          f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f}""")
+      }
+    }
     spark.stop()
   }
 }
