@@ -285,9 +285,13 @@ object ScaleSmoke {
     //    linear wall, zero shuffle at any MULT.
     //  - q_vec_centroid: posexplode + (label, pos) agg — map-side
     //    partials keep the exchange at labels × dim rows, flat shuffle.
-    //  - q_embed_neardup_cells: the grid-cell blocking must keep the
-    //    pair join inside cells — cost tracks cell occupancy, never
-    //    corpus².
+    //  - q_embed_neardup_cells: √N-sized cells hold the balanced O(N^1.5)
+    //    total (assignment N×k vs pairs N×occupancy) — sub-quadratic,
+    //    and the ×10 replica cliques land inside cells, never across.
+    //  - q_embed_neardup_lsh: signature computation is a pure map pass
+    //    (N × bits × dim) and the pair join is bucket-bounded — the
+    //    linear path; the ×10 exact replicas all collide (same sig), so
+    //    its pair work scales with true near-dups, not corpus size.
     if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("vectors"))) {
       val scaledEm = scaledDir.resolve("embeddings.parquet")
       if (!Files.exists(scaledEm)) {
@@ -298,7 +302,8 @@ object ScaleSmoke {
           .reduce(_ unionByName _)
           .write.mode("overwrite").parquet(scaledEm.toString)
       }
-      for (q <- Seq("q_vec_knn", "q_vec_centroid", "q_embed_neardup_cells")) {
+      for (q <- Seq("q_vec_knn", "q_vec_centroid", "q_embed_neardup_cells",
+          "q_embed_neardup_lsh")) {
         val (tb, _, mbB) = time(q, sfDir)
         val (ts, _, mbS) = time(q, scaledDir.toString)
         println(f"""{"query":"$q","mult":$mult,"base_sec":$tb%.2f,""" +

@@ -1241,6 +1241,57 @@ object Extensions {
     } finally emb.unpersist()
   }
 
+  /** q_embed_neardup_lsh: the LINEAR-scaling embedding near-dup screen —
+    * sign random projection (SimHash over vectors, Charikar 2002): bit b
+    * of a vector's 16-bit signature is the sign of its dot with a
+    * deterministic ±1 hyperplane (md5-derived, so DuckDB regenerates the
+    * SAME planes), cosine-similar vectors collide with probability
+    * 1−θ/π per bit. Complements [[qEmbedNeardupCells]]: the k-means
+    * cells are data-adaptive but cost O(N^1.5) (assignment + pair join
+    * at the balanced √N sizing); LSH signatures are data-independent and
+    * O(N·bits·dim) — the shape that stays a map pass at 100 TB, with the
+    * pair join bounded by bucket occupancy (bits scale ~log₂N to hold
+    * occupancy; 16 bits serve the fixtures, 64 the deployment).
+    * Within-bucket pairs get the exact-cosine ≥ 0.8 gate, so the report
+    * is (signature, n_vecs, n_pairs, n_similar) like the cells variant.
+    * Sign-at-zero is the only cross-engine hazard (different fold order
+    * near |dot| < 1e-13) — never observed; the dots are O(1)-magnitude
+    * sums of 64 terms. */
+  private def qEmbedNeardupLsh: QFn = (s, d) => {
+    val dot = dotF(s) _
+    val bits = 16
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // ±1 hyperplanes from the parity of md5's first hex digit of "b:i" —
+    // a pure function both engines compute identically
+    def pm(b: Int, i: Int): Float = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$b:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 1) 1f else -1f
+    }
+    val planes = (0 until bits).map(b => (0 until dim).map(i => pm(b, i)))
+    val sigCol = planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, b)) =>
+      acc + when(dot(col("embedding"), typedLit(p)) >= 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }
+    val sigs = emb.select(col("vec_id"), sigCol.as("sig"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val hist = sigs.groupBy("sig").agg(count(lit(1)).as("n_vecs"))
+    val a = sigs.select(col("sig"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = sigs.select(col("sig").as("sig2"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val perSig = a.join(b, col("sig") === col("sig2") && col("v1") < col("v2"))
+      .select(col("sig"),
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("cos_sim"))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cos_sim") >= 0.8, 1L).otherwise(0L)).as("n_similar"))
+    hist.join(perSig, Seq("sig"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_similar"))
+      .orderBy("sig")
+  }
+
   // ------------------------------------------------- corpus curation ops
 
   /** q_sample_split: deterministic hash sampling + train/val/test split —
@@ -1681,6 +1732,7 @@ object Extensions {
     "q_vec_knn_kmeans"  -> qVecKnnKmeans,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_embed_neardup_cells" -> qEmbedNeardupCells,
+    "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
     "q_sample_split"    -> qSampleSplit,
     "q_pack_sequences"  -> qPackSequences,
     "q_decontaminate"   -> qDecontaminate,
@@ -2348,6 +2400,49 @@ object Extensions {
         |JOIN sz sa ON sa.doc_id = i.d1
         |JOIN sz sb ON sb.doc_id = i.d2
         |ORDER BY i.d1, i.d2""".stripMargin,
+    "q_embed_neardup_lsh" ->
+      """WITH hp AS (
+        |  SELECT b, i,
+        |         CASE WHEN ('0x' || substring(
+        |                md5(CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+        |                1, 1))::INT % 2 = 1
+        |              THEN 1.0 ELSE -1.0 END AS h
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS b),
+        |       (SELECT unnest(generate_series(0, 63)) AS i)),
+        |comp AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS i,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |bits AS (
+        |  SELECT c.vec_id, hp.b,
+        |         CASE WHEN sum(CAST(c.x AS DOUBLE) * hp.h) >= 0
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM comp c JOIN hp ON c.i = hp.i GROUP BY 1, 2),
+        |sigs AS (SELECT vec_id, CAST(sum(bit << b) AS BIGINT) AS sig
+        |         FROM bits GROUP BY 1),
+        |pcos AS (
+        |  SELECT sig, v1, v2,
+        |         round(sum(xa * xb)
+        |               / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) AS cs
+        |  FROM (SELECT p.sig, p.v1, p.v2,
+        |               CAST(unnest(e1.embedding) AS DOUBLE) AS xa,
+        |               CAST(unnest(e2.embedding) AS DOUBLE) AS xb
+        |        FROM (SELECT s1.sig, s1.vec_id AS v1, s2.vec_id AS v2
+        |              FROM sigs s1 JOIN sigs s2
+        |                ON s1.sig = s2.sig AND s1.vec_id < s2.vec_id) p
+        |        JOIN embeddings e1 ON e1.vec_id = p.v1
+        |        JOIN embeddings e2 ON e2.vec_id = p.v2)
+        |  GROUP BY 1, 2, 3),
+        |persig AS (SELECT sig, count(*) AS n_pairs,
+        |                  CAST(sum(CASE WHEN cs >= 0.8 THEN 1 ELSE 0 END)
+        |                       AS BIGINT) AS n_similar
+        |           FROM pcos GROUP BY 1)
+        |SELECT h.sig, h.n_vecs,
+        |       coalesce(p.n_pairs, 0) AS n_pairs,
+        |       coalesce(p.n_similar, 0) AS n_similar
+        |FROM (SELECT sig, count(*) AS n_vecs FROM sigs GROUP BY 1) h
+        |LEFT JOIN persig p USING (sig)
+        |ORDER BY sig""".stripMargin,
     "q_vec_centroid" ->
       """SELECT label, CAST(pos AS INTEGER) AS pos,
         |       round(avg(CAST(x AS DOUBLE)), 4) + 0.0 AS c,

@@ -305,6 +305,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(perPos.count() === 1)
   }
 
+  test("q_embed_neardup_lsh: signatures partition the vectors, pair math exact") {
+    val rows = run("q_embed_neardup_lsh")
+    assert(rows.agg(sum("n_vecs")).collect()(0).getLong(0) ===
+      Tables.embeddings(spark, sfDir).count())
+    assert(rows.filter(col("sig") < 0 || col("sig") >= (1L << 16)).count() === 0)
+    assert(rows.filter(
+      col("n_pairs") =!= col("n_vecs") * (col("n_vecs") - 1) / 2).count() === 0)
+    assert(rows.filter(col("n_similar") > col("n_pairs")).count() === 0)
+  }
+
   test("q_sample_split: splits partition the corpus and are deterministic") {
     val rows = run("q_sample_split").collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
