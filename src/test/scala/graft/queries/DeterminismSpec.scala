@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Cross-layout determinism: the SAME declared query run in a sibling
+  * session with a DIFFERENT `spark.sql.shuffle.partitions` must produce
+  * byte-identical row sequences. This is the contract the DuckDB hash
+  * gate rests on — a layout-sensitive plan (unstable window ties, order-
+  * dependent float folds, first()-style aggregates) passes a single-run
+  * oracle by luck and then breaks on any cluster whose partitioning
+  * differs. The observed-values pins (zorder, HLL, trained quantizer)
+  * were each verified across local[4]/local[32] when recorded; this spec
+  * keeps the core query families honest on every test run.
+  *
+  * `newSession()` shares the SparkContext (one per JVM) but gets its own
+  * SQLConf, so varying the shuffle width genuinely changes every
+  * exchange's layout while the data and code stay fixed.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  // one representative per layout-sensitive family: windows, multi-stage
+  // dedup (MinHash→band→CC→keeper), sharded prefix-sum packing, tf-idf
+  // (three keyed aggs + per-doc window), float aggregation, LSH buckets
+  private val targets = Seq("q_win_rank", "q_dedup_pipeline",
+    "q_pack_sequences", "q_text_tfidf", "q_agg_stats", "q_embed_neardup_lsh")
+
+  test("results are identical under a different shuffle-partition layout") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    for (q <- targets) {
+      val base = SparkEntry.queries(q)(spark, sfDir).collect().toSeq
+      val other = SparkEntry.queries(q)(alt, sfDir).collect().toSeq
+      assert(base === other, s"$q differs between 4-way and 7-way shuffles")
+    }
+  }
+}
