@@ -1314,6 +1314,27 @@ object Extensions {
       .orderBy("lang", "split")
   }
 
+  /** q_chunk_documents: per-document overlapping chunking (window 64,
+    * stride 32) — the retrieval/embedding prep shape, complementing
+    * [[qPackSequences]]' concat-then-chunk: here chunks never cross doc
+    * boundaries and overlap for context continuity. Pure map work: the
+    * chunk grid comes from `sequence`+`explode` on each doc's OWN token
+    * count (never a join against a length table), slices reuse the one
+    * tokenization, and the chunk hash keys downstream dedup/lineage.
+    * Zero-token docs are excluded (no empty chunks). */
+  private def qChunkDocuments: QFn = (s, d) =>
+    Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0),
+        greatest(ceil((col("n") - 64) / 32.0), lit(0)).cast("int"))))
+      .withColumn("chunk", slice(col("toks"), col("chunk_id") * 32 + 1, lit(64)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
   /** q_pack_sequences: concat-then-chunk sequence packing — the way LLM
     * pretraining batches are built: the token stream in stable doc order
     * is chunked into fixed context windows, and each doc lands in window
@@ -1735,6 +1756,7 @@ object Extensions {
     "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
     "q_sample_split"    -> qSampleSplit,
     "q_pack_sequences"  -> qPackSequences,
+    "q_chunk_documents" -> qChunkDocuments,
     "q_decontaminate"   -> qDecontaminate,
     "q_mix_temperature" -> qMixTemperature,
     "q_pii_redact"      -> qPiiRedact,
@@ -1877,6 +1899,24 @@ object Extensions {
         |            WHEN draw < 90 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM drawn GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q_chunk_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> t <> '') AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+        |ch AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0,
+        |           CAST(greatest(ceil((n - 64) / 32.0), 0) AS BIGINT))) AS chunk_id
+        |  FROM t2)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |       CAST(len(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64))
+        |            AS INTEGER) AS n_tokens,
+        |       md5(array_to_string(
+        |         list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64), ' '))
+        |         AS chunk_hash
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

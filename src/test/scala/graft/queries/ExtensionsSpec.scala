@@ -305,6 +305,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(perPos.count() === 1)
   }
 
+  test("q_chunk_documents: full chunks except the tail, stride-32 coverage") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = run("q_chunk_documents")
+    assert(rows.filter(col("n_tokens") < 1 || col("n_tokens") > 64).count() === 0)
+    val w = Window.partitionBy("doc_id")
+    val withMax = rows.withColumn("max_id", max("chunk_id").over(w))
+    // every chunk before the last is FULL (64 tokens)
+    assert(withMax.filter(col("chunk_id") < col("max_id") &&
+      col("n_tokens") =!= 64).count() === 0)
+    // chunk ids are dense from 0
+    assert(rows.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("chunk_id").as("mx"))
+      .filter(col("n") =!= col("mx") + 1).count() === 0)
+    // every tokenized doc is covered
+    val docsWithTokens = Tables.documents(spark, sfDir)
+      .filter(size(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")) > 0).count()
+    assert(rows.select("doc_id").distinct().count() === docsWithTokens)
+  }
+
   test("q_embed_neardup_lsh: signatures partition the vectors, pair math exact") {
     val rows = run("q_embed_neardup_lsh")
     assert(rows.agg(sum("n_vecs")).collect()(0).getLong(0) ===
