@@ -85,7 +85,8 @@ object ScaleSmoke {
       "q_dedup_cluster_star", "q_dedup_incremental", "q_neardup_incremental",
       "q_neardup_simhash",
       "q_neardup_simhash_k", "q_pack_sequences", "q_mix_temperature",
-      "q_decontaminate", "q_curation_funnel", "q_text_tfidf")
+      "q_decontaminate", "q_curation_funnel", "q_text_tfidf",
+      "q_chunk_documents")
     // SPARK_GRAFT_ONLY: comma-separated target filter for iteration
     // ("none" runs only the streaming-screen block below)
     val targets = sys.env.get("SPARK_GRAFT_ONLY") match {

@@ -301,6 +301,28 @@ class PlanSpec extends SparkSpec {
     assert(keyedShuffles("q_curation_funnel").size <= 5)
   }
 
+  test("embedding LSH: equi-join on signature only, never cartesian") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("q_embed_neardup_lsh")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
+    // the within-bucket pair join must key on the signature
+    val keyed = p.collect { case j: BaseJoinExec => j }
+      .filter(_.leftKeys.nonEmpty)
+    assert(keyed.nonEmpty)
+    assert(keyed.forall(_.leftKeys.flatMap(_.references.map(_.name))
+      .forall(Set("sig", "sig2"))))
+  }
+
+  test("document chunking is map-only: explode + slice, no keyed exchange") {
+    import org.apache.spark.sql.execution.GenerateExec
+    val p = plan("q_chunk_documents")
+    assert(p.collect { case g: GenerateExec => g }.nonEmpty)
+    assert(keyedShuffles("q_chunk_documents").isEmpty,
+      "chunk grid and slices must stay partition-local; only the sort may move data")
+  }
+
   test("bound SQL parameters push down to the scan like inline literals") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val scans = plan("q_sql_params").collect { case s: FileSourceScanExec => s }
