@@ -491,6 +491,44 @@ object Etl {
       .orderBy("shard")
   }
 
+  /** etl_jsonl_export (L43): the shard export in the OTHER interchange
+    * format trainers consume — JSONL text shards (one JSON object per
+    * line), same deterministic md5-draw shard membership as L42, written
+    * in one clustered pass (`repartition(shard)` + `partitionBy` → one
+    * text file per shard directory). The per-shard line checksum pins
+    * the exact serialized BYTES (field order fixed by the struct, both
+    * engines' minimal-JSON escaping agrees on the corpus), so a
+    * serialization drift — not just a row drift — breaks the oracle.
+    * Line order within a file is partition order; the checksum is an
+    * order-insensitive sum, so the pinned quantity is well-defined. */
+  private def etlJsonlExport: QFn = (s, d) => {
+    val nShards = 8
+    val draw = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "etl_jsonl")
+    val out = base.resolve("shards").toString
+    Tables.documents(s, d)
+      .withColumn("shard", draw % nShards)
+      .select(col("shard"),
+        to_json(struct(col("doc_id"), col("lang"), col("source"), col("text")))
+          .as("value"))
+      .repartition(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").text(out)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    val oneFile = shardDirs.length == nShards && shardDirs.forall(
+      _.listFiles().count(f => f.getName.endsWith(".txt")) == 1)
+    s.read.format("text").load(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("cast(conv(substring(md5(value), 1, 15), 16, 10) as bigint)" +
+          " % 1000000000")).as("line_sum"))
+      .withColumn("one_file_per_shard", lit(oneFile))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, QFn] = Map(
     "etl_sanitize_uint64" -> etlSanitizeUint64,
     "etl_sanitize_ts"     -> etlSanitizeTs,
@@ -503,6 +541,7 @@ object Etl {
     "etl_zorder"          -> etlZorder,
     "etl_neardup_maintain" -> etlNeardupMaintain,
     "etl_shard_export"    -> etlShardExport,
+    "etl_jsonl_export"    -> etlJsonlExport,
   )
 
   def oracles: Map[String, String] = zorderOracle ++ Map(
@@ -571,6 +610,17 @@ object Etl {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(('0x' || substring(md5(text), 1, 15))::BIGINT
         |                % 1000000000) AS BIGINT) AS content_sum,
+        |       true AS one_file_per_shard
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "etl_jsonl_export" ->
+      """SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |         % 8 AS shard,
+        |       count(*) AS n_lines,
+        |       CAST(sum(('0x' || substring(md5(
+        |                to_json(struct_pack(doc_id := doc_id, lang := lang,
+        |                                    source := source, text := text))
+        |                  ::VARCHAR), 1, 15))::BIGINT % 1000000000) AS BIGINT)
+        |         AS line_sum,
         |       true AS one_file_per_shard
         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
   )

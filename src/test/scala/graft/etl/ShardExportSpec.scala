@@ -22,4 +22,23 @@ class ShardExportSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq ===
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq)
   }
+
+  test("etl_jsonl_export: same membership as the parquet export, bytes stable") {
+    val jsonl = graft.queries.Etl.queries("etl_jsonl_export")(spark, sfDir)
+      .collect()
+    assert(jsonl.map(_.getLong(0)).toSeq === (0L to 7L))
+    assert(jsonl.map(_.getLong(1)).sum ===
+      graft.Tables.documents(spark, sfDir).count())
+    assert(jsonl.forall(_.getBoolean(3)), "one text file per shard dir")
+    // the md5 draw is shared with etl_shard_export: per-shard doc counts
+    // must agree between the two formats
+    val parquet = graft.queries.Etl.queries("etl_shard_export")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    jsonl.foreach(r => assert(parquet(r.getLong(0)) === r.getLong(1)))
+    // serialized bytes are stable: a re-export reproduces every checksum
+    val again = graft.queries.Etl.queries("etl_jsonl_export")(spark, sfDir)
+      .collect()
+    assert(jsonl.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
 }
