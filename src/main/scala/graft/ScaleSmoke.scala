@@ -68,7 +68,15 @@ object ScaleSmoke {
     // the fixture key includes the SOURCE dir, not just the multiplier —
     // otherwise switching SPARK_GRAFT_SF_DIR would silently reuse a
     // corpus scaled from a different base and skew the reported ratios
-    val srcTag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    // SPARK_GRAFT_SCALE_FRESH=1: replicas carry DISJOINT token spaces
+    // (per-replica token prefix) instead of exact-dup cliques — ×MULT of
+    // NEW content, the ≈sf(MULT/10) unique-corpus shape the round-9
+    // verdict's 100× stretch tier asks for. Default (clique) grows the
+    // DUP populations instead; both are real scale-up shapes, testing
+    // opposite stress axes (cluster width vs corpus breadth).
+    val fresh = sys.env.get("SPARK_GRAFT_SCALE_FRESH").contains("1")
+    val srcTag = (if (fresh) "fresh_" else "") +
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val scaledDir = Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target"))
       .resolve(s"scale${mult}x_$srcTag")
     val scaledDocs = scaledDir.resolve("documents.parquet")
@@ -76,7 +84,13 @@ object ScaleSmoke {
       val docs = Tables.documents(spark, sfDir)
       val span = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       (0 until mult)
-        .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * span)))
+        .map { i =>
+          val re = docs.withColumn("doc_id", col("doc_id") + lit(i * span))
+          if (fresh && i > 0)
+            re.withColumn("text",
+              regexp_replace(col("text"), "([a-z0-9]+)", s"r${i}x$$1"))
+          else re
+        }
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(scaledDocs.toString)
     }
@@ -162,6 +176,10 @@ object ScaleSmoke {
           .withColumn("text",
             regexp_replace(col("text"), "([a-z0-9]+)", s"r${i}x$$1"))
       }.reduce(_ unionByName _)
+      def dirMb(p: String): Double =
+        graft.catalog.Fs.list(Paths.get(p))
+          .filter(_.toString.endsWith(".parquet"))
+          .map(f => Files.size(f)).sum / 1e6
       def indexFor(docs: org.apache.spark.sql.DataFrame, tag: String)
           : (String, String) = {
         val sigs = scaledDir.resolve(s"screen_sigs_$tag")
@@ -191,9 +209,15 @@ object ScaleSmoke {
       }
       val (tb, mbB) = screenTime(committedBase, "base")
       val (ts, mbS) = screenTime(committedScaled, "scaled")
+      // persisted-index footprint (the round-10 hashed-toks format:
+      // 8-byte token hashes, no recoverable text) — the storage the
+      // deployment actually pays to keep the screen O(batch+collisions)
+      val toksMbB = dirMb(scaledDir.resolve("screen_toks_base").toString)
+      val toksMbS = dirMb(scaledDir.resolve("screen_toks_scaled").toString)
       println(f"""{"query":"st_neardup_screen","mult":$mult,""" +
         f""""base_sec":$tb%.2f,"scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f,""" +
-        f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f}""")
+        f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f,""" +
+        f""""toks_index_mb_base":$toksMbB%.2f,"toks_index_mb_scaled":$toksMbS%.2f}""")
     }
     targets.foreach { q =>
       val (tb, rb, mbB) = time(q, sfDir)

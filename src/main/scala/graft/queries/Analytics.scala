@@ -38,14 +38,18 @@ object Analytics {
 
   /** q_subquery_scalar: correlated scalar aggregate subquery — customers
     * above their own nation's mean balance. Catalyst decorrelates to a
-    * per-nation aggregate joined back on the correlation key. */
+    * per-nation aggregate joined back on the correlation key. The mean is
+    * ROUNDED to 4 decimals before the comparison (in both engines):
+    * boundary membership against a raw double avg would depend on float
+    * summation order, which differs across engines and partition layouts
+    * — the repo's rounded-comparison-key convention (round-9 advice). */
   private def qSubqueryScalar: QFn = (s, d) => {
     val c = view(s, d, "customer")
     s.sql(
       s"""SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
          |FROM $c c
-         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM $c c2
-         |                   WHERE c2.c_nationkey = c.c_nationkey)
+         |WHERE c_acctbal > round((SELECT avg(c2.c_acctbal) FROM $c c2
+         |                         WHERE c2.c_nationkey = c.c_nationkey), 4)
          |ORDER BY c_custkey""".stripMargin)
   }
 
@@ -258,8 +262,8 @@ object Analytics {
     "q_subquery_scalar" ->
       """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
         |FROM customer c
-        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
-        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |WHERE c_acctbal > round((SELECT avg(c2.c_acctbal) FROM customer c2
+        |                         WHERE c2.c_nationkey = c.c_nationkey), 4)
         |ORDER BY c_custkey""".stripMargin,
     "q_subquery_notin" ->
       """SELECT c_custkey, c_name FROM customer

@@ -49,6 +49,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(sharedBands(1, 16) === 0)
   }
 
+  test("candidate-edge broadcast gate: over-threshold edge set degrades to the shuffled path with identical output") {
+    import spark.implicits._
+    // 8 docs: 0/1 and 2/3 are one-token edits of 20-token texts
+    // (Jaccard ≈ 0.9, above the 7/10 gate); the rest are disjoint
+    val base = (0 until 20).map(i => s"tok$i")
+    val docs = Seq(
+      1L -> base.mkString(" "),
+      2L -> (base.take(19) :+ "edit1").mkString(" "),
+      3L -> (10 until 30).map(i => s"alt$i").mkString(" "),
+      4L -> ((10 until 29).map(i => s"alt$i") :+ "edit2").mkString(" "),
+      5L -> (50 until 70).map(i => s"zzz$i").mkString(" "),
+      6L -> (80 until 100).map(i => s"qqq$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    val sets = Extensions.docTokenSets(docs).localCheckpoint()
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val edges = ids.combinations(2).map(p => (p(0), p(1))).toSeq
+      .toDF("d1", "d2")
+    val propKey = "graft.neardup.maxBroadcastEdges"
+    // auto-broadcast off: with it on, the planner could re-broadcast the
+    // small side from stats and the two paths would be indistinguishable;
+    // the property under test is the HINT gate, not planner freedom
+    val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def runWith(maxEdges: Option[String]) = try {
+      maxEdges.foreach(sys.props(propKey) = _)
+      val df = Extensions.verifyEdgesJaccardSides(sets, sets, edges, 7, 10)
+      (df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq,
+        df.queryExecution.executedPlan.toString)
+    } finally sys.props.remove(propKey)
+    try {
+      val (hinted, hintedPlan) = runWith(None)          // 15 edges ≤ 4M → hint
+      val (shuffled, shuffledPlan) = runWith(Some("0")) // 15 edges > 0 → no hint
+      assert(hinted === Seq((1L, 2L), (3L, 4L)))
+      assert(shuffled === hinted)
+      assert(hintedPlan.contains("BroadcastHashJoin"),
+        "under the threshold the candidate side must be hint-broadcast")
+      assert(!shuffledPlan.contains("BroadcastHashJoin"),
+        "over the threshold the hint must be dropped (shuffled joins)")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+  }
+
   test("q_dedup_pipeline: one keeper per cluster; identical texts co-cluster") {
     val rows = run("q_dedup_pipeline").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
@@ -256,8 +298,9 @@ class ExtensionsSpec extends SparkSpec {
     val brute = run("q_vec_cosine").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     rows.foreach(r => assert(brute(r.getLong(0)) === r.getDouble(1)))
-    // 2-of-8 probed cells must still recover at least half the exact top-10
-    assert(rows.count(_.getBoolean(2)) >= 5)
+    // the k/4 probed cells must recover ≥8 of the exact top-10 — the
+    // round-10 recall floor (pinned per-SF in knnKmeansObserved too)
+    assert(rows.count(_.getBoolean(2)) >= 8)
   }
 
   test("q_udaf_geomean matches exp(avg(ln(x))) computed directly") {
@@ -292,7 +335,11 @@ class ExtensionsSpec extends SparkSpec {
   test("q_vec_centroid: labels x dims grid, components within observed range") {
     val rows = run("q_vec_centroid")
     val labels = Tables.embeddings(spark, sfDir).select("label").distinct().count()
-    assert(rows.count() === labels * 64)
+    // dim read from the data, not hardcoded: the property is labels×dim
+    // rows, whatever dim the fixture ships with (round-9 advice)
+    val dim = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(rows.count() === labels * dim)
     // a mean component can never escape the per-component min/max envelope
     val env = Tables.embeddings(spark, sfDir)
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))

@@ -185,15 +185,29 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan
       finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     // the committed side contributes exactly two parquet scans — the
-    // (doc_id, band) sigs index and the (doc_id, toks) token sets.
-    // Neither carries a text column, so re-tokenizing / re-MinHashing
-    // history inside the per-micro-batch plan is structurally impossible
-    // — this is the pin that the round-8 O(committed-set)-per-batch
-    // recompute cannot regress.
+    // (doc_id, band) sigs index, consumed inside the eagerly-materialized
+    // candidate checkpoint (the round-10 broadcast-gate boundary, so it
+    // surfaces in the FINAL plan as a (d1, d2) RDD scan), and the
+    // (doc_id, toks) token sets, scanned directly by the Jaccard gate.
+    // Neither index table carries a text column — their schemas derive
+    // from docBandRows/docTokenSets, asserted on disk below — so
+    // re-tokenizing / re-MinHashing history inside the per-micro-batch
+    // plan is structurally impossible: this is the pin that the round-8
+    // O(committed-set)-per-batch recompute cannot regress.
     val scans = p.collect { case f: FileSourceScanExec => f }
-    assert(scans.size === 2)
+    assert(scans.size === 1)
     assert(scans.forall(f => !f.output.map(_.name).contains("text")),
       "index scans must not expose a text column")
+    for (t <- Seq("sigs", "toks")) {
+      val cols = spark.read.parquet(base.resolve(t).toString).columns.toSet
+      assert(!cols.contains("text"), s"$t index table must not store text")
+    }
+    // the checkpointed candidate stage feeds the verify as bare
+    // (d1, d2) pairs — two longs per edge, nothing recoverable
+    val rddScans = p.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r }
+    assert(rddScans.exists(_.output.map(_.name).toSet == Set("d1", "d2")),
+      "candidate edges must enter the verify as a bare (d1, d2) scan")
     // and no tokenizer anywhere in the plan: the batch side tokenizes
     // once at its checkpoint, history never
     assert(!p.toString.contains("split(lower("))
