@@ -500,7 +500,14 @@ object Etl {
     * engines' minimal-JSON escaping agrees on the corpus), so a
     * serialization drift — not just a row drift — breaks the oracle.
     * Line order within a file is partition order; the checksum is an
-    * order-insensitive sum, so the pinned quantity is well-defined. */
+    * order-insensitive sum, so the pinned quantity is well-defined.
+    * KNOWN ORACLE BOUND (round-9 advice): byte-level `to_json` agreement
+    * between Spark and DuckDB is corpus-dependent — control characters,
+    * non-ASCII, and number formatting can escape differently. The
+    * synthetic fixture is ASCII words + integral fields, where both
+    * engines' minimal escaping provably coincides; if the fixture ever
+    * gains richer text, switch the checksum to parse-back-and-hash-the-
+    * struct (canonical form) rather than weakening to rows-only. */
   private def etlJsonlExport: QFn = (s, d) => {
     val nShards = 8
     val draw = expr(

@@ -783,8 +783,11 @@ object Extensions {
     * the stored value is the same 60-bit md5-prefix base the signatures
     * reduce mod p ([[tokenHash64Sql]]), so [[docBandRows]] derives
     * byte-identical band keys from the index alone, the index carries no
-    * recoverable text, and at corpus scale it is ~5-10× smaller than a
-    * string-set table. Jaccard over hashed sets equals string Jaccard up
+    * recoverable text, and it is smaller on disk (1.5× on the synthetic
+    * fixture, whose short repeated tokens dictionary-encode well; more on
+    * real text, where vocabulary growth defeats dictionary encoding while
+    * the hashed column stays fixed-width). Jaccard over hashed sets
+    * equals string Jaccard up
     * to 60-bit collisions (p ≈ n²/2⁶¹ per doc — negligible and, being a
     * pure function of the text, deterministic across engines). */
   private[graft] def docTokenSets(df: DataFrame): DataFrame =

@@ -19,6 +19,19 @@ class ThriftSpec extends SparkSpec {
     assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
   }
 
+  test("meta_e2e_serve declared query: import -> catalog -> Thrift -> BI SQL holds") {
+    val rows = graft.queries.Meta.queries("meta_e2e_serve")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(_._1).toSeq === Seq("describe_over_wire", "import_tables",
+      "introspection_tables", "serve_join_over_wire",
+      "show_create_view_rewrite")) // query emits phase-sorted
+    assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
+    // the e2e query must leave the serving session in ISOLATED mode —
+    // its singleSession flip is scoped to its own connections
+    assert(spark.sessionState.conf.getConfString(
+      "spark.sql.hive.thriftServer.singleSession", "false") === "false")
+  }
+
   test("wire results carry correct JDBC types and the dialect shims apply") {
     val port = ThriftServe.ensureStarted(spark)
     // a computed projection with aliases — types survive the Thrift hop
