@@ -896,11 +896,14 @@ object Extensions {
     val universe = docs.filter(isBatch).select("doc_id", "text")
       .unionByName(reps)
     // one tokenization (batch + representatives only) feeds the
-    // signatures AND the Jaccard verify
-    val withSets = universe.select(col("doc_id"),
-      expr(s"array_distinct($tokensExpr)").as("toks")).localCheckpoint()
+    // signatures AND the Jaccard verify — in the HASHED index format
+    // ([[docTokenSets]]): this is the row shape the deployed L39 index
+    // persists, so the query measures the deployment plan, and the
+    // signatures derived via the pre-hashed entry point are
+    // byte-identical to the string path's
+    val withSets = docTokenSets(universe).localCheckpoint()
     val tok = withSets.select(col("doc_id"), explode(col("toks")).as("token"))
-    val banded = minhashBandRows(tok, bands = 4, hashesPerBand = 4)
+    val banded = minhashBandRowsHashed(tok, bands = 4, hashesPerBand = 4)
     // checkpointed: the candidate list feeds BOTH the Jaccard verify and
     // the per-doc candidate count — without it the signature aggregation
     // (the expensive stage) would run once per consumer
