@@ -182,8 +182,10 @@ object ScaleSmoke {
           .map(f => Files.size(f)).sum / 1e6
       def indexFor(docs: org.apache.spark.sql.DataFrame, tag: String)
           : (String, String) = {
-        val sigs = scaledDir.resolve(s"screen_sigs_$tag")
-        val toks = scaledDir.resolve(s"screen_toks_$tag")
+        // "h1" versions the index FORMAT (round-10 hashed toks): a
+        // memoized fixture from an older format must never be reused
+        val sigs = scaledDir.resolve(s"screen_sigs_h1_$tag")
+        val toks = scaledDir.resolve(s"screen_toks_h1_$tag")
         if (!Files.exists(sigs)) {
           val sets = docTokenSets(docs).localCheckpoint()
           docBandRows(sets).write.mode("overwrite").parquet(sigs.toString)
@@ -212,8 +214,8 @@ object ScaleSmoke {
       // persisted-index footprint (the round-10 hashed-toks format:
       // 8-byte token hashes, no recoverable text) — the storage the
       // deployment actually pays to keep the screen O(batch+collisions)
-      val toksMbB = dirMb(scaledDir.resolve("screen_toks_base").toString)
-      val toksMbS = dirMb(scaledDir.resolve("screen_toks_scaled").toString)
+      val toksMbB = dirMb(scaledDir.resolve("screen_toks_h1_base").toString)
+      val toksMbS = dirMb(scaledDir.resolve("screen_toks_h1_scaled").toString)
       println(f"""{"query":"st_neardup_screen","mult":$mult,""" +
         f""""base_sec":$tb%.2f,"scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f,""" +
         f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f,""" +

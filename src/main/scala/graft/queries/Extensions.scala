@@ -850,7 +850,13 @@ object Extensions {
     val maxBroadcastEdges = sys.props.get("graft.neardup.maxBroadcastEdges")
       .map(_.toLong).getOrElse(4000000L)
     val distinctEdges = edges.distinct().localCheckpoint()
-    val cand = if (distinctEdges.count() <= maxBroadcastEdges)
+    val nEdges = distinctEdges.count()
+    if (nEdges > maxBroadcastEdges)
+      // stderr, not an exception: the degrade is the designed behavior,
+      // but an operator reading a slow run should see WHICH path ran
+      System.err.println(s"[graft] neardup verify: $nEdges candidate edges" +
+        s" > $maxBroadcastEdges — broadcast hint dropped, shuffled joins")
+    val cand = if (nEdges <= maxBroadcastEdges)
       broadcast(distinctEdges) else distinctEdges
     cand
       .join(leftSets.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
