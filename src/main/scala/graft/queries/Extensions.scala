@@ -1781,9 +1781,84 @@ object Extensions {
       .orderBy("l_returnflag")
   }
 
+  /** q_dedup_substring (L45): cross-document LONG-SUBSTRING exact dedup —
+    * the window-hash form of suffix-array substring dedup
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, arXiv:2107.06499): a 20-token verbatim overlap
+    * between documents marks boilerplate / quotation / template
+    * duplication that DOCUMENT-level near-dup (Jaccard over unordered
+    * token sets) cannot see. Shape: one map pass emits every 20-token
+    * window's md5 (O(tokens) rows), one keyed aggregate finds hashes in
+    * >1 distinct doc, the window stream joins back on those hashes, and
+    * a per-doc gaps-and-islands window turns consecutive shared
+    * positions into maximal duplicated RUNS (run of k windows = k+19
+    * verbatim shared tokens). The keyed shuffle of the window stream is
+    * the honest cost of substring-level discovery — the suffix-array
+    * original pays a global sort of the same token volume; at 100 TB
+    * both are one token-volume shuffle, and this form needs no
+    * driver-side array. All-integer arithmetic ⇒ exact DuckDB replay. */
+  private val SubstrW = 20
+  private def qDedupSubstring: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(s, Tables.documents(s, d))
+    val toks = docs.select(col("doc_id"), expr(tokensExpr).as("t"))
+      .filter(size(col("t")) >= SubstrW)
+    val wins = toks.select(col("doc_id"),
+        explode(expr(s"sequence(1, size(t) - ${SubstrW - 1})")).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        md5(expr(s"array_join(slice(t, i, $SubstrW), ' ')")).as("h"))
+      .localCheckpoint() // feeds the dup-hash agg AND the join back
+    val dupH = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val flagged = wins.join(dupH, "h").select("doc_id", "i")
+    val wn = Window.partitionBy("doc_id").orderBy("i")
+    val runs = flagged
+      .withColumn("grp", col("i") - row_number().over(wn))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(
+        sum(col("run")).as("n_dup_windows"),
+        (max(col("run")) + lit(SubstrW - 1).cast("long"))
+          .as("longest_dup_tokens"))
+    toks.select(col("doc_id"),
+        (size(col("t")) - lit(SubstrW - 1)).cast("long").as("n_windows"))
+      .join(runs, "doc_id") // inner: only docs sharing ≥1 window report
+      .select("doc_id", "n_windows", "n_dup_windows", "longest_dup_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** q_quality_prune (L46): per-language QUANTILE pruning — drop each
+    * language's bottom word-count quartile, the relative-threshold
+    * companion to the absolute Gopher rules ([[qQualityGopher]]): corpus
+    * curation sets per-source quality bars as quantiles because sources
+    * differ in baseline quality. The cutoff is an INTEGER rank
+    * comparison over a total order (wc, then doc_id) — `rk > n div 4`
+    * — so no float percentile can split engine and oracle, and the
+    * plan is one keyed window + one keyed aggregate: linear, two
+    * narrow shuffles of (doc_id, lang, wc) rows, never the text. */
+  private def qQualityPrune: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        size(expr(tokensExpr)).cast("long").as("wc"))
+    val w = Window.partitionBy("lang").orderBy(col("wc"), col("doc_id"))
+    val ranked = docs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("kept", col("rk") > expr("n DIV 4"))
+    ranked.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("kept"), col("wc"))).as("min_kept_wc"))
+      .orderBy("lang")
+  }
+
   // --------------------------------------------------------------- contract
 
   val queries: Map[String, QFn] = Map(
+    "q_dedup_substring" -> qDedupSubstring,
+    "q_quality_prune"   -> qQualityPrune,
     "q_text_dedup"      -> qTextDedup,
     "q_text_tokens"     -> qTextTokens,
     "q_text_tfidf"      -> qTextTfidf,
@@ -2042,6 +2117,50 @@ object Extensions {
     "q_text_dedup" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    // full replay of the window-hash substring-dedup chain: same
+    // tokenizer, same 20-token 1-based slices, same md5, same
+    // gaps-and-islands run arithmetic — all integers
+    "q_dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x != '') AS t
+        |  FROM documents),
+        |eligible AS (SELECT doc_id, t FROM toks WHERE len(t) >= 20),
+        |wins AS (
+        |  SELECT doc_id, i, md5(array_to_string(t[i:i+19], ' ')) AS h
+        |  FROM eligible, unnest(generate_series(1, len(t) - 19)) AS u(i)),
+        |duph AS (SELECT h FROM wins GROUP BY h
+        |         HAVING count(DISTINCT doc_id) > 1),
+        |runs AS (
+        |  SELECT doc_id, grp, count(*) AS run
+        |  FROM (SELECT w.doc_id, w.i,
+        |          w.i - row_number() OVER (PARTITION BY w.doc_id ORDER BY w.i)
+        |            AS grp
+        |        FROM wins w JOIN duph USING (h))
+        |  GROUP BY doc_id, grp),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup_windows,
+        |         CAST(max(run) + 19 AS BIGINT) AS longest_dup_tokens
+        |  FROM runs GROUP BY doc_id)
+        |SELECT e.doc_id, CAST(len(e.t) - 19 AS BIGINT) AS n_windows,
+        |       p.n_dup_windows, p.longest_dup_tokens
+        |FROM eligible e JOIN per_doc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_prune" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS wc
+        |  FROM documents),
+        |r AS (SELECT lang, wc,
+        |        row_number() OVER (PARTITION BY lang ORDER BY wc, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM t)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE rk > n // 4) AS BIGINT) AS n_kept,
+        |       CAST(min(wc) FILTER (WHERE rk > n // 4) AS BIGINT) AS min_kept_wc
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_tokens" ->
       """SELECT token, count(*) AS cnt FROM (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

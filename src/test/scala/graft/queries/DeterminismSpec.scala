@@ -21,8 +21,11 @@ class DeterminismSpec extends SparkSpec {
   // one representative per layout-sensitive family: windows, multi-stage
   // dedup (MinHash→band→CC→keeper), sharded prefix-sum packing, tf-idf
   // (three keyed aggs + per-doc window), float aggregation, LSH buckets
+  // q_subquery_scalar: the boundary comparison against a (rounded) float
+  // mean — the round-9 advice's candidate for layout-order sensitivity
   private val targets = Seq("q_win_rank", "q_dedup_pipeline",
-    "q_pack_sequences", "q_text_tfidf", "q_agg_stats", "q_embed_neardup_lsh")
+    "q_pack_sequences", "q_text_tfidf", "q_agg_stats", "q_embed_neardup_lsh",
+    "q_subquery_scalar", "q_dedup_substring")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()

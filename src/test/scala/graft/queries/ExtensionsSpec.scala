@@ -91,6 +91,49 @@ class ExtensionsSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
   }
 
+  test("q_dedup_substring: matches a driver-side ground-truth recompute") {
+    // independent reimplementation (plain Scala, no Spark expressions):
+    // tokenize, hash every 20-token window, find cross-doc hashes, turn
+    // consecutive shared positions into runs — the whole chain the query
+    // claims, recomputed a third way (DuckDB replay being the second)
+    val W = 20
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wins = docs.toSeq.flatMap { case (id, t) =>
+      if (t.size < W) Nil
+      else (0 to t.size - W).map(i => (id, i + 1, md5hex(t.slice(i, i + W).mkString(" "))))
+    }
+    val dupH = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size > 1).keySet
+    val expected = wins.filter(w => dupH(w._3)).groupBy(_._1).map {
+      case (id, ws) =>
+        val is = ws.map(_._2).distinct.sorted
+        val runs = is.zipWithIndex.groupBy { case (i, idx) => i - idx }
+          .values.map(_.size).toSeq
+        id -> (docs(id).size - W + 1L, runs.sum.toLong, runs.max + W - 1L)
+    }
+    val got = run("q_dedup_substring").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must contain cross-doc 20-token overlaps")
+  }
+
+  test("q_quality_prune: keeps exactly the top three quartiles per language") {
+    val rows = run("q_quality_prune").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept, minWc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept === n - n / 4, s"${r.getString(0)}: kept $kept of $n")
+      assert(minWc >= 0)
+    }
+    // langs partition the corpus
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+  }
+
   test("q_dedup_pipeline: one keeper per cluster; identical texts co-cluster") {
     val rows = run("q_dedup_pipeline").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

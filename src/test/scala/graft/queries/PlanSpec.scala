@@ -223,6 +223,21 @@ class PlanSpec extends SparkSpec {
     for (ks <- keyed) assert(ks.forall(allowed), s"non-key join columns: $ks")
   }
 
+  test("substring dedup: window-hash joins only, no pair enumeration") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("q_dedup_substring")
+    // the discovery is a keyed shuffle of the WINDOW stream — a
+    // doc×doc join (the quadratic trap of substring dedup) must never
+    // appear; every join keys on the window hash or doc_id
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
+    val allowed = Set("h", "doc_id")
+    for (ks <- p.collect { case j: BaseJoinExec =>
+        j.leftKeys.flatMap(_.references.map(_.name)) })
+      assert(ks.forall(allowed), s"non-key join columns: $ks")
+  }
+
   test("simhash statistics: histogram-sized plan, no doc-level pair join") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     // the only join keys are signature/bucket columns — a doc_id-keyed
