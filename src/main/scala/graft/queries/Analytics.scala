@@ -222,7 +222,50 @@ object Analytics {
         max(col("k")).as("k_max"))
       .orderBy("decile")
 
+  /** q_subquery_exists (M13): correlated EXISTS + NOT EXISTS in one
+    * predicate — customers with at least one >300k order and no
+    * fulfilled >500k order. Catalyst plans the pair as a left-semi and a
+    * left-anti join on the correlation key (no null-aware complication,
+    * unlike NOT IN — the three-valued-logic contrast q_subquery_notin
+    * pins); both subquery scans carry their price filters pushed down. */
+  private def qSubqueryExists: QFn = (s, d) => {
+    val c = view(s, d, "customer")
+    val o = view(s, d, "orders")
+    s.sql(
+      s"""SELECT c_custkey, c_name FROM $c c
+         |WHERE EXISTS (SELECT 1 FROM $o o
+         |              WHERE o.o_custkey = c.c_custkey
+         |                AND o.o_totalprice > 300000)
+         |  AND NOT EXISTS (SELECT 1 FROM $o o2
+         |                  WHERE o2.o_custkey = c.c_custkey
+         |                    AND o2.o_orderstatus = 'F'
+         |                    AND o2.o_totalprice > 500000)
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q_win_range_interval (M14): a TIME-based RANGE window frame — each
+    * event's rolling 1-hour per-user sum (`RANGE BETWEEN INTERVAL 1 HOUR
+    * PRECEDING AND CURRENT ROW`), the continuous-time sliding aggregate
+    * BI tools emit for "last hour" tiles (q_window_sliding covers the
+    * discretized bucket form). The frame is defined by the ORDER BY
+    * VALUE, so tied timestamps all enter the frame together — no
+    * tie-order hazard — and the summed quantity is integer CENTS
+    * (`round(value*100)`), so the rolling sum is exact in both engines
+    * regardless of accumulation order. One user-keyed shuffle. */
+  private def qWinRangeInterval: QFn = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("an_events_ri")
+    s.sql(
+      """SELECT event_id, user_id, ts,
+        |       sum(cast(round(value * 100) as bigint)) OVER (
+        |         PARTITION BY user_id ORDER BY ts
+        |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        |       ) AS roll_cents
+        |FROM an_events_ri ORDER BY event_id""".stripMargin)
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_subquery_exists"   -> qSubqueryExists,
+    "q_win_range_interval" -> qWinRangeInterval,
     "q_subquery_scalar"   -> qSubqueryScalar,
     "q_subquery_notin"    -> qSubqueryNotin,
     "q_cte_multi"         -> qCteMulti,
@@ -238,6 +281,23 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F'
+        |                    AND o2.o_totalprice > 500000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_win_range_interval" ->
+      """SELECT event_id, user_id, ts,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |         PARTITION BY user_id ORDER BY ts
+        |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        |       ) AS BIGINT) AS roll_cents
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_sql_params" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
         |FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000

@@ -1854,11 +1854,76 @@ object Extensions {
       .orderBy("lang")
   }
 
+  /** q_token_budget (L47): deterministic per-source TOKEN-budget
+    * sampling — the epoch-scheduling primitive: "take ~half of each
+    * language's tokens this epoch" as a greedy prefix of the
+    * deterministic-draw order (the L32 md5 convention — membership is a
+    * pure function of doc_id, so retries and any partition layout agree;
+    * a doc is taken while the tokens BEFORE it are under budget, so the
+    * budget may overshoot by at most one document — the standard greedy
+    * contract). Token counts, budgets and cumulative sums are all
+    * integers ⇒ exact replay; the plan is one keyed window + one keyed
+    * aggregate over (doc_id, lang, wc, draw) rows — the text never
+    * shuffles. */
+  private def qTokenBudget: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        size(expr(tokensExpr)).cast("long").as("wc"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), " +
+          "16, 10) as bigint)").as("draw"))
+    val order = Window.partitionBy("lang").orderBy(col("draw"), col("doc_id"))
+    val budgeted = docs
+      .withColumn("budget", expr("sum(wc) OVER (PARTITION BY lang) DIV 2"))
+      .withColumn("cum", sum(col("wc")).over(order))
+      .withColumn("sampled", col("cum") - col("wc") < col("budget"))
+    budgeted.groupBy("lang").agg(
+        max(col("budget")).as("budget_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"), col("wc")).otherwise(0L)).as("tokens_sampled"))
+      .orderBy("lang")
+  }
+
+  /** q_vocab_coverage (J11): the vocabulary coverage curve — how much of
+    * the corpus token stream the top-K vocabulary entries cover, the
+    * number a tokenizer/vocab-size decision reads off. One corpus-wide
+    * token count (keyed agg with map-side partials), then ranking +
+    * cumulative sum over a VOCAB-sized single-partition window — the
+    * window input is distinct tokens, orders of magnitude below the
+    * corpus (at a 100 TB corpus the vocab is millions of rows — one
+    * executor's work; the corpus-sized stage is the map-combined count,
+    * never the sort). Reports K ∈ {10, 25, 100, 1000, 10000} (where the
+    * vocab reaches K — the synthetic fixture's dictionary is ~31 tokens,
+    * so the small steps keep the curve non-degenerate there) plus the
+    * full-vocab row; all counts integral. */
+  private def qVocabCoverage: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.spread(s, Tables.documents(s, d))
+      .select(explode(expr(tokensExpr)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val byRank = Window.orderBy(desc("cnt"), asc("token"))
+    val whole = Window.partitionBy()
+    counts
+      .withColumn("rk", row_number().over(byRank))
+      .withColumn("cum", sum(col("cnt")).over(byRank))
+      .withColumn("total_tokens", sum(col("cnt")).over(whole))
+      .withColumn("vocab_size", count(lit(1)).over(whole))
+      .filter(col("rk").isin(10L, 25L, 100L, 1000L, 10000L) ||
+        col("rk") === col("vocab_size"))
+      .select(col("rk").cast("long").as("vocab_k"),
+        col("cum").as("tokens_covered"),
+        col("total_tokens"), col("vocab_size"))
+      .orderBy("vocab_k")
+  }
+
   // --------------------------------------------------------------- contract
 
   val queries: Map[String, QFn] = Map(
     "q_dedup_substring" -> qDedupSubstring,
     "q_quality_prune"   -> qQualityPrune,
+    "q_token_budget"    -> qTokenBudget,
+    "q_vocab_coverage"  -> qVocabCoverage,
     "q_text_dedup"      -> qTextDedup,
     "q_text_tokens"     -> qTextTokens,
     "q_text_tfidf"      -> qTextTfidf,
@@ -2147,6 +2212,43 @@ object Extensions {
         |       p.n_dup_windows, p.longest_dup_tokens
         |FROM eligible e JOIN per_doc p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS wc,
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           AS draw
+        |  FROM documents),
+        |b AS (SELECT lang, wc,
+        |        sum(wc) OVER (PARTITION BY lang) // 2 AS budget,
+        |        sum(wc) OVER (PARTITION BY lang ORDER BY draw, doc_id) AS cum
+        |      FROM t)
+        |SELECT lang, CAST(max(budget) AS BIGINT) AS budget_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE cum - wc < budget) AS BIGINT)
+        |         AS n_sampled,
+        |       CAST(coalesce(sum(wc) FILTER (WHERE cum - wc < budget), 0)
+        |         AS BIGINT) AS tokens_sampled
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> x != '')) AS token FROM documents)
+        |  GROUP BY token),
+        |r AS (SELECT cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, token) AS rk,
+        |        sum(cnt) OVER (ORDER BY cnt DESC, token
+        |          ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(cnt) OVER () AS total_tokens,
+        |        count(*) OVER () AS vocab_size
+        |      FROM c)
+        |SELECT CAST(rk AS BIGINT) AS vocab_k, CAST(cum AS BIGINT) AS tokens_covered,
+        |       CAST(total_tokens AS BIGINT) AS total_tokens,
+        |       CAST(vocab_size AS BIGINT) AS vocab_size
+        |FROM r WHERE rk IN (10, 25, 100, 1000, 10000) OR rk = vocab_size
+        |ORDER BY vocab_k""".stripMargin,
     "q_quality_prune" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -29,6 +29,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(run("q_subquery_notin").count() === total - inSide)
   }
 
+  test("q_subquery_exists matches its manual semi+anti join composition") {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val expected = c
+      .join(o.filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(o.filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 500000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(run("q_subquery_exists").count() === expected)
+    assert(expected > 0)
+  }
+
+  test("q_win_range_interval: one row per event, frame always includes the row itself") {
+    val rows = run("q_win_range_interval")
+    val ev = Tables.events(spark, sfDir).select(col("event_id"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+    assert(rows.count() === ev.count())
+    // RANGE ... CURRENT ROW: the rolling sum can never be below the
+    // event's own contribution
+    assert(rows.join(ev, "event_id")
+      .filter(col("roll_cents") < col("cents")).count() === 0)
+  }
+
   test("q_cte_multi: priority shares sum to 1 within each month") {
     val bad = run("q_cte_multi")
       .groupBy("mo").agg(sum("share").as("s"))

@@ -134,6 +134,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === nDocs)
   }
 
+  test("q_token_budget: greedy prefix fills each language's budget") {
+    val rows = run("q_token_budget").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, n, ns, ts) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ns <= n)
+      // greedy contract: the budget is met unless the language ran out
+      // of docs, and never overshoots by more than the whole corpus half
+      if (ns < n) assert(ts >= b, s"${r.getString(0)}: $ts < budget $b")
+      assert(ts <= 2 * b + 1) // can't exceed the language's total tokens
+    }
+    assert(rows.map(_.getLong(2)).sum === nDocs)
+  }
+
+  test("q_vocab_coverage: monotone concave curve ending at full coverage") {
+    val rows = run("q_vocab_coverage").collect()
+    assert(rows.nonEmpty)
+    val last = rows.last
+    assert(last.getLong(0) === last.getLong(3)) // final row: k == vocab size
+    assert(last.getLong(1) === last.getLong(2)) // ...covers every token
+    val cov = rows.map(_.getLong(1))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    // top-k tokens are the most frequent, so coverage is always at least
+    // proportional: covered/total >= k/vocab, cross-multiplied exact
+    rows.foreach { r =>
+      assert(r.getLong(1) * r.getLong(3) >= r.getLong(2) * r.getLong(0))
+    }
+  }
+
   test("q_dedup_pipeline: one keeper per cluster; identical texts co-cluster") {
     val rows = run("q_dedup_pipeline").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
