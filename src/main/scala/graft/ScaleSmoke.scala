@@ -100,7 +100,13 @@ object ScaleSmoke {
       "q_neardup_simhash",
       "q_neardup_simhash_k", "q_pack_sequences", "q_mix_temperature",
       "q_decontaminate", "q_curation_funnel", "q_text_tfidf",
-      "q_chunk_documents")
+      "q_chunk_documents",
+      // round 10: window-hash substring dedup (token-volume keyed
+      // shuffle — must track tokens, never pairs), quantile pruning,
+      // token budgeting, vocab coverage (map-combined count + a
+      // vocab-sized sort)
+      "q_dedup_substring", "q_quality_prune", "q_token_budget",
+      "q_vocab_coverage")
     // SPARK_GRAFT_ONLY: comma-separated target filter for iteration
     // ("none" runs only the streaming-screen block below)
     val targets = sys.env.get("SPARK_GRAFT_ONLY") match {

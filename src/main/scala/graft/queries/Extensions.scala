@@ -1590,10 +1590,10 @@ object Extensions {
 
   // Character classes, bounded repeats, and \b only — the regex subset on
   // which Java regex (Spark codegen) and RE2 (the DuckDB oracle) agree.
-  private[queries] val piiEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[queries] val piiIpPat =
+  private[graft] val piiEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val piiIpPat =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  private[queries] val piiPhonePat = "\\b[0-9]{3}-[0-9]{4}\\b"
+  private[graft] val piiPhonePat = "\\b[0-9]{3}-[0-9]{4}\\b"
 
   /** q_pii_redact (L36): PII scrubbing — the redaction pass a production
     * corpus runs before training: emails, IPv4 addresses, and phone-shaped

@@ -683,7 +683,85 @@ object Streaming {
       .orderBy("phase") // total key: phase strings are unique
   }
 
+  /** st_curation_catalog: the curation funnel (L38) as a STREAMING
+    * ingestion loop — each micro-batch runs the per-doc curation chain
+    * BEFORE landing: (1) PII redaction (the L36 shared patterns, applied
+    * before hashing so documents identical up to their PII values dedup
+    * as ONE — a near-universal crawler artifact: boilerplate pages
+    * differing only in contact details), (2) quality gate (integer word
+    * count ≥ 5 — the Gopher-style bar scaled to fixture texts),
+    * (3) exact self-dedup (first doc_id per redacted-content hash),
+    * (4) hash-index anti-join against the committed table, (5) append
+    * snapshot of survivors only. The map-only stages ride the streaming
+    * DataFrame itself (stateless, no watermark needed); the per-batch
+    * state is the committed hash index, exactly [[stDedupCatalog]]'s
+    * bucketable 16-byte column. Deterministic literal inputs ⇒
+    * exact-rows oracle; the committed rows prove every path fired:
+    * quality reject, PII rewrite, redaction-equivalent in-batch dup,
+    * cross-batch dup, and a clean late arrival. */
+  def stCurationCatalog: QFn = (s, _) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.queries.Extensions.{piiEmailPat, piiIpPat, piiPhonePat, tokensExpr}
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_cur_cat")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val input = MemoryStream[(Long, String)]
+    val curated = input.toDF().toDF("doc_id", "raw")
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            lit(piiEmailPat), lit("<EMAIL>")),
+          lit(piiIpPat), lit("<IP>")),
+          lit(piiPhonePat), lit("<PHONE>")).as("text"))
+      .filter(expr(s"size($tokensExpr) >= 5"))
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    cat.createTable("stream", "docs_curated", curated.schema)
+    val q = withStatePartitions(s, 4)(curated.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val hist = cat.readTable(ss, "stream", "docs_curated")
+          .select("h").distinct()
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        val accepted = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .join(hist, Seq("h"), "left_anti")
+          .select("doc_id", "text", "h")
+        if (!accepted.isEmpty) {
+          val dir = base.resolve("landed").resolve(s"batch-$id")
+          accepted.write.mode("overwrite").parquet(dir.toString)
+          cat.registerFiles("stream", "docs_curated", Seq(dir))
+        }
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start())
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon contact a@b.com now"),
+        (2L, "tiny doc"), // quality reject: 2 words
+        // redacts to doc 1's exact text — the PII-equivalent dup path
+        (3L, "alpha beta gamma delta epsilon contact x@y.org now"))
+      q.processAllAvailable()
+      input.addData(
+        // cross-batch PII-equivalent dup of committed doc 1
+        (4L, "alpha beta gamma delta epsilon contact c@d.net now"),
+        (5L, "totally different quality document with enough words"))
+      q.processAllAvailable()
+      input.addData(
+        (6L, "tiny doc"), // still rejected two batches later
+        (7L, "totally different quality document with enough words"), // dup of 5
+        (8L, "call 555-1234 and ping 10.0.0.1 please right away"))
+      q.processAllAvailable()
+    } finally q.stop()
+    cat.readTable(s, "stream", "docs_curated")
+      .select("doc_id", "text", "h").orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "st_curation_catalog" -> stCurationCatalog,
     "st_watermark"    -> stWatermark,
     "st_watermark_rocksdb" -> stWatermarkRocks,
     "st_dedup"        -> stDedup,
@@ -719,6 +797,16 @@ object Streaming {
       |AS t(w_start, k, n) ORDER BY w_start, k""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // survivors of the three-batch curation ingestion: 2/6 quality-
+    // rejected, 3 an in-batch PII-equivalent dup of 1, 4 a cross-batch
+    // one, 7 an exact dup of 5 — the landed texts carry the REDACTED
+    // form, and DuckDB recomputes each hash from the redacted literal
+    "st_curation_catalog" ->
+      """SELECT doc_id, text, md5(text) AS h FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha beta gamma delta epsilon contact <EMAIL> now'),
+        |  (CAST(5 AS BIGINT), 'totally different quality document with enough words'),
+        |  (CAST(8 AS BIGINT), 'call <PHONE> and ping <IP> please right away'))
+        |AS t(doc_id, text) ORDER BY doc_id""".stripMargin,
     "st_dedup" -> stDedupOracle,
     "st_dedup_rocksdb" -> stDedupOracle,
     "st_watermark" -> stWatermarkOracle,

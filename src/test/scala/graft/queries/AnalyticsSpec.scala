@@ -14,7 +14,7 @@ class AnalyticsSpec extends SparkSpec {
   test("q_subquery_scalar matches its manual decorrelation") {
     val c = Tables.customer(spark, sfDir)
     val nationAvg = c.groupBy(col("c_nationkey").as("nk"))
-      .agg(avg(col("c_acctbal")).as("nation_avg"))
+      .agg(round(avg(col("c_acctbal")), 4).as("nation_avg"))
     val expected = c.join(nationAvg, col("c_nationkey") === col("nk"))
       .filter(col("c_acctbal") > col("nation_avg")).count()
     assert(run("q_subquery_scalar").count() === expected)

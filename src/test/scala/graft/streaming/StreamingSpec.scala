@@ -37,6 +37,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
   }
 
+  test("st_curation_catalog: quality gate, PII-equivalent dedup and redaction all fire") {
+    val rows = Streaming.stCurationCatalog(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 5L, 8L))
+    val texts = rows.toMap
+    // landed texts carry the REDACTED form only
+    assert(texts(1L).contains("<EMAIL>") && !texts(1L).contains("@"))
+    assert(texts(8L).contains("<PHONE>") && texts(8L).contains("<IP>"))
+    // docs 3/4 differed from doc 1 only in their email address: their
+    // absence proves redaction happens BEFORE hashing (a raw-text hash
+    // would have landed both)
+    assert(!rows.map(_._1).contains(3L) && !rows.map(_._1).contains(4L))
+  }
+
   test("st_neardup_catalog: near-dups of committed docs are rejected, not just exact") {
     val rows = Streaming.stNeardupCatalog(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
