@@ -335,8 +335,8 @@ object ScaleSmoke {
           .reduce(_ unionByName _)
           .write.mode("overwrite").parquet(scaledEm.toString)
       }
-      for (q <- Seq("q_vec_knn", "q_vec_centroid", "q_embed_neardup_cells",
-          "q_embed_neardup_lsh")) {
+      for (q <- Seq("q_vec_knn", "q_vec_knn_pq", "q_vec_centroid",
+          "q_embed_neardup_cells", "q_embed_neardup_lsh")) {
         val (tb, _, mbB) = time(q, sfDir)
         val (ts, _, mbS) = time(q, scaledDir.toString)
         println(f"""{"query":"$q","mult":$mult,"base_sec":$tb%.2f,""" +

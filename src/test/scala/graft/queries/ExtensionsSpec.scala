@@ -362,6 +362,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
   }
 
+  test("q_vec_knn_pq: compressed-scan shortlist + exact re-rank recovers the top-10") {
+    val rows = run("q_vec_knn_pq").collect()
+    assert(rows.length === 10)
+    // re-ranked similarities must equal the brute-force scan exactly
+    val brute = run("q_vec_cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(brute(r.getLong(0)) === r.getDouble(1)))
+    // the round-10 ANN recall floor (pinned 10/10 per SF in knnPqObserved)
+    assert(rows.count(_.getBoolean(2)) >= 8)
+  }
+
   test("q_vec_knn_kmeans: trained quantizer returns 10 scored rows with real recall") {
     val rows = run("q_vec_knn_kmeans").collect()
     assert(rows.length === 10)
