@@ -263,7 +263,24 @@ object Analytics {
         |FROM an_events_ri ORDER BY event_id""".stripMargin)
   }
 
+  /** q_agg_filter (M15): per-aggregate FILTER clauses + GROUP BY ALL —
+    * the modern-SQL aggregate surface BI generators emit (conditional
+    * counts without CASE scaffolding, grouping keys inferred from the
+    * projection). Money sums as integer CENTS so no float accumulation
+    * order can split the engines. */
+  private def qAggFilter: QFn = (s, d) => {
+    val o = view(s, d, "orders")
+    s.sql(
+      s"""SELECT o_orderpriority,
+         |       count(*) AS n_orders,
+         |       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+         |       coalesce(sum(cast(round(o_totalprice * 100) as bigint))
+         |                FILTER (WHERE o_orderstatus = 'F'), 0) AS cents_fulfilled
+         |FROM $o GROUP BY ALL ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_agg_filter"        -> qAggFilter,
     "q_subquery_exists"   -> qSubqueryExists,
     "q_win_range_interval" -> qWinRangeInterval,
     "q_subquery_scalar"   -> qSubqueryScalar,
@@ -281,6 +298,14 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_agg_filter" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                     FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT)
+        |         AS cents_fulfilled
+        |FROM orders GROUP BY ALL ORDER BY o_orderpriority""".stripMargin,
     "q_subquery_exists" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

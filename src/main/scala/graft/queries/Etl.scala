@@ -536,7 +536,45 @@ object Etl {
       .orderBy("shard")
   }
 
+  /** etl_jsonl_roundtrip (L43's closing loop): the JSONL shards the
+    * export writes must read BACK losslessly — export → `from_json`
+    * parse with the declared schema → per-language aggregates over the
+    * PARSED rows, oracled against DuckDB computing the same aggregates
+    * from the source table directly. Any serialize/parse asymmetry
+    * (escaping, field order, type coercion, a dropped row) lands as a
+    * sum/cardinality mismatch. This is the consumer's half of the
+    * interchange contract: L43 pins the bytes we write, this pins that
+    * a reader of those bytes recovers the data. */
+  private def etlJsonlRoundtrip: QFn = (s, d) => {
+    val nShards = 8
+    val draw = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "etl_jsonl_rt")
+    val out = base.resolve("shards").toString
+    Tables.documents(s, d)
+      .withColumn("shard", draw % nShards)
+      .select(col("shard"),
+        to_json(struct(col("doc_id"), col("lang"), col("source"), col("text")))
+          .as("value"))
+      .repartition(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, source STRING, text STRING")
+    s.read.format("text").load(out)
+      .select(from_json(col("value"), schema).as("r"))
+      .select("r.*")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(length(col("text"))).as("sum_len"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "etl_jsonl_roundtrip" -> etlJsonlRoundtrip,
     "etl_sanitize_uint64" -> etlSanitizeUint64,
     "etl_sanitize_ts"     -> etlSanitizeTs,
     "etl_sanitize_report" -> etlSanitizeReport,
@@ -552,6 +590,12 @@ object Etl {
   )
 
   def oracles: Map[String, String] = zorderOracle ++ Map(
+    "etl_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "etl_sanitize_uint64" ->
       s"""SELECT event_id, CAST(counter AS VARCHAR) AS counter_str,
          |       CAST(small_u AS VARCHAR) AS small_u_str,

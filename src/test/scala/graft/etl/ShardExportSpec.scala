@@ -23,6 +23,34 @@ class ShardExportSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq)
   }
 
+  test("etl_jsonl_roundtrip: parsed shard rows are EXACTLY the source rows") {
+    import org.apache.spark.sql.functions._
+    // stronger than the declared aggregates: full row-set identity
+    // between the source table and what a JSONL consumer parses back
+    val nShards = 8
+    val draw = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "rt_spec")
+    val out = base.resolve("shards").toString
+    val src = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text")
+    src.withColumn("shard", draw % nShards)
+      .select(col("shard"),
+        to_json(struct(col("doc_id"), col("lang"), col("source"), col("text")))
+          .as("value"))
+      .repartition(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, source STRING, text STRING")
+    val parsed = spark.read.format("text").load(out)
+      .select(from_json(col("value"), schema).as("r")).select("r.*")
+    assert(parsed.count() === src.count())
+    // symmetric difference empty = byte-lossless round trip per field
+    assert(parsed.exceptAll(src).count() === 0)
+    assert(src.exceptAll(parsed).count() === 0)
+  }
+
   test("etl_jsonl_export: same membership as the parquet export, bytes stable") {
     val jsonl = graft.queries.Etl.queries("etl_jsonl_export")(spark, sfDir)
       .collect()

@@ -29,6 +29,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(run("q_subquery_notin").count() === total - inSide)
   }
 
+  test("q_agg_filter matches the CASE-scaffolded equivalent") {
+    val o = Tables.orders(spark, sfDir)
+    val expected = o.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_big"),
+        coalesce(sum(when(col("o_orderstatus") === "F",
+          expr("cast(round(o_totalprice * 100) as bigint)"))), lit(0L))
+          .as("cents_fulfilled"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = run("q_agg_filter").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("q_subquery_exists matches its manual semi+anti join composition") {
     val c = Tables.customer(spark, sfDir)
     val o = Tables.orders(spark, sfDir)

@@ -32,6 +32,42 @@ class ThriftSpec extends SparkSpec {
       "spark.sql.hive.thriftServer.singleSession", "false") === "false")
   }
 
+  test("wire statement cancel: a long statement dies promptly, the connection survives") {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val port = ThriftServe.ensureStarted(spark)
+    // the cancelled operation logs server-side like any failed one —
+    // expected here, so the operation logger is off for this probe only
+    val opLogger =
+      "org.apache.spark.sql.hive.thriftserver.SparkExecuteStatementOperation"
+    val prevLevel = LogManager.getLogger(opLogger).getLevel
+    Configurator.setLevel(opLogger, Level.OFF)
+    try ThriftServe.withConnection(port) { c =>
+      val st = c.createStatement()
+      @volatile var err: Throwable = null
+      @volatile var returned = false
+      val t = new Thread(() => {
+        try {
+          val rs = st.executeQuery(
+            "SELECT sum(id % 7) FROM range(0, 200000000000, 1, 400)")
+          rs.next(); returned = true
+        } catch { case e: Throwable => err = e }
+      })
+      t.start()
+      Thread.sleep(1500) // let the statement reach the executors
+      st.cancel()
+      t.join(30000)
+      assert(!t.isAlive, "cancel must terminate the in-flight statement")
+      assert(err != null && !returned,
+        "the cancelled statement must error out, not return rows")
+      // the session is still serviceable on the same connection
+      val st2 = c.createStatement()
+      val rs2 = st2.executeQuery("SELECT 41 + 1 AS x")
+      assert(rs2.next() && rs2.getInt(1) === 42)
+      st2.close()
+    } finally Configurator.setLevel(opLogger, prevLevel)
+  }
+
   test("wire results carry correct JDBC types and the dialect shims apply") {
     val port = ThriftServe.ensureStarted(spark)
     // a computed projection with aliases — types survive the Thrift hop
