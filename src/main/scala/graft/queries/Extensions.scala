@@ -2036,6 +2036,41 @@ object Extensions {
       .orderBy("vocab_k")
   }
 
+  /** q_rarity_score (J13): per-document token-rarity scoring — the
+    * corpus-statistics quality heuristic next to the absolute Gopher
+    * rules: a document whose tokens sit deep in the frequency tail
+    * (high mean rank) is disproportionately often gibberish, OCR noise
+    * or boilerplate-free junk. The token rank table is the SAME
+    * vocab-sized ranking [[qVocabCoverage]] builds (rank 1 = most
+    * frequent, ties broken by token text); each document scores as the
+    * SUM of its tokens' ranks — integers end to end, so the
+    * `rare_heavy` verdict (mean rank above the vocab midpoint) is an
+    * exact cross-multiply, never a float boundary. Plan: one
+    * map-combined token count, a vocab-sized ranking window, a
+    * broadcast-sized rank table joined to the exploded token stream,
+    * one doc-keyed aggregate — linear in tokens, the rank table is
+    * vocab-sized (≪ corpus) at any scale. */
+  private def qRarityScore: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(s, Tables.documents(s, d))
+    val tok = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+    val ranks = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("cnt"), asc("token")))
+          .cast("long"))
+      .withColumn("vocab", count(lit(1)).over(Window.partitionBy()))
+      .select("token", "rk", "vocab")
+    tok.join(broadcast(ranks), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("rk")).as("rank_sum"),
+        max(col("vocab")).as("vocab_size"))
+      // mean rank above the vocab midpoint, cross-multiplied exact
+      .withColumn("rare_heavy",
+        col("rank_sum") * 2 > col("n_tokens") * col("vocab_size"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- contract
 
   val queries: Map[String, QFn] = Map(
@@ -2043,6 +2078,7 @@ object Extensions {
     "q_quality_prune"   -> qQualityPrune,
     "q_token_budget"    -> qTokenBudget,
     "q_vocab_coverage"  -> qVocabCoverage,
+    "q_rarity_score"    -> qRarityScore,
     "q_text_dedup"      -> qTextDedup,
     "q_text_tokens"     -> qTextTokens,
     "q_text_tfidf"      -> qTextTfidf,
@@ -2388,6 +2424,23 @@ object Extensions {
         |       CAST(vocab_size AS BIGINT) AS vocab_size
         |FROM r WHERE rk IN (10, 25, 100, 1000, 10000) OR rk = vocab_size
         |ORDER BY vocab_k""".stripMargin,
+    "q_rarity_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x != '')) AS token
+        |  FROM documents),
+        |ranks AS (
+        |  SELECT token,
+        |         CAST(row_number() OVER (ORDER BY count(*) DESC, token)
+        |           AS BIGINT) AS rk,
+        |         count(*) OVER () AS vocab
+        |  FROM tok GROUP BY token)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(r.rk) AS BIGINT) AS rank_sum,
+        |       CAST(max(r.vocab) AS BIGINT) AS vocab_size,
+        |       sum(r.rk) * 2 > count(*) * max(r.vocab) AS rare_heavy
+        |FROM tok t JOIN ranks r USING (token)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_quality_prune" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -149,6 +149,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === nDocs)
   }
 
+  test("q_rarity_score: rank sums bounded by [n, n*vocab], every tokened doc scored") {
+    val rows = run("q_rarity_score").collect()
+    val docsWithTokens = Tables.documents(spark, sfDir)
+      .filter(size(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")) > 0).count()
+    assert(rows.length.toLong === docsWithTokens)
+    rows.foreach { r =>
+      val (n, rs, v) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rs >= n, "every rank is >= 1")
+      assert(rs <= n * v, "no rank exceeds the vocab size")
+      assert(r.getBoolean(4) === (rs * 2 > n * v))
+    }
+  }
+
   test("q_vocab_coverage: monotone concave curve ending at full coverage") {
     val rows = run("q_vocab_coverage").collect()
     assert(rows.nonEmpty)
