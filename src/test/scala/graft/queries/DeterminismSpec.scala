@@ -25,7 +25,9 @@ class DeterminismSpec extends SparkSpec {
   // mean — the round-9 advice's candidate for layout-order sensitivity
   private val targets = Seq("q_win_rank", "q_dedup_pipeline",
     "q_pack_sequences", "q_text_tfidf", "q_agg_stats", "q_embed_neardup_lsh",
-    "q_subquery_scalar", "q_dedup_substring")
+    "q_subquery_scalar", "q_dedup_substring",
+    // round-10 additions whose ranking/cumsum windows ride shuffles
+    "q_rarity_score", "q_token_budget", "q_vocab_coverage")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()
