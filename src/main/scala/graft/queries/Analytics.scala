@@ -279,7 +279,26 @@ object Analytics {
          |FROM $o GROUP BY ALL ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q_win_named (M16): the `WINDOW` clause — one named frame shared by
+    * several window functions, the de-duplicated form BI generators and
+    * hand-written analytics both emit. Ordering key (ts, event_id) is a
+    * total order and the offset quantity is integer cents, so rank and
+    * first_value are layout-independent in both engines. */
+  private def qWinNamed: QFn = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("an_events_wn")
+    s.sql(
+      """SELECT event_id, user_id,
+        |       rank() OVER w AS rk,
+        |       cast(round(value * 100) as bigint)
+        |         - first_value(cast(round(value * 100) as bigint)) OVER w
+        |         AS cents_vs_first
+        |FROM an_events_wn
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin)
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_win_named"         -> qWinNamed,
     "q_agg_filter"        -> qAggFilter,
     "q_subquery_exists"   -> qSubqueryExists,
     "q_win_range_interval" -> qWinRangeInterval,
@@ -298,6 +317,15 @@ object Analytics {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_win_named" ->
+      """SELECT event_id, user_id,
+        |       CAST(rank() OVER w AS INT) AS rk,
+        |       CAST(round(value * 100) AS BIGINT)
+        |         - first_value(CAST(round(value * 100) AS BIGINT)) OVER w
+        |         AS cents_vs_first
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q_agg_filter" ->
       """SELECT o_orderpriority,
         |       count(*) AS n_orders,

@@ -29,6 +29,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(run("q_subquery_notin").count() === total - inSide)
   }
 
+  test("q_win_named: shared frame laws — first row offset 0, ranks start at 1") {
+    val rows = run("q_win_named")
+    assert(rows.count() === Tables.events(spark, sfDir).count())
+    // both functions ride the SAME named frame: the rank-1 row of every
+    // user is its own first_value, so its offset is exactly 0
+    assert(rows.filter(col("rk") === 1 && col("cents_vs_first") =!= 0L)
+      .count() === 0)
+    assert(rows.groupBy("user_id").agg(min("rk").as("m"))
+      .filter(col("m") =!= 1).count() === 0)
+  }
+
   test("q_agg_filter matches the CASE-scaffolded equivalent") {
     val o = Tables.orders(spark, sfDir)
     val expected = o.groupBy("o_orderpriority")
