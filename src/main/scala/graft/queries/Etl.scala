@@ -413,6 +413,47 @@ object Etl {
     * pre-maintenance row count read back via time travel — a stale index
     * row for the dropped doc, a missed collapse, or a purged history
     * would each break the exact-rows oracle. */
+  /** etl_pq_index (the round-10 verdict's #1 item): MATERIALIZE the PQ
+    * ANN index the q_vec_knn_pq docstring only promised — train once,
+    * encode the corpus once, and COMMIT the result through the catalog
+    * as two side tables in the `docs_neardup_sigs` pattern
+    * ([[graft.operators.ProductQuantizer.buildIndex]]):
+    * `emb_pq_codes(vec_id, codes BIGINT)` — 8 bytes/vector, a 32×
+    * compression of the 64-dim floats — and `emb_pq_books(m, k,
+    * centroid)` so a later session rebuilds the scoring LUT without
+    * retraining. The returned row is the self-verification the oracle
+    * can check from the RAW table alone: row count through the
+    * committed-codes ⋈ fresh-re-encode join (drops on either side
+    * shrink it), plus booleans that flip if the committed codes differ
+    * from a fresh encode under the RELOADED model (roundtrip through
+    * the catalog + codebook tables) or the codebook table is not the
+    * complete M×K grid. The two single-row joins are one-row broadcast
+    * combines, not data joins. */
+  private def etlPqIndex: QFn = (s, d) => {
+    import graft.operators.ProductQuantizer
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "etl_pq_index")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    ProductQuantizer.buildIndex(s, cat, "vec", "emb", emb)
+    // verification session: model + codes strictly from the catalog
+    val model = ProductQuantizer.loadModel(s, cat, "vec", "emb")
+    val committed = cat.readTable(s, "vec", "emb_pq_codes")
+    val fresh = emb.select(col("vec_id"),
+      ProductQuantizer.packedCodes(model, col("embedding")).as("fresh"))
+    val codesCheck = committed.join(fresh, "vec_id").agg(
+      count(lit(1)).as("n_vectors"),
+      lit(8L).as("code_bytes"),
+      (sum(when(col("codes") === col("fresh"), 1L).otherwise(0L)) ===
+        count(lit(1))).as("codes_roundtrip_ok"))
+    val booksCheck = cat.readTable(s, "vec", "emb_pq_books").agg(
+      (count(lit(1)) === lit(ProductQuantizer.M.toLong * ProductQuantizer.K) &&
+        min(size(col("centroid"))) === lit(model.sub) &&
+        max(size(col("centroid"))) === lit(model.sub)).as("books_complete"))
+    codesCheck.crossJoin(booksCheck)
+  }
+
   private def etlNeardupMaintain: QFn = (s, _) => {
     import s.implicits._
     import graft.queries.Extensions.{docTokenSets, docBandRows}
@@ -585,11 +626,16 @@ object Etl {
     "etl_partition_prune" -> etlPartitionPrune,
     "etl_zorder"          -> etlZorder,
     "etl_neardup_maintain" -> etlNeardupMaintain,
+    "etl_pq_index"        -> etlPqIndex,
     "etl_shard_export"    -> etlShardExport,
     "etl_jsonl_export"    -> etlJsonlExport,
   )
 
   def oracles: Map[String, String] = zorderOracle ++ Map(
+    "etl_pq_index" ->
+      """SELECT count(*) AS n_vectors, CAST(8 AS BIGINT) AS code_bytes,
+        |       true AS codes_roundtrip_ok, true AS books_complete
+        |FROM embeddings""".stripMargin,
     "etl_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,

@@ -847,8 +847,10 @@ object Extensions {
     // plans — correct, just paying the token-array shuffle the hint
     // avoids. The checkpoint also keeps the count from recomputing the
     // candidate generation for the join itself.
+    // Try-parsed: a malformed knob value degrades to the default rather
+    // than throwing NumberFormatException mid-query
     val maxBroadcastEdges = sys.props.get("graft.neardup.maxBroadcastEdges")
-      .map(_.toLong).getOrElse(4000000L)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(4000000L)
     val distinctEdges = edges.distinct().localCheckpoint()
     val nEdges = distinctEdges.count()
     if (nEdges > maxBroadcastEdges)
@@ -1040,7 +1042,7 @@ object Extensions {
     * vec_ids) — the honest 100 TB IVF shape: quantizer training touches a
     * sample that fits on one machine, and the full corpus pays exactly ONE
     * assignment scan against the k×dim centroid broadcast literal, pruned
-    * to the nProbe=3 cells nearest the query. (Two rejected quantizers,
+    * to the nProbe=4 cells nearest the query. (Two rejected quantizers,
     * measured: own-label cells and label-mean Voronoi cells both gave
     * recall 0.3 — labels are not embedding-correlated and label means
     * collapse near the global mean; the sample-trained quantizer reaches
@@ -1235,115 +1237,88 @@ object Extensions {
   }
 
   /** q_vec_knn_pq: PRODUCT-QUANTIZATION ANN with exact re-rank — the
-    * compressed-scan shape that completes the family (Jégou et al.,
-    * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
-    * 2011; FAISS's `IndexPQ`): the 64-dim space splits into M=16
-    * subspaces of 4 dims, each with its own K=16-centroid codebook
-    * trained DRIVER-SIDE on the same deterministic 100-row sample as
-    * [[qVecKnnIvf]] (bounded Lloyd — the honest 100 TB protocol), so a
-    * vector compresses to 16 code bytes (16× smaller than the raw
-    * floats; M=8 halves that again but read 6/10 recall on the
-    * RANDOM fixture vectors — structureless data needs the finer
-    * grid). The query then runs in the production three-step shape:
+    * compressed-scan shape that completes the family (see
+    * [[graft.operators.ProductQuantizer]] for the trained M=16 × K=16
+    * model: 4-bit codes, the whole code word packed into one BIGINT —
+    * 8 bytes, 32× under the raw floats; M=8 read 6/10 recall on the
+    * RANDOM fixture vectors, structureless data needs the finer grid).
+    * Codebooks train DRIVER-SIDE on the same deterministic 100-row
+    * sample as [[qVecKnnIvf]] (bounded Lloyd — the honest 100 TB
+    * protocol). The query then runs in the production three-step shape:
     * (1) ONE scan encodes + scores every vector ASYMMETRICALLY — the
     * probe's per-(subspace, centroid) dot products and the centroid
     * norms form a driver-side lookup table, so the per-row score is 16
-    * table lookups, never a 64-float dot; (2) a TakeOrderedAndProject
-    * shortlist of the top-50 approximate scores (zero shuffle, k rows to
-    * the driver); (3) exact cosine re-rank of the shortlist to the final
+    * shift-mask lookups, never a 64-float dot; (2) a TakeOrdered
+    * shortlist of the CONSTANT top-[[graft.operators.ProductQuantizer.shortlistK]]
+    * approximate scores (zero shuffle, a fixed number of rows — never a
+    * corpus fraction, which would push Θ(N) rows through one partition
+    * at scale); (3) exact cosine re-rank of the shortlist to the final
     * top-10 — re-ranking restores the recall the 8-byte compression
     * gives up, the standard PQ deployment trade. At 100 TB the codes
-    * are precomputed into a 16-byte column (the scan reads codes, not
-    * vectors — a 16× I/O cut); here encode+score fuse into the one scan
-    * so the query stays self-contained. Fully deterministic (fixed
-    * sample order, argmin ties to the lowest code, per-row double
-    * arithmetic) ⇒ observed-value pins like the other trained variants,
-    * byte-identical across local[4]/local[32]. */
+    * are precomputed into the 8-byte column ([[graft.etl]]'s
+    * `etl_pq_index` / [[qVecKnnPqIndexed]] is exactly that deployment);
+    * here encode+score fuse into the one scan so the query stays
+    * self-contained. Fully deterministic ⇒ recall vs the brute-force
+    * scan is pinned in ExtensionsSpec (NOT computed in-plan — an exact
+    * full scan inside the ANN query would double its cost and defeat
+    * the compressed-scan story), and the re-ranked top-10 hash-matches
+    * the same DuckDB oracle as [[qVecKnn]]. */
   private def qVecKnnPq: QFn = (s, d) => {
+    import graft.operators.ProductQuantizer
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val sampleRows = emb.orderBy("vec_id").limit(100)
-      .select("vec_id", "embedding").collect()
-    val probeId = sampleRows.head.getLong(0)
-    val probeVec = sampleRows.head.getSeq[Float](1)
-    val dim = probeVec.size
-    val M = 16
-    val sub = dim / M
-    val K = 16
-    def subvec(v: Seq[Float], m: Int): Seq[Float] = v.slice(m * sub, (m + 1) * sub)
-    def l2(a: Seq[Float], b: Seq[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) {
-        val dlt = a(i).toDouble - b(i).toDouble; acc += dlt * dlt; i += 1 }
-      acc
-    }
-    // per-subspace codebooks: 5 Lloyd iterations over the sample's
-    // subvectors, seeds = first K in vec_id order, ties to the lowest
-    // cell — deterministic end to end
-    val cbooks: Seq[Seq[Seq[Float]]] = (0 until M).map { m =>
-      val svs = sampleRows.map(r => subvec(r.getSeq[Float](1), m)).toSeq
-      var cents = svs.take(K)
-      for (_ <- 1 to 5) {
-        val assign = svs.map(v =>
-          cents.zipWithIndex.minBy { case (c, i) => (l2(c, v), i) }._2)
-        cents = (0 until K).map { ki =>
-          val mem = svs.zip(assign).collect { case (v, a) if a == ki => v }
-          if (mem.isEmpty) cents(ki)
-          else mem.head.indices
-            .map(p => (mem.map(_(p).toDouble).sum / mem.size).toFloat)
-        }
-      }
-      cents
-    }
-    // asymmetric-distance lookup tables, computed once on the driver:
-    // lut[m][k] = <probe_m, c_mk>, cn2[m][k] = |c_mk|²
-    def dotd(a: Seq[Float], b: Seq[Float]): Double =
-      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-    val lut = cbooks.zipWithIndex.map { case (cb, m) =>
-      cb.map(c => dotd(subvec(probeVec, m), c)) }
-    val cn2 = cbooks.map(_.map(c => dotd(c, c)))
-    val qnorm = math.sqrt(dotd(probeVec, probeVec))
-    val cbLit = typedLit(cbooks)
-    val lutLit = typedLit(lut)
-    val cn2Lit = typedLit(cn2)
-    // (1) encode: per subspace, argmin L2 to the codebook (ties → lowest)
-    val codes = transform(sequence(lit(0), lit(M - 1)), m => {
-      val sv = slice(col("embedding"), m * lit(sub) + lit(1), lit(sub))
-      val dists = transform(element_at(cbLit, m + lit(1)), c =>
-        aggregate(zip_with(sv, c,
-            (x, y) => ((x.cast("double") - y.cast("double")) *
-              (x.cast("double") - y.cast("double")))),
-          lit(0.0), (acc, v) => acc + v))
-      array_position(dists, array_min(dists))
-    })
-    // (2) score from the LUTs: approxCos = Σ lut / (|q|·√Σ|c|²)
-    def codeSum(tbl: Column): Column =
-      aggregate(sequence(lit(0), lit(M - 1)), lit(0.0), (acc, m) =>
-        acc + element_at(element_at(tbl, m + lit(1)),
-          element_at(col("codes"), m + lit(1)).cast("int")))
-    // shortlist sized to the corpus — max(100, N/4), the same ~25%
-    // candidate fraction the IVF variants probe: the fixture's RANDOM
-    // embeddings are PQ's hardest case (no cluster structure, so the
-    // 8-byte code correlates weakly with true cosine — N/20 read 4/10
-    // recall at sf0.1); real corpora cluster and take far smaller
-    // shortlists. The re-rank cost is shortlist × dim either way, and
-    // one count() is a scalar job like the LSH dim fetch.
-    val shortlistK = math.max(100L, emb.count() / 4L).toInt
-    val shortlist = emb.filter(col("vec_id") =!= probeId)
-      .withColumn("codes", codes)
+    val sample = ProductQuantizer.sampleRows(emb)
+    val (probeId, probeVec) = sample.head
+    val model = ProductQuantizer.train(sample.map(_._2).toSeq)
+    emb.filter(col("vec_id") =!= probeId)
+      .withColumn("codes", ProductQuantizer.packedCodes(model, col("embedding")))
       .withColumn("approx",
-        codeSum(lutLit) / (lit(qnorm) * sqrt(codeSum(cn2Lit))))
-      .orderBy(desc("approx"), asc("vec_id")).limit(shortlistK)
-    // (3) exact re-rank of the 50-row shortlist (vectors rode along, so
-    // no join back) + the in-query recall flag vs the brute-force top-10
-    val exact = qVecKnn(s, d).select(col("vec_id").as("exact_id"))
-    shortlist
+        ProductQuantizer.approxCosine(model, probeVec, col("codes")))
+      .orderBy(desc("approx"), asc("vec_id"))
+      .limit(ProductQuantizer.shortlistK)
       .select(col("vec_id"),
         round(cosineTo(s)(col("embedding"), typedLit(probeVec)), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
-      .join(broadcast(exact), col("vec_id") === col("exact_id"), "left")
-      .select(col("vec_id"), col("cos_sim"),
-        col("exact_id").isNotNull.as("in_exact_topk"))
-      .orderBy(desc("cos_sim"), asc("vec_id"))
+  }
+
+  /** q_vec_knn_pq_indexed: the DEPLOYED form of [[qVecKnnPq]] — the PQ
+    * index is a catalog-committed pair of side tables (built here via
+    * [[graft.operators.ProductQuantizer.buildIndex]], the
+    * `docs_neardup_sigs` pattern: `_pq_codes(vec_id, codes BIGINT)` +
+    * `_pq_books(m, k, centroid)`), and the SEARCH never touches the
+    * embeddings table until re-rank: the model rehydrates from the
+    * codebook table (M×K rows, driver-side), the approximate scan reads
+    * the 8-byte codes column only (32× less I/O than the vectors), a
+    * CONSTANT-size TakeOrdered shortlist comes back, and ONLY those ids
+    * broadcast-join back to the vector table for the exact cosine
+    * re-rank of the final top-10. PlanSpec pins the shape: the scoring
+    * scan reads `_pq_codes` (not embeddings), no full-corpus dot
+    * product, constant-k TakeOrdered. Same real DuckDB oracle as
+    * [[qVecKnn]] — the re-rank is exact, so full recall means the
+    * brute-force top-10 verbatim. */
+  private def qVecKnnPqIndexed: QFn = (s, d) => {
+    import graft.operators.ProductQuantizer
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "pqidx")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    ProductQuantizer.buildIndex(s, cat, "vec", "emb", emb)
+    // search session: model from the committed codebooks, scan of the
+    // committed codes — embeddings appear only on the re-rank join's
+    // probe side
+    val model = ProductQuantizer.loadModel(s, cat, "vec", "emb")
+    val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
+    val shortlist = cat.readTable(s, "vec", "emb_pq_codes")
+      .filter(col("vec_id") =!= probeId)
+      .withColumn("approx",
+        ProductQuantizer.approxCosine(model, probeVec, col("codes")))
+      .orderBy(desc("approx"), asc("vec_id"))
+      .limit(ProductQuantizer.shortlistK)
+      .select("vec_id")
+    emb.join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"),
+        round(cosineTo(s)(col("embedding"), typedLit(probeVec)), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
   }
 
   /** Embedding-cosine near-dup: label-blocked pairs — the given-blocking-key
@@ -2111,6 +2086,7 @@ object Extensions {
     "q_vec_knn_ivf"     -> qVecKnnIvf,
     "q_vec_knn_kmeans"  -> qVecKnnKmeans,
     "q_vec_knn_pq"      -> qVecKnnPq,
+    "q_vec_knn_pq_indexed" -> qVecKnnPqIndexed,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_embed_neardup_cells" -> qEmbedNeardupCells,
     "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
@@ -2186,21 +2162,10 @@ object Extensions {
       (144L, 0.3243, true), (1978L, 0.3192, true), (794L, 0.3108, true),
       (1841L, 0.3099, false), (633L, 0.3096, false)))
 
-  // PQ + exact-re-rank pins (round 10): recall 10/10 at every SF —
-  // the re-rank restores what the 16-byte code quantization gives up
-  private val knnPqObserved: Map[String, Seq[(Long, Double, Boolean)]] = Map(
-    "sf0.001" -> Seq((17L, 0.3345, true), (225L, 0.3151, true),
-      (12L, 0.311, true), (483L, 0.3005, true), (260L, 0.2987, true),
-      (73L, 0.2972, true), (212L, 0.2814, true), (347L, 0.2745, true),
-      (402L, 0.2745, true), (299L, 0.2687, true)),
-    "sf0.01" -> Seq((365L, 0.37, true), (334L, 0.3627, true),
-      (387L, 0.3311, true), (423L, 0.2969, true), (73L, 0.2954, true),
-      (7L, 0.2928, true), (320L, 0.2879, true), (190L, 0.2818, true),
-      (464L, 0.2766, true), (388L, 0.2763, true)),
-    "sf0.1" -> Seq((1204L, 0.4065, true), (291L, 0.3919, true),
-      (1020L, 0.376, true), (510L, 0.3445, true), (1511L, 0.3288, true),
-      (144L, 0.3243, true), (1978L, 0.3192, true), (1407L, 0.3191, true),
-      (142L, 0.3113, true), (794L, 0.3108, true)))
+  // (The round-10 q_vec_knn_pq observed pins are gone: since round 11
+  // both PQ variants exclude the in-plan brute-force recall join and —
+  // with full recall at every fixture SF — hash against the SAME real
+  // DuckDB oracle as q_vec_knn; recall is pinned in ExtensionsSpec.)
 
   // re-pinned round 10 for nProbe 2→4 (recall 9/10, 8/10, 10/10)
   private val knnIvfObserved: Map[String, Seq[(Long, Long, Double, Boolean)]] = Map(
@@ -2220,6 +2185,23 @@ object Extensions {
       (1978L, 2L, 0.3192, true), (1407L, 1L, 0.3191, true),
       (142L, 2L, 0.3113, true), (794L, 1L, 0.3108, true)))
 
+  /** The brute-force exact top-10 in DuckDB — shared by q_vec_knn and
+    * (since both re-rank exactly with full fixture recall) the two PQ
+    * ANN variants. */
+  private val vecKnnTopkSql: String =
+    """WITH p AS (SELECT embedding AS pe, vec_id AS pid
+      |           FROM embeddings ORDER BY vec_id LIMIT 1),
+      |z AS (SELECT vec_id, pid, unnest(embedding) AS e, unnest(pe) AS q
+      |      FROM embeddings, p),
+      |sims AS (
+      |  SELECT vec_id,
+      |    round(sum(CAST(e AS DOUBLE) * CAST(q AS DOUBLE))
+      |          / (sqrt(sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
+      |             * sqrt(sum(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))), 4) AS cos_sim
+      |  FROM z WHERE vec_id <> pid GROUP BY vec_id)
+      |SELECT vec_id, cos_sim FROM sims
+      |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
   private def knnOracles: Map[String, String] = {
     val tag = java.nio.file.Paths.get(
       sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01"))
@@ -2233,8 +2215,6 @@ object Extensions {
         "ORDER BY cos_sim DESC, vec_id"
     val km = knnKmeansObserved.get(tag)
       .map(rows => "q_vec_knn_kmeans" -> topkValues(rows))
-    val pq = knnPqObserved.get(tag)
-      .map(rows => "q_vec_knn_pq" -> topkValues(rows))
     val ivf = knnIvfObserved.get(tag).map { rows =>
       "q_vec_knn_ivf" -> ("SELECT * FROM (VALUES\n" + rows.map {
         case (v, cl, c, t) =>
@@ -2243,7 +2223,7 @@ object Extensions {
         ")\n  t(vec_id, cell, cos_sim, in_exact_topk)\n" +
         "ORDER BY cos_sim DESC, vec_id")
     }
-    (km.toSeq ++ pq.toSeq ++ ivf.toSeq).toMap
+    (km.toSeq ++ ivf.toSeq).toMap
   }
 
   private def embedCellsOracle: Map[String, String] = {
@@ -2982,19 +2962,13 @@ object Extensions {
         |        / (sqrt(sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
         |           * sqrt(sum(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))), 4) AS cos_sim
         |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-    "q_vec_knn" ->
-      """WITH p AS (SELECT embedding AS pe, vec_id AS pid
-        |           FROM embeddings ORDER BY vec_id LIMIT 1),
-        |z AS (SELECT vec_id, pid, unnest(embedding) AS e, unnest(pe) AS q
-        |      FROM embeddings, p),
-        |sims AS (
-        |  SELECT vec_id,
-        |    round(sum(CAST(e AS DOUBLE) * CAST(q AS DOUBLE))
-        |          / (sqrt(sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
-        |             * sqrt(sum(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))), 4) AS cos_sim
-        |  FROM z WHERE vec_id <> pid GROUP BY vec_id)
-        |SELECT vec_id, cos_sim FROM sims
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_vec_knn" -> vecKnnTopkSql,
+    // both PQ variants re-rank their shortlist EXACTLY, and recall is
+    // full at every fixture SF (pinned in ExtensionsSpec), so they
+    // hash-match the brute-force top-10 against the same REAL oracle —
+    // a stronger gate than the round-10 observed-value pins
+    "q_vec_knn_pq" -> vecKnnTopkSql,
+    "q_vec_knn_pq_indexed" -> vecKnnTopkSql,
     "q_embed_neardup" ->
       """WITH pairs AS (
         |  SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,

@@ -377,14 +377,25 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("q_vec_knn_pq: compressed-scan shortlist + exact re-rank recovers the top-10") {
-    val rows = run("q_vec_knn_pq").collect()
-    assert(rows.length === 10)
-    // re-ranked similarities must equal the brute-force scan exactly
-    val brute = run("q_vec_cosine").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    rows.foreach(r => assert(brute(r.getLong(0)) === r.getDouble(1)))
-    // the round-10 ANN recall floor (pinned 10/10 per SF in knnPqObserved)
-    assert(rows.count(_.getBoolean(2)) >= 8)
+    // the recall gate lives HERE since round 11, not in the plan — the
+    // in-plan brute-force join doubled the ANN query's cost just to
+    // emit a flag the spec can compute once. Full recall at every
+    // fixture SF ⇒ both PQ variants must reproduce the exact top-10
+    // VERBATIM (which is also what their shared DuckDB oracle asserts).
+    val exact = run("q_vec_knn").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pq = run("q_vec_knn_pq").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pq.length === 10)
+    assert(pq === exact)
+  }
+
+  test("q_vec_knn_pq_indexed: catalog-committed codes reproduce the exact top-10") {
+    val exact = run("q_vec_knn").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = run("q_vec_knn_pq_indexed").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exact)
   }
 
   test("q_vec_knn_kmeans: trained quantizer returns 10 scored rows with real recall") {
