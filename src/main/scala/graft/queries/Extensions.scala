@@ -1979,33 +1979,66 @@ object Extensions {
       .orderBy("lang")
   }
 
+  /** Exact (cnt DESC, token ASC) ranking of a (token, cnt) vocabulary
+    * WITHOUT a global single-partition window (the round-10 verdict's
+    * finding 4: `Window.orderBy` with no partition key pushes the whole
+    * vocab — 10⁸-10⁹ rows of unfiltered web-scale unicode junk —
+    * through one executor). Histogram decomposition instead:
+    *
+    *  1. histogram = counts grouped by cnt → (cnt, n_at, sum_at). Its
+    *     size is the number of DISTINCT frequency values, hard-bounded
+    *     by O(√total_tokens) (k distinct values need ≥ 1+2+…+k
+    *     occurrences), so the unkeyed running-sum window over it —
+    *     tokens/mass strictly above each cnt — is bounded work at any
+    *     corpus size (√(10¹³ tokens) ≈ 3M rows, one executor, vs 10⁹
+    *     for the raw vocab).
+    *  2. rank within a tie class = row_number PARTITIONED BY cnt,
+    *     ordered by token — a keyed, distributed window. The largest
+    *     class (hapaxes) still lands on one key, but per-partition work
+    *     drops from O(V) to O(class size).
+    *  3. rk = above_n + rn; cumulative covered mass = above_s + rn·cnt
+    *     (every token in a class contributes exactly cnt).
+    *
+    * Byte-identical to the global-window formulation (same total order,
+    * same ties), so the DuckDB oracles are unchanged. */
+  private def rankedVocab(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = counts.groupBy("cnt")
+      .agg(count(lit(1)).as("n_at"), (count(lit(1)) * col("cnt")).as("sum_at"))
+    val byCntDesc = Window.orderBy(desc("cnt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy()
+    val histC = hist
+      .withColumn("above_n", coalesce(sum(col("n_at")).over(byCntDesc), lit(0L)))
+      .withColumn("above_s", coalesce(sum(col("sum_at")).over(byCntDesc), lit(0L)))
+      .withColumn("total_tokens", sum(col("sum_at")).over(whole))
+      .withColumn("vocab_size", sum(col("n_at")).over(whole))
+    val withinCnt = Window.partitionBy("cnt").orderBy(asc("token"))
+    counts.join(histC, "cnt")
+      .withColumn("rn", row_number().over(withinCnt).cast("long"))
+      .withColumn("rk", col("above_n") + col("rn"))
+      .withColumn("cum", col("above_s") + col("rn") * col("cnt"))
+  }
+
   /** q_vocab_coverage (J11): the vocabulary coverage curve — how much of
     * the corpus token stream the top-K vocabulary entries cover, the
     * number a tokenizer/vocab-size decision reads off. One corpus-wide
-    * token count (keyed agg with map-side partials), then ranking +
-    * cumulative sum over a VOCAB-sized single-partition window — the
-    * window input is distinct tokens, orders of magnitude below the
-    * corpus (at a 100 TB corpus the vocab is millions of rows — one
-    * executor's work; the corpus-sized stage is the map-combined count,
-    * never the sort). Reports K ∈ {10, 25, 100, 1000, 10000} (where the
-    * vocab reaches K — the synthetic fixture's dictionary is ~31 tokens,
-    * so the small steps keep the curve non-degenerate there) plus the
-    * full-vocab row; all counts integral. */
+    * token count (keyed agg with map-side partials), then EXACT ranking
+    * + cumulative coverage via [[rankedVocab]]'s histogram join — no
+    * vocab-sized single-partition stage anywhere (round-11 de-risk; the
+    * round-10 form sorted the whole vocab on one executor). Reports
+    * K ∈ {10, 25, 100, 1000, 10000} (where the vocab reaches K — the
+    * synthetic fixture's dictionary is ~31 tokens, so the small steps
+    * keep the curve non-degenerate there) plus the full-vocab row; all
+    * counts integral. */
   private def qVocabCoverage: QFn = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val counts = Tables.spread(s, Tables.documents(s, d))
       .select(explode(expr(tokensExpr)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val byRank = Window.orderBy(desc("cnt"), asc("token"))
-    val whole = Window.partitionBy()
-    counts
-      .withColumn("rk", row_number().over(byRank))
-      .withColumn("cum", sum(col("cnt")).over(byRank))
-      .withColumn("total_tokens", sum(col("cnt")).over(whole))
-      .withColumn("vocab_size", count(lit(1)).over(whole))
+    rankedVocab(counts)
       .filter(col("rk").isin(10L, 25L, 100L, 1000L, 10000L) ||
         col("rk") === col("vocab_size"))
-      .select(col("rk").cast("long").as("vocab_k"),
+      .select(col("rk").as("vocab_k"),
         col("cum").as("tokens_covered"),
         col("total_tokens"), col("vocab_size"))
       .orderBy("vocab_k")
@@ -2021,25 +2054,37 @@ object Extensions {
     * SUM of its tokens' ranks — integers end to end, so the
     * `rare_heavy` verdict (mean rank above the vocab midpoint) is an
     * exact cross-multiply, never a float boundary. Plan: one
-    * map-combined token count, a vocab-sized ranking window, a
-    * broadcast-sized rank table joined to the exploded token stream,
-    * one doc-keyed aggregate — linear in tokens, the rank table is
-    * vocab-sized (≪ corpus) at any scale. */
+    * map-combined token count, [[rankedVocab]]'s distributed histogram
+    * ranking (no global window), the rank table joined to the exploded
+    * token stream — broadcast only under the
+    * `graft.vocab.maxBroadcastRanks` gate, shuffled join above it — and
+    * one doc-keyed aggregate: linear in tokens at any scale, with no
+    * vocab-sized single point of failure. */
   private def qRarityScore: QFn = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(s, Tables.documents(s, d))
     val tok = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
-    val ranks = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(desc("cnt"), asc("token")))
-          .cast("long"))
-      .withColumn("vocab", count(lit(1)).over(Window.partitionBy()))
-      .select("token", "rk", "vocab")
-    tok.join(broadcast(ranks), "token")
+    // vocab-sized, checkpointed so the gate's count job doesn't re-pay
+    // the corpus-sized explode+agg for the join
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocabRows = counts.count()
+    val ranks = rankedVocab(counts).select("token", "rk")
+    // broadcast GATED like the near-dup candidate set (finding 4 of the
+    // round-10 verdict: a web-scale vocab — unfiltered unicode junk —
+    // reaches 10⁸-10⁹ rows, where a forced broadcast OOMs the driver).
+    // Above the threshold the join degrades to a shuffled plan —
+    // correct, just paying the token-stream shuffle the hint avoids.
+    val maxBroadcastRanks = sys.props.get("graft.vocab.maxBroadcastRanks")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(4000000L)
+    if (vocabRows > maxBroadcastRanks)
+      System.err.println(s"[graft] rarity score: $vocabRows vocab rows" +
+        s" > $maxBroadcastRanks — broadcast hint dropped, shuffled join")
+    val rankSide = if (vocabRows <= maxBroadcastRanks) broadcast(ranks) else ranks
+    tok.join(rankSide, "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        sum(col("rk")).as("rank_sum"),
-        max(col("vocab")).as("vocab_size"))
+        sum(col("rk")).as("rank_sum"))
+      .withColumn("vocab_size", lit(vocabRows))
       // mean rank above the vocab midpoint, cross-multiplied exact
       .withColumn("rare_heavy",
         col("rank_sum") * 2 > col("n_tokens") * col("vocab_size"))

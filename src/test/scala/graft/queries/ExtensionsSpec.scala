@@ -163,6 +163,47 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("rarity score: over-threshold vocab takes the shuffled join, output identical") {
+    // round-11 de-risk spec (round-10 verdict item 3): force the vocab
+    // past the broadcast gate and assert the degraded path is
+    // byte-identical to the broadcast path
+    def rows() = run("q_rarity_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    val viaBroadcast = rows()
+    sys.props("graft.vocab.maxBroadcastRanks") = "1"
+    try assert(rows() === viaBroadcast)
+    finally sys.props -= "graft.vocab.maxBroadcastRanks"
+  }
+
+  test("histogram ranking matches the global-window formulation exactly") {
+    // the distributed rank (histogram join + per-tie-class windows) must
+    // reproduce row_number() OVER (ORDER BY cnt DESC, token) verbatim —
+    // including tie order — or the unchanged DuckDB oracles would drift
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val whole = counts
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(desc("cnt"), asc("token"))).cast("long"))
+      .select("token", "rk").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaCoverage = run("q_vocab_coverage").collect()
+    // the curve's (vocab_k, tokens_covered) pairs must equal the
+    // global-window cumulative at the same ranks
+    val cumByRank = {
+      val sorted = whole.toSeq.sortBy(_._2)
+      val cnts = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      sorted.scanLeft(("", 0L, 0L)) { case ((_, _, cum), (t, rk)) =>
+        (t, rk, cum + cnts(t)) }.drop(1).map { case (_, rk, cum) => rk -> cum }.toMap
+    }
+    viaCoverage.foreach { r =>
+      assert(cumByRank(r.getLong(0)) === r.getLong(1))
+    }
+  }
+
   test("q_vocab_coverage: monotone concave curve ending at full coverage") {
     val rows = run("q_vocab_coverage").collect()
     assert(rows.nonEmpty)
