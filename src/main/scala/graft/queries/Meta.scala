@@ -1509,14 +1509,15 @@ object Meta {
     // instead). The embedded equivalent is the reference's OWN answer —
     // its optional shared-session mode (`entrypoint-spark.sh:42`, `:109`:
     // thriftServer.singleSession=true), under which every connection
-    // serves the session that holds the registration. Flipped on for this
-    // query's connections, restored in finally; the shared session's
-    // java8-datetime conf is snapshotted around it (see
+    // serves the session that holds the registration. The whole window
+    // runs under ThriftServe.withSingleSession — the server-wide lock
+    // (round-11): a concurrent wire client blocks at connection-open
+    // until restore instead of silently sharing the session. The shared
+    // session's java8-datetime conf is snapshotted around it (see
     // [[graft.sql.ThriftServe.setSingleSession]]'s side-effect note).
     val dtKey = "spark.sql.datetime.java8API.enabled"
     val savedDt = s.conf.getOption(dtKey)
-    ThriftServe.setSingleSession(s, on = true)
-    try {
+    try ThriftServe.withSingleSession(s) {
       // Superset-shaped dashboard aggregate: catalog join + group-by,
       // once in-process, once over JDBC — rows must match exactly
       val biSql =
@@ -1560,7 +1561,6 @@ object Meta {
         .toDF("phase", "n", "invariant_ok")
         .orderBy("phase") // total key: phase strings are unique
     } finally {
-      ThriftServe.setSingleSession(s, on = false)
       savedDt match {
         case Some(v) => s.conf.set(dtKey, v)
         case None    => s.conf.unset(dtKey)

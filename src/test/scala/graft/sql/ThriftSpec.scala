@@ -125,4 +125,48 @@ class ThriftSpec extends SparkSpec {
       spark.sql("DROP VIEW IF EXISTS mode_tv")
     }
   }
+
+  test("a concurrent client cannot open a connection inside a singleSession window") {
+    // round-10 verdict finding 5: the toggle window must be safe BY
+    // CONSTRUCTION — a wire client opening during the window blocks on
+    // the server-wide lock until restore, then gets the default
+    // ISOLATED session (proved by the temp view being invisible to it).
+    val port = ThriftServe.ensureStarted(spark)
+    val java8Before = spark.conf.get("spark.sql.datetime.java8API.enabled")
+    spark.sql("CREATE OR REPLACE TEMP VIEW window_tv AS SELECT 7 AS v")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val windowClosedAt = new java.util.concurrent.atomic.AtomicLong(0)
+    val insideSaw = new java.util.concurrent.atomic.AtomicReference[Seq[Seq[Any]]]
+    val window = new Thread(() => {
+      ThriftServe.withSingleSession(spark) {
+        entered.countDown()
+        // a connection opened INSIDE the window (same thread) shares the
+        // session and must see the temp view
+        insideSaw.set(ThriftServe.query(port, "SELECT v FROM window_tv"))
+        Thread.sleep(500)
+        windowClosedAt.set(System.nanoTime())
+      }
+    })
+    try {
+      window.start()
+      entered.await()
+      // this open races the window: it must WAIT the window out...
+      val ex = intercept[java.sql.SQLException] {
+        ThriftServe.query(port, "SELECT v FROM window_tv")
+      }
+      val finishedAt = System.nanoTime()
+      window.join()
+      // ...and then land in an ISOLATED session (temp view invisible)
+      assert(ex.getMessage.toLowerCase.contains("window_tv") ||
+        ex.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND"))
+      assert(finishedAt >= windowClosedAt.get(),
+        "the concurrent open must block until the window closes")
+      assert(insideSaw.get() === Seq(Seq(7)),
+        "the window's own connection shares the serving session")
+    } finally {
+      window.join()
+      spark.conf.set("spark.sql.datetime.java8API.enabled", java8Before)
+      spark.sql("DROP VIEW IF EXISTS window_tv")
+    }
+  }
 }
