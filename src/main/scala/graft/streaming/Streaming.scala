@@ -760,7 +760,145 @@ object Streaming {
       .select("doc_id", "text", "h").orderBy("doc_id")
   }
 
+  /** st_curation_full: the COMPLETE production ingest loop in one
+    * declared query — the round-10 verdict's item 6. Composes every
+    * curation rejection the engine ships, per micro-batch, in funnel
+    * order:
+    *
+    *  1. PII redaction (L36 patterns, BEFORE hashing so PII-equivalent
+    *     boilerplate dedups as one) — stateless, rides the stream;
+    *  2. quality gate (integer word count ≥ 5) — stateless;
+    *  3. exact self-dedup (first doc_id per redacted-content hash);
+    *  4. exact cross-batch dedup: anti-join against the committed
+    *     table's 16-byte hash column;
+    *  5. NEAR-dup screen against the PERSISTED banded index
+    *     ([[neardupScreen]] over `_sigs`/`_toks` side tables — the L40
+    *     machinery: only the batch is tokenized/MinHashed, history
+    *     enters as two index scans that carry NO text column, so
+    *     re-derivation is structurally impossible — the PlanSpec pin);
+    *  6. benchmark DECONTAMINATION (L34): the batch's 3-gram shingle
+    *     hashes against the STATIC benchmark shingle set (a driver-side
+    *     literal, the broadcast side of the production plan); ≥3 shared
+    *     distinct shingles rejects — q_decontaminate's exact gate;
+    *  7. append snapshot of survivors + index append (data → sigs →
+    *     toks, the crash-safe order: under-indexed, never phantom).
+    *
+    * Per-batch cost is O(batch + collisions) regardless of committed
+    * size; the benchmark set is fixed. Deterministic literal inputs ⇒
+    * exact-rows oracle, and the committed rows PROVE each path fired
+    * cross-batch: a missed rejection lands an extra row and breaks the
+    * hash gate. */
+  def stCurationFull: QFn = (s, _) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.queries.Extensions.{piiEmailPat, piiIpPat, piiPhonePat, tokensExpr}
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_cur_full")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    // the static benchmark: its 3-gram shingle hash set is computed ONCE
+    // at stream build (a few rows) and enters every batch as a literal
+    // IN-set — the broadcast side of the L34 decontamination join
+    val benchText = "evaluation heldout passage about gradient descent" +
+      " convergence rates in deep networks"
+    def shingles(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .selectExpr("doc_id", "graft_ngrams(toks, 3) AS (pos, sh)")
+      .select(col("doc_id"), md5(col("sh")).as("sh_h"))
+    val benchHashes = shingles(Seq((0L, benchText)).toDF("doc_id", "text"))
+      .select("sh_h").distinct().collect().map(_.getString(0)).toSeq
+    val input = MemoryStream[(Long, String)]
+    val curated = input.toDF().toDF("doc_id", "raw")
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            lit(piiEmailPat), lit("<EMAIL>")),
+          lit(piiIpPat), lit("<IP>")),
+          lit(piiPhonePat), lit("<PHONE>")).as("text"))
+      .filter(expr(s"size($tokensExpr) >= 5"))
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    cat.createTable("stream", "docs_full", curated.schema)
+    val proto = Seq((0L, "x")).toDF("doc_id", "text")
+    cat.createTable("stream", "docs_full_sigs",
+      docBandRows(docTokenSets(proto)).schema)
+    cat.createTable("stream", "docs_full_toks", docTokenSets(proto).schema)
+    val q = withStatePartitions(s, 4)(curated.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val hist = cat.readTable(ss, "stream", "docs_full")
+        val sigsHist = cat.readTable(ss, "stream", "docs_full_sigs")
+        val toksHist = cat.readTable(ss, "stream", "docs_full_toks")
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        val fresh = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .join(hist.select("h").distinct(), Seq("h"), "left_anti")
+          .localCheckpoint()
+        val nearRejected = neardupScreen(fresh, sigsHist, toksHist)
+        val contaminated = shingles(fresh)
+          .filter(col("sh_h").isin(benchHashes: _*))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("sh_h")).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .select("doc_id")
+        val accepted = fresh
+          .join(nearRejected, Seq("doc_id"), "left_anti")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select("doc_id", "text", "h")
+          .localCheckpoint()
+        if (!accepted.isEmpty) {
+          val dir = base.resolve("landed").resolve(s"batch-$id")
+          accepted.write.mode("overwrite").parquet(dir.resolve("data").toString)
+          val aSets = docTokenSets(accepted).localCheckpoint()
+          docBandRows(aSets).write.mode("overwrite")
+            .parquet(dir.resolve("sigs").toString)
+          aSets.write.mode("overwrite").parquet(dir.resolve("toks").toString)
+          cat.registerFiles("stream", "docs_full", Seq(dir.resolve("data")))
+          cat.registerFiles("stream", "docs_full_sigs", Seq(dir.resolve("sigs")))
+          cat.registerFiles("stream", "docs_full_toks", Seq(dir.resolve("toks")))
+        }
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start())
+    // near-dup texts reuse st_neardup_catalog's VERIFIED-to-collide
+    // pairs (one-word edits on ~19-token texts: Jaccard 18/20 = 0.9)
+    val tA = "the quick brown fox jumps over the lazy dog while rain falls on the quiet village green at dawn"
+    val tB = "spark executors shuffle partitioned data across the cluster while the driver plans stages and tracks lineage graphs"
+    val tC = "a completely separate third document discusses parquet footers column statistics and predicate pushdown for efficient scans"
+    val tA2 = tA.replace("dawn", "mist")
+    val tC2 = tC.replace("efficient", "fast")
+    // shares the 6-token run "about gradient descent convergence rates
+    // in" with the benchmark ⇒ 4 shared 3-gram shingles ≥ the 3 gate
+    val tContam = "this web document quotes about gradient descent" +
+      " convergence rates in full from the held out benchmark"
+    try {
+      input.addData(
+        (1L, tA),
+        (2L, "tiny doc"), // quality reject: 2 words
+        (3L, "alpha beta gamma delta epsilon contact x@y.org now"),
+        (4L, tB))
+      q.processAllAvailable()
+      input.addData(
+        (5L, tA2),     // NEAR-dup of committed 1 — index screen
+        (6L, tContam), // decontamination reject
+        // redacts identical to committed 3 — cross-batch exact dup
+        (7L, "alpha beta gamma delta epsilon contact c@d.net now"),
+        (8L, tC))
+      q.processAllAvailable()
+      input.addData(
+        (9L, tC2),  // near-dup of 8, a batch later
+        (10L, tA),  // exact dup of 1, two batches later
+        (11L, "tiny doc"), // quality reject still firing
+        (12L, "call 555-1234 and ping 10.0.0.1 please right away"))
+      q.processAllAvailable()
+    } finally q.stop()
+    cat.readTable(s, "stream", "docs_full")
+      .select("doc_id", "text", "h").orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "st_curation_full" -> stCurationFull,
     "st_curation_catalog" -> stCurationCatalog,
     "st_watermark"    -> stWatermark,
     "st_watermark_rocksdb" -> stWatermarkRocks,
@@ -797,6 +935,19 @@ object Streaming {
       |AS t(w_start, k, n) ORDER BY w_start, k""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the full funnel's survivors: 2/11 quality-rejected, 3 lands in its
+    // REDACTED form (7 its cross-batch PII-equivalent dup, rejected), 5
+    // near-dup of 1 and 9 near-dup of 8 (banded index screen), 6
+    // decontaminated against the benchmark shingles, 10 an exact dup two
+    // batches later — every rejection path must fire or the hash breaks
+    "st_curation_full" ->
+      """SELECT doc_id, text, md5(text) AS h FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'the quick brown fox jumps over the lazy dog while rain falls on the quiet village green at dawn'),
+        |  (CAST(3 AS BIGINT), 'alpha beta gamma delta epsilon contact <EMAIL> now'),
+        |  (CAST(4 AS BIGINT), 'spark executors shuffle partitioned data across the cluster while the driver plans stages and tracks lineage graphs'),
+        |  (CAST(8 AS BIGINT), 'a completely separate third document discusses parquet footers column statistics and predicate pushdown for efficient scans'),
+        |  (CAST(12 AS BIGINT), 'call <PHONE> and ping <IP> please right away'))
+        |AS t(doc_id, text) ORDER BY doc_id""".stripMargin,
     // survivors of the three-batch curation ingestion: 2/6 quality-
     // rejected, 3 an in-batch PII-equivalent dup of 1, 4 a cross-batch
     // one, 7 an exact dup of 5 — the landed texts carry the REDACTED

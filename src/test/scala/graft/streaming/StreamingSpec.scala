@@ -51,6 +51,24 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.map(_._1).contains(3L) && !rows.map(_._1).contains(4L))
   }
 
+  test("st_curation_full: all six rejection paths fire across micro-batches") {
+    val rows = Streaming.stCurationFull(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 3L, 4L, 8L, 12L))
+    val texts = rows.toMap
+    // PII redacted before hashing; the cross-batch PII-equivalent doc 7
+    // is absent because 3's REDACTED hash matched
+    assert(texts(3L).contains("<EMAIL>") && !texts(3L).contains("@"))
+    assert(texts(12L).contains("<PHONE>") && texts(12L).contains("<IP>"))
+    // near-dup screen: docs 5 and 9 are one-word edits (unique hashes —
+    // the exact index alone would have landed them)
+    assert(!texts.contains(5L) && !texts.contains(9L))
+    // decontamination: doc 6 shares 4 3-gram shingles with the benchmark
+    assert(!texts.contains(6L))
+    // quality + exact-dup paths
+    assert(!texts.contains(2L) && !texts.contains(10L) && !texts.contains(11L))
+  }
+
   test("st_neardup_catalog: near-dups of committed docs are rejected, not just exact") {
     val rows = Streaming.stNeardupCatalog(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
