@@ -30,14 +30,23 @@ case class StrRange(min: String, max: String)
 /** One registered data file: the fields the reference's importer records
   * per file (`/root/reference/src/main/java/com/example/
   * ImportParquetFolders.java:105-115` — path, size in bytes, record count,
-  * format=PARQUET) plus footer min/max stats for scan-time file skipping
-  * (what Iceberg's manifests carry and its planner consumes): numeric
-  * ranges and truncated string bounds. */
+  * format=PARQUET) plus footer stats, mirroring the Iceberg DataFile
+  * metrics its manifests carry and its planner consumes: numeric ranges
+  * and truncated string bounds for scan-time file skipping, and — since
+  * round 11 — per-column value/null counts (Iceberg's `value_counts` /
+  * `null_value_counts`), recorded for TOP-LEVEL non-repeated columns
+  * only (where chunk value counts equal row-level counts), which widen
+  * the metadata-only aggregate surface from COUNT(*) to COUNT(col) and
+  * null-count queries. Both maps are Options with None defaults, so
+  * manifests written before the field existed still parse (the pushed
+  * aggregate then simply declines — conservative). */
 case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long,
                         colRanges: Option[Map[String, ColRange]] = None,
                         strRanges: Option[Map[String, StrRange]] = None,
                         partition: Option[Map[String, String]] = None,
-                        specId: Option[Int] = None)
+                        specId: Option[Int] = None,
+                        valueCounts: Option[Map[String, Long]] = None,
+                        nullCounts: Option[Map[String, Long]] = None)
 
 /** One immutable partition spec version (Iceberg "partition spec
   * evolution"): a table's spec can be replaced without touching any file —
@@ -299,11 +308,13 @@ object GraftCatalog {
     * COMPANION so the distributed stat pass can run it inside executor
     * tasks without capturing the catalog instance. */
   private[catalog] def footerStats(p: Path)
-      : (Long, Map[String, ColRange], Map[String, StrRange]) =
+      : (Long, Map[String, ColRange], Map[String, StrRange],
+         Map[String, Long], Map[String, Long]) =
     footerStats(new org.apache.hadoop.fs.Path(p.toUri))
 
   private[catalog] def footerStats(hp: org.apache.hadoop.fs.Path)
-      : (Long, Map[String, ColRange], Map[String, StrRange]) = {
+      : (Long, Map[String, ColRange], Map[String, StrRange],
+         Map[String, Long], Map[String, Long]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val in = HadoopInputFile.fromPath(hp, new Configuration())
     val r = ParquetFileReader.open(in)
@@ -311,8 +322,25 @@ object GraftCatalog {
       import scala.jdk.CollectionConverters._
       val perCol = collection.mutable.Map.empty[String, ColRange]
       val perStr = collection.mutable.Map.empty[String, (String, String)]
+      val perVals = collection.mutable.Map.empty[String, Long]
+      val perNulls = collection.mutable.Map.empty[String, Long]
+      val nullsUnknown = collection.mutable.Set.empty[String]
       r.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { c =>
+          // value/null counts — Iceberg's value_counts/null_value_counts:
+          // top-level non-repeated columns only (nested/repeated leaves
+          // count values, not rows); nulls recorded only when EVERY chunk
+          // sets numNulls, else the column's count is dropped entirely
+          // (a partial sum would be wrong, not just imprecise)
+          if (c.getPath.size == 1 && c.getPrimitiveType.getRepetition !=
+              org.apache.parquet.schema.Type.Repetition.REPEATED) {
+            val key = c.getPath.toDotString
+            perVals(key) = perVals.getOrElse(key, 0L) + c.getValueCount
+            val cst = c.getStatistics
+            if (cst != null && cst.isNumNullsSet)
+              perNulls(key) = perNulls.getOrElse(key, 0L) + cst.getNumNulls
+            else nullsUnknown += key
+          }
           val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
           if (st != null && !st.isEmpty && st.hasNonNullValue) {
             val key = c.getPath.toDotString
@@ -345,7 +373,10 @@ object GraftCatalog {
       val strRanges = perStr.toMap.flatMap { case (k, (mn, mx)) =>
         truncateMax(mx).map(tmx => k -> StrRange(truncateMin(mn), tmx))
       }
-      (r.getRecordCount, perCol.toMap, strRanges)
+      val nulls = (perNulls -- nullsUnknown).toMap
+      // a value count without its null count cannot answer COUNT(col)
+      val vals = perVals.filter { case (k, _) => nulls.contains(k) }.toMap
+      (r.getRecordCount, perCol.toMap, strRanges, vals, nulls)
     } finally r.close()
   }
 
@@ -365,11 +396,13 @@ object GraftCatalog {
     val canonical =
       if (hasScheme) pathStr else Paths.get(pathStr).toAbsolutePath.toString
     val hp = new org.apache.hadoop.fs.Path(canonical)
-    val (rows, ranges, strs) = footerStats(hp)
+    val (rows, ranges, strs, vals, nulls) = footerStats(hp)
     val size = hp.getFileSystem(new Configuration()).getFileStatus(hp).getLen
     DataFileMeta(canonical, size, rows,
       if (ranges.nonEmpty) Some(ranges) else None,
-      if (strs.nonEmpty) Some(strs) else None)
+      if (strs.nonEmpty) Some(strs) else None,
+      valueCounts = if (vals.nonEmpty) Some(vals) else None,
+      nullCounts = if (nulls.nonEmpty) Some(nulls) else None)
   }
 }
 
@@ -1504,7 +1537,8 @@ class GraftCatalog(val warehouse: String) {
   private[catalog] def truncateMax(s: String): Option[String] =
     GraftCatalog.truncateMax(s)
   private[catalog] def footerStats(p: Path)
-      : (Long, Map[String, ColRange], Map[String, StrRange]) =
+      : (Long, Map[String, ColRange], Map[String, StrRange],
+         Map[String, Long], Map[String, Long]) =
     GraftCatalog.footerStats(p)
 
   /** Manifest-style file skipping: keep only files whose [min,max] for

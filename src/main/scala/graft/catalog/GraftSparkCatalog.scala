@@ -688,8 +688,10 @@ private[catalog] class GraftPruningScanBuilder(
   private var pushedAgg: Option[(StructType, Array[Any])] = None
 
   /** METADATA-ONLY aggregates: the catalog records every file's exact
-    * footer row count and per-column min/max bounds, so an unfiltered
-    * global `COUNT(*)` — and `MIN`/`MAX` over columns whose stats are
+    * footer row count, per-column value/null counts and per-column
+    * min/max bounds, so an unfiltered global `COUNT(*)`, a `COUNT(col)`
+    * / null-count query (`count(*) - count(col)`) over columns whose
+    * files all carry counts — and `MIN`/`MAX` over columns whose stats are
     * EXACT in the recorded double (int/short/byte/date: 32-bit values;
     * never long/float/double/string, where doubles round or footer bounds
     * truncate) — is answerable without opening a single data file: the
@@ -703,7 +705,7 @@ private[catalog] class GraftPruningScanBuilder(
     * pre-aggregated row. */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types._
     if (hadFilters || agg.groupByExpressions().nonEmpty ||
@@ -732,10 +734,34 @@ private[catalog] class GraftPruningScanBuilder(
       case ByteType  => v.toByte
       case _         => v.toInt // int + date (days since epoch)
     }
+    // COUNT(col) = Σ per file (value_count − null_value_count), the
+    // Iceberg DataFile metrics recorded at stat time (round 11). Exact
+    // for ANY column type — no bounds involved — but every live file
+    // must carry BOTH counts for the column (pre-round-11 manifests and
+    // nested/repeated columns have neither → decline, stock scan runs).
+    // DISTINCT declines: manifests cannot answer cardinality.
+    def nonNullCount(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        val name = r.fieldNames()(0)
+        val per = files.map { df =>
+          for {
+            vc <- df.valueCounts.flatMap(_.collectFirst {
+              case (n, v) if n.equalsIgnoreCase(name) => v })
+            nc <- df.nullCounts.flatMap(_.collectFirst {
+              case (n, v) if n.equalsIgnoreCase(name) => v })
+          } yield vc - nc
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+      case _ => None
+    }
     val resolved = agg.aggregateExpressions().map {
       case _: CountStar =>
         Some((StructField(s"count", LongType, nullable = false),
           files.map(_.rowCount).sum: Any))
+      case c: Count if !c.isDistinct =>
+        nonNullCount(c.column).map(n =>
+          (StructField(s"count", LongType, nullable = false), n: Any))
       case m: Min => exactField(m.column).flatMap(f =>
         bounds(f).map(b => (f.copy(name = "min"), narrow(f, b._1))))
       case m: Max => exactField(m.column).flatMap(f =>

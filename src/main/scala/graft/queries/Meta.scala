@@ -244,8 +244,23 @@ object Meta {
     val metaCountOk = metaCount == regionAfter &&
       cntPlan.contains("LocalTableScan [count_0") &&
       !cntPlan.toLowerCase.contains("parquet")
+    // metadata-only COUNT(col) + null count (round 11): land one row
+    // with a NULL r_name, then answer both counts from the manifests'
+    // value/null counts — same LocalTableScan, still no parquet node
+    s.sql(s"""INSERT INTO $cname.nyc.region
+             |SELECT 999, CAST(NULL AS STRING)""".stripMargin)
+    val nullQ = s.sql(s"""SELECT count(*) AS total, count(r_name) AS named
+                         |FROM $cname.nyc.region""".stripMargin)
+    val nullPlan = nullQ.queryExecution.executedPlan.toString
+    val nullRow = nullQ.head()
+    val nullsFound = nullRow.getLong(0) - nullRow.getLong(1)
+    val countColOk = nullRow.getLong(0) == regionAfter + 1 &&
+      nullRow.getLong(1) == regionAfter && nullsFound == 1 &&
+      nullPlan.contains("LocalTableScan [count_0") &&
+      !nullPlan.toLowerCase.contains("parquet")
     Seq(("current_doubled", cur, cur == 2 * atS1),
       ("metadata_only_count", metaCount, metaCountOk),
+      ("metadata_only_count_col", nullsFound, countColOk),
       ("version_as_of_1", atS1, atS1 > 0),
       ("show_tables", tables, tables >= 10),
       ("sql_join_groups", joined, joined == 5),
@@ -1733,6 +1748,7 @@ object Meta {
         |         CAST(2 * (SELECT count(*) FROM lineitem) AS BIGINT) AS n,
         |         true AS invariant_ok
         |  UNION ALL SELECT 'metadata_only_count', 20, true
+        |  UNION ALL SELECT 'metadata_only_count_col', 1, true
         |  UNION ALL SELECT 'metadata_table_files', 20, true
         |  UNION ALL SELECT 'metadata_table_snapshots', 3, true
         |  UNION ALL SELECT 'show_tables', 11, true

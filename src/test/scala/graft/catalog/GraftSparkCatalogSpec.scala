@@ -136,13 +136,63 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(!filtered.queryExecution.executedPlan.toString
       .contains("metadata-only count(*)"))
     assert(filtered.as[Long].head() === 4L)
-    // grouped and non-star aggregates take the normal path too
+    // COUNT(col) is metadata-served too since round 11 (value/null
+    // counts in the manifest); grouped aggregates take the normal path
     assert(spark.sql(s"SELECT count(id) FROM $c.nyc.t").as[Long].head() === 6L)
     assert(spark.sql(s"SELECT name, count(*) FROM $c.nyc.t GROUP BY name")
       .count() === 3L)
     // time travel counts the as-of state
     assert(spark.sql(s"SELECT count(*) FROM $c.nyc.t VERSION AS OF 1")
       .as[Long].head() === 3L)
+  }
+
+  test("metadata-only COUNT(col)/null counts; DISTINCT and legacy manifests decline") {
+    val (c, cat) = setup()
+    // a table whose string column carries real nulls across TWO files
+    val d1 = Seq((1L, Option("a")), (2L, Option.empty[String])).toDF("id", "name")
+    val d2 = Seq((3L, Option("c")), (4L, Option.empty[String]),
+      (5L, Option("e"))).toDF("id", "name")
+    cat.createTable("nyc", "nc", d1.schema)
+    for ((df, i) <- Seq(d1, d2).zipWithIndex) {
+      val dir = Paths.get(cat.warehouse, "nyc", "nc", "data", s"f$i")
+      df.coalesce(1).write.parquet(dir.toString)
+      cat.registerFiles("nyc", "nc", Seq(dir))
+    }
+    // the manifest carries Iceberg-style value/null counts per file
+    val files = cat.files("nyc", "nc")
+    assert(files.forall(f => f.valueCounts.isDefined && f.nullCounts.isDefined))
+    assert(files.map(_.nullCounts.get("name")).sum === 2L)
+    // COUNT(*) + COUNT(col) + the null-count difference, all from
+    // metadata: one LocalTableScan, no parquet node anywhere
+    val q = spark.sql(
+      s"SELECT count(*) AS total, count(name) AS named FROM $c.nyc.nc")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan [count_0") &&
+      !plan.toLowerCase.contains("parquet"),
+      s"expected metadata-only count plan:\n$plan")
+    val r = q.collect().head
+    assert(r.getLong(0) === 5L && r.getLong(1) === 3L)
+    assert(r.getLong(0) - r.getLong(1) === 2L) // the null count
+    // DISTINCT declines — manifests cannot answer cardinality
+    val dq = spark.sql(s"SELECT count(DISTINCT name) FROM $c.nyc.nc")
+    assert(dq.queryExecution.executedPlan.toString.toLowerCase.contains("parquet"))
+    assert(dq.as[Long].head() === 3L)
+    // a legacy manifest entry (no counts recorded) declines the push but
+    // stays correct through the stock scan
+    val raw = Paths.get(cat.warehouse, "nyc", "nc", "data", "legacy")
+    Seq((6L, Option("f"))).toDF("id", "name")
+      .coalesce(1).write.parquet(raw.toString)
+    val part = graft.catalog.Fs.list(raw)
+      .filter(_.getFileName.toString.endsWith(".parquet")).head
+    cat.append("nyc", "nc", Seq(DataFileMeta(part.toString,
+      Files.size(part), 1L)))
+    val lq = spark.sql(s"SELECT count(name) FROM $c.nyc.nc")
+    assert(lq.queryExecution.executedPlan.toString.toLowerCase.contains("parquet"))
+    assert(lq.as[Long].head() === 4L)
+    // COUNT(*) still pushes — row counts never depended on column stats
+    val cq = spark.sql(s"SELECT count(*) FROM $c.nyc.nc")
+    assert(cq.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(cq.as[Long].head() === 6L)
   }
 
   test("metadata-only MIN/MAX for 32-bit-exact columns; long/string decline") {
