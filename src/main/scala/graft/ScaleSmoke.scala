@@ -106,7 +106,7 @@ object ScaleSmoke {
       // token budgeting, vocab coverage (map-combined count + a
       // vocab-sized sort)
       "q_dedup_substring", "q_quality_prune", "q_token_budget",
-      "q_vocab_coverage")
+      "q_vocab_coverage", "q_rarity_score")
     // SPARK_GRAFT_ONLY: comma-separated target filter for iteration
     // ("none" runs only the streaming-screen block below)
     val targets = sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -227,14 +227,27 @@ object ScaleSmoke {
         f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f,""" +
         f""""toks_index_mb_base":$toksMbB%.2f,"toks_index_mb_scaled":$toksMbS%.2f}""")
     }
+    // J11/J13 rank over the DISTINCT-token table: report its size so the
+    // fresh tier (which multiplies the vocab, not just the corpus — the
+    // exact stress the round-10 verdict asked measured) records how many
+    // rows the histogram ranking handled
+    val vocabBacked = Set("q_vocab_coverage", "q_rarity_score")
+    def vocabRows(dir: String): Long =
+      Tables.documents(spark, dir)
+        .select(explode(expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")).as("t"))
+        .agg(countDistinct(col("t"))).head().getLong(0)
     targets.foreach { q =>
       val (tb, rb, mbB) = time(q, sfDir)
       val (ts, rs, mbS) = time(q, scaledDir.toString)
       val rounds = if (ccBacked(q))
         s""","rounds_base":$rb,"rounds_scaled":$rs""" else ""
+      val vocab = if (vocabBacked(q))
+        s""","vocab_base":${vocabRows(sfDir)},"vocab_scaled":${vocabRows(scaledDir.toString)}"""
+      else ""
       println(f"""{"query":"$q","mult":$mult,"base_sec":$tb%.2f,""" +
         f""""scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f,""" +
-        f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f$rounds}""")
+        f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f$rounds$vocab}""")
     }
 
     // relational tier at ×MULT fact volume (sf0.1 × 10 ≈ sf1): lineitem +

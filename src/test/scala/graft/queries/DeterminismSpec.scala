@@ -27,7 +27,10 @@ class DeterminismSpec extends SparkSpec {
     "q_pack_sequences", "q_text_tfidf", "q_agg_stats", "q_embed_neardup_lsh",
     "q_subquery_scalar", "q_dedup_substring",
     // round-10 additions whose ranking/cumsum windows ride shuffles
-    "q_rarity_score", "q_token_budget", "q_vocab_coverage")
+    "q_rarity_score", "q_token_budget", "q_vocab_coverage",
+    // round 11: PQ search over the catalog-committed codes (encode scan
+    // + constant TakeOrdered + broadcast re-rank must be layout-blind)
+    "q_vec_knn_pq_indexed")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()

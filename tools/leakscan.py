@@ -103,6 +103,11 @@ def main():
         artifact["scanned_at_utc"] = out["scanned_at_utc"]
         artifact["working_tree_dirty"] = out["working_tree_dirty"]
         artifact["repo_scan_n_hits"] = out["n_hits"]
+        # the scan writes the round itself (round-10 verdict finding 3:
+        # a stale hand-maintained round number undermined the ritual) —
+        # --round N overrides; default bumps nothing if absent in both
+        if "--round" in sys.argv:
+            artifact["round"] = int(sys.argv[sys.argv.index("--round") + 1])
         with open(target, "w", encoding="utf-8") as f:
             json.dump(artifact, f, indent=2)
             f.write("\n")
