@@ -52,8 +52,18 @@ object Sf1Gen {
     // the driver fixtures are BARE single parquet files ({name}.parquet),
     // which is also what tools/check.py's DuckDB views read — write one
     // part and move it into place (row groups keep the read parallel)
-    def write(name: String, df: DataFrame): Unit = {
+    def write(name: String, df0: DataFrame): Unit = {
       import java.nio.file.{Files, Paths, StandardCopyOption}
+      // the fixtures carry tz-NAIVE int64 micros (isAdjustedToUTC=false);
+      // Spark's TIMESTAMP writes adjusted micros, which DuckDB reads back
+      // as TIMESTAMPTZ and the differential gate would hash differently —
+      // cast every timestamp column to TIMESTAMP_NTZ (session tz is UTC,
+      // so wall-clock values are unchanged) to match the fixture physics
+      val df = df0.schema.fields.foldLeft(df0) { (d, f) =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+          d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        else d
+      }
       val tmp = s"$outDir/_gen_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = graft.catalog.Fs.list(Paths.get(tmp))

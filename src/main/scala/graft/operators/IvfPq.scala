@@ -1,0 +1,180 @@
+package graft.operators
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{GraftCatalog, TableMeta}
+
+/** IVF+PQ: the combined coarse-quantizer + product-quantization index
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * IEEE TPAMI 2011 §V; FAISS's `IndexIVFPQ`) — the production ANN shape
+  * at corpus scale. The two halves already exist separately in this
+  * engine ([[graft.queries.Extensions]]'s IVF variants prune cells;
+  * [[ProductQuantizer]] compresses the scan); this operator composes
+  * them into ONE catalog-committed index whose physical layout makes
+  * the probe an exercise of the catalog's manifest file skipping:
+  *
+  *  - `<t>_ivfpq_codes(vec_id, cell, codes)` — the corpus, encoded once
+  *    (8-byte packed PQ word per vector), RANGE-CLUSTERED BY CELL so
+  *    each data file covers a contiguous cell range and the manifest's
+  *    per-file min/max on `cell` turns a probe into a file-pruned scan.
+  *    The inverted lists ARE the data files: probing nProbe of k cells
+  *    reads ~nProbe/k of the index bytes, which are themselves 32×
+  *    smaller than the raw vectors — the multiplicative I/O story that
+  *    makes IVFPQ the default at 10⁹+ vectors.
+  *  - `<t>_ivfpq_cells(cell, centroid)` — the k coarse centroids (a few
+  *    KB); a query session ranks them driver-side to pick probe cells.
+  *  - `<t>_ivfpq_books(m, k, centroid)` — the M×K PQ codebooks, so the
+  *    scoring LUT rebuilds without retraining (same rehydrate contract
+  *    as [[ProductQuantizer.loadModel]]).
+  *
+  * Codes are FLAT encodings of the raw vectors, not residuals
+  * (FAISS `by_residual=false`): residual coding recovers precision only
+  * when vectors cluster tightly around their centroid, which the
+  * structureless random fixture vectors do not, and it costs a
+  * k×M×K precomputed-table term in the asymmetric distance (Jégou
+  * §V.B). The flat form keeps scoring identical to [[ProductQuantizer
+  * .approxCosine]] — 16 shift-mask LUT lookups per row — and the exact
+  * re-rank restores recall either way.
+  *
+  * Training is driver-side on the deterministic 100-smallest-vec_ids
+  * sample (the honest 100 TB protocol shared by every trained variant
+  * here: quantizers fit on one machine; the corpus pays exactly one
+  * assignment+encode scan at build time). Everything is deterministic —
+  * sample in vec_id order, argmin ties to the lowest cell/code — so
+  * index builds and query results are byte-identical across local[4]
+  * and local[32] and can be oracle-pinned. */
+object IvfPq {
+
+  /** Coarse cell count. Fixed at the fixture's k=8 (matching
+    * [[graft.queries.Extensions]]'s sample-trained IVF, whose measured
+    * recall the probe policy inherits); at deployment k grows ∝√N and
+    * the range-clustered layout below keeps files ≈ cells. */
+  val kCells = 8
+
+  /** Cells probed per query: 4 of 8 — the probed FRACTION (not count)
+    * is what holds recall as N grows; 4/8 measured ≥8/10 recall at
+    * every fixture SF on the sample-trained quantizer. */
+  val nProbe = 4
+
+  /** Coarse k-means on the driver-side sample: cosine distance, seeds =
+    * the first k sample vectors, 5 bounded Lloyd iterations, argmin
+    * ties to the lowest cell, empty cells keep their centroid — the
+    * same deterministic protocol as the IVF query variants. */
+  def trainCoarse(sample: Seq[Seq[Float]], k: Int = kCells): Seq[Seq[Float]] = {
+    require(sample.nonEmpty, "IVFPQ coarse-training sample is empty")
+    var cents: Seq[Seq[Float]] = Seq.tabulate(k)(i => sample(i % sample.size))
+    for (_ <- 1 to 5) {
+      val assign = sample.map(v =>
+        cents.zipWithIndex.minBy { case (c, i) => (1.0 - cos(c, v), i) }._2)
+      cents = (0 until k).map { ki =>
+        val mem = sample.zip(assign).collect { case (v, a) if a == ki => v }
+        if (mem.isEmpty) cents(ki)
+        else mem.head.indices
+          .map(p => (mem.map(_(p).toDouble).sum / mem.size).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** Driver-side cosine between two parameter vectors. */
+  def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    var dt = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dt += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dt / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Nearest-cell assignment as a codegen'd per-row expression: argmin
+    * cosine distance to the k×dim centroid literal, ties → lowest cell
+    * (1-based, `array_position` semantics — matching the IVF query
+    * variants' cell ids). */
+  def cellOf(cents: Seq[Seq[Float]], emb: Column): Column = {
+    val dists = transform(typedLit(cents), c =>
+      lit(1.0) - aggregate(zip_with(emb, c,
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v) /
+        (sqrt(aggregate(transform(emb, x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, v) => a + v)) *
+         sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+           lit(0.0), (a, v) => a + v))))
+    array_position(dists, array_min(dists))
+  }
+
+  /** Rank cells by probe affinity driver-side (k centroids are a
+    * parameter, not data) and return the nProbe cell ids to scan. */
+  def probeCells(cents: Seq[Seq[Float]], probe: Seq[Float],
+                 n: Int = nProbe): Seq[Long] =
+    cents.zipWithIndex
+      .map { case (c, i) => (i + 1L, cos(c, probe)) }
+      .sortBy { case (i, sim) => (-sim, i) }.take(n).map(_._1)
+
+  /** Build and COMMIT the IVF+PQ index: ONE corpus scan computes
+    * (cell, packed codes), then the codes table is range-clustered by
+    * cell — `repartitionByRange(k) + sortWithinPartitions` — so each of
+    * the ~k data files covers a contiguous cell range and the catalog's
+    * per-file min/max stats ([[GraftCatalog.statFiles]]) prune files at
+    * probe time. Returns the codes-table meta. */
+  def buildIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
+                 table: String, emb: DataFrame): TableMeta = {
+    import spark.implicits._
+    val sample = ProductQuantizer.sampleRows(emb).map(_._2).toSeq
+    val cents = trainCoarse(sample)
+    val model = ProductQuantizer.train(sample)
+    val codes = emb.select(col("vec_id"),
+        cellOf(cents, col("embedding")).as("cell"),
+        ProductQuantizer.packedCodes(model, col("embedding")).as("codes"))
+      .repartitionByRange(kCells, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+    val stamp = System.currentTimeMillis()
+    def commit(t: String, df: DataFrame): TableMeta = {
+      val dir = Paths.get(cat.warehouse, ns, t, "data", s"ivfpq-$stamp")
+      df.write.parquet(dir.toString)
+      if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
+      cat.registerFiles(ns, t, Seq(dir), operation = "overwrite")
+    }
+    val cells = cents.zipWithIndex
+      .map { case (c, i) => (i + 1L, c) }.toDF("cell", "centroid")
+    commit(s"${table}_ivfpq_cells", cells)
+    val books = model.cbooks.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (c, k) => (m, k, c) }
+    }.toDF("m", "k", "centroid")
+    commit(s"${table}_ivfpq_books", books)
+    commit(s"${table}_ivfpq_codes", codes)
+  }
+
+  /** Rehydrate the coarse centroids from the committed cells table —
+    * k rows, a bounded driver fetch. */
+  def loadCells(spark: SparkSession, cat: GraftCatalog, ns: String,
+                table: String): Seq[Seq[Float]] =
+    cat.readTable(spark, ns, s"${table}_ivfpq_cells")
+      .orderBy("cell").collect().map(_.getSeq[Float](1).toSeq).toSeq
+
+  /** Rehydrate the PQ model from the committed codebooks table. */
+  def loadModel(spark: SparkSession, cat: GraftCatalog, ns: String,
+                table: String): ProductQuantizer.Model = {
+    val rows = cat.readTable(spark, ns, s"${table}_ivfpq_books")
+      .orderBy("m", "k").collect()
+    val cbooks = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq
+    }
+    ProductQuantizer.Model(cbooks.head.head.size * ProductQuantizer.M, cbooks)
+  }
+
+  /** The probe-side inverted-list fetch: for each probed cell, a
+    * manifest-pruned read of the codes table ([[GraftCatalog
+    * .readTableWhere]] keeps only files whose [min,max] on `cell`
+    * contains the cell) with the row-level filter on top — at scale
+    * this reads ~nProbe/k of the index files and nothing else. */
+  def probedCodes(spark: SparkSession, cat: GraftCatalog, ns: String,
+                  table: String, cells: Seq[Long]): DataFrame =
+    cells.map { c =>
+      cat.readTableWhere(spark, ns, s"${table}_ivfpq_codes", "cell",
+          c.toDouble, c.toDouble)
+        .filter(col("cell") === c)
+    }.reduce(_ unionByName _)
+}

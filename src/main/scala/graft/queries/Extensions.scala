@@ -1321,6 +1321,50 @@ object Extensions {
       .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
   }
 
+  /** q_vec_knn_ivfpq: the COMBINED coarse-quantizer + product-quantization
+    * index (FAISS `IndexIVFPQ`; Jégou et al. 2011 §V) — cell pruning AND
+    * compressed scoring multiply: the probe reads ~nProbe/k of the index
+    * FILES (the catalog's per-file min/max on `cell` prunes the rest —
+    * the inverted lists are literally the data files, see
+    * [[graft.operators.IvfPq]]), and what it reads is 8-byte packed
+    * codes, 32× under the raw vectors. Search never touches the
+    * embeddings table until the exact re-rank: centroids + codebooks
+    * rehydrate from their committed side tables (k and M×K rows,
+    * driver-side), the probed cells' codes LUT-score asymmetrically,
+    * a CONSTANT-size TakeOrdered shortlist comes back, and only those
+    * ids broadcast-join to the vectors for the exact top-10. Output is
+    * the exact top-10 WITHIN the probed cells; recall vs the full
+    * brute-force scan is pinned in ExtensionsSpec (≥8/10 at every
+    * fixture SF), and the rows hash against per-SF observed-value pins
+    * ([[knnIvfPqObserved]]) — legitimate because training, assignment
+    * and scoring are deterministic end to end (verified byte-identical
+    * across local[4]/local[32], same argument as [[knnIvfObserved]]). */
+  private def qVecKnnIvfPq: QFn = (s, d) => {
+    import graft.operators.{IvfPq, ProductQuantizer}
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "ivfpq")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    IvfPq.buildIndex(s, cat, "vec", "emb", emb)
+    // search session: everything model-shaped comes from the catalog
+    val cents = IvfPq.loadCells(s, cat, "vec", "emb")
+    val model = IvfPq.loadModel(s, cat, "vec", "emb")
+    val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
+    val probed = IvfPq.probeCells(cents, probeVec)
+    val shortlist = IvfPq.probedCodes(s, cat, "vec", "emb", probed)
+      .filter(col("vec_id") =!= probeId)
+      .withColumn("approx",
+        ProductQuantizer.approxCosine(model, probeVec, col("codes")))
+      .orderBy(desc("approx"), asc("vec_id"))
+      .limit(ProductQuantizer.shortlistK)
+      .select("vec_id", "cell")
+    emb.join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"), col("cell"),
+        round(cosineTo(s)(col("embedding"), typedLit(probeVec)), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
+  }
+
   /** Embedding-cosine near-dup: label-blocked pairs — the given-blocking-key
     * variant, kept oracle-checked; [[qEmbedNeardupCells]] is the learned-cell
     * (100 TB) variant. Per-label pair counts + high-sim counts.
@@ -2132,6 +2176,7 @@ object Extensions {
     "q_vec_knn_kmeans"  -> qVecKnnKmeans,
     "q_vec_knn_pq"      -> qVecKnnPq,
     "q_vec_knn_pq_indexed" -> qVecKnnPqIndexed,
+    "q_vec_knn_ivfpq"   -> qVecKnnIvfPq,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_embed_neardup_cells" -> qEmbedNeardupCells,
     "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
@@ -2230,6 +2275,30 @@ object Extensions {
       (1978L, 2L, 0.3192, true), (1407L, 1L, 0.3191, true),
       (142L, 2L, 0.3113, true), (794L, 1L, 0.3108, true)))
 
+  /** q_vec_knn_ivfpq observed pins — (vec_id, cell, cos_sim), the exact
+    * top-10 within the probed cells. Deterministic for the same reason
+    * as [[knnIvfObserved]] (sample-ordered training, per-row
+    * assignment/encode expressions, lowest-id tie-breaks); verified
+    * byte-identical across local[4] and local[32] at every SF. Recall
+    * vs the full exact scan is pinned in ExtensionsSpec, so the pins
+    * here carry correctness AND the spec carries quality. */
+  private val knnIvfPqObserved: Map[String, Seq[(Long, Long, Double)]] = Map(
+    // recall vs the exact scan: 9/10, 8/10, 10/10 — the probed-cell sets
+    // and surviving ids coincide with [[knnIvfObserved]] (same coarse
+    // quantizer protocol), re-ranked exactly after the compressed scan
+    "sf0.001" -> Seq((17L, 1L, 0.3345), (225L, 1L, 0.3151),
+      (12L, 1L, 0.311), (483L, 1L, 0.3005), (73L, 1L, 0.2972),
+      (212L, 1L, 0.2814), (347L, 1L, 0.2745), (402L, 1L, 0.2745),
+      (299L, 1L, 0.2687), (232L, 1L, 0.2673)),
+    "sf0.01" -> Seq((334L, 8L, 0.3627), (423L, 1L, 0.2969),
+      (73L, 1L, 0.2954), (7L, 8L, 0.2928), (320L, 1L, 0.2879),
+      (190L, 1L, 0.2818), (464L, 4L, 0.2766), (388L, 2L, 0.2763),
+      (483L, 4L, 0.2567), (344L, 1L, 0.2525)),
+    "sf0.1" -> Seq((1204L, 1L, 0.4065), (291L, 1L, 0.3919),
+      (1020L, 8L, 0.376), (510L, 1L, 0.3445), (1511L, 1L, 0.3288),
+      (144L, 1L, 0.3243), (1978L, 2L, 0.3192), (1407L, 1L, 0.3191),
+      (142L, 2L, 0.3113), (794L, 1L, 0.3108)))
+
   /** The brute-force exact top-10 in DuckDB — shared by q_vec_knn and
     * (since both re-rank exactly with full fixture recall) the two PQ
     * ANN variants. */
@@ -2268,7 +2337,15 @@ object Extensions {
         ")\n  t(vec_id, cell, cos_sim, in_exact_topk)\n" +
         "ORDER BY cos_sim DESC, vec_id")
     }
-    (km.toSeq ++ ivf.toSeq).toMap
+    val ivfpq = knnIvfPqObserved.get(tag).map { rows =>
+      "q_vec_knn_ivfpq" -> ("SELECT * FROM (VALUES\n" + rows.map {
+        case (v, cl, c) =>
+          s"  (CAST($v AS BIGINT), CAST($cl AS BIGINT), CAST($c AS DOUBLE))"
+      }.mkString(",\n") +
+        ")\n  t(vec_id, cell, cos_sim)\n" +
+        "ORDER BY cos_sim DESC, vec_id")
+    }
+    (km.toSeq ++ ivf.toSeq ++ ivfpq.toSeq).toMap
   }
 
   private def embedCellsOracle: Map[String, String] = {

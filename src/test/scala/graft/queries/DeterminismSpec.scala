@@ -29,8 +29,10 @@ class DeterminismSpec extends SparkSpec {
     // round-10 additions whose ranking/cumsum windows ride shuffles
     "q_rarity_score", "q_token_budget", "q_vocab_coverage",
     // round 11: PQ search over the catalog-committed codes (encode scan
-    // + constant TakeOrdered + broadcast re-rank must be layout-blind)
-    "q_vec_knn_pq_indexed")
+    // + constant TakeOrdered + broadcast re-rank must be layout-blind),
+    // and the combined IVF+PQ probe (adds cell assignment + the
+    // manifest-pruned inverted-list fetch to the same contract)
+    "q_vec_knn_pq_indexed", "q_vec_knn_ivfpq")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()

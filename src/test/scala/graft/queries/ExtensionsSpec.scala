@@ -439,6 +439,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("q_vec_knn_ivfpq: cell-pruned compressed scan holds >= 8/10 recall after exact re-rank") {
+    val exact = run("q_vec_knn").collect().map(_.getLong(0)).toSet
+    val got = run("q_vec_knn_ivfpq").collect()
+    assert(got.length === 10)
+    // top-10 within the probed cells, re-ranked exactly — at least 8 of
+    // the brute-force top-10 must survive the nProbe=4/8 cell pruning
+    // (measured 9/10, 8/10, 10/10 across the fixture SFs)
+    val recall = got.map(_.getLong(0)).count(exact).toDouble / 10
+    assert(recall >= 0.8, s"IVFPQ recall $recall < 0.8")
+    // cos_sim is the EXACT cosine (re-ranked), so every surviving member
+    // must carry the same score as the brute-force row
+    val exactScores = run("q_vec_knn").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.filter(r => exactScores.contains(r.getLong(0))).foreach { r =>
+      assert(r.getDouble(2) === exactScores(r.getLong(0)))
+    }
+  }
+
   test("q_vec_knn_kmeans: trained quantizer returns 10 scored rows with real recall") {
     val rows = run("q_vec_knn_kmeans").collect()
     assert(rows.length === 10)

@@ -369,6 +369,42 @@ class PlanSpec extends SparkSpec {
       "re-rank must be a broadcast id-join of the constant shortlist")
   }
 
+  test("IVF+PQ ANN: probe reads manifest-pruned _ivfpq_codes files only; constant shortlist; broadcast re-rank") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
+    val p = plan("q_vec_knn_ivfpq")
+    val topks = p.collect { case t: TakeOrderedAndProjectExec => t }
+    // constant-k TakeOrdered: the shortlist is a fixed parameter, never
+    // a corpus fraction
+    assert(topks.map(_.limit).toSet ===
+      Set(10, graft.operators.ProductQuantizer.shortlistK))
+    val shortlist = topks
+      .find(_.limit == graft.operators.ProductQuantizer.shortlistK).get
+    val scans = shortlist.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    // (a) the scoring subtree reads the committed codes table only —
+    // never the embeddings parquet (those appear solely above, on the
+    // re-rank join's probe side)
+    assert(scans.forall(_.toString.contains("emb_ivfpq_codes")),
+      "approximate scoring must read the committed codes, not vectors")
+    // (b) manifest file skipping DID prune: the probed branches together
+    // list fewer files than the cell-clustered table holds (nProbe=4 of
+    // ~kCells=8 range files) — the inverted-list fetch is file-level,
+    // not a full-index scan with a row filter
+    val listed = scans.flatMap(_.relation.location.inputFiles).distinct
+    val all = scans.head.relation.location.inputFiles.length // one branch's view
+    assert(listed.nonEmpty)
+    // each per-cell branch must be pruned below the table's file count;
+    // compare against the physical directory listing of the codes table
+    val dataDir = new java.io.File(
+      listed.head.replace("file:", "")).getParentFile
+    val total = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(listed.length < total,
+      s"probe listed ${listed.length} files of $total — no file was skipped")
+    assert(!shortlist.toString.contains("graft_dot"))
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "re-rank must be a broadcast id-join of the constant shortlist")
+  }
+
   test("document chunking is map-only: explode + slice, no keyed exchange") {
     import org.apache.spark.sql.execution.GenerateExec
     val p = plan("q_chunk_documents")
