@@ -113,38 +113,67 @@ object IvfPq {
       .map { case (c, i) => (i + 1L, cos(c, probe)) }
       .sortBy { case (i, sim) => (-sim, i) }.take(n).map(_._1)
 
-  /** Build and COMMIT the IVF+PQ index: ONE corpus scan computes
-    * (cell, packed codes), then the codes table is range-clustered by
-    * cell — `repartitionByRange(k) + sortWithinPartitions` — so each of
-    * the ~k data files covers a contiguous cell range and the catalog's
-    * per-file min/max stats ([[GraftCatalog.statFiles]]) prune files at
-    * probe time. Returns the codes-table meta. */
-  def buildIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
-                 table: String, emb: DataFrame): TableMeta = {
-    import spark.implicits._
-    val sample = ProductQuantizer.sampleRows(emb).map(_._2).toSeq
-    val cents = trainCoarse(sample)
-    val model = ProductQuantizer.train(sample)
-    val codes = emb.select(col("vec_id"),
+  /** Encode a (vec_id, embedding) frame to index rows, RANGE-CLUSTERED
+    * BY CELL — `repartitionByRange(k) + sortWithinPartitions` — so each
+    * of the ~k output files covers a contiguous cell range and the
+    * catalog's per-file min/max stats ([[GraftCatalog.statFiles]]) prune
+    * files at probe time. */
+  def encode(cents: Seq[Seq[Float]], model: ProductQuantizer.Model,
+             emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
         cellOf(cents, col("embedding")).as("cell"),
         ProductQuantizer.packedCodes(model, col("embedding")).as("codes"))
       .repartitionByRange(kCells, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
-    val stamp = System.currentTimeMillis()
-    def commit(t: String, df: DataFrame): TableMeta = {
-      val dir = Paths.get(cat.warehouse, ns, t, "data", s"ivfpq-$stamp")
-      df.write.parquet(dir.toString)
-      if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
-      cat.registerFiles(ns, t, Seq(dir), operation = "overwrite")
-    }
+
+  private def commitDf(cat: GraftCatalog, ns: String, t: String,
+                       df: DataFrame, operation: String): TableMeta = {
+    val dir = Paths.get(cat.warehouse, ns, t, "data",
+      s"ivfpq-${System.nanoTime()}")
+    df.write.parquet(dir.toString)
+    if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
+    cat.registerFiles(ns, t, Seq(dir), operation = operation)
+  }
+
+  /** Train both quantizer halves on the deterministic sample and COMMIT
+    * the model side tables (`_ivfpq_cells`, `_ivfpq_books`). Codebooks
+    * are static once trained (the FAISS deployment contract — the index
+    * GROWS, the model doesn't retrain per append); codes arrive via
+    * [[appendCodes]] or the one-shot [[buildIndex]]. */
+  def initIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
+                table: String, emb: DataFrame)
+      : (Seq[Seq[Float]], ProductQuantizer.Model) = {
+    import spark.implicits._
+    val sample = ProductQuantizer.sampleRows(emb).map(_._2).toSeq
+    val cents = trainCoarse(sample)
+    val model = ProductQuantizer.train(sample)
     val cells = cents.zipWithIndex
       .map { case (c, i) => (i + 1L, c) }.toDF("cell", "centroid")
-    commit(s"${table}_ivfpq_cells", cells)
+    commitDf(cat, ns, s"${table}_ivfpq_cells", cells, "overwrite")
     val books = model.cbooks.zipWithIndex.flatMap { case (cb, m) =>
       cb.zipWithIndex.map { case (c, k) => (m, k, c) }
     }.toDF("m", "k", "centroid")
-    commit(s"${table}_ivfpq_books", books)
-    commit(s"${table}_ivfpq_codes", codes)
+    commitDf(cat, ns, s"${table}_ivfpq_books", books, "overwrite")
+    (cents, model)
+  }
+
+  /** Append one batch of vectors to the codes table — ONE encode scan of
+    * the batch, committed as an append snapshot whose files are
+    * cell-range-clustered like every other; the manifest prunes across
+    * snapshots uniformly, so probes stay file-level as the index grows. */
+  def appendCodes(spark: SparkSession, cat: GraftCatalog, ns: String,
+                  table: String, cents: Seq[Seq[Float]],
+                  model: ProductQuantizer.Model, batch: DataFrame): TableMeta =
+    commitDf(cat, ns, s"${table}_ivfpq_codes",
+      encode(cents, model, batch), "append")
+
+  /** Build and COMMIT the whole index in one shot: train ([[initIndex]])
+    * + ONE corpus encode scan. Returns the codes-table meta. */
+  def buildIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
+                 table: String, emb: DataFrame): TableMeta = {
+    val (cents, model) = initIndex(spark, cat, ns, table, emb)
+    commitDf(cat, ns, s"${table}_ivfpq_codes",
+      encode(cents, model, emb), "overwrite")
   }
 
   /** Rehydrate the coarse centroids from the committed cells table —
@@ -163,6 +192,45 @@ object IvfPq {
       case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq
     }
     ProductQuantizer.Model(cbooks.head.head.size * ProductQuantizer.M, cbooks)
+  }
+
+  /** Float-array dot product: the native codegen'd `graft_dot`
+    * expression when the session has graft.functions.GraftExtensions,
+    * else the semantically-identical zip_with fold (same left-to-right
+    * double accumulation — results don't depend on which path runs). */
+  private def dotCol(s: SparkSession)(a: Column, b: Column): Column =
+    if (s.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The full ANN search over a committed index: rank cells driver-side,
+    * manifest-pruned inverted-list fetch of the probed cells, asymmetric
+    * LUT scoring of the 8-byte codes, CONSTANT-size TakeOrdered
+    * shortlist, exact-cosine re-rank via a broadcast id-join against the
+    * raw vectors — which appear nowhere below the re-rank. Returns the
+    * exact top-`k` within the probed cells as (vec_id, cell, cos_sim). */
+  def search(s: SparkSession, cat: GraftCatalog, ns: String, table: String,
+             emb: DataFrame, probeId: Long, probeVec: Seq[Float],
+             k: Int = 10): DataFrame = {
+    val cents = loadCells(s, cat, ns, table)
+    val model = loadModel(s, cat, ns, table)
+    val probed = probeCells(cents, probeVec)
+    val shortlist = probedCodes(s, cat, ns, table, probed)
+      .filter(col("vec_id") =!= probeId)
+      .withColumn("approx",
+        ProductQuantizer.approxCosine(model, probeVec, col("codes")))
+      .orderBy(desc("approx"), asc("vec_id"))
+      .limit(ProductQuantizer.shortlistK)
+      .select("vec_id", "cell")
+    val dot = dotCol(s) _
+    val probe = typedLit(probeVec)
+    emb.join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"), col("cell"),
+        round(dot(col("embedding"), probe) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+           sqrt(dot(probe, probe))), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(k)
   }
 
   /** The probe-side inverted-list fetch: for each probed cell, a

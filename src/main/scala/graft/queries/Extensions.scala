@@ -1348,21 +1348,10 @@ object Extensions {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     IvfPq.buildIndex(s, cat, "vec", "emb", emb)
     // search session: everything model-shaped comes from the catalog
-    val cents = IvfPq.loadCells(s, cat, "vec", "emb")
-    val model = IvfPq.loadModel(s, cat, "vec", "emb")
+    // ([[IvfPq.search]] — shared verbatim with st_vec_index_maintain,
+    // which proves the maintained index answers identically)
     val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
-    val probed = IvfPq.probeCells(cents, probeVec)
-    val shortlist = IvfPq.probedCodes(s, cat, "vec", "emb", probed)
-      .filter(col("vec_id") =!= probeId)
-      .withColumn("approx",
-        ProductQuantizer.approxCosine(model, probeVec, col("codes")))
-      .orderBy(desc("approx"), asc("vec_id"))
-      .limit(ProductQuantizer.shortlistK)
-      .select("vec_id", "cell")
-    emb.join(broadcast(shortlist), "vec_id")
-      .select(col("vec_id"), col("cell"),
-        round(cosineTo(s)(col("embedding"), typedLit(probeVec)), 4).as("cos_sim"))
-      .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
+    IvfPq.search(s, cat, "vec", "emb", emb, probeId, probeVec)
   }
 
   /** Embedding-cosine near-dup: label-blocked pairs — the given-blocking-key
@@ -2337,15 +2326,19 @@ object Extensions {
         ")\n  t(vec_id, cell, cos_sim, in_exact_topk)\n" +
         "ORDER BY cos_sim DESC, vec_id")
     }
-    val ivfpq = knnIvfPqObserved.get(tag).map { rows =>
-      "q_vec_knn_ivfpq" -> ("SELECT * FROM (VALUES\n" + rows.map {
+    // the SAME pins oracle both q_vec_knn_ivfpq (one-shot build) and
+    // graft.streaming's st_vec_index_maintain (per-batch appends): the
+    // maintained index must answer the shared IvfPq.search identically
+    val ivfpq = knnIvfPqObserved.get(tag).toSeq.flatMap { rows =>
+      val values = "SELECT * FROM (VALUES\n" + rows.map {
         case (v, cl, c) =>
           s"  (CAST($v AS BIGINT), CAST($cl AS BIGINT), CAST($c AS DOUBLE))"
       }.mkString(",\n") +
         ")\n  t(vec_id, cell, cos_sim)\n" +
-        "ORDER BY cos_sim DESC, vec_id")
+        "ORDER BY cos_sim DESC, vec_id"
+      Seq("q_vec_knn_ivfpq" -> values, "st_vec_index_maintain" -> values)
     }
-    (km.toSeq ++ ivf.toSeq ++ ivfpq.toSeq).toMap
+    (km.toSeq ++ ivf.toSeq ++ ivfpq).toMap
   }
 
   private def embedCellsOracle: Map[String, String] = {

@@ -471,6 +471,62 @@ object Streaming {
       .select("doc_id", "text", "h").orderBy("doc_id")
   }
 
+  /** st_vec_index_maintain: streaming maintenance of the IVF+PQ vector
+    * index — the lifecycle piece between one-shot builds
+    * (`q_vec_knn_ivfpq`) and compaction (`etl_neardup_maintain` for the
+    * text index): embeddings arrive as parquet drops in a landing zone,
+    * and each micro-batch pays ONE encode scan of the batch before an
+    * append snapshot of cell-range-clustered code files
+    * ([[graft.operators.IvfPq.appendCodes]]). The model halves are
+    * trained and committed ONCE up front ([[graft.operators.IvfPq
+    * .initIndex]] — the FAISS deployment contract: the index grows, the
+    * codebooks don't retrain per append; drift is a periodic rebuild,
+    * not a streaming concern). The manifest prunes probes uniformly
+    * across snapshots, so searches stay file-level as the index grows.
+    *
+    * The RESULT is the proof: after the drain, the SHARED
+    * [[graft.operators.IvfPq.search]] runs over the maintained index
+    * and must answer byte-identically to the one-shot build — same
+    * observed-pin oracle as q_vec_knn_ivfpq. A missed batch, a double
+    * append (checkpoint replay), an encode drift, or a pruning bug over
+    * multi-snapshot file layouts all surface as a changed top-10. */
+  def stVecIndexMaintain: QFn = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.{IvfPq, ProductQuantizer}
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_ivfpq")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val emb = graft.Tables.embeddings(s, d).select("vec_id", "embedding")
+    // landing zone: the corpus "arrives" as three one-file producer
+    // drops (coalesced so maxFilesPerTrigger=1 gives exactly 3
+    // micro-batches — the multi-snapshot layout the probe must prune)
+    val in = base.resolve("in")
+    (0 until 3).foreach { i =>
+      emb.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
+        .write.parquet(in.resolve(s"b$i").toString)
+    }
+    val (cents, model) = IvfPq.initIndex(s, cat, "vec", "emb", emb)
+    val stream = s.readStream
+      .schema(emb.schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    val q = withStatePartitions(s, 4)(stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          IvfPq.appendCodes(batch.sparkSession, cat, "vec", "emb",
+            cents, model, batch)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start())
+    try q.awaitTermination() finally q.stop()
+    val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
+    IvfPq.search(s, cat, "vec", "emb", emb, probeId, probeVec)
+  }
+
   /** st_catalog_source: streaming read FROM the catalog — the Iceberg
     * `readStream` surface ([[graft.catalog.GraftCatalog.streamTable]]):
     * each append snapshot's files flow into a running (or restarted)
@@ -910,6 +966,7 @@ object Streaming {
     "st_dedup_catalog" -> stDedupCatalog,
     "st_neardup_catalog" -> stNeardupCatalog,
     "st_catalog_source" -> stCatalogSource,
+    "st_vec_index_maintain" -> stVecIndexMaintain,
     "st_join"         -> stJoin,
     "st_join_outer"   -> stJoinOuter,
   )

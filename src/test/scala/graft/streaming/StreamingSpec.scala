@@ -81,6 +81,19 @@ class StreamingSpec extends SparkSpec {
     assert(!committedTexts.contains(t4))
   }
 
+  test("st_vec_index_maintain: streamed index answers identically to the one-shot build") {
+    // the maintained index (3 per-batch append snapshots of cell-ranged
+    // code files) must answer the shared IvfPq.search byte-identically
+    // to q_vec_knn_ivfpq's one-shot build — a missed batch, a checkpoint
+    // double-append, or a multi-snapshot pruning bug all change the rows
+    val streamed = Streaming.stVecIndexMaintain(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val oneShot = graft.SparkEntry.queries("q_vec_knn_ivfpq")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.length === 10)
+    assert(streamed.toSeq === oneShot.toSeq)
+  }
+
   test("st_dedup: duplicate event id in a later micro-batch is suppressed") {
     val rows = Streaming.stDedup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
