@@ -351,7 +351,11 @@ object ScaleSmoke {
       // q_vec_knn_pq_indexed: build (one encode scan, linear) + search
       // (codes-only scan, CONSTANT 480-row shortlist — the round-11 fix
       // for the round-10 `weak`: shortlist bytes no longer grow with N)
+      // q_vec_knn_ivfpq: build (train driver-side + ONE encode scan,
+      // linear) + probe (manifest prunes to nProbe/k of the code FILES,
+      // each 8 bytes/row — the multiplicative I/O cut; shortlist constant)
       for (q <- Seq("q_vec_knn", "q_vec_knn_pq", "q_vec_knn_pq_indexed",
+          "q_vec_knn_ivfpq",
           "q_vec_centroid", "q_embed_neardup_cells", "q_embed_neardup_lsh")) {
         val (tb, _, mbB) = time(q, sfDir)
         val (ts, _, mbS) = time(q, scaledDir.toString)

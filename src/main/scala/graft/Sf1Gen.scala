@@ -25,9 +25,12 @@ object Sf1Gen {
   private def h(salt: Long, id: Column): Column = xxhash64(lit(salt), id)
   private def hmod(salt: Long, id: Column, m: Int): Column =
     pmod(h(salt, id), lit(m.toLong))
-  /** Uniform double in [0, bound) with `cents` decimal places. */
+  /** Uniform double in [0.01, bound] with 2 decimal places — never 0.00:
+    * the fixtures' money columns are strictly positive (sf0.01 min
+    * 0.01), and q_math_funcs takes ln(l_extendedprice), so a generated
+    * zero would crash the DuckDB replay (ln(0)) where Spark yields null. */
   private def money(salt: Long, id: Column, bound: Int): Column =
-    round(pmod(h(salt, id), lit(bound.toLong * 100)) / 100.0, 2)
+    round((pmod(h(salt, id), lit(bound.toLong * 100 - 1)) + 1) / 100.0, 2)
   private def pick(salt: Long, id: Column, vs: Seq[String]): Column =
     element_at(typedLit(vs), hmod(salt, id, vs.size).cast("int") + 1)
   /** Timestamp at a hash offset of whole days past `base` (dates in the
@@ -59,11 +62,22 @@ object Sf1Gen {
       // as TIMESTAMPTZ and the differential gate would hash differently —
       // cast every timestamp column to TIMESTAMP_NTZ (session tz is UTC,
       // so wall-clock values are unchanged) to match the fixture physics
-      val df = df0.schema.fields.foldLeft(df0) { (d, f) =>
+      val df1 = df0.schema.fields.foldLeft(df0) { (d, f) =>
         if (f.dataType == org.apache.spark.sql.types.TimestampType)
           d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
         else d
       }
+      // every fixture column is NULLABLE (pyarrow default); spark.range
+      // derivations are not-null, and the difference leaks into catalog
+      // DDL (meta_describe / meta_show_create read the footers) —
+      // rebuild on the same rows with nullability relaxed (when(true, c)
+      // gets constant-folded and .to() keeps a provably-non-null field
+      // non-null, so the RDD round trip is the one reliable way to pin
+      // the declared schema; generation stays distributed, and this is
+      // a one-time fixture build, not a query path)
+      val df = df1.sparkSession.createDataFrame(df1.rdd,
+        org.apache.spark.sql.types.StructType(
+          df1.schema.fields.map(_.copy(nullable = true))))
       val tmp = s"$outDir/_gen_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = graft.catalog.Fs.list(Paths.get(tmp))
@@ -135,12 +149,19 @@ object Sf1Gen {
       pick(58, col("id"), Seq("F", "O")).as("l_linestatus"),
       day(59, col("id"), "1995-01-02", 2498).as("l_shipdate")))
 
+    // ts is MONOTONIC in event_id (the fixtures have zero inversions —
+    // the streaming demos' landing zones split by event_id parity and
+    // their watermark invariants assume arrival order tracks event time;
+    // random per-id timestamps made batch 1 race the watermark past most
+    // of batch 2 at sf1): a fixed stride over the 30-day span plus a
+    // sub-stride hash jitter
+    val stride = 30.0 * 86400 / nEvents
     write("events", spark.range(nEvents).select(
       col("id").as("event_id"),
       (to_timestamp(lit("2024-01-01")) +
         make_dt_interval(lit(0), lit(0), lit(0),
-          pmod(h(61, col("id")), lit(30L * 86400)) +
-            pmod(h(62, col("id")), lit(1000000L)) / 1e6)).as("ts"),
+          col("id") * stride +
+            pmod(h(62, col("id")), lit(1000000L)) / 1e6 * stride)).as("ts"),
       hmod(63, col("id"), 20000).as("user_id"),
       pick(64, col("id"), Seq("click", "error", "purchase", "signup",
         "view")).as("event_type"),

@@ -30,7 +30,15 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        if v == 0.0:
+            return "0.0"  # -0.0 == 0.0 (IEEE); repr would split them
+        # 9 decimal places AND 12 significant digits: absolute rounding
+        # alone flags last-ulp noise on large magnitudes (a 3.4e9 SUM at
+        # sf1 differs in the 2nd decimal purely from double fold order —
+        # 3e-12 relative), while 12 sig figs stays far stricter than the
+        # ~4e-10 relative error a million-row double sum can legitimately
+        # accumulate
+        return repr(float(f"{round(v, 9):.12g}"))
     return repr(v)
 
 
