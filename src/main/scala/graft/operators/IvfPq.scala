@@ -113,18 +113,25 @@ object IvfPq {
       .map { case (c, i) => (i + 1L, cos(c, probe)) }
       .sortBy { case (i, sim) => (-sim, i) }.take(n).map(_._1)
 
-  /** Encode a (vec_id, embedding) frame to index rows, RANGE-CLUSTERED
-    * BY CELL — `repartitionByRange(k) + sortWithinPartitions` — so each
-    * of the ~k output files covers a contiguous cell range and the
-    * catalog's per-file min/max stats ([[GraftCatalog.statFiles]]) prune
-    * files at probe time. */
+  /** Encode a (vec_id, embedding, ...metadata) frame to index rows,
+    * RANGE-CLUSTERED BY CELL — `repartitionByRange(k) +
+    * sortWithinPartitions` — so each of the ~k output files covers a
+    * contiguous cell range and the catalog's per-file min/max stats
+    * ([[GraftCatalog.statFiles]]) prune files at probe time. Every
+    * NON-embedding column rides along into the index — filterable
+    * metadata (label, source, licence tier) lives NEXT TO the codes, so
+    * a filtered search ([[searchFiltered]]) pushes its predicate into
+    * the same pruned 8-byte scan instead of joining the corpus. */
   def encode(cents: Seq[Seq[Float]], model: ProductQuantizer.Model,
-             emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-        cellOf(cents, col("embedding")).as("cell"),
-        ProductQuantizer.packedCodes(model, col("embedding")).as("codes"))
+             emb: DataFrame): DataFrame = {
+    val meta = emb.columns.filter(c => c != "vec_id" && c != "embedding")
+    emb.select(col("vec_id") +:
+        cellOf(cents, col("embedding")).as("cell") +:
+        ProductQuantizer.packedCodes(model, col("embedding")).as("codes") +:
+        meta.map(col): _*)
       .repartitionByRange(kCells, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
+  }
 
   private def commitDf(cat: GraftCatalog, ns: String, t: String,
                        df: DataFrame, operation: String): TableMeta = {
@@ -212,12 +219,18 @@ object IvfPq {
     * exact top-`k` within the probed cells as (vec_id, cell, cos_sim). */
   def search(s: SparkSession, cat: GraftCatalog, ns: String, table: String,
              emb: DataFrame, probeId: Long, probeVec: Seq[Float],
-             k: Int = 10): DataFrame = {
+             k: Int = 10, metaFilter: Option[Column] = None,
+             probeN: Int = nProbe): DataFrame = {
     val cents = loadCells(s, cat, ns, table)
     val model = loadModel(s, cat, ns, table)
-    val probed = probeCells(cents, probeVec)
+    val probed = probeCells(cents, probeVec, probeN)
     val shortlist = probedCodes(s, cat, ns, table, probed)
       .filter(col("vec_id") =!= probeId)
+      // PRE-filter (the vector-DB term): the metadata predicate applies
+      // to the same pruned codes scan, BEFORE the shortlist — so the
+      // shortlist is spent entirely on vectors that can actually be
+      // returned (post-filtering a top-k can starve it to < k rows)
+      .where(metaFilter.getOrElse(lit(true)))
       .withColumn("approx",
         ProductQuantizer.approxCosine(model, probeVec, col("codes")))
       .orderBy(desc("approx"), asc("vec_id"))

@@ -1349,22 +1349,65 @@ object Extensions {
   private val ivfPqIndexFx = scala.collection.concurrent.TrieMap
     .empty[String, graft.catalog.GraftCatalog]
 
-  private def qVecKnnIvfPq: QFn = (s, d) => {
-    import graft.operators.{IvfPq, ProductQuantizer}
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cat = ivfPqIndexFx.getOrElseUpdate(d, {
+  /** The memoized index is built from the FULL embeddings row — the
+    * label column rides into the codes table next to the cell and the
+    * 8-byte word ([[graft.operators.IvfPq.encode]] keeps non-embedding
+    * columns), which is what makes [[qVecKnnFiltered]]'s pre-filter a
+    * predicate on the same pruned scan. Unfiltered search prunes the
+    * column away (Catalyst column pruning), so q_vec_knn_ivfpq reads
+    * the same bytes either way. */
+  private def ivfPqIndexFor(s: SparkSession, d: String)
+      : graft.catalog.GraftCatalog =
+    ivfPqIndexFx.getOrElseUpdate(d, {
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
         "ivfpq")
       val c = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
-      IvfPq.buildIndex(s, c, "vec", "emb", emb)
+      graft.operators.IvfPq.buildIndex(s, c, "vec", "emb",
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+          col("label")))
       c
     })
+
+  private def qVecKnnIvfPq: QFn = (s, d) => {
+    import graft.operators.{IvfPq, ProductQuantizer}
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cat = ivfPqIndexFor(s, d)
     // search session: everything model-shaped comes from the catalog
     // ([[IvfPq.search]] — shared verbatim with st_vec_index_maintain,
     // which proves the maintained index answers identically)
     val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
     IvfPq.search(s, cat, "vec", "emb", emb, probeId, probeVec)
+  }
+
+  /** q_vec_knn_filtered: METADATA-FILTERED ANN — the production staple
+    * (every deployed vector search carries a predicate: language, source,
+    * licence tier; here the fixture's `label`). The filter PRE-applies on
+    * the same manifest-pruned 8-byte codes scan the unfiltered probe
+    * reads — the metadata lives IN the index next to the codes, so
+    * filtering costs a row predicate on an already-pruned scan, never a
+    * join back to the corpus, and the constant shortlist is spent
+    * entirely on returnable vectors (post-filtering a top-k can starve
+    * it below k — the classic filtered-ANN failure mode). Result: the
+    * exact top-10 among probed-cell vectors sharing the probe's label;
+    * recall vs the brute-force FILTERED scan is pinned in ExtensionsSpec,
+    * rows hash per-SF observed pins (same determinism argument as
+    * [[knnIvfPqObserved]]). */
+  private def qVecKnnFiltered: QFn = (s, d) => {
+    import graft.operators.IvfPq
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cat = ivfPqIndexFor(s, d)
+    // ONE driver action: the probe row with its label (the filter value)
+    val p = Tables.embeddings(s, d).orderBy("vec_id")
+      .select("vec_id", "embedding", "label").head()
+    // a ~1-in-10 selective filter spreads the surviving top-10 across
+    // more cells than the dense case — raise nProbe 4→6 of 8 (the
+    // standard filtered-ANN compensation: probe breadth scales INVERSELY
+    // with filter selectivity; measured 7/10 recall at 4 probes on the
+    // smallest fixture, ≥8/10 at 6 everywhere)
+    IvfPq.search(s, cat, "vec", "emb", emb, p.getLong(0),
+      p.getSeq[Float](1), metaFilter = Some(col("label") === p.getInt(2)),
+      probeN = 6)
   }
 
   /** Embedding-cosine near-dup: label-blocked pairs — the given-blocking-key
@@ -2179,6 +2222,7 @@ object Extensions {
     "q_vec_knn_pq"      -> qVecKnnPq,
     "q_vec_knn_pq_indexed" -> qVecKnnPqIndexed,
     "q_vec_knn_ivfpq"   -> qVecKnnIvfPq,
+    "q_vec_knn_filtered" -> qVecKnnFiltered,
     "q_embed_neardup"   -> qEmbedNeardup,
     "q_embed_neardup_cells" -> qEmbedNeardupCells,
     "q_embed_neardup_lsh" -> qEmbedNeardupLsh,
@@ -2301,6 +2345,26 @@ object Extensions {
       (144L, 1L, 0.3243), (1978L, 2L, 0.3192), (1407L, 1L, 0.3191),
       (142L, 2L, 0.3113), (794L, 1L, 0.3108)))
 
+  /** q_vec_knn_filtered observed pins — (vec_id, cell, cos_sim), the
+    * exact top-10 among probed-cell vectors sharing the probe's label.
+    * Same determinism argument as [[knnIvfPqObserved]]. */
+  private val knnFilteredObserved: Map[String, Seq[(Long, Long, Double)]] = Map(
+    // recall vs the exact label-filtered scan: 8/10, 10/10, 8/10 at
+    // nProbe=6 of 8 (4 probes read 7/10 on the smallest fixture — a
+    // 1-in-10 selective filter spreads the top-10 across more cells)
+    "sf0.001" -> Seq((212L, 1L, 0.2814), (299L, 1L, 0.2687),
+      (257L, 2L, 0.2059), (411L, 1L, 0.1832), (105L, 4L, 0.1729),
+      (11L, 5L, 0.1687), (142L, 7L, 0.1594), (458L, 1L, 0.1493),
+      (22L, 1L, 0.1199), (189L, 2L, 0.0849)),
+    "sf0.01" -> Seq((320L, 1L, 0.2879), (36L, 1L, 0.2387),
+      (99L, 8L, 0.2041), (271L, 1L, 0.1871), (351L, 1L, 0.1864),
+      (325L, 3L, 0.1355), (419L, 2L, 0.0982), (16L, 1L, 0.0938),
+      (48L, 8L, 0.0893), (39L, 2L, 0.0833)),
+    "sf0.1" -> Seq((291L, 1L, 0.3919), (1020L, 8L, 0.376),
+      (462L, 8L, 0.2917), (509L, 1L, 0.2535), (1613L, 1L, 0.2478),
+      (1595L, 2L, 0.2072), (296L, 1L, 0.2064), (403L, 5L, 0.2022),
+      (1829L, 8L, 0.2004), (86L, 1L, 0.1964)))
+
   /** The brute-force exact top-10 in DuckDB — shared by q_vec_knn and
     * (since both re-rank exactly with full fixture recall) the two PQ
     * ANN variants. */
@@ -2351,7 +2415,15 @@ object Extensions {
         "ORDER BY cos_sim DESC, vec_id"
       Seq("q_vec_knn_ivfpq" -> values, "st_vec_index_maintain" -> values)
     }
-    (km.toSeq ++ ivf.toSeq ++ ivfpq).toMap
+    val filtered = knnFilteredObserved.get(tag).map { rows =>
+      "q_vec_knn_filtered" -> ("SELECT * FROM (VALUES\n" + rows.map {
+        case (v, cl, c) =>
+          s"  (CAST($v AS BIGINT), CAST($cl AS BIGINT), CAST($c AS DOUBLE))"
+      }.mkString(",\n") +
+        ")\n  t(vec_id, cell, cos_sim)\n" +
+        "ORDER BY cos_sim DESC, vec_id")
+    }
+    (km.toSeq ++ ivf.toSeq ++ ivfpq ++ filtered.toSeq).toMap
   }
 
   private def embedCellsOracle: Map[String, String] = {

@@ -32,7 +32,7 @@ class DeterminismSpec extends SparkSpec {
     // + constant TakeOrdered + broadcast re-rank must be layout-blind),
     // and the combined IVF+PQ probe (adds cell assignment + the
     // manifest-pruned inverted-list fetch to the same contract)
-    "q_vec_knn_pq_indexed", "q_vec_knn_ivfpq")
+    "q_vec_knn_pq_indexed", "q_vec_knn_ivfpq", "q_vec_knn_filtered")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()

@@ -457,6 +457,43 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q_vec_knn_filtered: pre-filtered ANN holds >= 8/10 recall vs the exact filtered scan") {
+    import org.apache.spark.sql.functions.{col, desc, asc, round => rnd}
+    val got = run("q_vec_knn_filtered").collect()
+    assert(got.length === 10)
+    // the exact FILTERED baseline, computed inline: brute-force cosine
+    // over the probe's label subset only
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val p = emb.orderBy("vec_id").select("vec_id", "embedding", "label").head()
+    val (pid, pvec, plabel) = (p.getLong(0), p.getSeq[Float](1), p.getInt(2))
+    def cos(v: Seq[Float]): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- v.indices) {
+        dt += v(i).toDouble * pvec(i); na += v(i).toDouble * v(i)
+        nb += pvec(i).toDouble * pvec(i)
+      }
+      dt / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = emb.filter(col("label") === plabel && col("vec_id") =!= pid)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(cos(r.getSeq[Float](1))).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (v, c) => (-c, v) }.take(10)
+    val exactIds = exact.map(_._1).toSet
+    val recall = got.map(_.getLong(0)).count(exactIds).toDouble / 10
+    assert(recall >= 0.8, s"filtered recall $recall < 0.8")
+    // every returned row must belong to the probe's label subset, and
+    // surviving members carry the exact re-ranked score
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach(r => assert(labels(r.getLong(0)) === plabel))
+    val exactScore = exact.toMap
+    got.filter(r => exactScore.contains(r.getLong(0))).foreach { r =>
+      assert(math.abs(r.getDouble(2) - exactScore(r.getLong(0))) < 1e-9)
+    }
+  }
+
   test("q_vec_knn_kmeans: trained quantizer returns 10 scored rows with real recall") {
     val rows = run("q_vec_knn_kmeans").collect()
     assert(rows.length === 10)
