@@ -120,8 +120,8 @@ object IvfPq {
     * ([[GraftCatalog.statFiles]]) prune files at probe time. Every
     * NON-embedding column rides along into the index — filterable
     * metadata (label, source, licence tier) lives NEXT TO the codes, so
-    * a filtered search ([[searchFiltered]]) pushes its predicate into
-    * the same pruned 8-byte scan instead of joining the corpus. */
+    * a filtered search ([[search]]'s `metaFilter`) pushes its predicate
+    * into the same pruned 8-byte scan instead of joining the corpus. */
   def encode(cents: Seq[Seq[Float]], model: ProductQuantizer.Model,
              emb: DataFrame): DataFrame = {
     val meta = emb.columns.filter(c => c != "vec_id" && c != "embedding")
