@@ -55,8 +55,20 @@ object Streaming {
             sys.props.getOrElse("graft.tmp", "/root/repo/target")),
           "st_landing").resolve("in")
         val ev = graft.Tables.events(s, d).select(cols.map(col): _*)
-        ev.filter(col("event_id") % 2 === 0).write.parquet(in.resolve("b0").toString)
-        ev.filter(col("event_id") % 2 =!= 0).write.parquet(in.resolve("b1").toString)
+        // ONE file per drop (coalesce) — the declared scenario is exactly
+        // two "arriving" batches, and with maxFilesPerTrigger=1 each FILE
+        // is a micro-batch: an input big enough to split into several
+        // part files per drop would multiply the batch count, and the
+        // stream-stream joins' batch oracle holds precisely because
+        // cross-drop matches ride the watermark's one-batch update lag —
+        // a THIRD batch legitimately evicts the first's join state (the
+        // sf1 gate caught exactly this: at 1M events each drop split
+        // into multiple parts and the engine correctly dropped what the
+        // 2-batch oracle still counted)
+        ev.filter(col("event_id") % 2 === 0).coalesce(1)
+          .write.parquet(in.resolve("b0").toString)
+        ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
+          .write.parquet(in.resolve("b1").toString)
         in
       })
     }
