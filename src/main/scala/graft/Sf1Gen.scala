@@ -168,8 +168,12 @@ object Sf1Gen {
       money(65, col("id"), 1000).as("value"),
       concat(lit("{\"k\": "), hmod(66, col("id"), 100), lit("}")).as("props")))
 
+    // length uniform 20..89 tokens — the fixture's distribution (sf0.1
+    // measures avg 54.1 tokens/doc; a first cut at 20..149 made the sf1
+    // token volume 15.5× instead of 10×, inflating every text-family
+    // bench ratio by 1.55×)
     val text = array_join(transform(
-      sequence(lit(1), (hmod(71, col("id"), 130) + 20).cast("int")),
+      sequence(lit(1), (hmod(71, col("id"), 70) + 20).cast("int")),
       i => element_at(typedLit(dict),
         pmod(xxhash64(lit(72), col("id"), i), lit(dict.size.toLong))
           .cast("int") + 1)), " ")
