@@ -1589,19 +1589,64 @@ class GraftCatalog(val warehouse: String) {
       filesForScan(ns, t, column, lower, upper, asOf).map(_.path).toSet)
   }
 
+  /** Read with file skipping on a numeric column predicate, with
+    * merge-on-read POSITION-delete debt applied — the scan an auxiliary
+    * INDEX probe must run once its table can carry tombstones (a vector
+    * removed from the corpus must not surface from the ANN index, even
+    * before compaction pays the debt down). [[readTableWhere]] scans
+    * data files only; this variant keeps the same manifest pruning but
+    * scans the kept files WITH their (file, pos) identity and
+    * anti-joins the state's position-delete tuples (each delete file is
+    * tiny relative to the table, so the join broadcasts — same cost
+    * argument as [[readInternal]]'s fold). Position deletes bind to
+    * exact (file_path, pos) pairs and paths are never recycled, so
+    * applying ALL of them to any file subset is order-independent —
+    * no snapshot fold needed. EQUALITY-delete debt is refused: its
+    * sequence rule is ordered (a re-inserted key in a later file must
+    * survive an earlier delete), which a flat pruned scan cannot honor
+    * — materialize first ([[graft.etl.Merge.materialize]]). */
+  def readTableWhereLive(spark: SparkSession, ns: String, t: String,
+                         column: String, lower: Double, upper: Double): DataFrame = {
+    val meta = loadTable(ns, t)
+    val snaps = meta.stateAsOf(None)
+    require(!snaps.exists(sn => sn.deletes.nonEmpty && !sn.isPositionDelete),
+      s"$ns.$t carries equality-delete debt, which is ordered and cannot " +
+        "be applied to a flat pruned scan — materialize the table first")
+    val delFiles = snaps.filter(_.isPositionDelete).flatMap(_.deletes)
+    val keep = filesForScan(ns, t, column, lower, upper, None).map(_.path).toSet
+    if (delFiles.isEmpty) readKeptFiles(spark, ns, t, None, keep)
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val scanned = readKeptFiles(spark, ns, t, None, keep, keepPos = true)
+      val del = spark.read.parquet(delFiles.map(_.path): _*)
+      scanned.join(broadcast(del),
+          scanned(GraftCatalog.PosFileCol) === del("file_path") &&
+            scanned(GraftCatalog.PosIdxCol) === del("pos"), "left_anti")
+        .drop(GraftCatalog.PosFileCol, GraftCatalog.PosIdxCol)
+    }
+  }
+
   /** Scan the subset `keep` of the table's live files, grouped by the
     * schema version each file was written under (see [[scanAt]]). */
   private def readKeptFiles(spark: SparkSession, ns: String, t: String,
-                            asOf: Option[Long], keep: Set[String]): DataFrame = {
+                            asOf: Option[Long], keep: Set[String],
+                            keepPos: Boolean = false): DataFrame = {
     val meta = loadTable(ns, t)
     val groups = meta.stateAsOf(asOf)
       .flatMap(sn => sn.addedFiles.map(f => sn.schemaVer -> f.path))
       .filter { case (_, p) => keep(p) }
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (v, fs) => v -> fs.map(_._2) }
+    val emptySchema =
+      if (!keepPos) meta.schema
+      else StructType(meta.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(GraftCatalog.PosFileCol,
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField(GraftCatalog.PosIdxCol,
+          org.apache.spark.sql.types.LongType, nullable = true)))
     if (groups.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-    else groups.map { case (v, fs) => scanAt(spark, meta, v, fs) }
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    else groups.map { case (v, fs) => scanAt(spark, meta, v, fs, keepPos = keepPos) }
       .reduce(_ unionByName _)
   }
 

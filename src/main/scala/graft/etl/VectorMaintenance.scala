@@ -1,0 +1,51 @@
+package graft.etl
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.catalog.{GraftCatalog, TableMeta}
+import graft.operators.IvfPq
+
+/** Maintenance for the persisted ANN index ([[graft.operators.IvfPq]]) —
+  * the compaction half of the lifecycle (build = `IvfPq.buildIndex`,
+  * grow = `IvfPq.appendCodes` / `st_vec_index_maintain`, probe =
+  * `IvfPq.search`, COMPACT = here). Two kinds of debt accumulate on the
+  * codes table as the index lives:
+  *
+  *  - SMALL FILES: every append snapshot writes its own cell-range-
+  *    clustered files, so after B appends a probe of one cell reads ~B
+  *    files instead of 1 — the manifest still prunes correctly, but the
+  *    per-probe file count grows with ingest history, not data volume.
+  *  - DELETE DEBT: corpus deletes (opt-outs, takedowns) reach the index
+  *    as merge-on-read position-delete tombstones
+  *    ([[Merge.deleteWherePos]]); every probe pays a broadcast
+  *    anti-join until the files are rewritten.
+  *
+  * [[compactIndex]] pays both down in ONE linear pass — read the live
+  * state (tombstones applied), re-cluster by cell, commit one overwrite
+  * snapshot — restoring the ~1-file-per-cell layout and dropping the
+  * delete files from the state fold entirely. O(index) = O(N × 8 bytes),
+  * run off the hot probe path like [[Maintenance.optimize]]; time travel
+  * still reaches every pre-compaction snapshot. */
+object VectorMaintenance {
+
+  /** Rewrite `<table>_ivfpq_codes` into its canonical layout: live rows
+    * only (position-delete debt applied by the catalog read),
+    * range-clustered by `cell` so each of the ≤ [[IvfPq.kCells]] output
+    * files covers a contiguous cell range and the manifest's per-file
+    * min/max prunes probes back to ~1 file per probed cell. One
+    * overwrite snapshot; returns the new codes-table meta. */
+  def compactIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
+                   table: String): TableMeta = {
+    val t = s"${table}_ivfpq_codes"
+    val live = cat.readTable(spark, ns, t)
+    val dir = Paths.get(cat.warehouse, ns, t, "data",
+      s"compact-${System.currentTimeMillis()}")
+    live.repartitionByRange(IvfPq.kCells, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.parquet(dir.toString)
+    cat.registerFiles(ns, t, Seq(dir), operation = "overwrite")
+  }
+}

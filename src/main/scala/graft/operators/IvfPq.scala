@@ -248,13 +248,18 @@ object IvfPq {
 
   /** The probe-side inverted-list fetch: for each probed cell, a
     * manifest-pruned read of the codes table ([[GraftCatalog
-    * .readTableWhere]] keeps only files whose [min,max] on `cell`
+    * .readTableWhereLive]] keeps only files whose [min,max] on `cell`
     * contains the cell) with the row-level filter on top — at scale
-    * this reads ~nProbe/k of the index files and nothing else. */
+    * this reads ~nProbe/k of the index files and nothing else. The
+    * LIVE variant also applies any position-delete debt the codes
+    * table carries (a vector deleted from the corpus must not surface
+    * from the index probe, even before compaction rewrites the files —
+    * see [[graft.etl.VectorMaintenance]]); debt-free tables take the
+    * identical plain pruned scan. */
   def probedCodes(spark: SparkSession, cat: GraftCatalog, ns: String,
                   table: String, cells: Seq[Long]): DataFrame =
     cells.map { c =>
-      cat.readTableWhere(spark, ns, s"${table}_ivfpq_codes", "cell",
+      cat.readTableWhereLive(spark, ns, s"${table}_ivfpq_codes", "cell",
           c.toDouble, c.toDouble)
         .filter(col("cell") === c)
     }.reduce(_ unionByName _)

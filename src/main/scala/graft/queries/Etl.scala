@@ -454,6 +454,73 @@ object Etl {
     codesCheck.crossJoin(booksCheck)
   }
 
+  /** etl_vec_index_compact: pay down BOTH kinds of debt the persisted
+    * ANN index accumulates in production ([[graft.etl.VectorMaintenance]])
+    * and PROVE the probe answer is invariant across the rewrite. The
+    * scenario is the full index lifecycle: 3 append snapshots grow the
+    * IVF+PQ codes table (the st_vec_index_maintain layout — one
+    * cell-range-clustered file set per batch, so per-probe file count
+    * grows with ingest history), then a corpus delete event (~1/13 of
+    * vectors opt out) lands as merge-on-read POSITION-delete tombstones
+    * on the codes table ([[graft.etl.Merge.deleteWherePos]] — O(deleted)
+    * write, no data file touched; the training-data right-to-be-
+    * forgotten path: a removed vector must stop surfacing from ANN
+    * immediately, not at the next rebuild). The pre-compaction search
+    * proves the probe honors the tombstones ([[graft.operators.IvfPq
+    * .probedCodes]]'s live pruned scan); compaction then rewrites the
+    * live rows into ≤ kCells cell-clustered files in ONE linear pass,
+    * dropping the delete files from the state fold; the post-compaction
+    * search must answer BYTE-IDENTICALLY. In-query requires fail the
+    * query loudly on: surviving debt, un-shrunk file count, a changed
+    * answer, a deleted id in the top-10, or a wrong live row count.
+    * Output is the post-compaction top-10 — deterministic end to end
+    * (same argument as q_vec_knn_ivfpq), oracled against per-SF observed
+    * pins; the two 10-row collects are bounded driver fetches. */
+  private def etlVecIndexCompact: QFn = (s, d) => {
+    import graft.operators.{IvfPq, ProductQuantizer}
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "etl_vec_compact")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (cents, model) = IvfPq.initIndex(s, cat, "vec", "emb", emb)
+    (0 until 3).foreach { i =>
+      IvfPq.appendCodes(s, cat, "vec", "emb", cents, model,
+        emb.filter(pmod(col("vec_id"), lit(3)) === i))
+    }
+    val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
+    // the delete event; the probe row is exempted so the scenario stays
+    // well-defined under any fixture id space
+    val doomed = pmod(col("vec_id"), lit(13)) === 5 && col("vec_id") =!= probeId
+    graft.etl.Merge.deleteWherePos(s, cat, "vec", "emb_ivfpq_codes", doomed)
+    def meta = cat.loadTable("vec", "emb_ivfpq_codes")
+    val (filesBefore, debtBefore) =
+      (meta.filesAsOf(None).size, meta.deleteFilesAsOf(None).size)
+    val before = IvfPq.search(s, cat, "vec", "emb", emb, probeId, probeVec)
+      .collect().toSeq
+    graft.etl.VectorMaintenance.compactIndex(s, cat, "vec", "emb")
+    val (filesAfter, debtAfter) =
+      (meta.filesAsOf(None).size, meta.deleteFilesAsOf(None).size)
+    val after = IvfPq.search(s, cat, "vec", "emb", emb, probeId, probeVec)
+    val rows = after.collect().toSeq
+    require(debtBefore > 0 && debtAfter == 0,
+      s"delete debt $debtBefore -> $debtAfter: tombstones must exist " +
+        "before compaction and be purged by it")
+    require(filesAfter < filesBefore && filesAfter <= IvfPq.kCells,
+      s"codes files $filesBefore -> $filesAfter: compaction must restore " +
+        s"the <= ${IvfPq.kCells}-file cell-clustered layout")
+    require(before == rows,
+      "compaction changed the probe answer — the rewrite must be " +
+        "semantically invisible")
+    require(!rows.exists(r => r.getLong(0) % 13 == 5 && r.getLong(0) != probeId),
+      "a deleted vector surfaced from the compacted index")
+    val nLive = cat.readTable(s, "vec", "emb_ivfpq_codes").count()
+    val nExpected = emb.filter(!doomed).count()
+    require(nLive == nExpected,
+      s"live codes $nLive != expected $nExpected after delete + compact")
+    after
+  }
+
   private def etlNeardupMaintain: QFn = (s, _) => {
     import s.implicits._
     import graft.queries.Extensions.{docTokenSets, docBandRows}
@@ -627,11 +694,50 @@ object Etl {
     "etl_zorder"          -> etlZorder,
     "etl_neardup_maintain" -> etlNeardupMaintain,
     "etl_pq_index"        -> etlPqIndex,
+    "etl_vec_index_compact" -> etlVecIndexCompact,
     "etl_shard_export"    -> etlShardExport,
     "etl_jsonl_export"    -> etlJsonlExport,
   )
 
-  def oracles: Map[String, String] = zorderOracle ++ Map(
+  /** etl_vec_index_compact observed pins — (vec_id, cell, cos_sim), the
+    * exact top-10 within the probed cells AFTER the ~1/13 delete and the
+    * compaction rewrite. Legitimate for the same reason as
+    * [[graft.queries.Extensions]]'s IVF-family pins: training,
+    * assignment, encoding, scoring and the delete predicate are
+    * deterministic end to end (byte-identical across local[4]/local[32]
+    * — DeterminismSpec), and the in-query requires already gate the
+    * structural invariants (debt purged, file count restored, pre/post
+    * answers identical). No pin for an unknown SF → the driver records
+    * a rows-only check (e.g. the sf1 gate). */
+  private val vecCompactObserved: Map[String, Seq[(Long, Long, Double)]] = Map(
+    "sf0.001" -> Seq((17L, 1L, 0.3345), (225L, 1L, 0.3151),
+      (12L, 1L, 0.311), (483L, 1L, 0.3005), (73L, 1L, 0.2972),
+      (212L, 1L, 0.2814), (347L, 1L, 0.2745), (402L, 1L, 0.2745),
+      (299L, 1L, 0.2687), (232L, 1L, 0.2673)),
+    "sf0.01" -> Seq((334L, 8L, 0.3627), (423L, 1L, 0.2969),
+      (73L, 1L, 0.2954), (7L, 8L, 0.2928), (320L, 1L, 0.2879),
+      (190L, 1L, 0.2818), (464L, 4L, 0.2766), (388L, 2L, 0.2763),
+      (483L, 4L, 0.2567), (344L, 1L, 0.2525)),
+    "sf0.1" -> Seq((1204L, 1L, 0.4065), (1020L, 8L, 0.376),
+      (510L, 1L, 0.3445), (1511L, 1L, 0.3288), (144L, 1L, 0.3243),
+      (1978L, 2L, 0.3192), (1407L, 1L, 0.3191), (142L, 2L, 0.3113),
+      (794L, 1L, 0.3108), (1841L, 1L, 0.3099)))
+
+  private def vecCompactOracle: Map[String, String] = {
+    val tag = Paths.get(
+      sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01"))
+      .getFileName.toString
+    vecCompactObserved.get(tag).map { rows =>
+      "etl_vec_index_compact" -> ("SELECT * FROM (VALUES\n" + rows.map {
+        case (v, cl, c) =>
+          s"  (CAST($v AS BIGINT), CAST($cl AS BIGINT), CAST($c AS DOUBLE))"
+      }.mkString(",\n") +
+        ")\n  t(vec_id, cell, cos_sim)\n" +
+        "ORDER BY cos_sim DESC, vec_id")
+    }.toMap
+  }
+
+  def oracles: Map[String, String] = zorderOracle ++ vecCompactOracle ++ Map(
     "etl_pq_index" ->
       """SELECT count(*) AS n_vectors, CAST(8 AS BIGINT) AS code_bytes,
         |       true AS codes_roundtrip_ok, true AS books_complete

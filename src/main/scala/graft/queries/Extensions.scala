@@ -1321,6 +1321,51 @@ object Extensions {
       .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
   }
 
+  /** q_vec_knn_deleted: the right-to-be-forgotten path through the
+    * persisted ANN index — a corpus delete event (opt-out, takedown;
+    * here ~1/13 of vectors) lands on the committed PQ codes table as
+    * merge-on-read POSITION-delete tombstones ([[graft.etl.Merge
+    * .deleteWherePos]]: O(deleted) write, two slim columns, no data file
+    * rewritten), and the VERY NEXT search must stop surfacing the
+    * deleted vectors — the catalog read applies the debt as a broadcast
+    * anti-join, so correctness never waits for compaction
+    * ([[graft.etl.VectorMaintenance.compactIndex]] purges the debt
+    * physically; etl_vec_index_compact proves that half). Search shape
+    * is [[qVecKnnPqIndexed]] verbatim: codes-only scan, constant
+    * shortlist, exact broadcast re-rank — which restores full fixture
+    * recall, so the oracle is the REAL brute-force DuckDB top-10 with
+    * the delete predicate applied: any tombstone the scan misses (or
+    * over-applies) hash-mismatches. The probe row is exempted from the
+    * delete so the scenario stays well-defined under any fixture id
+    * space (the oracle's `vec_id <> pid` filter makes the SQL agree
+    * either way). */
+  private def qVecKnnDeleted: QFn = (s, d) => {
+    import graft.operators.ProductQuantizer
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "pqdel")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    ProductQuantizer.buildIndex(s, cat, "vec", "emb", emb)
+    val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
+    graft.etl.Merge.deleteWherePos(s, cat, "vec", "emb_pq_codes",
+      pmod(col("vec_id"), lit(13)) === 5 && col("vec_id") =!= probeId)
+    val model = ProductQuantizer.loadModel(s, cat, "vec", "emb")
+    // the catalog read folds the position-delete debt in (broadcast
+    // anti-join over the tiny tombstone file) before the LUT scoring
+    val shortlist = cat.readTable(s, "vec", "emb_pq_codes")
+      .filter(col("vec_id") =!= probeId)
+      .withColumn("approx",
+        ProductQuantizer.approxCosine(model, probeVec, col("codes")))
+      .orderBy(desc("approx"), asc("vec_id"))
+      .limit(ProductQuantizer.shortlistK)
+      .select("vec_id")
+    emb.join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"),
+        round(cosineTo(s)(col("embedding"), typedLit(probeVec)), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
+  }
+
   /** q_vec_knn_ivfpq: the COMBINED coarse-quantizer + product-quantization
     * index (FAISS `IndexIVFPQ`; Jégou et al. 2011 §V) — cell pruning AND
     * compressed scoring multiply: the probe reads ~nProbe/k of the index
@@ -2221,6 +2266,7 @@ object Extensions {
     "q_vec_knn_kmeans"  -> qVecKnnKmeans,
     "q_vec_knn_pq"      -> qVecKnnPq,
     "q_vec_knn_pq_indexed" -> qVecKnnPqIndexed,
+    "q_vec_knn_deleted"  -> qVecKnnDeleted,
     "q_vec_knn_ivfpq"   -> qVecKnnIvfPq,
     "q_vec_knn_filtered" -> qVecKnnFiltered,
     "q_embed_neardup"   -> qEmbedNeardup,
@@ -2379,6 +2425,24 @@ object Extensions {
       |          / (sqrt(sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
       |             * sqrt(sum(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))), 4) AS cos_sim
       |  FROM z WHERE vec_id <> pid GROUP BY vec_id)
+      |SELECT vec_id, cos_sim FROM sims
+      |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** q_vec_knn_deleted's oracle: the same brute-force top-10 with the
+    * delete predicate applied — `vec_id % 13 = 5` rows are tombstoned
+    * (the probe row is exempt on the Spark side, but `vec_id <> pid`
+    * already excludes it here, so the two agree under any id space). */
+  private val vecKnnDeletedSql: String =
+    """WITH p AS (SELECT embedding AS pe, vec_id AS pid
+      |           FROM embeddings ORDER BY vec_id LIMIT 1),
+      |z AS (SELECT vec_id, pid, unnest(embedding) AS e, unnest(pe) AS q
+      |      FROM embeddings, p),
+      |sims AS (
+      |  SELECT vec_id,
+      |    round(sum(CAST(e AS DOUBLE) * CAST(q AS DOUBLE))
+      |          / (sqrt(sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
+      |             * sqrt(sum(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))), 4) AS cos_sim
+      |  FROM z WHERE vec_id <> pid AND vec_id % 13 <> 5 GROUP BY vec_id)
       |SELECT vec_id, cos_sim FROM sims
       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
@@ -3169,6 +3233,7 @@ object Extensions {
     // a stronger gate than the round-10 observed-value pins
     "q_vec_knn_pq" -> vecKnnTopkSql,
     "q_vec_knn_pq_indexed" -> vecKnnTopkSql,
+    "q_vec_knn_deleted" -> vecKnnDeletedSql,
     "q_embed_neardup" ->
       """WITH pairs AS (
         |  SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,

@@ -1,0 +1,111 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import graft.{SparkSpec, Tables}
+import graft.catalog.GraftCatalog
+import graft.operators.{IvfPq, ProductQuantizer}
+import org.apache.spark.sql.functions._
+
+/** The ANN-index delete/compaction lifecycle behind q_vec_knn_deleted and
+  * etl_vec_index_compact: position-delete tombstones are honored by the
+  * manifest-pruned probe IMMEDIATELY (before any rewrite), equality debt
+  * is refused by the pruned live read, and compaction purges the debt +
+  * restores the ≤ kCells cell-clustered layout without changing any
+  * probe answer. */
+class VectorMaintenanceSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("embedding"))
+
+  private def freshCat() = {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "vecmaint")
+    new GraftCatalog(base.resolve("wh").toString)
+  }
+
+  /** Grown-index fixture: 3 append snapshots + a ~1/13 position-delete. */
+  private def grownIndex(): (GraftCatalog, Long, Seq[Float]) = {
+    val cat = freshCat()
+    val (cents, model) = IvfPq.initIndex(spark, cat, "vec", "emb", emb)
+    (0 until 3).foreach { i =>
+      IvfPq.appendCodes(spark, cat, "vec", "emb", cents, model,
+        emb.filter(pmod(col("vec_id"), lit(3)) === i))
+    }
+    val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
+    Merge.deleteWherePos(spark, cat, "vec", "emb_ivfpq_codes",
+      pmod(col("vec_id"), lit(13)) === 5 && col("vec_id") =!= probeId)
+    (cat, probeId, probeVec)
+  }
+
+  test("tombstones are honored by the pruned probe before any compaction") {
+    val (cat, _, _) = grownIndex()
+    assert(cat.loadTable("vec", "emb_ivfpq_codes").deleteFilesAsOf(None).nonEmpty)
+    val probed = IvfPq.probedCodes(spark, cat, "vec", "emb",
+      (1L to IvfPq.kCells.toLong))
+    assert(probed.filter(pmod(col("vec_id"), lit(13)) === 5 &&
+      col("vec_id") =!= ProductQuantizer.sampleRows(emb).head._1).count() === 0,
+      "a deleted vector surfaced from the live pruned probe")
+    // the probe of ALL cells sees exactly the live rows
+    val expected = emb.filter(!(pmod(col("vec_id"), lit(13)) === 5) ||
+      col("vec_id") === ProductQuantizer.sampleRows(emb).head._1).count()
+    assert(probed.count() === expected)
+  }
+
+  test("readTableWhereLive refuses equality-delete debt (ordered semantics)") {
+    val cat = freshCat()
+    IvfPq.buildIndex(spark, cat, "vec", "emb", emb)
+    Merge.deleteWhereMor(spark, cat, "vec", "emb_ivfpq_codes",
+      col("vec_id") === 1L, Seq("vec_id"))
+    val e = intercept[IllegalArgumentException] {
+      cat.readTableWhereLive(spark, "vec", "emb_ivfpq_codes", "cell", 1, 1)
+    }
+    assert(e.getMessage.contains("equality-delete"))
+    // after materialization the pruned live read works again
+    Merge.materialize(spark, cat, "vec", "emb_ivfpq_codes")
+    assert(cat.readTableWhereLive(spark, "vec", "emb_ivfpq_codes",
+      "cell", 1, IvfPq.kCells).filter(col("vec_id") === 1L).count() === 0)
+  }
+
+  test("compaction purges debt, restores <= kCells files, keeps answers") {
+    val (cat, probeId, probeVec) = grownIndex()
+    def meta = cat.loadTable("vec", "emb_ivfpq_codes")
+    val filesBefore = meta.filesAsOf(None).size
+    assert(filesBefore > IvfPq.kCells,
+      "3 appends must leave more files than cells for the test to bite")
+    val before = IvfPq.search(spark, cat, "vec", "emb", emb, probeId, probeVec)
+      .collect().toSeq
+    VectorMaintenance.compactIndex(spark, cat, "vec", "emb")
+    assert(meta.deleteFilesAsOf(None).isEmpty, "compaction must purge debt")
+    assert(meta.filesAsOf(None).size <= IvfPq.kCells)
+    val after = IvfPq.search(spark, cat, "vec", "emb", emb, probeId, probeVec)
+      .collect().toSeq
+    assert(after === before, "compaction changed the probe answer")
+    // time travel still reaches the pre-compaction (debt-carrying) state
+    val preCompact = meta.snapshots.dropRight(1).last.id
+    assert(cat.readTable(spark, "vec", "emb_ivfpq_codes",
+      asOf = Some(preCompact)).count() ===
+      cat.readTable(spark, "vec", "emb_ivfpq_codes").count())
+  }
+
+  test("q_vec_knn_deleted: tombstoned vectors never surface; rest is the exact top-10") {
+    val got = graft.SparkEntry.queries("q_vec_knn_deleted")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.size === 10)
+    val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
+    assert(!got.exists { case (v, _) => v % 13 == 5 && v != probeId })
+    // exact brute force minus the deleted set, computed independently
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val probe = typedLit(probeVec)
+    val expected = emb
+      .filter(col("vec_id") =!= probeId && pmod(col("vec_id"), lit(13)) =!= 5)
+      .select(col("vec_id"),
+        round(dot(col("embedding"), probe) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+           sqrt(dot(probe, probe))), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
+}

@@ -32,7 +32,11 @@ class DeterminismSpec extends SparkSpec {
     // + constant TakeOrdered + broadcast re-rank must be layout-blind),
     // and the combined IVF+PQ probe (adds cell assignment + the
     // manifest-pruned inverted-list fetch to the same contract)
-    "q_vec_knn_pq_indexed", "q_vec_knn_ivfpq", "q_vec_knn_filtered")
+    "q_vec_knn_pq_indexed", "q_vec_knn_ivfpq", "q_vec_knn_filtered",
+    // the delete/compaction pair: tombstone application (broadcast
+    // anti-join) and the compaction rewrite must both be layout-blind
+    // — this is what legitimizes etl_vec_index_compact's observed pins
+    "q_vec_knn_deleted", "etl_vec_index_compact")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()

@@ -369,6 +369,33 @@ class PlanSpec extends SparkSpec {
       "re-rank must be a broadcast id-join of the constant shortlist")
   }
 
+  test("deleted ANN: tombstones apply as a broadcast anti-join on the codes scan; vectors only after re-rank") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
+    val p = plan("q_vec_knn_deleted")
+    val topks = p.collect { case t: TakeOrderedAndProjectExec => t }
+    // constant-k shortlist survives the delete path unchanged
+    assert(topks.map(_.limit).toSet ===
+      Set(10, graft.operators.ProductQuantizer.shortlistK))
+    val shortlist = topks
+      .find(_.limit == graft.operators.ProductQuantizer.shortlistK).get
+    // the scoring subtree reads ONLY the codes table's files — the data
+    // files AND the position-delete tombstones both live under
+    // emb_pq_codes/, never the raw embeddings parquet
+    val scans = shortlist.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.toString.contains("emb_pq_codes")),
+      "deleted-ANN scoring must read codes + tombstones, not vectors")
+    // the tombstone application is a BROADCAST anti-join (the delete
+    // file is tiny — a shuffled anti-join would re-shuffle the whole
+    // index at 100 TB)
+    val anti = shortlist.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.nonEmpty, "position-delete debt must apply as a broadcast anti-join")
+    assert(!shortlist.toString.contains("graft_dot"))
+  }
+
   test("IVF+PQ ANN: probe reads manifest-pruned _ivfpq_codes files only; constant shortlist; broadcast re-rank") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
     val p = plan("q_vec_knn_ivfpq")
