@@ -354,8 +354,14 @@ object ScaleSmoke {
       // q_vec_knn_ivfpq: build (train driver-side + ONE encode scan,
       // linear) + probe (manifest prunes to nProbe/k of the code FILES,
       // each 8 bytes/row — the multiplicative I/O cut; shortlist constant)
+      // q_vec_knn_deleted: tombstone anti-join rides the codes scan — the
+      // delete file is O(deleted) and broadcasts, so the ratio tracks the
+      // linear encode+scan like the undeleted PQ path
+      // etl_vec_index_compact: the O(index) rewrite — 3 appends + delete +
+      // compact + two probes; wall must stay ~linear in N and the
+      // in-query requires re-prove the <= kCells layout at every MULT
       for (q <- Seq("q_vec_knn", "q_vec_knn_pq", "q_vec_knn_pq_indexed",
-          "q_vec_knn_ivfpq",
+          "q_vec_knn_ivfpq", "q_vec_knn_deleted", "etl_vec_index_compact",
           "q_vec_centroid", "q_embed_neardup_cells", "q_embed_neardup_lsh")) {
         val (tb, _, mbB) = time(q, sfDir)
         val (ts, _, mbS) = time(q, scaledDir.toString)
