@@ -188,6 +188,118 @@ object Extensions {
         .otherwise(0.0), 4))
       .orderBy("doc_id")
 
+  // ------------------------------------------------------ retrieval family
+
+  /** The fixed retrieval query for the BM25/hybrid family: four fixture
+    * vocabulary terms. The query is a PARAMETER of the declared result
+    * (like [[probeRow]]'s vector) — pinning it keeps the output
+    * deterministic while every downstream shape (tf/df/length statistics,
+    * ranking, fusion) is query-agnostic. */
+  private[graft] val bm25Terms = Seq("vector", "stream", "merge", "window")
+
+  /** Per-document Okapi BM25 (k1=1.2, b=0.75; Robertson & Zaragoza 2009
+    * §3.3) for the [[bm25Terms]] query — the sparse leg of production
+    * hybrid retrieval.
+    *
+    * Plan shape (the 100 TB design): ONE map-only projection computes the
+    * token length and one tf column per query term INSIDE the scan stage
+    * (`size(filter(tokens, …))` — no flat-map, so the corpus never
+    * shuffles); the corpus statistics BM25 needs (N, Σlen, per-term
+    * document frequency) reduce to ONE one-row aggregate that joins back
+    * as a broadcast; ranking is a TakeOrderedAndProject. The only
+    * exchange that is not the one-row stats reduction is the constant
+    * top-k — the same shape a 1000-executor run wants, because df/N/avgdl
+    * are the only cross-partition facts and they are O(|query|) numbers
+    * (PlanSpec pins this).
+    *
+    * Determinism (§5.3): every score input (tf, df, N, Σlen) is an
+    * integer; `len/avgdl` is written `len·N/Σlen` — one correctly-rounded
+    * double division of exact integers — and the per-term scores combine
+    * in FIXED textual order (s0+s1+s2+s3, never a data-ordered float
+    * sum), so Spark and DuckDB agree bit-for-bit modulo the shared-`ln`
+    * precedent of [[qTextTfidf]]; the score is rounded to 4 decimals and
+    * ranked AFTER rounding with a doc_id tie-break (total order). */
+  private[queries] def bm25Frame(s: SparkSession, d: String): DataFrame =
+    bm25Scores(Tables.spread(s, Tables.documents(s, d)))
+
+  /** BM25 core over any (doc_id, text) frame — see [[bm25Frame]]. */
+  private[queries] def bm25Scores(docs: DataFrame): DataFrame = {
+    val perDocCols = col("doc_id") +: expr(s"size($tokensExpr)").as("len") +:
+      bm25Terms.zipWithIndex.map { case (t, i) =>
+        expr(s"size(filter($tokensExpr, t -> t = '$t'))").as(s"tf$i")
+      }
+    val perDoc = docs.select(perDocCols: _*)
+    val statCols = count(lit(1)).as("n_docs") +:
+      sum(col("len")).as("sum_len") +:
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val termScore = bm25Terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      when(col(s"tf$i") > 0,
+        log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5))) *
+          (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("len").cast("double") * col("n_docs") / col("sum_len")))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        bm25Terms.indices.map(i => when(col(s"tf$i") > 0, 1).otherwise(0))
+          .reduce(_ + _).cast("int").as("n_hits"),
+        round(termScore.reduce(_ + _), 4).as("score"))
+  }
+
+  /** q_text_bm25 (L57): BM25 top-10 for the fixed query — ranked sparse
+    * retrieval over the corpus. See [[bm25Frame]] for plan + determinism. */
+  private def qTextBm25: QFn = (s, d) =>
+    bm25Frame(s, d)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+
+  /** q_hybrid_rrf (L58): reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher 2009; k=60) of the two retrieval legs every production
+    * search deploys together — BM25 top-10 ([[bm25Frame]], the sparse
+    * leg) and exact-cosine top-10 for the probe vector ([[qVecKnn]]'s
+    * plan, the dense leg; `embeddings.vec_id` is the fixture's doc_id).
+    * The query is the probe DOCUMENT: its embedding drives the dense leg,
+    * the fixed [[bm25Terms]] stand in for its extracted keywords, and the
+    * probe doc itself is excluded from both legs.
+    *
+    * Scale: each leg reduces to a constant top-k before fusion — the
+    * fused join touches ≤ 2k rows no matter the corpus size, so the
+    * entire fusion cost rides the two legs (one linear corpus scan
+    * each, zero corpus-sized exchanges). Determinism: ranks are
+    * integers assigned over rounded keys with doc_id tie-breaks; the
+    * RRF sum is two fixed-order terms of exact divisions — no libm at
+    * the fusion layer at all. */
+  private def qHybridRrf: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val (probeId, probeVec) = probeRow(s, d)
+    val sparse = bm25Frame(s, d)
+      .filter(col("doc_id") =!= probeId)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+      .withColumn("bm25_rank", row_number()
+        .over(Window.orderBy(desc("score"), asc("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("bm25_rank"))
+    val dense = Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id").as("doc_id"),
+        round(cosineTo(s)(col("embedding"), typedLit(probeVec)), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("doc_id")).limit(10)
+      .withColumn("knn_rank", row_number()
+        .over(Window.orderBy(desc("cos_sim"), asc("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("knn_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("knn_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("knn_rank")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy(desc("rrf_score"), asc("doc_id"))
+  }
+
   // ---------------------------------------------------------- dedup family
 
   /** MinHash(4) + single-band LSH: doc → 4 min-md5 signature → band key.
@@ -2243,6 +2355,8 @@ object Extensions {
     "q_text_bpe"        -> qTextBpe,
     "q_text_rollhash"   -> qTextRollhash,
     "q_text_repetition" -> qTextRepetition,
+    "q_text_bm25"       -> qTextBm25,
+    "q_hybrid_rrf"      -> qHybridRrf,
     "q_dedup_minhash"   -> qDedupMinhash,
     "q_dedup_minhash_shingle" -> qDedupMinhashShingle,
     "q_dedup_simhash"   -> qDedupSimhash,
@@ -2511,7 +2625,78 @@ object Extensions {
     }.toMap
   }
 
-  def oracles: Map[String, String] = embedCellsOracle ++ knnOracles ++ Map(
+  /** DuckDB twins for the retrieval family, generated from [[bm25Terms]]
+    * so the query parameter can never drift between engine and oracle.
+    * The score arithmetic is textually identical to [[bm25Frame]]'s
+    * (same operand order, same literals) — see the determinism note
+    * there. */
+  private def bm25Oracles: Map[String, String] = {
+    val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    val perdocCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"    len(list_filter($toks, t -> t = '$t')) AS tf$i"
+    }.mkString(",\n")
+    val dfCols = bm25Terms.indices.map(i =>
+      s"    CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n")
+    val hitSum = bm25Terms.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val termSum = bm25Terms.indices.map { i =>
+      s"""(CASE WHEN tf$i > 0 THEN
+         |        ln(1.0 + (n_docs - CAST(df$i AS DOUBLE) + 0.5)
+         |                 / (CAST(df$i AS DOUBLE) + 0.5))
+         |        * (CAST(tf$i AS DOUBLE) * 2.2)
+         |        / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |           * (CAST(len AS DOUBLE) * n_docs / sum_len)))
+         |      ELSE 0.0 END)""".stripMargin
+    }.mkString("\n    + ")
+    val scoredSql =
+      s"""WITH perdoc AS (
+         |  SELECT doc_id, len($toks) AS len,
+         |$perdocCols
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len,
+         |$dfCols
+         |  FROM perdoc),
+         |scored AS (
+         |  SELECT doc_id, CAST($hitSum AS INTEGER) AS n_hits,
+         |    round($termSum, 4) AS score
+         |  FROM perdoc CROSS JOIN stats)""".stripMargin
+    val bm25 =
+      s"""$scoredSql
+         |SELECT doc_id, n_hits, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    val hybrid =
+      s"""$scoredSql,
+         |p AS (SELECT vec_id AS pid, embedding AS pe
+         |      FROM embeddings ORDER BY vec_id LIMIT 1),
+         |sparse AS (
+         |  SELECT doc_id, CAST(row_number()
+         |      OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS bm25_rank
+         |  FROM scored, p WHERE doc_id <> pid
+         |  ORDER BY score DESC, doc_id LIMIT 10),
+         |z AS (SELECT vec_id, pid, unnest(embedding) AS e, unnest(pe) AS q
+         |      FROM embeddings, p),
+         |sims AS (
+         |  SELECT vec_id AS doc_id,
+         |    round(sum(CAST(e AS DOUBLE) * CAST(q AS DOUBLE))
+         |          / (sqrt(sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))
+         |             * sqrt(sum(CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))), 4)
+         |      AS cos_sim
+         |  FROM z WHERE vec_id <> pid GROUP BY vec_id),
+         |dense AS (
+         |  SELECT doc_id, CAST(row_number()
+         |      OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS knn_rank
+         |  FROM sims ORDER BY cos_sim DESC, doc_id LIMIT 10)
+         |SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.bm25_rank, d.knn_rank,
+         |  round(COALESCE(1.0 / (60.0 + s.bm25_rank), 0.0)
+         |        + COALESCE(1.0 / (60.0 + d.knn_rank), 0.0), 6) AS rrf_score
+         |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+         |ORDER BY rrf_score DESC, doc_id""".stripMargin
+    Map("q_text_bm25" -> bm25, "q_hybrid_rrf" -> hybrid)
+  }
+
+  def oracles: Map[String, String] = embedCellsOracle ++ knnOracles ++ bm25Oracles ++ Map(
     "q_sample_split" ->
       """WITH drawn AS (
         |  SELECT lang, n_chars,

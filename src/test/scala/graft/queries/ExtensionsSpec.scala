@@ -894,4 +894,65 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(redo === stages)
   }
+
+  test("q_text_bm25: scores equal a driver-side Okapi recompute; top-10 is the global argmax") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).toMap
+    val n = docs.size
+    val terms = Extensions.bm25Terms
+    val df = terms.map(t => t -> docs.values.count(_.contains(t)).toLong).toMap
+    val sumLen = docs.values.map(_.size.toLong).sum
+    def score(id: Long): Double = {
+      val toks = docs(id); val len = toks.size
+      val raw = terms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len.toDouble * n / sumLen)))
+      }.sum
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = run("q_text_bm25").collect()
+    assert(rows.length === 10)
+    rows.foreach(r => assert(math.abs(score(r.getLong(0)) - r.getDouble(2)) <= 1e-9,
+      s"doc ${r.getLong(0)}: engine ${r.getDouble(2)} vs recompute ${score(r.getLong(0))}"))
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the reported 10 really are the corpus argmax under (score DESC, doc_id)
+    val best = docs.keys.toSeq.map(k => (score(k), k))
+      .sortBy { case (sc, id) => (-sc, id) }.take(10).map(_._2)
+    assert(rows.map(_.getLong(0)).toSeq === best)
+  }
+
+  test("q_hybrid_rrf: each leg contributes an exact 1..10 rank set and rrf recomputes") {
+    val rows = run("q_hybrid_rrf").collect()
+    assert(rows.length >= 10 && rows.length <= 20)
+    val probeId = Tables.embeddings(spark, sfDir).orderBy("vec_id")
+      .select("vec_id").head().getLong(0)
+    assert(!rows.exists(_.getLong(0) == probeId), "query doc must be excluded")
+    def ranks(i: Int) = rows.flatMap(r =>
+      if (r.isNullAt(i)) None else Some(r.getInt(i))).sorted.toSeq
+    assert(ranks(1) === (1 to 10), "bm25 leg must contribute ranks 1..10")
+    assert(ranks(2) === (1 to 10), "knn leg must contribute ranks 1..10")
+    rows.foreach { r =>
+      val raw = (if (r.isNullAt(1)) 0.0 else 1.0 / (60.0 + r.getInt(1))) +
+        (if (r.isNullAt(2)) 0.0 else 1.0 / (60.0 + r.getInt(2)))
+      val expected = BigDecimal(raw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(expected - r.getDouble(3)) <= 1e-12, s"doc ${r.getLong(0)}")
+    }
+    val fused = rows.map(_.getDouble(3))
+    assert(fused.zip(fused.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_hybrid_rrf: both fusion legs reduce to a constant top-k BEFORE the join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join}
+    val lp = run("q_hybrid_rrf").queryExecution.optimizedPlan
+    val fusion = lp.collect { case j: Join => j }.head // pre-order: topmost
+    fusion.children.foreach(side =>
+      assert(side.collectFirst { case g: GlobalLimit => g }.nonEmpty,
+        "fusion inputs must be limit-bounded — the join may never see the corpus"))
+  }
 }

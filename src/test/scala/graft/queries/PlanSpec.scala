@@ -90,6 +90,19 @@ class PlanSpec extends SparkSpec {
     assert(shuffles("q_vec_knn") === 0, "brute knn is a single-pass scan")
   }
 
+  test("q_text_bm25: corpus never shuffles — one-row stats broadcast + TakeOrdered") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val p = plan("q_text_bm25")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "global top-10 must be TakeOrderedAndProject, not sort+limit")
+    // tf/len compute inside the scan stage; the ONLY keyed exchange is the
+    // one-row corpus-statistics reduction (N, sum_len, per-term df), which
+    // is O(|query|) bytes at any corpus size
+    val keyed = keyedShuffles("q_text_bm25")
+    assert(keyed.forall(_.numPartitions == 1),
+      s"corpus-keyed exchange in the BM25 plan: $keyed")
+  }
+
   test("dedup pipeline: band edges are an equi-join, never cartesian") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
@@ -359,7 +372,11 @@ class PlanSpec extends SparkSpec {
     // table — 8 bytes/vector — not the embeddings parquet
     val scans = shortlist.collect { case f: FileSourceScanExec => f }
     assert(scans.nonEmpty)
-    assert(scans.forall(_.toString.contains("emb_pq_codes")),
+    // inputFiles, not toString: the rendered Location line truncates at
+    // spark.sql.maxMetadataStringLength (100), and a long random temp-dir
+    // suffix can push the table name past the cut (flaked per-JVM)
+    assert(scans.forall(_.relation.location.inputFiles.forall(
+        _.contains("emb_pq_codes"))),
       "approximate scoring must read the committed codes, not vectors")
     // (b) no dot product over the full corpus: below the shortlist the
     // per-row score is shift-mask LUT lookups only
@@ -383,7 +400,8 @@ class PlanSpec extends SparkSpec {
     // emb_pq_codes/, never the raw embeddings parquet
     val scans = shortlist.collect { case f: FileSourceScanExec => f }
     assert(scans.nonEmpty)
-    assert(scans.forall(_.toString.contains("emb_pq_codes")),
+    assert(scans.forall(_.relation.location.inputFiles.forall(
+        _.contains("emb_pq_codes"))),
       "deleted-ANN scoring must read codes + tombstones, not vectors")
     // the tombstone application is a BROADCAST anti-join (the delete
     // file is tiny — a shuffled anti-join would re-shuffle the whole
@@ -411,8 +429,10 @@ class PlanSpec extends SparkSpec {
     // (a) the scoring subtree reads the committed codes table only —
     // never the embeddings parquet (those appear solely above, on the
     // re-rank join's probe side)
-    assert(scans.forall(_.toString.contains("emb_ivfpq_codes")),
-      "approximate scoring must read the committed codes, not vectors")
+    assert(scans.forall(_.relation.location.inputFiles.forall(
+        _.contains("emb_ivfpq_codes"))),
+      "approximate scoring must read the committed codes, not vectors — read:\n" +
+        scans.flatMap(_.relation.location.inputFiles).mkString("\n"))
     // (b) manifest file skipping DID prune: the probed branches together
     // list fewer files than the cell-clustered table holds (nProbe=4 of
     // ~kCells=8 range files) — the inverted-list fetch is file-level,
