@@ -1592,6 +1592,48 @@ object Extensions {
       .orderBy("label")
   }
 
+  /** q_dedup_semantic (L59): SemDeDup (Abbas et al. 2023) — semantic
+    * deduplication over EMBEDDINGS rather than text: vectors whose
+    * cosine ≥ τ (0.25 here — the fixture's random near-orthogonal
+    * vectors put real mass just above it, a few hundred edges per SF)
+    * merge into one semantic cluster and only the smallest vec_id
+    * survives. Output is row-level — every vector with its cluster id
+    * and keeper verdict — the exact shape the downstream curation
+    * filter joins on.
+    *
+    * Plan: norms once per vector BEFORE the pair join (the
+    * [[qEmbedNeardup]] lesson — recomputing them per pair redoes O(dim)
+    * work n−1 times); label-blocked equi-join pairs (the oracle-able
+    * stand-in for blocking — the 100 TB path swaps in the LEARNED
+    * k-means cell key of [[qEmbedNeardupCells]], same downstream);
+    * the cosine is ROUNDED to 4 decimals BEFORE thresholding so the
+    * edge set cannot differ across engines at the boundary; clustering
+    * is the star-contraction [[graft.operators.ConnectedComponents]]
+    * (two narrow shuffles/round, rounds flat at 100× — the measured
+    * L23 scaling), never a driver loop. Oracle: DuckDB replays the
+    * pair scan and closes the edge set with a recursive CTE (quadratic
+    * replay ⇒ sf0.01-gated via tools/sf01_skip.txt, the
+    * q_dedup_cluster precedent). */
+  private def qDedupSemantic: QFn = (s, d) => {
+    val dot = dotF(s) _
+    val emb = Tables.embeddings(s, d)
+    val withNorm = emb.select(col("label"), col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = withNorm.select(col("label"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = withNorm.select(col("label").as("label2"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val edges = a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("cos"))
+      .filter(col("cos") >= 0.25)
+      .select("v1", "v2")
+    graft.operators.ConnectedComponents.label(emb.select("vec_id"), edges)
+      .select(col("node").as("vec_id"), col("component").as("cluster_id"),
+        (col("node") === col("component")).as("is_keeper"))
+      .orderBy("vec_id")
+  }
+
   /** q_embed_neardup_cells: the 100 TB-honest blocking for embedding
     * near-dup — the blocking key is a LEARNED k-means cell id (the same
     * coarse quantizer as q_vec_knn_kmeans), not a pre-existing label
@@ -2357,6 +2399,7 @@ object Extensions {
     "q_text_repetition" -> qTextRepetition,
     "q_text_bm25"       -> qTextBm25,
     "q_hybrid_rrf"      -> qHybridRrf,
+    "q_dedup_semantic"  -> qDedupSemantic,
     "q_dedup_minhash"   -> qDedupMinhash,
     "q_dedup_minhash_shingle" -> qDedupMinhashShingle,
     "q_dedup_simhash"   -> qDedupSimhash,
@@ -3419,6 +3462,31 @@ object Extensions {
     "q_vec_knn_pq" -> vecKnnTopkSql,
     "q_vec_knn_pq_indexed" -> vecKnnTopkSql,
     "q_vec_knn_deleted" -> vecKnnDeletedSql,
+    // quadratic replay (all within-label pairs + recursive closure):
+    // sf0.01-gated via tools/sf01_skip.txt, like the other CC oracles
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |         a.embedding AS e1, b.embedding AS e2
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |z AS (SELECT v1, v2, unnest(e1) AS x, unnest(e2) AS y FROM pairs),
+        |sims AS (
+        |  SELECT v1, v2,
+        |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |          / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |             * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS cos
+        |  FROM z GROUP BY v1, v2),
+        |edges AS (SELECT v1, v2 FROM sims WHERE cos >= 0.25),
+        |sym AS (SELECT v1 AS a, v2 AS b FROM edges
+        |        UNION ALL SELECT v2 AS a, v1 AS b FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+        |SELECT src AS vec_id, min(dst) AS cluster_id,
+        |       min(dst) = src AS is_keeper
+        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
     "q_embed_neardup" ->
       """WITH pairs AS (
         |  SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,

@@ -947,6 +947,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(fused.zip(fused.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q_dedup_semantic: clustering equals a driver-side union-find over the edge set") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum))
+    }
+    // recompute the thresholded edge set exactly as declared (round THEN
+    // threshold), then close it with union-find
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (v1, l1, e1) <- vecs; (v2, l2, e2) <- vecs
+      if l1 == l2 && v1 < v2
+      if BigDecimal(cos(e1, e2)).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.25
+    } {
+      val (r1, r2) = (find(v1), find(v2))
+      if (r1 != r2) parent(math.max(r1, r2)) = math.min(r1, r2)
+    }
+    val expected = vecs.map(v => v._1 -> find(v._1)).toMap
+    val rows = run("q_dedup_semantic").collect()
+    assert(rows.length === vecs.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) === expected(r.getLong(0)),
+        s"vec ${r.getLong(0)}: cluster ${r.getLong(1)} vs union-find ${expected(r.getLong(0))}")
+      assert(r.getBoolean(2) === (r.getLong(0) == r.getLong(1)))
+    }
+    // SemDeDup must actually merge something on this fixture
+    assert(rows.count(!_.getBoolean(2)) > 0, "no vector was deduplicated")
+  }
+
   test("q_hybrid_rrf: both fusion legs reduce to a constant top-k BEFORE the join") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join}
     val lp = run("q_hybrid_rrf").queryExecution.optimizedPlan
