@@ -106,7 +106,15 @@ object ScaleSmoke {
       // token budgeting, vocab coverage (map-combined count + a
       // vocab-sized sort)
       "q_dedup_substring", "q_quality_prune", "q_token_budget",
-      "q_vocab_coverage", "q_rarity_score")
+      "q_vocab_coverage", "q_rarity_score",
+      // round 11 retrieval pair: BM25 is one map-only scan + a one-row
+      // stats reduction + constant TakeOrdered (wall ~linear, shuffle
+      // flat); hybrid RRF adds the dense leg's zero-shuffle scan and a
+      // constant-size fusion join. (q_dedup_semantic is NOT here: its
+      // label-blocked pair join is the documented quadratic-per-block
+      // stand-in — the scale path is the learned-cell variant, whose
+      // blocking is measured as q_embed_neardup_cells in the vector tier.)
+      "q_text_bm25", "q_hybrid_rrf")
     // SPARK_GRAFT_ONLY: comma-separated target filter for iteration
     // ("none" runs only the streaming-screen block below)
     val targets = sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -114,6 +122,22 @@ object ScaleSmoke {
       case None       => allTargets
     }
     val ccBacked = Set("q_dedup_pipeline", "q_dedup_cluster_star")
+
+    // q_hybrid_rrf's dense leg reads embeddings from the same dir — build
+    // the scaled table here too (same replica protocol as the vector
+    // tier: fresh vec_ids, replica 0 keeps the original ids so the probe
+    // row is unchanged)
+    if (targets.contains("q_hybrid_rrf")) {
+      val scaledEm = scaledDir.resolve("embeddings.parquet")
+      if (!Files.exists(scaledEm)) {
+        val em = Tables.embeddings(spark, sfDir)
+        val span = em.agg(max(col("vec_id"))).head().getLong(0) + 1
+        (0 until mult)
+          .map(i => em.withColumn("vec_id", col("vec_id") + lit(i * span)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(scaledEm.toString)
+      }
+    }
 
     // shuffle bytes written per timed run — the number that predicts
     // 100 TB cost better than local wall time (wall hides shuffle cost
