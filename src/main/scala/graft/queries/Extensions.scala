@@ -300,6 +300,45 @@ object Extensions {
       .orderBy(desc("rrf_score"), asc("doc_id"))
   }
 
+  /** q_hybrid_rrf_indexed (L60): the DEPLOYED hybrid search — identical
+    * fusion to [[qHybridRrf]], but the dense leg runs through the
+    * COMMITTED IVF+PQ index ([[graft.operators.IvfPq.search]] over the
+    * L51/L52 side tables: manifest-pruned 8-byte codes probe, constant
+    * shortlist, exact re-rank) instead of a brute-force corpus scan.
+    * This is the production search path end to end: at 100 TB the
+    * sparse leg is one linear map-only pass and the dense leg reads
+    * ~nProbe/k of the index FILES — neither leg ever shuffles the
+    * corpus, and the fusion join sees ≤ 2k rows. Oracle: the dense
+    * top-10 is deterministic end to end and pinned per SF
+    * ([[knnIvfPqObserved]] — the same rows that oracle
+    * q_vec_knn_ivfpq), so the DuckDB twin fuses those pinned VALUES
+    * with the REAL BM25 replay — the fusion arithmetic and the sparse
+    * leg stay fully engine-checked. */
+  private def qHybridRrfIndexed: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{IvfPq, ProductQuantizer}
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cat = ivfPqIndexFor(s, d)
+    val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
+    val sparse = bm25Frame(s, d)
+      .filter(col("doc_id") =!= probeId)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+      .withColumn("bm25_rank", row_number()
+        .over(Window.orderBy(desc("score"), asc("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("bm25_rank"))
+    val dense = IvfPq.search(s, cat, "vec", "emb", emb, probeId, probeVec)
+      .withColumn("knn_rank", row_number()
+        .over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("int"))
+      .select(col("vec_id").as("doc_id"), col("knn_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("knn_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("knn_rank")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy(desc("rrf_score"), asc("doc_id"))
+  }
+
   // ---------------------------------------------------------- dedup family
 
   /** MinHash(4) + single-band LSH: doc → 4 min-md5 signature → band key.
@@ -2400,6 +2439,7 @@ object Extensions {
     "q_text_bm25"       -> qTextBm25,
     "q_hybrid_rrf"      -> qHybridRrf,
     "q_dedup_semantic"  -> qDedupSemantic,
+    "q_hybrid_rrf_indexed" -> qHybridRrfIndexed,
     "q_dedup_minhash"   -> qDedupMinhash,
     "q_dedup_minhash_shingle" -> qDedupMinhashShingle,
     "q_dedup_simhash"   -> qDedupSimhash,
@@ -2736,7 +2776,36 @@ object Extensions {
          |        + COALESCE(1.0 / (60.0 + d.knn_rank), 0.0), 6) AS rrf_score
          |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
          |ORDER BY rrf_score DESC, doc_id""".stripMargin
-    Map("q_text_bm25" -> bm25, "q_hybrid_rrf" -> hybrid)
+    // the indexed-hybrid twin fuses the PINNED IVF+PQ dense top-10 (the
+    // same deterministic rows that oracle q_vec_knn_ivfpq) with the REAL
+    // BM25 replay — sparse leg + fusion arithmetic stay engine-checked
+    val tag = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01"))
+      .getFileName.toString
+    val hybridIndexed = knnIvfPqObserved.get(tag).map { rows =>
+      val denseValues = rows.map { case (v, _, c) =>
+        s"  (CAST($v AS BIGINT), CAST($c AS DOUBLE))"
+      }.mkString(",\n")
+      "q_hybrid_rrf_indexed" ->
+        s"""$scoredSql,
+           |p AS (SELECT vec_id AS pid FROM embeddings ORDER BY vec_id LIMIT 1),
+           |sparse AS (
+           |  SELECT doc_id, CAST(row_number()
+           |      OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS bm25_rank
+           |  FROM scored, p WHERE doc_id <> pid
+           |  ORDER BY score DESC, doc_id LIMIT 10),
+           |dense AS (
+           |  SELECT vec_id AS doc_id, CAST(row_number()
+           |      OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS knn_rank
+           |  FROM (VALUES
+           |$denseValues) t(vec_id, cos_sim))
+           |SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.bm25_rank, d.knn_rank,
+           |  round(COALESCE(1.0 / (60.0 + s.bm25_rank), 0.0)
+           |        + COALESCE(1.0 / (60.0 + d.knn_rank), 0.0), 6) AS rrf_score
+           |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+           |ORDER BY rrf_score DESC, doc_id""".stripMargin
+    }
+    Map("q_text_bm25" -> bm25, "q_hybrid_rrf" -> hybrid) ++ hybridIndexed
   }
 
   def oracles: Map[String, String] = embedCellsOracle ++ knnOracles ++ bm25Oracles ++ Map(

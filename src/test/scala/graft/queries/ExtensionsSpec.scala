@@ -947,6 +947,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(fused.zip(fused.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q_hybrid_rrf_indexed: dense leg IS the committed-index top-10; sparse leg matches the brute hybrid") {
+    val rows = run("q_hybrid_rrf_indexed").collect()
+    val denseIds = rows.filter(!_.isNullAt(2)).map(_.getLong(0)).toSet
+    val ivfpqIds = run("q_vec_knn_ivfpq").collect().map(_.getLong(0)).toSet
+    assert(denseIds === ivfpqIds,
+      "the indexed hybrid's dense leg must surface exactly the IVF+PQ top-10")
+    val sparseRanks = rows.filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bruteSparse = run("q_hybrid_rrf").collect().filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sparseRanks === bruteSparse,
+      "the BM25 leg is index-independent and must match the brute hybrid's")
+    rows.foreach { r =>
+      val raw = (if (r.isNullAt(1)) 0.0 else 1.0 / (60.0 + r.getInt(1))) +
+        (if (r.isNullAt(2)) 0.0 else 1.0 / (60.0 + r.getInt(2)))
+      val expected = BigDecimal(raw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(expected - r.getDouble(3)) <= 1e-12, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("q_dedup_semantic: clustering equals a driver-side union-find over the edge set") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "label", "embedding").collect()
