@@ -1896,6 +1896,42 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q_decontaminate_semantic (L61): EMBEDDING-space benchmark
+    * decontamination — the screen that catches paraphrased contamination
+    * the n-gram overlap of [[qDecontaminate]] misses (same benchmark
+    * convention: ids ≡ 0 mod 97). Every corpus vector is scored against
+    * the SMALL benchmark set and flagged when any cosine ≥ τ (0.25,
+    * matching [[qDedupSemantic]]'s calibration to the fixture's
+    * similarity mass); output carries the hit count and the max
+    * (rounded) cosine per flagged vector.
+    *
+    * Scale: the benchmark side BROADCASTS (benchmarks are thousands of
+    * rows, the corpus is the 100 TB side) and the screen is ONE linear
+    * corpus pass — norms once per vector before the pair expression, the
+    * cosine ROUNDED before thresholding so the flag set is engine-exact.
+    * The keyed exchange is the per-vector hit aggregate over ALREADY
+    * FLAGGED rows (a tiny survivor set), not the corpus. Real DuckDB
+    * oracle at every SF — the replay is |corpus|×|benchmark|, linear in
+    * the corpus, so unlike the all-pairs family it needs no sf0.1 skip. */
+  private def qDecontaminateSemantic: QFn = (s, d) => {
+    val dot = dotF(s) _
+    val withNorm = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val bench = withNorm.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("be"),
+        col("nrm").as("bn"))
+    withNorm.filter(col("vec_id") % 97 =!= 0)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("be")) / (col("nrm") * col("bn")), 4)
+          .as("cos"))
+      .filter(col("cos") >= 0.25)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_benchmark_hits"), max(col("cos")).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   /** q_mix_temperature: temperature-based source mixing — the multinomial
     * resampling used to rebalance skewed corpora for training (α = 0.5
     * upweights tail languages: quota_l ∝ √n_l, capped at n_l, scaled to a
@@ -2440,6 +2476,7 @@ object Extensions {
     "q_hybrid_rrf"      -> qHybridRrf,
     "q_dedup_semantic"  -> qDedupSemantic,
     "q_hybrid_rrf_indexed" -> qHybridRrfIndexed,
+    "q_decontaminate_semantic" -> qDecontaminateSemantic,
     "q_dedup_minhash"   -> qDedupMinhash,
     "q_dedup_minhash_shingle" -> qDedupMinhashShingle,
     "q_dedup_simhash"   -> qDedupSimhash,
@@ -3531,6 +3568,26 @@ object Extensions {
     "q_vec_knn_pq" -> vecKnnTopkSql,
     "q_vec_knn_pq_indexed" -> vecKnnTopkSql,
     "q_vec_knn_deleted" -> vecKnnDeletedSql,
+    // linear replay (corpus × small benchmark set): real oracle at
+    // every SF, no skip needed
+    "q_decontaminate_semantic" ->
+      """WITH bench AS (
+        |  SELECT vec_id AS bid, embedding AS be
+        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+        |z AS (SELECT vec_id, bid, unnest(embedding) AS x, unnest(be) AS y
+        |      FROM corpus, bench),
+        |sims AS (
+        |  SELECT vec_id, bid,
+        |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |          / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |             * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS cos
+        |  FROM z GROUP BY vec_id, bid)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_benchmark_hits,
+        |       max(cos) AS max_cos
+        |FROM sims WHERE cos >= 0.25
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // quadratic replay (all within-label pairs + recursive closure):
     // sf0.01-gated via tools/sf01_skip.txt, like the other CC oracles
     "q_dedup_semantic" ->

@@ -36,7 +36,14 @@ class DeterminismSpec extends SparkSpec {
     // the delete/compaction pair: tombstone application (broadcast
     // anti-join) and the compaction rewrite must both be layout-blind
     // — this is what legitimizes etl_vec_index_compact's observed pins
-    "q_vec_knn_deleted", "etl_vec_index_compact")
+    "q_vec_knn_deleted", "etl_vec_index_compact",
+    // round 11 retrieval family: BM25's fixed-order float sum + rounded
+    // ranking, RRF's rank fusion over limited legs, SemDeDup's
+    // round-then-threshold edge set + star-CC labeling — each a distinct
+    // layout-sensitivity surface (one-row stats broadcast, window-over-
+    // limit, contraction convergence)
+    "q_text_bm25", "q_hybrid_rrf", "q_hybrid_rrf_indexed",
+    "q_dedup_semantic", "q_decontaminate_semantic")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()

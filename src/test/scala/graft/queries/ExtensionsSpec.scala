@@ -968,6 +968,32 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q_decontaminate_semantic: flags exactly the vectors with a benchmark cosine over tau") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bench = vecs.filter(_._1 % 97 == 0)
+    val expected = vecs.filter(_._1 % 97 != 0).flatMap { case (v, e) =>
+      val hits = bench.map { case (_, be) => r4(cos(e, be)) }.filter(_ >= 0.25)
+      if (hits.isEmpty) None else Some(v -> ((hits.length.toLong, hits.max)))
+    }.toMap
+    val rows = run("q_decontaminate_semantic").collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (n, mx) = expected(r.getLong(0))
+      assert(r.getLong(1) === n && r.getDouble(2) === mx, s"vec ${r.getLong(0)}")
+    }
+    assert(rows.nonEmpty, "the fixture must exhibit semantic contamination")
+    // no benchmark id may appear in the flagged output
+    assert(!rows.exists(_.getLong(0) % 97 == 0))
+  }
+
   test("q_dedup_semantic: clustering equals a driver-side union-find over the edge set") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "label", "embedding").collect()
