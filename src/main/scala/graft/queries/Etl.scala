@@ -721,7 +721,14 @@ object Etl {
     "sf0.1" -> Seq((1204L, 1L, 0.4065), (1020L, 8L, 0.376),
       (510L, 1L, 0.3445), (1511L, 1L, 0.3288), (144L, 1L, 0.3243),
       (1978L, 2L, 0.3192), (1407L, 1L, 0.3191), (142L, 2L, 0.3113),
-      (794L, 1L, 0.3108), (1841L, 1L, 0.3099)))
+      (794L, 1L, 0.3108), (1841L, 1L, 0.3099)),
+    // round-11 close: pinned from the sf1 re-gate dump, byte-identical
+    // across local[7]/local[32] (the ivfpq top-10 minus the tombstoned
+    // 6921 — 6921 % 13 = 5 — with 11336 filling the tenth slot)
+    "sf1" -> Seq((15473L, 1L, 0.5384), (7991L, 1L, 0.5083),
+      (6992L, 1L, 0.4744), (14814L, 1L, 0.4709), (8913L, 1L, 0.4648),
+      (13380L, 1L, 0.453), (11061L, 1L, 0.4369), (15675L, 1L, 0.4346),
+      (17331L, 1L, 0.4249), (11336L, 1L, 0.4232)))
 
   private def vecCompactOracle: Map[String, String] = {
     val tag = Paths.get(

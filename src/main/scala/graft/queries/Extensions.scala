@@ -2576,7 +2576,13 @@ object Extensions {
     "sf0.1" -> Seq((1204L, 0.4065, true), (291L, 0.3919, true),
       (1020L, 0.376, true), (510L, 0.3445, true), (1511L, 0.3288, true),
       (144L, 0.3243, true), (1978L, 0.3192, true), (794L, 0.3108, true),
-      (1841L, 0.3099, false), (633L, 0.3096, false)))
+      (1841L, 0.3099, false), (633L, 0.3096, false)),
+    // round-11 close: pinned from the sf1 re-gate dump (recall 10/10),
+    // byte-identical across local[7]/local[32]
+    "sf1" -> Seq((15473L, 0.5384, true), (7991L, 0.5083, true),
+      (6992L, 0.4744, true), (14814L, 0.4709, true), (8913L, 0.4648, true),
+      (6921L, 0.4578, true), (13380L, 0.453, true), (11061L, 0.4369, true),
+      (15675L, 0.4346, true), (17331L, 0.4249, true)))
 
   // (The round-10 q_vec_knn_pq observed pins are gone: since round 11
   // both PQ variants exclude the in-plan brute-force recall join and —
@@ -2599,7 +2605,14 @@ object Extensions {
       (1020L, 8L, 0.376, true), (510L, 1L, 0.3445, true),
       (1511L, 1L, 0.3288, true), (144L, 1L, 0.3243, true),
       (1978L, 2L, 0.3192, true), (1407L, 1L, 0.3191, true),
-      (142L, 2L, 0.3113, true), (794L, 1L, 0.3108, true)))
+      (142L, 2L, 0.3113, true), (794L, 1L, 0.3108, true)),
+    // round-11 close: pinned from the sf1 re-gate dump (recall 10/10),
+    // byte-identical across local[7]/local[32]
+    "sf1" -> Seq((15473L, 1L, 0.5384, true), (7991L, 1L, 0.5083, true),
+      (6992L, 1L, 0.4744, true), (14814L, 1L, 0.4709, true),
+      (8913L, 1L, 0.4648, true), (6921L, 1L, 0.4578, true),
+      (13380L, 1L, 0.453, true), (11061L, 1L, 0.4369, true),
+      (15675L, 1L, 0.4346, true), (17331L, 1L, 0.4249, true)))
 
   /** q_vec_knn_ivfpq observed pins — (vec_id, cell, cos_sim), the exact
     * top-10 within the probed cells. Deterministic for the same reason
@@ -2623,7 +2636,14 @@ object Extensions {
     "sf0.1" -> Seq((1204L, 1L, 0.4065), (291L, 1L, 0.3919),
       (1020L, 8L, 0.376), (510L, 1L, 0.3445), (1511L, 1L, 0.3288),
       (144L, 1L, 0.3243), (1978L, 2L, 0.3192), (1407L, 1L, 0.3191),
-      (142L, 2L, 0.3113), (794L, 1L, 0.3108)))
+      (142L, 2L, 0.3113), (794L, 1L, 0.3108)),
+    // round-11 close: pinned from the sf1 re-gate dump, byte-identical
+    // across local[7]/local[32] — upgrades the sf1 gate for this query,
+    // st_vec_index_maintain and q_hybrid_rrf_indexed from rows-only
+    "sf1" -> Seq((15473L, 1L, 0.5384), (7991L, 1L, 0.5083),
+      (6992L, 1L, 0.4744), (14814L, 1L, 0.4709), (8913L, 1L, 0.4648),
+      (6921L, 1L, 0.4578), (13380L, 1L, 0.453), (11061L, 1L, 0.4369),
+      (15675L, 1L, 0.4346), (17331L, 1L, 0.4249)))
 
   /** q_vec_knn_filtered observed pins — (vec_id, cell, cos_sim), the
     * exact top-10 among probed-cell vectors sharing the probe's label.
@@ -2643,7 +2663,13 @@ object Extensions {
     "sf0.1" -> Seq((291L, 1L, 0.3919), (1020L, 8L, 0.376),
       (462L, 8L, 0.2917), (509L, 1L, 0.2535), (1613L, 1L, 0.2478),
       (1595L, 2L, 0.2072), (296L, 1L, 0.2064), (403L, 5L, 0.2022),
-      (1829L, 8L, 0.2004), (86L, 1L, 0.1964)))
+      (1829L, 8L, 0.2004), (86L, 1L, 0.1964)),
+    // round-11 close: pinned from the sf1 re-gate dump, byte-identical
+    // across local[7]/local[32]
+    "sf1" -> Seq((14814L, 1L, 0.4709), (6921L, 1L, 0.4578),
+      (13380L, 1L, 0.453), (1558L, 4L, 0.404), (15625L, 1L, 0.3793),
+      (17994L, 1L, 0.3516), (18423L, 1L, 0.349), (2200L, 6L, 0.3427),
+      (4409L, 1L, 0.3374), (5550L, 1L, 0.3364)))
 
   /** The brute-force exact top-10 in DuckDB — shared by q_vec_knn and
     * (since both re-rank exactly with full fixture recall) the two PQ
