@@ -90,6 +90,20 @@ class PlanSpec extends SparkSpec {
     assert(shuffles("q_vec_knn") === 0, "brute knn is a single-pass scan")
   }
 
+  test("q_decontaminate_semantic: benchmark side broadcasts; corpus shuffles only flagged survivors") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("q_decontaminate_semantic")
+    // the benchmark × corpus screen must be a BROADCAST nested loop (the
+    // benchmark set is small; a shuffled cartesian would move the corpus)
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty,
+      "the screen must broadcast the benchmark side")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "no shuffled cartesian over the corpus")
+    // keyed exchanges: the per-vector hit aggregate (over flagged rows
+    // only) — plus the declared output sort (Range, filtered out)
+    assert(keyedShuffles("q_decontaminate_semantic").size <= 1)
+  }
+
   test("q_text_bm25: corpus never shuffles — one-row stats broadcast + TakeOrdered") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     val p = plan("q_text_bm25")
