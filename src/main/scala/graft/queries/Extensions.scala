@@ -1673,6 +1673,48 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** q_vec_knn_join (L62): the k-NN JOIN — for EVERY query vector (the
+    * batch, ids ≡ 7 mod 10), its 3 nearest corpus vectors within its
+    * blocking key. This is the per-row generalization of the single-probe
+    * kNN family: retrieval augmentation attaches neighbors to every
+    * training example, and nearest-neighbor-graph construction (the
+    * input to graph-based ANN indexes and agglomerative semantic
+    * clustering) IS this join.
+    *
+    * Plan: norms once per vector on BOTH sides before the pair
+    * expression; the batch↔corpus pair generation is a blocked EQUI-join
+    * (label here — the oracle-able stand-in; the 100 TB path swaps in
+    * the learned k-means cell key exactly as [[qEmbedNeardupCells]]
+    * documents, keeping candidates ∝ batch × occupancy, never
+    * batch × corpus); per-query top-3 is a window PARTITIONED by the
+    * query id (never a global sort) over rounded cosines with a
+    * neighbor-id tie-break. REAL DuckDB oracle at every SF — the replay
+    * is batch × within-block corpus, ~N²/(10·blocks) pairs, tractable
+    * even at sf1. */
+  private def qVecKnnJoin: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val dot = dotF(s) _
+    val withNorm = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val batch = withNorm.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .select(col("label"), col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val corpus = withNorm.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      .select(col("label").as("clabel"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    batch.join(corpus, col("label") === col("clabel"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4)
+          .as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rk")
+  }
+
   /** q_embed_neardup_cells: the 100 TB-honest blocking for embedding
     * near-dup — the blocking key is a LEARNED k-means cell id (the same
     * coarse quantizer as q_vec_knn_kmeans), not a pre-existing label
@@ -2477,6 +2519,7 @@ object Extensions {
     "q_dedup_semantic"  -> qDedupSemantic,
     "q_hybrid_rrf_indexed" -> qHybridRrfIndexed,
     "q_decontaminate_semantic" -> qDecontaminateSemantic,
+    "q_vec_knn_join"    -> qVecKnnJoin,
     "q_dedup_minhash"   -> qDedupMinhash,
     "q_dedup_minhash_shingle" -> qDedupMinhashShingle,
     "q_dedup_simhash"   -> qDedupSimhash,
@@ -3594,6 +3637,31 @@ object Extensions {
     "q_vec_knn_pq" -> vecKnnTopkSql,
     "q_vec_knn_pq_indexed" -> vecKnnTopkSql,
     "q_vec_knn_deleted" -> vecKnnDeletedSql,
+    // blocked replay (batch × within-label corpus): real oracle at
+    // every SF, no skip needed
+    "q_vec_knn_join" ->
+      """WITH batch AS (
+        |  SELECT label, vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id % 10 = 7),
+        |corpus AS (
+        |  SELECT label AS clabel, vec_id AS neighbor_id, embedding AS ce
+        |  FROM embeddings WHERE vec_id % 10 <> 7),
+        |z AS (SELECT query_id, neighbor_id, unnest(qe) AS x, unnest(ce) AS y
+        |      FROM batch JOIN corpus ON label = clabel),
+        |sims AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |          / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |             * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4)
+        |      AS cos_sim
+        |  FROM z GROUP BY query_id, neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rk
+        |  FROM sims)
+        |SELECT query_id, rk, neighbor_id, cos_sim FROM ranked
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // linear replay (corpus × small benchmark set): real oracle at
     // every SF, no skip needed
     "q_decontaminate_semantic" ->

@@ -43,7 +43,7 @@ class DeterminismSpec extends SparkSpec {
     // layout-sensitivity surface (one-row stats broadcast, window-over-
     // limit, contraction convergence)
     "q_text_bm25", "q_hybrid_rrf", "q_hybrid_rrf_indexed",
-    "q_dedup_semantic", "q_decontaminate_semantic")
+    "q_dedup_semantic", "q_decontaminate_semantic", "q_vec_knn_join")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()

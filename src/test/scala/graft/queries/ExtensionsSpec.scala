@@ -994,6 +994,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(!rows.exists(_.getLong(0) % 97 == 0))
   }
 
+  test("q_vec_knn_join: per-query top-3 equals a driver-side exact recompute") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val corpus = vecs.filter(_._1 % 10 != 7)
+    val expected = vecs.filter(_._1 % 10 == 7).flatMap { case (q, l, qe) =>
+      corpus.filter(_._2 == l)
+        .map { case (c, _, ce) => (r4(cos(qe, ce)), c) }
+        .sortBy { case (s, c) => (-s, c) }.take(3).zipWithIndex
+        .map { case ((s, c), i) => (q, i + 1, c, s) }
+    }.toSet
+    val rows = run("q_vec_knn_join").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows === expected)
+  }
+
   test("q_dedup_semantic: clustering equals a driver-side union-find over the edge set") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "label", "embedding").collect()

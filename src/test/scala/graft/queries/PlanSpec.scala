@@ -104,6 +104,19 @@ class PlanSpec extends SparkSpec {
     assert(keyedShuffles("q_decontaminate_semantic").size <= 1)
   }
 
+  test("q_vec_knn_join: pair generation is an equi-join; top-3 window is query-partitioned") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q_vec_knn_join")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "batch x corpus pairs must come from the blocking equi-join, never all-pairs")
+    // the per-query rank must be a PARTITIONED window (a global window
+    // would serialize the whole candidate stream through one task)
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("q_text_bm25: corpus never shuffles — one-row stats broadcast + TakeOrdered") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     val p = plan("q_text_bm25")
