@@ -110,10 +110,11 @@ object ScaleSmoke {
       // round 11 retrieval pair: BM25 is one map-only scan + a one-row
       // stats reduction + constant TakeOrdered (wall ~linear, shuffle
       // flat); hybrid RRF adds the dense leg's zero-shuffle scan and a
-      // constant-size fusion join. (q_dedup_semantic is NOT here: its
-      // label-blocked pair join is the documented quadratic-per-block
-      // stand-in — the scale path is the learned-cell variant, whose
-      // blocking is measured as q_embed_neardup_cells in the vector tier.)
+      // constant-size fusion join. (q_dedup_semantic and q_vec_knn_join
+      // are NOT here: their label-blocked pair joins are the documented
+      // quadratic-per-block oracle stand-ins — the scale path is the
+      // learned-cell blocking, measured as q_embed_neardup_cells in the
+      // vector tier.)
       "q_text_bm25", "q_hybrid_rrf")
     // SPARK_GRAFT_ONLY: comma-separated target filter for iteration
     // ("none" runs only the streaming-screen block below)
