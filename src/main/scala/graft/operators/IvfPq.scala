@@ -211,6 +211,63 @@ object IvfPq {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Batch retrieval augmentation over a committed index: attach to EVERY
+    * row of `batch` its nearest indexed vector — the per-row form of
+    * [[search]] (one query = driver-side probeCells; a whole batch =
+    * per-ROW cell ranking as a Spark expression, since collecting the
+    * batch to the driver would not scale).
+    *
+    * Plan: each batch row ranks the k centroid literals with the same
+    * (cosine DESC, cell ASC) rule as [[probeCells]] and explodes its
+    * nProbe probed cells; candidates come from the EQUI-join on `cell`
+    * against the committed codes (a batch spans most cells, so this is a
+    * cell-keyed join over the whole index rather than a per-query pruned
+    * fetch — candidates ∝ batch × occupancy × nProbe, never
+    * batch × corpus); the exact re-rank joins candidates back to the raw
+    * vectors BY ID and takes top-1 per query via a query-PARTITIONED
+    * window. Returns (query_id, neighbor_id, cos_sim). */
+  def augmentTop1(s: SparkSession, cat: GraftCatalog, ns: String,
+                  table: String, emb: DataFrame, batch: DataFrame,
+                  probeN: Int = nProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = dotCol(s) _
+    val cents = loadCells(s, cat, ns, table)
+    def centNorm(c: Seq[Float]): Double =
+      math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+    val simStructs = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (dot(col("embedding"), typedLit(c)) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            lit(centNorm(c)))).as("sim"),
+        lit(i + 1L).as("cell"))
+    }
+    val byCell = batch
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        array_sort(array(simStructs: _*), (l, r) =>
+          when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
+            .otherwise(when(l("cell") < r("cell"), -1)
+              .when(l("cell") > r("cell"), 1).otherwise(0)).cast("int"))
+          .as("ranked"))
+      .select(col("query_id"), col("qe"),
+        explode(expr(s"transform(slice(ranked, 1, $probeN), c -> c.cell)"))
+          .as("cell"))
+    val cand = byCell
+      .join(cat.readTable(s, ns, s"${table}_ivfpq_codes")
+        .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    cand
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qe"), col("ce")) /
+          (sqrt(dot(col("qe"), col("qe"))) *
+            sqrt(dot(col("ce"), col("ce")))), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("query_id", "neighbor_id", "cos_sim")
+  }
+
   /** The full ANN search over a committed index: rank cells driver-side,
     * manifest-pruned inverted-list fetch of the probed cells, asymmetric
     * LUT scoring of the 8-byte codes, CONSTANT-size TakeOrdered

@@ -94,6 +94,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === oneShot.toSeq)
   }
 
+  test("st_vec_augment: invariants hold and top-1 recall vs the exact scan clears the floor") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfPq
+    // declared invariants: every batch vector augmented exactly once,
+    // neighbors strictly from the corpus
+    val metrics = Streaming.stVecAugment(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nBatch = graft.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(10)) === 7).count()
+    assert(metrics === Map("augmented_rows" -> nBatch,
+      "distinct_queries" -> nBatch, "neighbors_from_corpus" -> nBatch))
+    // recall: one-shot augmentTop1 over the same split vs the driver's
+    // brute exact top-1 (the probed-cell search may miss — pin the floor)
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "augment_recall")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
+    val (cents, model) = IvfPq.initIndex(spark, cat, "vec", "emb", corpus)
+    IvfPq.appendCodes(spark, cat, "vec", "emb", cents, model, corpus)
+    val got = IvfPq.augmentTop1(spark, cat, "vec", "emb", corpus, batch,
+        probeN = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum))
+    val corpusVecs = vecs.filter(_._1 % 10 != 7)
+    val exact = vecs.filter(_._1 % 10 == 7).map { case (q, qe) =>
+      q -> corpusVecs.map { case (c, ce) =>
+        (BigDecimal(cos(qe, ce)).setScale(4, BigDecimal.RoundingMode.HALF_UP), c)
+      }.maxBy { case (s, c) => (s, -c) }._2
+    }.toMap
+    val agree = got.count { case (q, n) => exact(q) == n }
+    assert(agree * 10 >= got.size * 8,
+      s"top-1 recall $agree/${got.size} below the 0.8 floor")
+  }
+
   test("st_dedup: duplicate event id in a later micro-batch is suppressed") {
     val rows = Streaming.stDedup(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
