@@ -576,29 +576,34 @@ object Streaming {
       batchSide.filter(pmod(col("vec_id"), lit(20)) === m).coalesce(1)
         .write.parquet(in.resolve(s"b$i").toString)
     }
-    val out = base.resolve("aug").toString
+    val out = base.resolve("aug")
     val q = withStatePartitions(s, 4)(s.readStream
       .schema(emb.schema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", "1")
       .parquet(in.toString)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         // probeN=6 of 8: top-1 retrieval is stricter than top-10 overlap
         // (one specific vector must be inside the probed set, not any 8
         // of 10) — the same breadth compensation the filtered search
-        // uses; measured 0.74 recall at 4 probes, ≥0.8 at 6
+        // uses; measured 0.74 recall at 4 probes, ≥0.8 at 6.
+        // The sink is IDEMPOTENT on checkpoint replay: each micro-batch
+        // overwrites its OWN batch-id-keyed directory, so a crash-retry
+        // rewrites the same files instead of double-appending (a blind
+        // global append would corrupt the augmented_rows invariant on
+        // the one failure mode foreachBatch actually has)
         if (!batch.isEmpty)
           IvfPq.augmentTop1(batch.sparkSession, cat, "vec", "emb",
             corpus, batch, probeN = 6)
-            .write.mode("append").parquet(out)
+            .write.mode("overwrite").parquet(out.resolve(s"b$id").toString)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start())
     try q.awaitTermination() finally q.stop()
-    s.read.parquet(out)
+    s.read.option("recursiveFileLookup", "true").parquet(out.toString)
       .agg(count(lit(1)).as("c1"),
         countDistinct(col("query_id")).as("c2"),
         sum(when(pmod(col("neighbor_id"), lit(10)) =!= 7, 1L).otherwise(0L))
