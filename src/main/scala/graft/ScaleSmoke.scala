@@ -124,11 +124,12 @@ object ScaleSmoke {
     }
     val ccBacked = Set("q_dedup_pipeline", "q_dedup_cluster_star")
 
-    // q_hybrid_rrf's dense leg reads embeddings from the same dir — build
-    // the scaled table here too (same replica protocol as the vector
-    // tier: fresh vec_ids, replica 0 keeps the original ids so the probe
-    // row is unchanged)
-    if (targets.contains("q_hybrid_rrf")) {
+    // ONE scaled-embeddings builder shared by this tier (q_hybrid_rrf's
+    // dense leg) and the vector tier below — replica protocol: fresh
+    // vec_ids via span offsets, replica 0 keeps the original ids so the
+    // probe row is unchanged. Two diverging copies would silently build
+    // different corpora depending on which tier runs first.
+    def buildScaledEmbeddings(): Unit = {
       val scaledEm = scaledDir.resolve("embeddings.parquet")
       if (!Files.exists(scaledEm)) {
         val em = Tables.embeddings(spark, sfDir)
@@ -139,6 +140,7 @@ object ScaleSmoke {
           .write.mode("overwrite").parquet(scaledEm.toString)
       }
     }
+    if (targets.contains("q_hybrid_rrf")) buildScaledEmbeddings()
 
     // shuffle bytes written per timed run — the number that predicts
     // 100 TB cost better than local wall time (wall hides shuffle cost
@@ -364,15 +366,7 @@ object ScaleSmoke {
     //    linear path; the ×10 exact replicas all collide (same sig), so
     //    its pair work scales with true near-dups, not corpus size.
     if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("vectors"))) {
-      val scaledEm = scaledDir.resolve("embeddings.parquet")
-      if (!Files.exists(scaledEm)) {
-        val em = Tables.embeddings(spark, sfDir)
-        val span = em.agg(max(col("vec_id"))).head().getLong(0) + 1
-        (0 until mult)
-          .map(i => em.withColumn("vec_id", col("vec_id") + lit(i * span)))
-          .reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(scaledEm.toString)
-      }
+      buildScaledEmbeddings()
       // q_vec_knn_pq_indexed: build (one encode scan, linear) + search
       // (codes-only scan, CONSTANT 480-row shortlist — the round-11 fix
       // for the round-10 `weak`: shortlist bytes no longer grow with N)

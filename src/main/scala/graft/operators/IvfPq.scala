@@ -251,9 +251,17 @@ object IvfPq {
       .select(col("query_id"), col("qe"),
         explode(expr(s"transform(slice(ranked, 1, $probeN), c -> c.cell)"))
           .as("cell"))
+    // the LIVE read (full cell range): position-delete tombstones apply
+    // exactly as in [[probedCodes]] — a vector deleted from the corpus
+    // must not surface as anyone's neighbor, even before compaction
     val cand = byCell
-      .join(cat.readTable(s, ns, s"${table}_ivfpq_codes")
+      .join(cat.readTableWhereLive(s, ns, s"${table}_ivfpq_codes",
+          "cell", 1.0, kCells.toDouble)
         .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      // self-exclusion: when the batch overlaps the indexed corpus (the
+      // NN-graph growth case), a query's own code row would win rk=1 at
+      // cos_sim 1.0 — the per-row analog of search's probeId filter
+      .filter(col("neighbor_id") =!= col("query_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos_sim"), asc("neighbor_id"))
     cand

@@ -274,15 +274,35 @@ object Extensions {
     * integers assigned over rounded keys with doc_id tie-breaks; the
     * RRF sum is two fixed-order terms of exact divisions — no libm at
     * the fusion layer at all. */
-  private def qHybridRrf: QFn = (s, d) => {
+  /** The BM25 top-10 with integer ranks — the sparse leg shared by both
+    * hybrid variants (one authoritative construction, so a tie-break or
+    * fusion fix can never diverge between them). */
+  private def bm25SparseLeg(s: SparkSession, d: String, probeId: Long)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (probeId, probeVec) = probeRow(s, d)
-    val sparse = bm25Frame(s, d)
+    bm25Frame(s, d)
       .filter(col("doc_id") =!= probeId)
       .orderBy(desc("score"), asc("doc_id")).limit(10)
       .withColumn("bm25_rank", row_number()
         .over(Window.orderBy(desc("score"), asc("doc_id"))).cast("int"))
       .select(col("doc_id"), col("bm25_rank"))
+  }
+
+  /** RRF fusion (k=60) of two ranked legs — the single fusion arithmetic
+    * both hybrid variants run. `sparse`: (doc_id, bm25_rank); `dense`:
+    * (doc_id, knn_rank). */
+  private def rrfFuse(sparse: DataFrame, dense: DataFrame): DataFrame =
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("knn_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("knn_rank")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy(desc("rrf_score"), asc("doc_id"))
+
+  private def qHybridRrf: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val (probeId, probeVec) = probeRow(s, d)
     val dense = Tables.embeddings(s, d)
       .filter(col("vec_id") =!= probeId)
       .select(col("vec_id").as("doc_id"),
@@ -291,13 +311,7 @@ object Extensions {
       .withColumn("knn_rank", row_number()
         .over(Window.orderBy(desc("cos_sim"), asc("doc_id"))).cast("int"))
       .select(col("doc_id"), col("knn_rank"))
-    sparse.join(dense, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("bm25_rank"), col("knn_rank"),
-        round(
-          coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60.0) + col("knn_rank")), lit(0.0)), 6)
-          .as("rrf_score"))
-      .orderBy(desc("rrf_score"), asc("doc_id"))
+    rrfFuse(bm25SparseLeg(s, d, probeId), dense)
   }
 
   /** q_hybrid_rrf_indexed (L60): the DEPLOYED hybrid search — identical
@@ -320,23 +334,11 @@ object Extensions {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cat = ivfPqIndexFor(s, d)
     val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
-    val sparse = bm25Frame(s, d)
-      .filter(col("doc_id") =!= probeId)
-      .orderBy(desc("score"), asc("doc_id")).limit(10)
-      .withColumn("bm25_rank", row_number()
-        .over(Window.orderBy(desc("score"), asc("doc_id"))).cast("int"))
-      .select(col("doc_id"), col("bm25_rank"))
     val dense = IvfPq.search(s, cat, "vec", "emb", emb, probeId, probeVec)
       .withColumn("knn_rank", row_number()
         .over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("int"))
       .select(col("vec_id").as("doc_id"), col("knn_rank"))
-    sparse.join(dense, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("bm25_rank"), col("knn_rank"),
-        round(
-          coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60.0) + col("knn_rank")), lit(0.0)), 6)
-          .as("rrf_score"))
-      .orderBy(desc("rrf_score"), asc("doc_id"))
+    rrfFuse(bm25SparseLeg(s, d, probeId), dense)
   }
 
   // ---------------------------------------------------------- dedup family
