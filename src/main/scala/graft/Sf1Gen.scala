@@ -25,7 +25,9 @@ object Sf1Gen {
   private def h(salt: Long, id: Column): Column = xxhash64(lit(salt), id)
   private def hmod(salt: Long, id: Column, m: Int): Column =
     pmod(h(salt, id), lit(m.toLong))
-  /** Uniform double in [0.01, bound] with 2 decimal places — never 0.00:
+  /** Uniform double in [0.01, bound-0.01] with 2 decimal places (pmod's
+    * modulus is bound×100-1, so the +1 shift tops out one cent below
+    * `bound`) — never 0.00:
     * the fixtures' money columns are strictly positive (sf0.01 min
     * 0.01), and q_math_funcs takes ln(l_extendedprice), so a generated
     * zero would crash the DuckDB replay (ln(0)) where Spark yields null. */

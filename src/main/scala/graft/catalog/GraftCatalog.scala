@@ -1606,23 +1606,65 @@ class GraftCatalog(val warehouse: String) {
     * survive an earlier delete), which a flat pruned scan cannot honor
     * — materialize first ([[graft.etl.Merge.materialize]]). */
   def readTableWhereLive(spark: SparkSession, ns: String, t: String,
-                         column: String, lower: Double, upper: Double): DataFrame = {
+                         column: String, lower: Double, upper: Double): DataFrame =
+    readTableWhereAnyLive(spark, ns, t, column, Seq(lower -> upper))
+
+  /** [[readTableWhereLive]] over a UNION of ranges in ONE scan: the
+    * kept-file set is the union of each range's manifest pruning, read
+    * once with the delete debt applied once — an nProbe-cell ANN probe
+    * is one pruned parquet scan, not nProbe plan branches (the per-cell
+    * union form grew the plan linearly in nProbe once cell counts
+    * scale ∝√N).
+    *
+    * `appendOnlyKey`: the caller's DECLARATION that the table is
+    * append-only on that column — a key value is inserted at most once
+    * and never re-inserted after a delete (true by construction for ANN
+    * code tables: vec_ids never recycle). Equality deletes are ordered
+    * in general (a re-inserted key in a later file must survive an
+    * earlier delete — why a flat pruned scan refuses them), but under
+    * the append-only invariant the ordering is VACUOUS: no later file
+    * can re-insert a deleted key, so every equality-delete file keyed
+    * EXACTLY on that column applies to the whole scan as one broadcast
+    * anti-join, the same shape as the position path. Right-to-be-
+    * forgotten events arrive as ids, not (file, pos) pairs — this is
+    * what lets an id-keyed delete reach a pruned index probe without a
+    * rewrite. Equality deletes on any OTHER key (or with no declaration)
+    * still refuse loudly. */
+  def readTableWhereAnyLive(spark: SparkSession, ns: String, t: String,
+                            column: String,
+                            ranges: Seq[(Double, Double)],
+                            appendOnlyKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val meta = loadTable(ns, t)
     val snaps = meta.stateAsOf(None)
-    require(!snaps.exists(sn => sn.deletes.nonEmpty && !sn.isPositionDelete),
+    val eqSnaps = snaps.filter(sn => sn.deletes.nonEmpty && !sn.isPositionDelete)
+    require(eqSnaps.forall(sn =>
+        appendOnlyKey.exists(k => sn.equalityKeys.contains(List(k)))),
       s"$ns.$t carries equality-delete debt, which is ordered and cannot " +
-        "be applied to a flat pruned scan — materialize the table first")
+        "be applied to a flat pruned scan — materialize the table first, " +
+        "or declare the append-only key the deletes are bound to")
     val delFiles = snaps.filter(_.isPositionDelete).flatMap(_.deletes)
-    val keep = filesForScan(ns, t, column, lower, upper, None).map(_.path).toSet
-    if (delFiles.isEmpty) readKeptFiles(spark, ns, t, None, keep)
+    val keep = ranges.flatMap { case (lower, upper) =>
+      filesForScan(ns, t, column, lower, upper, None).map(_.path)
+    }.toSet
+    val scanned =
+      if (delFiles.isEmpty) readKeptFiles(spark, ns, t, None, keep)
+      else {
+        val withPos = readKeptFiles(spark, ns, t, None, keep, keepPos = true)
+        val del = spark.read.parquet(delFiles.map(_.path): _*)
+        withPos.join(broadcast(del),
+            withPos(GraftCatalog.PosFileCol) === del("file_path") &&
+              withPos(GraftCatalog.PosIdxCol) === del("pos"), "left_anti")
+          .drop(GraftCatalog.PosFileCol, GraftCatalog.PosIdxCol)
+      }
+    val eqFiles = eqSnaps.flatMap(_.deletes)
+    if (eqFiles.isEmpty) scanned
     else {
-      import org.apache.spark.sql.functions.{broadcast, col}
-      val scanned = readKeptFiles(spark, ns, t, None, keep, keepPos = true)
-      val del = spark.read.parquet(delFiles.map(_.path): _*)
-      scanned.join(broadcast(del),
-          scanned(GraftCatalog.PosFileCol) === del("file_path") &&
-            scanned(GraftCatalog.PosIdxCol) === del("pos"), "left_anti")
-        .drop(GraftCatalog.PosFileCol, GraftCatalog.PosIdxCol)
+      // order-free under the declared invariant: one anti-join over ALL
+      // equality tombstones, null-safe like readInternal's ordered fold
+      val k = appendOnlyKey.get
+      val eq = spark.read.parquet(eqFiles.map(_.path): _*)
+      scanned.join(broadcast(eq), scanned(k) <=> eq(k), "left_anti")
     }
   }
 

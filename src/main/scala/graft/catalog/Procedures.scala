@@ -22,7 +22,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] = Seq("expire_snapshots", "rollback_to_snapshot",
     "create_branch", "fast_forward", "drop_branch", "create_tag", "drop_tag",
-    "rewrite_data_files")
+    "rewrite_data_files", "rebuild_vector_index")
 
   def load(cat: GraftCatalog, pname: String): Option[UnboundProcedure] = {
     def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
@@ -112,6 +112,29 @@ private[catalog] object GraftProcedures {
         graft.etl.Maintenance.optimize(SparkSession.active, cat, ns, t,
           targetFileBytes = in.getLong(1))
         Seq(new GenericInternalRow(Array[Any](before, cat.files(ns, t).size)))
+      })
+      // The drift half of the FAISS index contract the codes tables
+      // document ("the index GROWS, the model doesn't retrain; drift is
+      // a periodic REBUILD"): retrain both quantizer halves on the
+      // CURRENT corpus (read from the vector source-of-truth parquet)
+      // and re-encode in overwrite snapshots — time travel still reaches
+      // every pre-rebuild index state. One corpus-sized encode scan;
+      // training is the bounded driver-side sample protocol
+      // ([[graft.operators.IvfPq.initIndex]]).
+      case "rebuild_vector_index" => Some(proc(pname,
+        Seq(p("table", StringType), p("source_parquet", StringType)),
+        StructType(Seq(
+          StructField("cells_before", IntegerType, nullable = false),
+          StructField("cells_after", IntegerType, nullable = false),
+          StructField("vectors_indexed", LongType, nullable = false)))) { in =>
+        val (ns, t) = nsT(in)
+        val spark = SparkSession.active
+        val emb = spark.read.parquet(str(in, 1))
+        val before = cat.readTable(spark, ns, s"${t}_ivfpq_cells").count().toInt
+        graft.operators.IvfPq.buildIndex(spark, cat, ns, t, emb)
+        val after = cat.readTable(spark, ns, s"${t}_ivfpq_cells").count().toInt
+        val n = cat.readTable(spark, ns, s"${t}_ivfpq_codes").count()
+        Seq(new GenericInternalRow(Array[Any](before, after, n)))
       })
       case _ => None
     }

@@ -33,17 +33,23 @@ object VectorMaintenance {
 
   /** Rewrite `<table>_ivfpq_codes` into its canonical layout: live rows
     * only (position-delete debt applied by the catalog read),
-    * range-clustered by `cell` so each of the ≤ [[IvfPq.kCells]] output
-    * files covers a contiguous cell range and the manifest's per-file
-    * min/max prunes probes back to ~1 file per probed cell. One
-    * overwrite snapshot; returns the new codes-table meta. */
+    * range-clustered by `cell` so each of the ≤ k output files covers a
+    * contiguous cell range and the manifest's per-file min/max prunes
+    * probes back to ~1 file per probed cell. k is the index's OWN cell
+    * count, read back from the committed `_ivfpq_cells` table (the
+    * √N-sized layout [[IvfPq.cellsFor]] chose at build time — never a
+    * constant). One overwrite snapshot, stamped with `nanoTime` like
+    * every other index commit path (a millisecond stamp collides when
+    * two compactions land inside 1 ms); returns the new codes-table
+    * meta. */
   def compactIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
                    table: String): TableMeta = {
     val t = s"${table}_ivfpq_codes"
+    val k = cat.readTable(spark, ns, s"${table}_ivfpq_cells").count().toInt
     val live = cat.readTable(spark, ns, t)
     val dir = Paths.get(cat.warehouse, ns, t, "data",
-      s"compact-${System.currentTimeMillis()}")
-    live.repartitionByRange(IvfPq.kCells, col("cell"))
+      s"compact-${System.nanoTime()}")
+    live.repartitionByRange(k, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
       .write.parquet(dir.toString)
     cat.registerFiles(ns, t, Seq(dir), operation = "overwrite")

@@ -48,22 +48,46 @@ import graft.catalog.{GraftCatalog, TableMeta}
   * and local[32] and can be oracle-pinned. */
 object IvfPq {
 
-  /** Coarse cell count. Fixed at the fixture's k=8 (matching
-    * [[graft.queries.Extensions]]'s sample-trained IVF, whose measured
-    * recall the probe policy inherits); at deployment k grows ∝√N and
-    * the range-clustered layout below keeps files ≈ cells. */
-  val kCells = 8
+  /** Coarse cell-count FLOOR: below 64 vectors √N sizing degenerates,
+    * so tiny corpora keep the 8-cell layout the fixture family was
+    * first measured on. */
+  val minCells = 8
 
-  /** Cells probed per query: 4 of 8 — the probed FRACTION (not count)
-    * is what holds recall as N grows; 4/8 measured ≥8/10 recall at
-    * every fixture SF on the sample-trained quantizer. */
-  val nProbe = 4
+  /** Coarse cell count is SIZE-TARGETED, not fixed: k = max(8, ⌈√N⌉) —
+    * the standard IVF list sizing (FAISS `nlist` guidance; the same
+    * balance argument as [[graft.queries.Extensions]]'s trained-kmeans
+    * variant, the round-9 fix this mirrors). The two cost terms pull
+    * opposite ways — a probe scans nProbe × N/k code rows while cell
+    * ranking costs k centroid cosines — and k = √N balances them, so a
+    * probe reads O(√N) rows instead of the N/2 a fixed k forfeits to at
+    * corpus scale. k is persisted as the `_ivfpq_cells` row count, so
+    * every later session (search, append, compact) recovers it from the
+    * catalog, never from a constant. */
+  def cellsFor(n: Long): Int =
+    math.max(minCells, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Probe-breadth policy: nProbe = max(4, ⌈k/4⌉) — the probed FRACTION
+    * (~25% of cells), not a fixed count, is what holds recall as N and
+    * k grow (the [[graft.queries.Extensions]] kmeans variant measured
+    * ≥8/10 at this fraction on every fixture SF). Selective searches
+    * widen multiplicatively (see [[search]]'s `widen`). */
+  def probeCount(k: Int): Int = math.max(4, math.ceil(k / 4.0).toInt)
+
+  /** Coarse-training sample size: 32 points per centroid — inside
+    * FAISS's 30-256×nlist guidance, and the floor that held fixture
+    * recall ≥8/10 at the k/4 probe policy (8×k measured 6-7/10: cells
+    * seeded from ~8 random-direction samples are too noisy to route
+    * probes). Still a bounded driver-side fetch (≈1M rows at 10⁹
+    * vectors — the scale FAISS itself trains `nlist=√N` quantizers at;
+    * deployment swaps the plain Lloyd loop for batched-BLAS assignment,
+    * which changes constants, not the protocol). */
+  def coarseSampleSize(k: Int): Int = math.max(100, 32 * k)
 
   /** Coarse k-means on the driver-side sample: cosine distance, seeds =
     * the first k sample vectors, 5 bounded Lloyd iterations, argmin
     * ties to the lowest cell, empty cells keep their centroid — the
     * same deterministic protocol as the IVF query variants. */
-  def trainCoarse(sample: Seq[Seq[Float]], k: Int = kCells): Seq[Seq[Float]] = {
+  def trainCoarse(sample: Seq[Seq[Float]], k: Int): Seq[Seq[Float]] = {
     require(sample.nonEmpty, "IVFPQ coarse-training sample is empty")
     var cents: Seq[Seq[Float]] = Seq.tabulate(k)(i => sample(i % sample.size))
     for (_ <- 1 to 5) {
@@ -92,26 +116,37 @@ object IvfPq {
   /** Nearest-cell assignment as a codegen'd per-row expression: argmin
     * cosine distance to the k×dim centroid literal, ties → lowest cell
     * (1-based, `array_position` semantics — matching the IVF query
-    * variants' cell ids). */
+    * variants' cell ids). A ZERO-NORM embedding has no cosine direction
+    * — every distance would be NaN and `array_position` would emit
+    * cell 0, outside the 1..k range any probe can ever reach, silently
+    * dropping the row from all searches — so it fails the encode scan
+    * loudly instead. */
   def cellOf(cents: Seq[Seq[Float]], emb: Column): Column = {
+    val qn = aggregate(transform(emb, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, v) => a + v)
     val dists = transform(typedLit(cents), c =>
       lit(1.0) - aggregate(zip_with(emb, c,
           (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v) /
-        (sqrt(aggregate(transform(emb, x => x.cast("double") * x.cast("double")),
-          lit(0.0), (a, v) => a + v)) *
+        (sqrt(qn) *
          sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
            lit(0.0), (a, v) => a + v))))
-    array_position(dists, array_min(dists))
+    when(qn === lit(0.0), raise_error(concat(
+        lit("zero-norm embedding cannot be cell-assigned (vec_id row " +
+          "would become unsearchable); drop or re-embed it first"))))
+      .otherwise(array_position(dists, array_min(dists)))
   }
 
   /** Rank cells by probe affinity driver-side (k centroids are a
-    * parameter, not data) and return the nProbe cell ids to scan. */
+    * parameter, not data) and return the cell ids to scan — the
+    * [[probeCount]] policy of the index's own k unless overridden. */
   def probeCells(cents: Seq[Seq[Float]], probe: Seq[Float],
-                 n: Int = nProbe): Seq[Long] =
+                 n: Int = -1): Seq[Long] = {
+    val resolved = if (n > 0) n else probeCount(cents.size)
     cents.zipWithIndex
       .map { case (c, i) => (i + 1L, cos(c, probe)) }
-      .sortBy { case (i, sim) => (-sim, i) }.take(n).map(_._1)
+      .sortBy { case (i, sim) => (-sim, i) }.take(resolved).map(_._1)
+  }
 
   /** Encode a (vec_id, embedding, ...metadata) frame to index rows,
     * RANGE-CLUSTERED BY CELL — `repartitionByRange(k) +
@@ -129,7 +164,7 @@ object IvfPq {
         cellOf(cents, col("embedding")).as("cell") +:
         ProductQuantizer.packedCodes(model, col("embedding")).as("codes") +:
         meta.map(col): _*)
-      .repartitionByRange(kCells, col("cell"))
+      .repartitionByRange(cents.size, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
   }
 
@@ -146,14 +181,24 @@ object IvfPq {
     * the model side tables (`_ivfpq_cells`, `_ivfpq_books`). Codebooks
     * are static once trained (the FAISS deployment contract — the index
     * GROWS, the model doesn't retrain per append); codes arrive via
-    * [[appendCodes]] or the one-shot [[buildIndex]]. */
+    * [[appendCodes]] or the one-shot [[buildIndex]].
+    *
+    * Cell count is sized from THIS corpus — k = [[cellsFor]](count) —
+    * and persisted as the `_ivfpq_cells` rows, so the committed index
+    * carries its own k; the coarse quantizer trains on the
+    * [[coarseSampleSize]] smallest vec_ids (scales with k — 8 points
+    * per centroid minimum), while the PQ codebooks keep their fixed
+    * 100-row protocol (M×K is size-independent, and the codes stay
+    * byte-identical to [[ProductQuantizer.buildIndex]]'s). */
   def initIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
                 table: String, emb: DataFrame)
       : (Seq[Seq[Float]], ProductQuantizer.Model) = {
     import spark.implicits._
-    val sample = ProductQuantizer.sampleRows(emb).map(_._2).toSeq
-    val cents = trainCoarse(sample)
-    val model = ProductQuantizer.train(sample)
+    val k = cellsFor(emb.count())
+    val sample = ProductQuantizer.sampleRows(emb, coarseSampleSize(k))
+      .map(_._2).toSeq
+    val cents = trainCoarse(sample, k)
+    val model = ProductQuantizer.train(sample.take(100))
     val cells = cents.zipWithIndex
       .map { case (c, i) => (i + 1L, c) }.toDF("cell", "centroid")
     commitDf(cat, ns, s"${table}_ivfpq_cells", cells, "overwrite")
@@ -173,6 +218,35 @@ object IvfPq {
                   model: ProductQuantizer.Model, batch: DataFrame): TableMeta =
     commitDf(cat, ns, s"${table}_ivfpq_codes",
       encode(cents, model, batch), "append")
+
+  /** [[appendCodes]] keyed to a micro-batch id — the IDEMPOTENT form a
+    * streaming sink must use: `foreachBatch` is at-least-once, so a
+    * crash between the commit and the checkpoint write replays the
+    * batch, and a blind append would double every vector in the index
+    * (duplicate top-k rows forever after). Here each batch owns the
+    * directory `ivfpq-batch-<id>`: if the codes table already registers
+    * files under it the replay is a no-op; otherwise the batch
+    * overwrites its own directory (a torn write before registration
+    * leaves only unregistered files) and commits one append snapshot.
+    * The check precedes the write, so registered files are never
+    * rewritten underneath the manifest. */
+  def appendCodesBatch(spark: SparkSession, cat: GraftCatalog, ns: String,
+                       table: String, cents: Seq[Seq[Float]],
+                       model: ProductQuantizer.Model, batch: DataFrame,
+                       batchId: Long): TableMeta = {
+    val t = s"${table}_ivfpq_codes"
+    val tag = s"ivfpq-batch-$batchId"
+    if (cat.tableExists(ns, t) &&
+        cat.loadTable(ns, t).filesAsOf(None).exists(_.path.contains(s"/$tag/")))
+      cat.loadTable(ns, t)
+    else {
+      val dir = Paths.get(cat.warehouse, ns, t, "data", tag)
+      val df = encode(cents, model, batch)
+      df.write.mode("overwrite").parquet(dir.toString)
+      if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
+      cat.registerFiles(ns, t, Seq(dir), operation = "append")
+    }
+  }
 
   /** Build and COMMIT the whole index in one shot: train ([[initIndex]])
     * + ONE corpus encode scan. Returns the codes-table meta. */
@@ -228,10 +302,15 @@ object IvfPq {
     * window. Returns (query_id, neighbor_id, cos_sim). */
   def augmentTop1(s: SparkSession, cat: GraftCatalog, ns: String,
                   table: String, emb: DataFrame, batch: DataFrame,
-                  probeN: Int = nProbe): DataFrame = {
+                  widen: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dot = dotCol(s) _
     val cents = loadCells(s, cat, ns, table)
+    // probe breadth: the index's own policy fraction, widened
+    // multiplicatively where the caller's task is stricter than top-k
+    // overlap (top-1 retrieval needs ONE specific vector probed)
+    val probeN = math.min(cents.size,
+      math.ceil(probeCount(cents.size) * widen).toInt)
     def centNorm(c: Seq[Float]): Double =
       math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
     val simStructs = cents.zipWithIndex.map { case (c, i) =>
@@ -255,8 +334,9 @@ object IvfPq {
     // exactly as in [[probedCodes]] — a vector deleted from the corpus
     // must not surface as anyone's neighbor, even before compaction
     val cand = byCell
-      .join(cat.readTableWhereLive(s, ns, s"${table}_ivfpq_codes",
-          "cell", 1.0, kCells.toDouble)
+      .join(cat.readTableWhereAnyLive(s, ns, s"${table}_ivfpq_codes",
+          "cell", Seq(1.0 -> cents.size.toDouble),
+          appendOnlyKey = Some("vec_id"))
         .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       // self-exclusion: when the batch overlaps the indexed corpus (the
       // NN-graph growth case), a query's own code row would win rk=1 at
@@ -282,12 +362,28 @@ object IvfPq {
     * shortlist, exact-cosine re-rank via a broadcast id-join against the
     * raw vectors — which appear nowhere below the re-rank. Returns the
     * exact top-`k` within the probed cells as (vec_id, cell, cos_sim). */
+  /** `rerankK`: the exact-re-rank shortlist depth (FAISS's efSearch
+    * analog) —
+    * the default constant is tuned for dispersed corpora; a probe inside
+    * a dense semantic CLUMP (many near-identical candidates, e.g. a
+    * freshly-drifted domain) needs a deeper re-rank because 4-bit PQ
+    * cannot order near-ties, and callers that know they are in that
+    * regime raise it per query. Still a constant per query — never a
+    * corpus fraction. */
   def search(s: SparkSession, cat: GraftCatalog, ns: String, table: String,
              emb: DataFrame, probeId: Long, probeVec: Seq[Float],
              k: Int = 10, metaFilter: Option[Column] = None,
-             probeN: Int = nProbe): DataFrame = {
+             widen: Double = 1.0,
+             rerankK: Int = ProductQuantizer.shortlistK): DataFrame = {
     val cents = loadCells(s, cat, ns, table)
     val model = loadModel(s, cat, ns, table)
+    // probe breadth = the policy fraction of the index's OWN k (read
+    // back from the committed cells table), widened multiplicatively
+    // for selective searches (a metadata filter spreads the surviving
+    // top-k across more cells — probe breadth scales inversely with
+    // filter selectivity, the standard filtered-ANN compensation)
+    val probeN = math.min(cents.size,
+      math.ceil(probeCount(cents.size) * widen).toInt)
     val probed = probeCells(cents, probeVec, probeN)
     val shortlist = probedCodes(s, cat, ns, table, probed)
       .filter(col("vec_id") =!= probeId)
@@ -299,7 +395,7 @@ object IvfPq {
       .withColumn("approx",
         ProductQuantizer.approxCosine(model, probeVec, col("codes")))
       .orderBy(desc("approx"), asc("vec_id"))
-      .limit(ProductQuantizer.shortlistK)
+      .limit(rerankK)
       .select("vec_id", "cell")
     val dot = dotCol(s) _
     val probe = typedLit(probeVec)
@@ -311,21 +407,27 @@ object IvfPq {
       .orderBy(desc("cos_sim"), asc("vec_id")).limit(k)
   }
 
-  /** The probe-side inverted-list fetch: for each probed cell, a
-    * manifest-pruned read of the codes table ([[GraftCatalog
-    * .readTableWhereLive]] keeps only files whose [min,max] on `cell`
-    * contains the cell) with the row-level filter on top — at scale
-    * this reads ~nProbe/k of the index files and nothing else. The
-    * LIVE variant also applies any position-delete debt the codes
-    * table carries (a vector deleted from the corpus must not surface
-    * from the index probe, even before compaction rewrites the files —
-    * see [[graft.etl.VectorMaintenance]]); debt-free tables take the
+  /** The probe-side inverted-list fetch: ONE manifest-pruned read of
+    * the codes table over the union of probed cells ([[GraftCatalog
+    * .readTableWhereAnyLive]] keeps only files whose [min,max] on
+    * `cell` touches a probed cell) with the row-level `isin` on top —
+    * at scale this reads ~nProbe/k of the index files and nothing
+    * else, and the plan stays a single scan however many cells the
+    * √N-sized index probes. The LIVE read also applies any
+    * position-delete debt the codes table carries (a vector deleted
+    * from the corpus must not surface from the index probe, even
+    * before compaction rewrites the files — see
+    * [[graft.etl.VectorMaintenance]]); debt-free tables take the
     * identical plain pruned scan. */
   def probedCodes(spark: SparkSession, cat: GraftCatalog, ns: String,
                   table: String, cells: Seq[Long]): DataFrame =
-    cells.map { c =>
-      cat.readTableWhereLive(spark, ns, s"${table}_ivfpq_codes", "cell",
-          c.toDouble, c.toDouble)
-        .filter(col("cell") === c)
-    }.reduce(_ unionByName _)
+    cat.readTableWhereAnyLive(spark, ns, s"${table}_ivfpq_codes", "cell",
+        cells.map(c => c.toDouble -> c.toDouble),
+        // codes tables are append-only on vec_id BY CONSTRUCTION (ids
+        // never recycle), so id-keyed equality tombstones — the shape
+        // right-to-be-forgotten events actually arrive in — fold into
+        // the pruned probe as a broadcast anti-join; deletes on any
+        // other key still refuse
+        appendOnlyKey = Some("vec_id"))
+      .filter(col("cell").isin(cells: _*))
 }

@@ -150,8 +150,8 @@ object ProductQuantizer {
     * driver action serves training AND the probe row (the probe is the
     * first sample row), mirroring [[graft.queries.Extensions]]'s IVF
     * protocol. */
-  def sampleRows(emb: DataFrame): Array[(Long, Seq[Float])] =
-    emb.orderBy("vec_id").limit(100).select("vec_id", "embedding")
+  def sampleRows(emb: DataFrame, n: Int = 100): Array[(Long, Seq[Float])] =
+    emb.orderBy("vec_id").limit(n).select("vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
 
   /** Build and COMMIT the PQ index through the catalog — the persisted

@@ -525,10 +525,16 @@ object Streaming {
       .option("maxFilesPerTrigger", "1")
       .parquet(in.toString)
     val q = withStatePartitions(s, 4)(stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      // IDEMPOTENT on checkpoint replay: foreachBatch is at-least-once,
+      // and a blind appendCodes would double-append a replayed batch's
+      // vectors into the committed index forever — each batch commits
+      // through its batch-id-keyed directory instead
+      // ([[graft.operators.IvfPq.appendCodesBatch]]), the same contract
+      // as st_vec_augment's sink
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty)
-          IvfPq.appendCodes(batch.sparkSession, cat, "vec", "emb",
-            cents, model, batch)
+          IvfPq.appendCodesBatch(batch.sparkSession, cat, "vec", "emb",
+            cents, model, batch, id)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -584,10 +590,11 @@ object Streaming {
       .parquet(in.toString)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // probeN=6 of 8: top-1 retrieval is stricter than top-10 overlap
-        // (one specific vector must be inside the probed set, not any 8
-        // of 10) — the same breadth compensation the filtered search
-        // uses; measured 0.74 recall at 4 probes, ≥0.8 at 6.
+        // widen=1.5 over the k/4 policy: top-1 retrieval is stricter
+        // than top-10 overlap (one specific vector must be inside the
+        // probed set, not any 8 of 10) — the same breadth compensation
+        // the filtered search uses; measured 0.74 recall at the bare
+        // policy on the 8-cell fixture, ≥0.8 widened.
         // The sink is IDEMPOTENT on checkpoint replay: each micro-batch
         // overwrites its OWN batch-id-keyed directory, so a crash-retry
         // rewrites the same files instead of double-appending (a blind
@@ -595,7 +602,7 @@ object Streaming {
         // the one failure mode foreachBatch actually has)
         if (!batch.isEmpty)
           IvfPq.augmentTop1(batch.sparkSession, cat, "vec", "emb",
-            corpus, batch, probeN = 6)
+            corpus, batch, widen = 1.5)
             .write.mode("overwrite").parquet(out.resolve(s"b$id").toString)
         ()
       }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * etl_vec_index_compact: position-delete tombstones are honored by the
   * manifest-pruned probe IMMEDIATELY (before any rewrite), equality debt
   * is refused by the pruned live read, and compaction purges the debt +
-  * restores the ≤ kCells cell-clustered layout without changing any
+  * restores the ≤ k cell-clustered layout (k = the index's own √N-sized cell count) without changing any
   * probe answer. */
 class VectorMaintenanceSpec extends SparkSpec {
 
@@ -40,8 +40,9 @@ class VectorMaintenanceSpec extends SparkSpec {
   test("tombstones are honored by the pruned probe before any compaction") {
     val (cat, _, _) = grownIndex()
     assert(cat.loadTable("vec", "emb_ivfpq_codes").deleteFilesAsOf(None).nonEmpty)
+    val k = IvfPq.loadCells(spark, cat, "vec", "emb").size
     val probed = IvfPq.probedCodes(spark, cat, "vec", "emb",
-      (1L to IvfPq.kCells.toLong))
+      (1L to k.toLong))
     assert(probed.filter(pmod(col("vec_id"), lit(13)) === 5 &&
       col("vec_id") =!= ProductQuantizer.sampleRows(emb).head._1).count() === 0,
       "a deleted vector surfaced from the live pruned probe")
@@ -62,21 +63,72 @@ class VectorMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("equality-delete"))
     // after materialization the pruned live read works again
     Merge.materialize(spark, cat, "vec", "emb_ivfpq_codes")
+    val k = IvfPq.loadCells(spark, cat, "vec", "emb").size
     assert(cat.readTableWhereLive(spark, "vec", "emb_ivfpq_codes",
-      "cell", 1, IvfPq.kCells).filter(col("vec_id") === 1L).count() === 0)
+      "cell", 1, k).filter(col("vec_id") === 1L).count() === 0)
   }
 
-  test("compaction purges debt, restores <= kCells files, keeps answers") {
+  test("append-only declaration folds id-keyed equality deletes into the pruned probe") {
+    // two index twins over the same corpus: one takes the delete as
+    // POSITION tombstones, the other as id-keyed EQUALITY tombstones —
+    // every live read and search answer must agree exactly
+    val catPos = freshCat(); val catEq = freshCat()
+    IvfPq.buildIndex(spark, catPos, "vec", "emb", emb)
+    IvfPq.buildIndex(spark, catEq, "vec", "emb", emb)
+    val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
+    val doomed = pmod(col("vec_id"), lit(13)) === 5 && col("vec_id") =!= probeId
+    Merge.deleteWherePos(spark, catPos, "vec", "emb_ivfpq_codes", doomed)
+    Merge.deleteWhereMor(spark, catEq, "vec", "emb_ivfpq_codes", doomed,
+      Seq("vec_id"))
+    val k = IvfPq.loadCells(spark, catEq, "vec", "emb").size
+    // probedCodes (which declares appendOnlyKey) sees identical live rows
+    val cells = 1L to k.toLong
+    val livePos = IvfPq.probedCodes(spark, catPos, "vec", "emb", cells)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val liveEq = IvfPq.probedCodes(spark, catEq, "vec", "emb", cells)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(liveEq === livePos)
+    assert(!liveEq.exists(v => v % 13 == 5 && v != probeId))
+    // and the policy-probed search answers byte-identically
+    val sPos = IvfPq.search(spark, catPos, "vec", "emb", emb, probeId, probeVec)
+      .collect().toSeq
+    val sEq = IvfPq.search(spark, catEq, "vec", "emb", emb, probeId, probeVec)
+      .collect().toSeq
+    assert(sEq === sPos)
+    // the declaration does NOT bless equality deletes on other keys:
+    // a cell-keyed delete still refuses (cells are not append-only)
+    Merge.deleteWhereMor(spark, catEq, "vec", "emb_ivfpq_codes",
+      col("cell") === 1L, Seq("cell"))
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.probedCodes(spark, catEq, "vec", "emb", Seq(1L)).count()
+    }
+    assert(e.getMessage.contains("equality-delete"))
+  }
+
+  test("q_vec_knn_deleted_eq: equality-tombstoned ids never surface; rest is the exact top-10") {
+    val got = graft.SparkEntry.queries("q_vec_knn_deleted_eq")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the position twin is real-oracled against the same SQL — the two
+    // delete encodings must converge on the same answer
+    val pos = graft.SparkEntry.queries("q_vec_knn_deleted")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === pos)
+    val (probeId, _) = ProductQuantizer.sampleRows(emb).head
+    assert(!got.exists { case (v, _) => v % 13 == 5 && v != probeId })
+  }
+
+  test("compaction purges debt, restores <= k files, keeps answers") {
     val (cat, probeId, probeVec) = grownIndex()
     def meta = cat.loadTable("vec", "emb_ivfpq_codes")
+    val k = IvfPq.loadCells(spark, cat, "vec", "emb").size
     val filesBefore = meta.filesAsOf(None).size
-    assert(filesBefore > IvfPq.kCells,
+    assert(filesBefore > k,
       "3 appends must leave more files than cells for the test to bite")
     val before = IvfPq.search(spark, cat, "vec", "emb", emb, probeId, probeVec)
       .collect().toSeq
     VectorMaintenance.compactIndex(spark, cat, "vec", "emb")
     assert(meta.deleteFilesAsOf(None).isEmpty, "compaction must purge debt")
-    assert(meta.filesAsOf(None).size <= IvfPq.kCells)
+    assert(meta.filesAsOf(None).size <= k)
     val after = IvfPq.search(spark, cat, "vec", "emb", emb, probeId, probeVec)
       .collect().toSeq
     assert(after === before, "compaction changed the probe answer")

@@ -441,6 +441,34 @@ class PlanSpec extends SparkSpec {
     assert(!shortlist.toString.contains("graft_dot"))
   }
 
+  test("equality-deleted ANN: id tombstones apply as a broadcast anti-join under the append-only declaration") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
+    val p = plan("q_vec_knn_deleted_eq")
+    val topks = p.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(topks.map(_.limit).toSet ===
+      Set(10, graft.operators.ProductQuantizer.shortlistK))
+    val shortlist = topks
+      .find(_.limit == graft.operators.ProductQuantizer.shortlistK).get
+    // the scoring subtree reads ONLY the ivfpq codes table's files —
+    // data files and the id-keyed equality tombstones both live under
+    // emb_ivfpq_codes/, never the raw embeddings parquet
+    val scans = shortlist.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.inputFiles.forall(
+        _.contains("emb_ivfpq_codes"))),
+      "equality-deleted scoring must read codes + tombstones, not vectors")
+    // the fold is ONE broadcast anti-join on vec_id (order-free under
+    // the append-only invariant — a shuffled anti-join or a per-snapshot
+    // ordered fold would re-shuffle the index at 100 TB)
+    val anti = shortlist.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.nonEmpty,
+      "equality-delete debt must apply as a broadcast anti-join")
+    assert(!shortlist.toString.contains("graft_dot"))
+  }
+
   test("IVF+PQ ANN: probe reads manifest-pruned _ivfpq_codes files only; constant shortlist; broadcast re-rank") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
     val p = plan("q_vec_knn_ivfpq")
@@ -461,8 +489,9 @@ class PlanSpec extends SparkSpec {
       "approximate scoring must read the committed codes, not vectors — read:\n" +
         scans.flatMap(_.relation.location.inputFiles).mkString("\n"))
     // (b) manifest file skipping DID prune: the probed branches together
-    // list fewer files than the cell-clustered table holds (nProbe=4 of
-    // ~kCells=8 range files) — the inverted-list fetch is file-level,
+    // list fewer files than the cell-clustered table holds (the k/4
+    // probe policy over ~k = ceil(sqrt(N)) range files) — the
+    // inverted-list fetch is file-level,
     // not a full-index scan with a row filter
     val listed = scans.flatMap(_.relation.location.inputFiles).distinct
     val all = scans.head.relation.location.inputFiles.length // one branch's view

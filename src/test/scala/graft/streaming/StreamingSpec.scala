@@ -116,7 +116,7 @@ class StreamingSpec extends SparkSpec {
     val (cents, model) = IvfPq.initIndex(spark, cat, "vec", "emb", corpus)
     IvfPq.appendCodes(spark, cat, "vec", "emb", cents, model, corpus)
     val got = IvfPq.augmentTop1(spark, cat, "vec", "emb", corpus, batch,
-        probeN = 6)
+        widen = 1.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val vecs = emb.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))

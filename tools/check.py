@@ -32,13 +32,18 @@ def norm(v):
             return "NaN"
         if v == 0.0:
             return "0.0"  # -0.0 == 0.0 (IEEE); repr would split them
-        # 9 decimal places AND 12 significant digits: absolute rounding
-        # alone flags last-ulp noise on large magnitudes (a 3.4e9 SUM at
-        # sf1 differs in the 2nd decimal purely from double fold order —
-        # 3e-12 relative), while 12 sig figs stays far stricter than the
-        # ~4e-10 relative error a million-row double sum can legitimately
-        # accumulate
-        return repr(float(f"{round(v, 9):.12g}"))
+        # Large magnitudes (>1e6 — the sf1 aggregate range) compare at 12
+        # significant digits: absolute rounding alone flags last-ulp noise
+        # there (a 3.4e9 SUM at sf1 differs in the 2nd decimal purely from
+        # double fold order — 3e-12 relative), while 12 sig figs stays far
+        # stricter than the ~4e-10 relative error a million-row double sum
+        # can legitimately accumulate. Ordinary-scale values keep the
+        # strict 9-decimal comparison — applying the sig-fig loosening to
+        # every float would blind the gate to genuine sub-1e-12-relative
+        # divergence on small values it previously compared exactly.
+        if abs(v) > 1e6:
+            return repr(float(f"{round(v, 9):.12g}"))
+        return repr(round(v, 9))
     return repr(v)
 
 
