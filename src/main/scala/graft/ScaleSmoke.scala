@@ -379,8 +379,20 @@ object ScaleSmoke {
       // etl_vec_index_compact: the O(index) rewrite — 3 appends + delete +
       // compact + two probes; wall must stay ~linear in N and the
       // in-query requires re-prove the <= kCells layout at every MULT
+      // round-12 additions:
+      // q_vec_knn_deleted_eq — the equality-tombstone fold-in rides the
+      //   same codes scan as the position twin (one O(deleted) broadcast
+      //   anti-join), so its ratio must track q_vec_knn_deleted's
+      // etl_vec_index_rebuild — train (bounded sample) + ONE re-encode
+      //   scan + searches: ~linear in N (the √N cell count makes each
+      //   search O(√N), dominated by the encode scan)
+      // q_dedup_semantic_cells / q_vec_knn_join_cells — the learned-cell
+      //   blocked paths: assignment N×k + within-cell pairs N×occupancy
+      //   = the balanced O(N^1.5) (k = ⌈√N⌉ grows with the corpus)
       for (q <- Seq("q_vec_knn", "q_vec_knn_pq", "q_vec_knn_pq_indexed",
-          "q_vec_knn_ivfpq", "q_vec_knn_deleted", "etl_vec_index_compact",
+          "q_vec_knn_ivfpq", "q_vec_knn_deleted", "q_vec_knn_deleted_eq",
+          "etl_vec_index_compact", "etl_vec_index_rebuild",
+          "q_dedup_semantic_cells", "q_vec_knn_join_cells",
           "q_vec_centroid", "q_embed_neardup_cells", "q_embed_neardup_lsh")) {
         val (tb, _, mbB) = time(q, sfDir)
         val (ts, _, mbS) = time(q, scaledDir.toString)

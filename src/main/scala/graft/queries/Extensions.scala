@@ -1410,10 +1410,26 @@ object Extensions {
   private def trainedCellsFor(s: SparkSession, d: String)
       : (Seq[org.apache.spark.sql.Row], Seq[Seq[Float]]) =
     trainedCellFx.getOrElseUpdate(d, {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding")).cache()
+      val full = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      // magnitude guard on the exact-training path (the round-11 verdict
+      // note): [[trainCells]]'s bit-reproducible per-(cell, pos) sorted
+      // fold materializes cell-sized arrays per group, which is the
+      // documented price of exact centroids — but only while cells stay
+      // bounded. Past the cap the quantizer trains on the cap smallest
+      // vec_ids (the same deterministic sample protocol as every other
+      // trained variant; k is still sized from the FULL corpus count).
+      // Fixtures (≤ 40k rows) sit far below the cap, so fixture pins are
+      // untouched; the guard exists so a 10⁹-row corpus cannot reach the
+      // collect_list path at all.
+      val n = full.count()
+      val cap = sys.props.get("graft.kmeans.maxExactTrainRows")
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .getOrElse(10000000L)
+      val emb = (if (n > cap) full.orderBy("vec_id").limit(cap.toInt)
+                 else full).cache()
       try {
-        val k = math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+        val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
         val seeds = seedCells(emb, k)
         (seeds, trainCells(s, emb, seeds.map(_.getSeq[Float](1).toSeq)))
       } finally emb.unpersist()

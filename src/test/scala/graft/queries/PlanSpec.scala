@@ -23,6 +23,15 @@ class PlanSpec extends SparkSpec {
     * that cost at 100 TB. RoundRobin is Tables.spread's small-input
     * fan-out (a no-op at scale: a big scan already has >= width
     * partitions) and Range is the declared output sort. */
+  /** Expression-tree negative pin: does ANY expression anywhere in the
+    * physical plan satisfy `pred`? toString-based negatives can pass
+    * VACUOUSLY when Spark truncates the rendered plan
+    * (spark.sql.maxMetadataStringLength / maxToStringFields), so
+    * negative assertions walk the operator tree instead. */
+  private def planHasExpr(p: org.apache.spark.sql.execution.SparkPlan)(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean): Boolean =
+    p.exists(_.expressions.exists(_.exists(pred)))
+
   private def keyedShuffles(name: String) =
     plan(name).collect { case e: ShuffleExchangeLike => e.outputPartitioning }
       .filter {
@@ -128,6 +137,30 @@ class PlanSpec extends SparkSpec {
     val keyed = keyedShuffles("q_text_bm25")
     assert(keyed.forall(_.numPartitions == 1),
       s"corpus-keyed exchange in the BM25 plan: $keyed")
+  }
+
+  test("q_text_bm25_param: corpus never shuffles — df exchange is term-keyed, never doc-keyed") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val p = plan("q_text_bm25_param")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "global top-10 must be TakeOrderedAndProject, not sort+limit")
+    // the parameterized form adds exactly one keyed exchange beyond the
+    // one-row stats reductions: the per-term document-frequency
+    // aggregate — keyed on the |query|-bounded TERM domain with
+    // map-side partials (shuffle rows ≤ partitions × |query|), never on
+    // doc_id (which would re-shuffle the corpus)
+    val keyed = keyedShuffles("q_text_bm25_param")
+    val hashKeys = keyed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.map(_.sql.toLowerCase).mkString(",")
+    }
+    assert(!hashKeys.exists(_.contains("doc_id")),
+      s"doc-keyed (corpus-sized) exchange in the param-BM25 plan: $hashKeys")
+    assert(keyed.forall {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.map(_.sql.toLowerCase).mkString(",").contains("term")
+      case other => other.numPartitions == 1
+    }, s"unexpected keyed exchange: $keyed")
   }
 
   test("dedup pipeline: band edges are an equi-join, never cartesian") {
@@ -249,8 +282,11 @@ class PlanSpec extends SparkSpec {
     assert(rddScans.exists(_.output.map(_.name).toSet == Set("d1", "d2")),
       "candidate edges must enter the verify as a bare (d1, d2) scan")
     // and no tokenizer anywhere in the plan: the batch side tokenizes
-    // once at its checkpoint, history never
-    assert(!p.toString.contains("split(lower("))
+    // once at its checkpoint, history never (expression-tree walk, not
+    // a toString scan — the rendered plan truncates)
+    assert(!planHasExpr(p)(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.StringSplit]),
+      "no tokenizer may appear in the per-batch plan")
     // candidates come from the band-keyed join; verify from broadcast
     // edges — never pair enumeration
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
@@ -407,7 +443,9 @@ class PlanSpec extends SparkSpec {
       "approximate scoring must read the committed codes, not vectors")
     // (b) no dot product over the full corpus: below the shortlist the
     // per-row score is shift-mask LUT lookups only
-    assert(!shortlist.toString.contains("graft_dot"))
+    assert(!planHasExpr(shortlist)(
+      _.isInstanceOf[graft.functions.DotProductF]),
+      "no exact dot product below the shortlist — LUT lookups only")
     // the exact re-rank joins the constant-size shortlist back by id
     assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
       "re-rank must be a broadcast id-join of the constant shortlist")
@@ -438,7 +476,9 @@ class PlanSpec extends SparkSpec {
         if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
     }
     assert(anti.nonEmpty, "position-delete debt must apply as a broadcast anti-join")
-    assert(!shortlist.toString.contains("graft_dot"))
+    assert(!planHasExpr(shortlist)(
+      _.isInstanceOf[graft.functions.DotProductF]),
+      "no exact dot product below the shortlist — LUT lookups only")
   }
 
   test("equality-deleted ANN: id tombstones apply as a broadcast anti-join under the append-only declaration") {
@@ -466,7 +506,9 @@ class PlanSpec extends SparkSpec {
     }
     assert(anti.nonEmpty,
       "equality-delete debt must apply as a broadcast anti-join")
-    assert(!shortlist.toString.contains("graft_dot"))
+    assert(!planHasExpr(shortlist)(
+      _.isInstanceOf[graft.functions.DotProductF]),
+      "no exact dot product below the shortlist — LUT lookups only")
   }
 
   test("IVF+PQ ANN: probe reads manifest-pruned _ivfpq_codes files only; constant shortlist; broadcast re-rank") {
@@ -503,7 +545,9 @@ class PlanSpec extends SparkSpec {
     val total = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
     assert(listed.length < total,
       s"probe listed ${listed.length} files of $total — no file was skipped")
-    assert(!shortlist.toString.contains("graft_dot"))
+    assert(!planHasExpr(shortlist)(
+      _.isInstanceOf[graft.functions.DotProductF]),
+      "no exact dot product below the shortlist — LUT lookups only")
     assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
       "re-rank must be a broadcast id-join of the constant shortlist")
   }
