@@ -389,11 +389,17 @@ object ScaleSmoke {
       // q_dedup_semantic_cells / q_vec_knn_join_cells — the learned-cell
       //   blocked paths: assignment N×k + within-cell pairs N×occupancy
       //   = the balanced O(N^1.5) (k = ⌈√N⌉ grows with the corpus)
-      for (q <- Seq("q_vec_knn", "q_vec_knn_pq", "q_vec_knn_pq_indexed",
-          "q_vec_knn_ivfpq", "q_vec_knn_deleted", "q_vec_knn_deleted_eq",
-          "etl_vec_index_compact", "etl_vec_index_rebuild",
-          "q_dedup_semantic_cells", "q_vec_knn_join_cells",
-          "q_vec_centroid", "q_embed_neardup_cells", "q_embed_neardup_lsh")) {
+      // SPARK_GRAFT_VECTOR_QUERIES: optional comma-separated subset —
+      // lets a ×100 run target just the index family without paying the
+      // all-pairs/maintenance queries at 200k vectors
+      val vecQueries = Seq("q_vec_knn", "q_vec_knn_pq", "q_vec_knn_pq_indexed",
+        "q_vec_knn_ivfpq", "q_vec_knn_deleted", "q_vec_knn_deleted_eq",
+        "etl_vec_index_compact", "etl_vec_index_rebuild",
+        "q_dedup_semantic_cells", "q_vec_knn_join_cells",
+        "q_vec_centroid", "q_embed_neardup_cells", "q_embed_neardup_lsh")
+      val vecOnly = sys.env.get("SPARK_GRAFT_VECTOR_QUERIES")
+        .map(_.split(",").map(_.trim).toSet)
+      for (q <- vecQueries.filter(n => vecOnly.forall(_.contains(n)))) {
         val (tb, _, mbB) = time(q, sfDir)
         val (ts, _, mbS) = time(q, scaledDir.toString)
         println(f"""{"query":"$q","mult":$mult,"base_sec":$tb%.2f,""" +
