@@ -552,6 +552,16 @@ object Etl {
     * code count (gated). Output is the phase report, oracled against
     * per-SF observed pins (deterministic end to end — same argument as
     * [[vecCompactObserved]]). */
+  /** The rebuild scenario's IMMUTABLE halves, one per (JVM, sfDir): the
+    * persisted combined corpus (the rebuild's source-of-truth parquet)
+    * and the fresh-built COMPARISON index (rebuild ≡ build's right-hand
+    * side — never mutated, so repeated runs can share it; the
+    * ivfPqIndexFx reasoning). The STALE index + the CALL stay per-run:
+    * the rebuild overwrites that catalog, so a shared one would make
+    * the second run's "stale" search see the rebuilt index. */
+  private val vecRebuildFx = scala.collection.concurrent.TrieMap
+    .empty[String, (String, graft.catalog.GraftCatalog)]
+
   private def etlVecIndexRebuild: QFn = (s, d) => {
     import graft.operators.{IvfPq, ProductQuantizer}
     val base = Files.createTempDirectory(
@@ -570,11 +580,20 @@ object Etl {
     val shifted = Tables.embeddings(s, d)
       .select((col("vec_id") * 2 + 1).as("vec_id"),
         expr("transform(embedding, x -> abs(x))").as("embedding"))
-    // the combined corpus IS the vector source-of-truth the rebuild
-    // retrains from — persisted once so the CALL takes a parquet path
-    val src = base.resolve("corpus")
-    emb0.unionByName(shifted).write.parquet(src.toString)
-    val all = s.read.parquet(src.toString)
+    val (src, freshCat) = vecRebuildFx.getOrElseUpdate(d, {
+      val fxBase = Files.createTempDirectory(
+        Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+        "etl_vec_rebuild_fx")
+      // the combined corpus IS the vector source-of-truth the rebuild
+      // retrains from — persisted once so the CALL takes a parquet path
+      val corpus = fxBase.resolve("corpus")
+      emb0.unionByName(shifted).write.parquet(corpus.toString)
+      val c2 = new graft.catalog.GraftCatalog(fxBase.resolve("wh2").toString)
+      IvfPq.buildIndex(s, c2, "vec", "emb",
+        s.read.parquet(corpus.toString))
+      (corpus.toString, c2)
+    })
+    val all = s.read.parquet(src)
     val (cents0, model0) = IvfPq.initIndex(s, cat, "vec", "emb", emb0)
     IvfPq.appendCodes(s, cat, "vec", "emb", cents0, model0, emb0)
     // drift: the index grows under the stale model (the FAISS contract —
@@ -629,7 +648,7 @@ object Etl {
       base.resolve("wh").toString)
     val report = try {
       s.sql(s"CALL $cname.system.rebuild_vector_index('vec.emb', " +
-        s"'${src.toString}')").head()
+        s"'$src')").head()
     } finally {
       s.conf.unset(s"spark.sql.catalog.$cname")
       s.conf.unset(s"spark.sql.catalog.$cname.warehouse")
@@ -640,10 +659,9 @@ object Etl {
     val recallRebuilt = recallOf(rebuiltTop)
     // rebuild ≡ build: a fresh index over the same corpus must answer
     // byte-identically (catches partial rebuilds — stale cells with new
-    // books, or unre-encoded code files)
-    val cat2 = new graft.catalog.GraftCatalog(base.resolve("wh2").toString)
-    IvfPq.buildIndex(s, cat2, "vec", "emb", all)
-    val freshTop = IvfPq.search(s, cat2, "vec", "emb", all, probeId,
+    // books, or unre-encoded code files); the comparison index is the
+    // memoized immutable fixture half
+    val freshTop = IvfPq.search(s, freshCat, "vec", "emb", all, probeId,
         probeVec, rerankK = rerank)
       .collect().toSeq
     require(rebuiltTop == freshTop,
