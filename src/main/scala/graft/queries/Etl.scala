@@ -908,7 +908,8 @@ object Etl {
       (142L, 24L, 0.3113), (794L, 1L, 0.3108), (1841L, 33L, 0.3099),
       (633L, 42L, 0.3096), (1186L, 1L, 0.3073)),
     // round-12: pinned from the sf1 dump at k = 142 (6921 % 13 = 5 is
-    // tombstoned; 6415 fills the tenth slot)
+    // tombstoned; 6415 fills the tenth slot); verified byte-identical
+    // across local[7]/local[32]
     "sf1" -> Seq((15473L, 1L, 0.5384), (7991L, 1L, 0.5083),
       (6992L, 121L, 0.4744), (8913L, 1L, 0.4648), (13380L, 1L, 0.453),
       (11061L, 1L, 0.4369), (15675L, 81L, 0.4346), (17331L, 1L, 0.4249),

@@ -2925,7 +2925,8 @@ object Extensions {
     * here carry correctness AND the spec carries quality. */
   // sf1 pins for the √N-sized committed index (k = 142 = ⌈√20000⌉,
   // nProbe = 36, filtered probe 90): recall vs the exact scan 9/10
-  // dense, 10/10 filtered — pinned from the round-12 sf1 dump
+  // dense, 10/10 filtered — pinned from the round-12 sf1 dump and
+  // verified byte-identical across local[7]/local[32]
   private val knnIvfPqSf1: Seq[(Long, Long, Double)] =
     Seq((15473L, 1L, 0.5384), (7991L, 1L, 0.5083), (6992L, 121L, 0.4744),
       (8913L, 1L, 0.4648), (6921L, 1L, 0.4578), (13380L, 1L, 0.453),
@@ -3197,7 +3198,8 @@ object Extensions {
     * fingerprint. Deterministic for the [[embedCellsObserved]] reason:
     * the shared quantizer trains with fixed fold order, assignment and
     * scoring are per-row expressions, and every pinned number is an
-    * integer (counts and order-free integer checksums). */
+    * integer (counts and order-free integer checksums). The sf1 rows
+    * were verified byte-identical across local[7]/local[32]. */
   private val semanticCellsObserved: Map[String, Seq[(Long, Long)]] = Map(
     "sf0.001" -> Seq((1L, 59L), (2L, 7L), (3L, 2L), (12L, 1L), (13L, 2L),
       (14L, 3L), (15L, 2L), (16L, 1L), (17L, 3L), (18L, 1L), (19L, 1L),
