@@ -285,9 +285,12 @@ object Extensions {
     * never corpus-sized; both broadcast back as one row (df as a MAP).
     * Scoring folds `zip_with(:qterms, tfs, …)` in FIXED array order —
     * the same textual-order float determinism as [[bm25Scores]] — and
-    * ranking is a TakeOrderedAndProject. Oracle: the per-term-expanded
-    * DuckDB replay generated from the SAME term list
-    * ([[bm25OracleSqlFor]]), so engine and oracle cannot drift. */
+    * ranking is a TakeOrderedAndProject. (Spark inlines CTEs, so the
+    * three stat consumers each re-scan the corpus — three MAP-ONLY
+    * passes, no exchange touching doc-keyed data; the fixed-term
+    * variant pays two.) Oracle: the per-term-expanded DuckDB replay
+    * generated from the SAME term list ([[bm25ScoredSqlFor]]), so
+    * engine and oracle cannot drift. */
   private def qTextBm25Param: QFn = (s, d) => {
     val docs = Tables.spread(s, Tables.documents(s, d))
     val v = "bm25p_docs_" + java.util.UUID.randomUUID.toString.replace("-", "")
