@@ -28,6 +28,7 @@ EXTS = {".scala", ".py", ".sbt", ".md", ".properties", ".conf", ".xml"}
 ENV_ALLOW = {
     "SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS", "SPARK_GRAFT_ONLY",
     "SPARK_GRAFT_SCALE_MULT", "SPARK_GRAFT_SCALE_FRESH",
+    "SPARK_GRAFT_VECTOR_QUERIES",
     "SPARK_GRAFT_BENCH_RUNS",
     "SPARK_GRAFT_BENCH_BUDGET", "COURSIER_MODE", "HOME", "PATH", "TMPDIR",
 }
