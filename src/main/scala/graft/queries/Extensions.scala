@@ -1669,6 +1669,50 @@ object Extensions {
       .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
   }
 
+  /** One tombstoned index WITH metadata per (JVM, sfDir) — the
+    * [[ivfPqDeletedEqFx]] scenario plus the label column riding the
+    * codes table, for the filter × tombstone composition query. */
+  private val ivfPqFilteredDeletedFx = scala.collection.concurrent.TrieMap
+    .empty[String, graft.catalog.GraftCatalog]
+
+  /** q_vec_knn_filtered_deleted (L69): the two production predicates a
+    * deployed vector search carries SIMULTANEOUSLY — a metadata filter
+    * (here the probe's `label`) and right-to-be-forgotten tombstones
+    * (id-keyed equality deletes) — composed on the SAME manifest-pruned
+    * 8-byte codes scan: the live read folds the tombstones as a
+    * broadcast anti-join, the pre-filter applies as a row predicate on
+    * what survives, and only then is the constant shortlist spent. The
+    * composition ORDER is the correctness surface (a post-filtered
+    * top-k can starve below k; a filter applied before the anti-join
+    * could resurrect a deleted row into the shortlist when the filter
+    * column is also the delete key's carrier) — the spec checks both
+    * properties against the exact filtered-minus-deleted brute force,
+    * and the rows hash per-SF observed pins (same determinism argument
+    * as [[knnFilteredObserved]]). */
+  private def qVecKnnFilteredDeleted: QFn = (s, d) => {
+    import graft.operators.{IvfPq, ProductQuantizer}
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val p = Tables.embeddings(s, d).orderBy("vec_id")
+      .select("vec_id", "embedding", "label").head()
+    val (probeId, probeVec, probeLabel) =
+      (p.getLong(0), p.getSeq[Float](1), p.getInt(2))
+    val cat = ivfPqFilteredDeletedFx.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+        "ivfpqfdel")
+      val c = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+      IvfPq.buildIndex(s, c, "vec", "emb",
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+          col("label")))
+      graft.etl.Merge.deleteWhereMor(s, c, "vec", "emb_ivfpq_codes",
+        pmod(col("vec_id"), lit(13)) === 5 && col("vec_id") =!= probeId,
+        Seq("vec_id"))
+      c
+    })
+    IvfPq.search(s, cat, "vec", "emb", emb, probeId, probeVec,
+      metaFilter = Some(col("label") === probeLabel), widen = 2.5)
+  }
+
   /** q_vec_knn_ivfpq: the COMBINED coarse-quantizer + product-quantization
     * index (FAISS `IndexIVFPQ`; Jégou et al. 2011 §V) — cell pruning AND
     * compressed scoring multiply: the probe reads ~nProbe/k of the index
@@ -2806,6 +2850,7 @@ object Extensions {
     "q_vec_knn_pq_indexed" -> qVecKnnPqIndexed,
     "q_vec_knn_deleted"  -> qVecKnnDeleted,
     "q_vec_knn_deleted_eq" -> qVecKnnDeletedEq,
+    "q_vec_knn_filtered_deleted" -> qVecKnnFilteredDeleted,
     "q_vec_knn_ivfpq"   -> qVecKnnIvfPq,
     "q_vec_knn_filtered" -> qVecKnnFiltered,
     "q_embed_neardup"   -> qEmbedNeardup,
@@ -2983,6 +3028,32 @@ object Extensions {
     // round-12: pinned from the sf1 dump at k = 142, widened probe 90
     "sf1" -> knnFilteredSf1)
 
+  /** q_vec_knn_filtered_deleted observed pins — (vec_id, cell, cos_sim),
+    * the exact top-10 among probed-cell vectors sharing the probe's
+    * label with the id-keyed equality tombstones applied. Same
+    * determinism argument as [[knnFilteredObserved]]; the delete
+    * visibly bites where a filtered-top-10 member is ≡5 mod 13 (291
+    * drops at sf0.1, 6921 at sf1, each backfilled by the next
+    * survivor). Verified byte-identical across local[7]/local[32] at
+    * sf1 before pinning. */
+  private val knnFilteredDeletedObserved: Map[String, Seq[(Long, Long, Double)]] = Map(
+    "sf0.001" -> Seq((212L, 4L, 0.2814), (299L, 1L, 0.2687),
+      (257L, 2L, 0.2059), (411L, 1L, 0.1832), (105L, 14L, 0.1729),
+      (11L, 12L, 0.1687), (142L, 9L, 0.1594), (458L, 15L, 0.1493),
+      (383L, 21L, 0.1341), (22L, 23L, 0.1199)),
+    "sf0.01" -> Seq((320L, 1L, 0.2879), (36L, 23L, 0.2387),
+      (99L, 8L, 0.2041), (271L, 15L, 0.1871), (351L, 1L, 0.1864),
+      (325L, 1L, 0.1355), (48L, 8L, 0.0893), (39L, 9L, 0.0833),
+      (206L, 12L, 0.0681), (426L, 22L, 0.0402)),
+    "sf0.1" -> Seq((1020L, 1L, 0.376), (462L, 32L, 0.2917),
+      (1229L, 1L, 0.257), (509L, 35L, 0.2535), (1613L, 30L, 0.2478),
+      (1595L, 18L, 0.2072), (296L, 15L, 0.2064), (1713L, 32L, 0.206),
+      (403L, 40L, 0.2022), (1829L, 36L, 0.2004)),
+    "sf1" -> Seq((14814L, 87L, 0.4709), (13380L, 1L, 0.453),
+      (1558L, 1L, 0.404), (15625L, 1L, 0.3793), (17994L, 117L, 0.3516),
+      (18423L, 119L, 0.349), (2200L, 1L, 0.3427), (4409L, 102L, 0.3374),
+      (5550L, 1L, 0.3364), (10932L, 113L, 0.3297)))
+
   /** The brute-force exact top-10 in DuckDB — shared by q_vec_knn and
     * (since both re-rank exactly with full fixture recall) the two PQ
     * ANN variants. */
@@ -3059,7 +3130,16 @@ object Extensions {
         ")\n  t(vec_id, cell, cos_sim)\n" +
         "ORDER BY cos_sim DESC, vec_id")
     }
-    (km.toSeq ++ ivf.toSeq ++ ivfpq ++ filtered.toSeq).toMap
+    val filteredDeleted = knnFilteredDeletedObserved.get(tag).map { rows =>
+      "q_vec_knn_filtered_deleted" -> ("SELECT * FROM (VALUES\n" + rows.map {
+        case (v, cl, c) =>
+          s"  (CAST($v AS BIGINT), CAST($cl AS BIGINT), CAST($c AS DOUBLE))"
+      }.mkString(",\n") +
+        ")\n  t(vec_id, cell, cos_sim)\n" +
+        "ORDER BY cos_sim DESC, vec_id")
+    }
+    (km.toSeq ++ ivf.toSeq ++ ivfpq ++ filtered.toSeq ++
+      filteredDeleted.toSeq).toMap
   }
 
   private def embedCellsOracle: Map[String, String] = {

@@ -105,6 +105,40 @@ class VectorMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("equality-delete"))
   }
 
+  test("q_vec_knn_filtered_deleted: filter and tombstones compose on the pruned probe") {
+    val got = graft.SparkEntry.queries("q_vec_knn_filtered_deleted")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got.size === 10)
+    val full = Tables.embeddings(spark, sfDir)
+    val p = full.orderBy("vec_id").select("vec_id", "embedding", "label").head()
+    val (pid, pvec, plabel) = (p.getLong(0), p.getSeq[Float](1), p.getInt(2))
+    // no deleted id may surface, however the filter interacts with the
+    // anti-join (the resurrect-through-the-filter composition bug)
+    assert(!got.exists { case (v, _) => v % 13 == 5 && v != pid })
+    // recall vs the exact FILTERED-minus-DELETED brute force
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val probe = typedLit(pvec)
+    val exact = full
+      .filter(col("label") === plabel && col("vec_id") =!= pid &&
+        pmod(col("vec_id"), lit(13)) =!= 5)
+      .select(col("vec_id"),
+        round(dot(col("embedding"), probe) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+           sqrt(dot(probe, probe))), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exactIds = exact.map(_._1).toSet
+    val recall = got.map(_._1).count(exactIds).toDouble / 10
+    assert(recall >= 0.8, s"filtered+deleted recall $recall < 0.8")
+    // surviving members carry the exact re-ranked cosine
+    val exactScores = exact.toMap
+    got.filter(r => exactScores.contains(r._1)).foreach { case (v, c) =>
+      assert(c === exactScores(v))
+    }
+  }
+
   test("q_vec_knn_deleted_eq: equality-tombstoned ids never surface; rest is the exact top-10") {
     val got = graft.SparkEntry.queries("q_vec_knn_deleted_eq")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

@@ -51,7 +51,8 @@ class DeterminismSpec extends SparkSpec {
     // exchange), and the learned-cell variants (cluster histogram;
     // integer-checksum fingerprint over a windowed join)
     "etl_vec_index_rebuild", "q_vec_knn_deleted_eq", "q_text_bm25_param",
-    "q_dedup_semantic_cells", "q_vec_knn_join_cells")
+    "q_dedup_semantic_cells", "q_vec_knn_join_cells",
+    "q_vec_knn_filtered_deleted")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()
