@@ -86,21 +86,81 @@ object IvfPq {
   /** Coarse k-means on the driver-side sample: cosine distance, seeds =
     * the first k sample vectors, 5 bounded Lloyd iterations, argmin
     * ties to the lowest cell, empty cells keep their centroid — the
-    * same deterministic protocol as the IVF query variants. */
+    * same deterministic protocol as the IVF query variants.
+    *
+    * Implementation runs on primitive arrays with the SAME double
+    * arithmetic in the SAME order as the original boxed form (dot and
+    * both norm sums accumulate in index order; the centroid mean sums
+    * members in sample order; strict `<` keeps the lowest cell on
+    * ties), so results are bit-identical — the boxed Seq loop cost
+    * 3.6 s at k=45 and 77 s at k=200 (paid per index BUILD, several
+    * times per lifecycle query), the array form ~50× less. Vector
+    * norms hoist out of the k-loop and centroid norms out of the
+    * n-loop: each is the identical index-ordered sum computed once
+    * instead of n×k times, which changes no bits of
+    * `dt / (sqrt(na) * sqrt(nb))`. */
   def trainCoarse(sample: Seq[Seq[Float]], k: Int): Seq[Seq[Float]] = {
     require(sample.nonEmpty, "IVFPQ coarse-training sample is empty")
-    var cents: Seq[Seq[Float]] = Seq.tabulate(k)(i => sample(i % sample.size))
-    for (_ <- 1 to 5) {
-      val assign = sample.map(v =>
-        cents.zipWithIndex.minBy { case (c, i) => (1.0 - cos(c, v), i) }._2)
-      cents = (0 until k).map { ki =>
-        val mem = sample.zip(assign).collect { case (v, a) if a == ki => v }
-        if (mem.isEmpty) cents(ki)
-        else mem.head.indices
-          .map(p => (mem.map(_(p).toDouble).sum / mem.size).toFloat)
-      }
+    val n = sample.size
+    val sv: Array[Array[Float]] = sample.iterator.map(_.toArray).toArray
+    val dim = sv(0).length
+    // per-vector norm factors sqrt(Σv²), index-ordered — loop-invariant
+    val vnorm = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0.0; var p = 0
+      while (p < dim) { val x = sv(i)(p).toDouble; acc += x * x; p += 1 }
+      vnorm(i) = math.sqrt(acc); i += 1
     }
-    cents
+    var cents: Array[Array[Float]] = Array.tabulate(k)(j => sv(j % n).clone())
+    val assign = new Array[Int](n)
+    var iter = 0
+    while (iter < 5) {
+      val cnorm = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        var acc = 0.0; var p = 0
+        while (p < dim) { val x = cents(j)(p).toDouble; acc += x * x; p += 1 }
+        cnorm(j) = math.sqrt(acc); j += 1
+      }
+      i = 0
+      while (i < n) {
+        var bestD = Double.MaxValue; var best = 0; j = 0
+        while (j < k) {
+          var dt = 0.0; var p = 0
+          while (p < dim) {
+            dt += cents(j)(p).toDouble * sv(i)(p); p += 1
+          }
+          // identical to 1.0 - dt / (sqrt(na) * sqrt(nb)); strict <
+          // keeps the FIRST (lowest) cell on exact ties, like minBy
+          val d = 1.0 - dt / (cnorm(j) * vnorm(i))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val next = new Array[Array[Float]](k)
+      j = 0
+      while (j < k) {
+        val sums = new Array[Double](dim)
+        var cnt = 0
+        i = 0
+        while (i < n) { // sample order — the mean's fold order
+          if (assign(i) == j) {
+            var p = 0
+            while (p < dim) { sums(p) += sv(i)(p).toDouble; p += 1 }
+            cnt += 1
+          }
+          i += 1
+        }
+        next(j) =
+          if (cnt == 0) cents(j)
+          else Array.tabulate(dim)(p => (sums(p) / cnt).toFloat)
+        j += 1
+      }
+      cents = next; iter += 1
+    }
+    cents.iterator.map(_.toSeq).toSeq
   }
 
   /** Driver-side cosine between two parameter vectors. */
@@ -122,6 +182,15 @@ object IvfPq {
     * dropping the row from all searches — so it fails the encode scan
     * loudly instead. */
   def cellOf(cents: Seq[Seq[Float]], emb: Column): Column = {
+    // the native expression when the session carries GraftExtensions —
+    // higher-order functions never enter whole-stage codegen, so the
+    // composable fallback below evaluates k×dim interpreted lambdas per
+    // row (minutes per encode scan at the √N-sized k on sf1); both
+    // paths are bit-identical (the dotCol precedent), asserted by the
+    // observed-pin oracles
+    if (org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("graft_nearest_cell"))
+      return call_function("graft_nearest_cell", typedLit(cents), emb)
     val qn = aggregate(transform(emb, x => x.cast("double") * x.cast("double")),
       lit(0.0), (a, v) => a + v)
     val dists = transform(typedLit(cents), c =>
@@ -313,16 +382,26 @@ object IvfPq {
       math.ceil(probeCount(cents.size) * widen).toInt)
     def centNorm(c: Seq[Float]): Double =
       math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
-    val simStructs = cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        (dot(col("embedding"), typedLit(c)) /
-          (sqrt(dot(col("embedding"), col("embedding"))) *
-            lit(centNorm(c)))).as("sim"),
-        lit(i + 1L).as("cell"))
-    }
+    // per-row cell ranking as a CONSTANT-SIZE expression: the k
+    // centroids and their norms enter as two array literals and the
+    // per-cell cosine folds inside one zip_with lambda — an unrolled
+    // k-branch array would grow the expression tree (and its
+    // analysis/codegen cost, paid per micro-batch) linearly in the
+    // √N-sized k. Arithmetic is element-wise identical to the unrolled
+    // form (same dot fold, same norm factors), so results are unchanged.
+    val centsLit = typedLit(cents)
+    val normsLit = typedLit(cents.map(centNorm))
+    val simStructArr = zip_with(centsLit,
+      zip_with(normsLit, sequence(lit(1L), lit(cents.size.toLong)),
+        (n, i) => struct(n.as("n"), i.as("i"))),
+      (c, ni) => struct(
+        (dot(col("embedding"), c) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * ni("n")))
+          .as("sim"),
+        ni("i").as("cell")))
     val byCell = batch
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        array_sort(array(simStructs: _*), (l, r) =>
+        array_sort(simStructArr, (l, r) =>
           when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
             .otherwise(when(l("cell") < r("cell"), -1)
               .when(l("cell") > r("cell"), 1).otherwise(0)).cast("int"))
