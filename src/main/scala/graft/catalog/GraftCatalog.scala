@@ -1638,11 +1638,22 @@ class GraftCatalog(val warehouse: String) {
     val meta = loadTable(ns, t)
     val snaps = meta.stateAsOf(None)
     val eqSnaps = snaps.filter(sn => sn.deletes.nonEmpty && !sn.isPositionDelete)
+    // an UPSERT-shaped snapshot (equality deletes + added files in one
+    // commit, e.g. Merge.mergeIntoMor) RE-INSERTS the keys it deletes —
+    // under Iceberg's sequence-number rule the new rows survive, but the
+    // order-free broadcast anti-join below would delete them too. The
+    // append-only declaration therefore only covers PURE delete
+    // snapshots: any eq-delete snapshot that also adds data files
+    // refuses loudly rather than silently diverging from readInternal's
+    // ordered fold (the round-12 advice note).
     require(eqSnaps.forall(sn =>
-        appendOnlyKey.exists(k => sn.equalityKeys.contains(List(k)))),
-      s"$ns.$t carries equality-delete debt, which is ordered and cannot " +
-        "be applied to a flat pruned scan — materialize the table first, " +
-        "or declare the append-only key the deletes are bound to")
+        appendOnlyKey.exists(k => sn.equalityKeys.contains(List(k))) &&
+          sn.addedFiles.isEmpty),
+      s"$ns.$t carries equality-delete debt this scan cannot apply " +
+        "order-free: either the deletes are not keyed on the declared " +
+        "append-only column, or an upsert-shaped snapshot re-inserts " +
+        "keys in the same commit (sequence-ordered semantics) — " +
+        "materialize the table first")
     val delFiles = snaps.filter(_.isPositionDelete).flatMap(_.deletes)
     val keep = ranges.flatMap { case (lower, upper) =>
       filesForScan(ns, t, column, lower, upper, None).map(_.path)

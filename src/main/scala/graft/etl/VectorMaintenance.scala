@@ -28,7 +28,16 @@ import graft.operators.IvfPq
   * snapshot — restoring the ~1-file-per-cell layout and dropping the
   * delete files from the state fold entirely. O(index) = O(N × 8 bytes),
   * run off the hot probe path like [[Maintenance.optimize]]; time travel
-  * still reaches every pre-compaction snapshot. */
+  * still reaches every pre-compaction snapshot.
+  *
+  * Compaction is safe to run CONCURRENTLY with a maintaining stream:
+  * [[IvfPq.appendCodesBatch]]'s replay detection scans the full snapshot
+  * LOG, so a compaction overwrite landing between a batch's commit and
+  * the stream's checkpoint doesn't make a crash-replay double-append.
+  * Snapshot EXPIRATION ([[graft.catalog.GraftCatalog]] expire) is the
+  * one operation that must NOT run while the stream is mid-replay — it
+  * drops the log entries the replay check reads; expire only while the
+  * maintaining stream is quiescent (checkpoint caught up). */
 object VectorMaintenance {
 
   /** Rewrite `<table>_ivfpq_codes` into its canonical layout: live rows

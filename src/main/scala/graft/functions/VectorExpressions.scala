@@ -134,7 +134,17 @@ case class NearestCellF(left: Expression, right: Expression)
     val dim = v.numElements()
     var qn = 0.0
     var p = 0
-    while (p < dim) { val x = v.getFloat(p).toDouble; qn += x * x; p += 1 }
+    while (p < dim) {
+      // a null ELEMENT has no cosine contribution — scoring it as
+      // 0/garbage would silently assign a wrong cell (the row lands in
+      // an arbitrary inverted list and the right probes never find it),
+      // so fail the encode scan loudly, like the zero-norm guard below
+      // and like the composable fallback's exists(isnull) branch
+      if (v.isNullAt(p)) throw new IllegalArgumentException(
+        "null-element embedding cannot be cell-assigned (vec_id row " +
+          "would be silently mis-indexed); drop or re-embed it first")
+      val x = v.getFloat(p).toDouble; qn += x * x; p += 1
+    }
     if (qn == 0.0) throw new IllegalArgumentException(
       "zero-norm embedding cannot be cell-assigned (vec_id row " +
         "would become unsearchable); drop or re-embed it first")

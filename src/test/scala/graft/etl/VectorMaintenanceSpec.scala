@@ -105,6 +105,54 @@ class VectorMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("equality-delete"))
   }
 
+  test("append-only declaration refuses UPSERT-shaped equality snapshots") {
+    // mergeIntoMor on vec_id deletes AND re-inserts the key in one
+    // snapshot — sequence-ordered semantics the order-free anti-join
+    // cannot honor (it would delete the re-inserted row). The pruned
+    // live read must refuse loudly, not silently diverge from
+    // readInternal's ordered fold (the round-12 advice note).
+    val cat = freshCat()
+    IvfPq.buildIndex(spark, cat, "vec", "emb", emb)
+    val k = IvfPq.loadCells(spark, cat, "vec", "emb").size
+    val upsert = cat.readTable(spark, "vec", "emb_ivfpq_codes")
+      .filter(col("vec_id") === 1L)
+      .withColumn("cell", lit(1L))
+    Merge.mergeIntoMor(spark, cat, "vec", "emb_ivfpq_codes", upsert,
+      Seq("vec_id"))
+    // the ordered fold keeps the re-inserted row...
+    assert(cat.readTable(spark, "vec", "emb_ivfpq_codes")
+      .filter(col("vec_id") === 1L).count() === 1)
+    // ...so the order-free pruned read must refuse rather than drop it
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.probedCodes(spark, cat, "vec", "emb", 1L to k.toLong).count()
+    }
+    assert(e.getMessage.contains("upsert-shaped"))
+  }
+
+  test("appendCodesBatch replay is a no-op even after compaction") {
+    // a compaction overwrite between a batch's commit and the stream
+    // checkpoint removes the batch's FILES from the live set; the
+    // crash-replay must still find the batch tag in the snapshot LOG
+    // and skip, or every vector in the batch doubles (the round-12
+    // advice note)
+    val cat = freshCat()
+    val (cents, model) = IvfPq.initIndex(spark, cat, "vec", "emb", emb)
+    IvfPq.appendCodesBatch(spark, cat, "vec", "emb", cents, model,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0), batchId = 0L)
+    IvfPq.appendCodesBatch(spark, cat, "vec", "emb", cents, model,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1), batchId = 1L)
+    val before = cat.readTable(spark, "vec", "emb_ivfpq_codes").count()
+    VectorMaintenance.compactIndex(spark, cat, "vec", "emb")
+    // post-compaction, no live file carries the batch tag anymore...
+    assert(!cat.loadTable("vec", "emb_ivfpq_codes").filesAsOf(None)
+      .exists(_.path.contains("/ivfpq-batch-1/")))
+    // ...but the replay (same batchId) must still be detected
+    IvfPq.appendCodesBatch(spark, cat, "vec", "emb", cents, model,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1), batchId = 1L)
+    assert(cat.readTable(spark, "vec", "emb_ivfpq_codes").count() === before,
+      "crash-replay after compaction double-appended the batch")
+  }
+
   test("q_vec_knn_filtered_deleted: filter and tombstones compose on the pruned probe") {
     val got = graft.SparkEntry.queries("q_vec_knn_filtered_deleted")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
@@ -139,16 +187,37 @@ class VectorMaintenanceSpec extends SparkSpec {
     }
   }
 
-  test("q_vec_knn_deleted_eq: equality-tombstoned ids never surface; rest is the exact top-10") {
+  test("q_vec_knn_deleted_eq: pruned probe — tombstoned ids never surface, recall holds") {
+    // the declared row now exercises the DEPLOYMENT shape (round-12
+    // verdict item 4): the policy-fraction pruned probe with the
+    // tombstone anti-join folded in, not a full cell-range read
     val got = graft.SparkEntry.queries("q_vec_knn_deleted_eq")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    // the position twin is real-oracled against the same SQL — the two
-    // delete encodings must converge on the same answer
-    val pos = graft.SparkEntry.queries("q_vec_knn_deleted")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(got === pos)
-    val (probeId, _) = ProductQuantizer.sampleRows(emb).head
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got.size === 10)
+    val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
     assert(!got.exists { case (v, _) => v % 13 == 5 && v != probeId })
+    // recall vs the exact deleted brute force: the pruned probe gates
+    // the family floor (the full-range read it replaced matched 10/10)
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val probe = typedLit(probeVec)
+    val exact = emb
+      .filter(col("vec_id") =!= probeId && pmod(col("vec_id"), lit(13)) =!= 5)
+      .select(col("vec_id"),
+        round(dot(col("embedding"), probe) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+           sqrt(dot(probe, probe))), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exactIds = exact.map(_._1).toSet
+    assert(got.map(_._1).count(exactIds) >= 8,
+      s"pruned deleted-eq recall ${got.map(_._1).count(exactIds)}/10 < 8")
+    // surviving members carry the exact re-ranked cosine
+    val exactScores = exact.toMap
+    got.filter(r => exactScores.contains(r._1)).foreach { case (v, c) =>
+      assert(c === exactScores(v))
+    }
   }
 
   test("compaction purges debt, restores <= k files, keeps answers") {

@@ -60,7 +60,7 @@ class IvfPqSpec extends SparkSpec {
     assert(codes.filter(col("cell") < 1 || col("cell") > k).count() === 0)
     // the stored cell column IS the assignment expression's output
     val mismatch = codes.join(emb, "vec_id")
-      .filter(IvfPq.cellOf(cents, col("embedding")) =!= col("cell"))
+      .filter(IvfPq.cellOf(spark, cents, col("embedding")) =!= col("cell"))
       .count()
     assert(mismatch === 0)
   }
@@ -75,10 +75,167 @@ class IvfPqSpec extends SparkSpec {
     val degenerate = Seq((99999L, Seq.fill(dim)(0.0f)))
       .toDF("vec_id", "embedding")
     val e = intercept[Exception] {
-      degenerate.select(IvfPq.cellOf(cents, col("embedding"))).collect()
+      degenerate.select(IvfPq.cellOf(spark, cents, col("embedding"))).collect()
     }
     assert(e.getMessage.contains("zero-norm"),
       s"expected the zero-norm guard to fire, got: ${e.getMessage}")
+  }
+
+  test("null-element embeddings fail the encode scan loudly — both paths") {
+    val k = IvfPq.cellsFor(emb.count())
+    val sample = ProductQuantizer
+      .sampleRows(emb, IvfPq.coarseSampleSize(k)).map(_._2).toSeq
+    val cents = IvfPq.trainCoarse(sample, k)
+    val dim = sample.head.size
+    // a null ELEMENT (not a null array): scored as 0/garbage it would be
+    // silently assigned a wrong cell — mis-indexed forever, unlike the
+    // null-ARRAY case, which nulls out visibly
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val poisoned = spark.createDataFrame(
+      java.util.Arrays.asList(Row(99998L,
+        Seq.tabulate(dim)(i => if (i == 3) null else Float.box(0.5f)))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = true)))))
+    // native codegen'd path (the session carries GraftExtensions)
+    assert(spark.catalog.functionExists("graft_nearest_cell"),
+      "spec session must carry the native expression for this test")
+    val eNative = intercept[Exception] {
+      poisoned.select(IvfPq.cellOf(spark, cents, col("embedding"))).collect()
+    }
+    assert(eNative.getMessage.contains("null-element"),
+      s"native path: expected the null-element guard, got: ${eNative.getMessage}")
+    // composable HOF fallback (a session WITHOUT the native function)
+    // must fail identically — same trap, same loud message. newSession
+    // inherits the extensions (static conf), so drop the function from
+    // ITS registry only; the shared spec session keeps it.
+    val bare = spark.newSession()
+    bare.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nearest_cell"))
+    assert(!bare.catalog.functionExists("graft_nearest_cell"))
+    // the session-threading fix: resolution follows the OWNING session,
+    // never SparkSession.active — cellOf(bare, ...) must take the
+    // fallback even while the active session still carries the native
+    // expression
+    val eFallback = intercept[Exception] {
+      poisoned.select(IvfPq.cellOf(bare, cents, col("embedding"))).collect()
+    }
+    assert(eFallback.getMessage.contains("null-element"),
+      s"fallback path: expected the null-element guard, got: ${eFallback.getMessage}")
+    assert(spark.catalog.functionExists("graft_nearest_cell"))
+  }
+
+  test("filteredProbeN: manifest-derived widening — rarer filters widen, scale decays to base") {
+    val rk = ProductQuantizer.shortlistK // 480 floor
+    // reproduces EXACTLY the breadths the 2.5×-constant policy measured
+    // ≥8/10 recall at, for the fixture family's 1-in-10 label (the pins
+    // are therefore unchanged by the policy swap)
+    assert(IvfPq.filteredProbeN(23, 500L, 0.1, rk) === 15)
+    assert(IvfPq.filteredProbeN(45, 2000L, 0.1, rk) === 30)
+    assert(IvfPq.filteredProbeN(142, 20000L, 0.1, rk) === 90)
+    // a RARER filter widens the probe automatically (the verdict ask);
+    // the unfiltered policy stays the k/4 base fraction
+    assert(IvfPq.filteredProbeN(45, 2000L, 0.05, rk) >
+      IvfPq.filteredProbeN(45, 2000L, 0.1, rk))
+    assert(IvfPq.probeCount(45) === 12) // the unfiltered base, untouched
+    // a near-unselective filter floors at the base fraction
+    assert(IvfPq.filteredProbeN(45, 2000L, 1.0, rk) === 12)
+    // at corpus scale the candidate-count regime DECAYS the widening:
+    // the base fraction already carries enough filter survivors, so the
+    // probed share of the index SHRINKS as N grows (×100 tier: base)
+    assert(IvfPq.filteredProbeN(448, 200000L, 0.1, rk) ===
+      IvfPq.probeCount(448))
+    // 10^9 vectors, same 1-in-10 filter: still the base fraction
+    assert(IvfPq.filteredProbeN(31623, 1000000000L, 0.1, rk) ===
+      IvfPq.probeCount(31623))
+    // a super-rare filter on a tiny corpus honestly probes everything
+    // (≈12 survivors total — the filter, not the probe, is the search)
+    assert(IvfPq.filteredProbeN(23, 500L, 0.025, rk) === 23)
+  }
+
+  test("columnNdv reads the metadata column's domain from the manifest") {
+    val cat = freshCat()
+    IvfPq.buildIndex(spark, cat, "vec", "emb",
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), col("label")))
+    val files = cat.loadTable("vec", "emb_ivfpq_codes").filesAsOf(None)
+    // fixture labels span 0..9 — the per-file footer ranges union to
+    // exactly the dense integer domain
+    assert(IvfPq.columnNdv(files, "label") === 10.0)
+    // a column with no recorded stats yields 1.0 (no widening) rather
+    // than guessing
+    assert(IvfPq.columnNdv(files, "no_such_column") === 1.0)
+  }
+
+  test("adaptiveRerankK: floor when dispersed, proportional when clumped, capped") {
+    assert(IvfPq.adaptiveRerankK(480, 100L, 100.0) === 480)   // balanced
+    assert(IvfPq.adaptiveRerankK(480, 190L, 100.0) === 480)   // ≤2× noise
+    assert(IvfPq.adaptiveRerankK(480, 350L, 100.0) === 1920)  // 3.5× → ×4
+    assert(IvfPq.adaptiveRerankK(480, 5000L, 100.0) === 3840) // capped ×8
+  }
+
+  test("clumped probe auto-deepens the shortlist; dispersed stays at the floor") {
+    // the L64 drift shape in miniature: a dense near-identical clump
+    // routed into few cells — PQ cannot order near-ties, so a constant
+    // shortlist starves; the manifest's row counts expose the clump at
+    // plan time and the default search deepens the re-rank
+    val cat = freshCat()
+    val base = emb.select((col("vec_id") * lit(2L)).as("vec_id"),
+      col("embedding"))
+    // 3 deterministic scaled copies of each abs-vector: same cosine
+    // DIRECTION per source row (scaling never changes cosine), so the
+    // clump is ~3N near-identical-direction vectors in the positive
+    // orthant
+    val clump = (0 until 3).map { i =>
+      emb.select((col("vec_id") + lit(100000L * (i + 1))).as("vec_id"),
+        expr(s"transform(embedding, x -> abs(x) * ${1.0f + i * 1e-4f}f)")
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+    val all = base.unionByName(clump)
+    IvfPq.buildIndex(spark, cat, "vec", "emb", all)
+    val cents = IvfPq.loadCells(spark, cat, "vec", "emb")
+    // probe INSIDE the clump
+    val p = clump.orderBy("vec_id").head()
+    val (probeId, probeVec) = (p.getLong(0), p.getSeq[Float](1))
+    // the clump concentrates: probed cells carry far more rows than the
+    // balanced N/k expectation, so the adaptive policy must deepen
+    val probed = IvfPq.probeCells(cents, probeVec)
+    val files = cat.loadTable("vec", "emb_ivfpq_codes").filesAsOf(None)
+    val probedRows = files.filter(_.colRanges.flatMap(_.get("cell")).exists(
+      rg => probed.exists(c => rg.max >= c && rg.min <= c)))
+      .map(_.rowCount).sum
+    val expected = probed.size * files.map(_.rowCount).sum.toDouble / cents.size
+    assert(probedRows > 2.0 * expected,
+      s"fixture must clump: probed $probedRows vs balanced $expected")
+    assert(IvfPq.adaptiveRerankK(ProductQuantizer.shortlistK, probedRows,
+      expected) > ProductQuantizer.shortlistK)
+    // recall with the ADAPTIVE default vs the exact brute force
+    val dotc = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val probeLit = typedLit(probeVec)
+    val brute = all.filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), (dotc(col("embedding"), probeLit) /
+        (sqrt(dotc(col("embedding"), col("embedding"))) *
+         sqrt(dotc(probeLit, probeLit)))).as("cs"))
+      .orderBy(desc("cs"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val adaptive = IvfPq.search(spark, cat, "vec", "emb", all, probeId,
+      probeVec).collect().map(_.getLong(0))
+    assert(adaptive.count(brute) >= 8,
+      s"clumped-probe recall ${adaptive.count(brute)}/10 with the " +
+        "adaptive shortlist")
+    // DISPERSED corpora take the floor exactly: on the plain fixture
+    // index the adaptive default is byte-identical to an explicit
+    // floor-depth search
+    val cat2 = freshCat()
+    IvfPq.buildIndex(spark, cat2, "vec", "emb", emb)
+    val (pid2, pvec2) = ProductQuantizer.sampleRows(emb).head
+    val d1 = IvfPq.search(spark, cat2, "vec", "emb", emb, pid2, pvec2)
+      .collect().toSeq
+    val d2 = IvfPq.search(spark, cat2, "vec", "emb", emb, pid2, pvec2,
+      rerankK = ProductQuantizer.shortlistK).collect().toSeq
+    assert(d1 === d2, "dispersed corpus must keep the floor depth")
   }
 
   test("range-clustered layout: manifest stats prune files per probed cell") {

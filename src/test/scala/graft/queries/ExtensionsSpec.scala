@@ -494,6 +494,40 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q_vec_knn_filtered_multi: composite predicate is EXACT at fixture scale") {
+    import org.apache.spark.sql.functions.col
+    val got = run("q_vec_knn_filtered_multi").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val p = emb.orderBy("vec_id").select("vec_id", "embedding", "label").head()
+    val (pid, pvec, plabel) = (p.getLong(0), p.getSeq[Float](1), p.getInt(2))
+    // both conjuncts hold on every returned row
+    val meta = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (v, _) =>
+      assert(meta(v) === plabel && v % 4 == pid % 4 && v != pid)
+    }
+    // the compounded 1-in-40 filter leaves fewer survivors than the
+    // shortlist at fixture scale, so the result is the EXACT filtered
+    // top-k — byte-equal to the brute force, not just ≥8/10
+    def cos(v: Seq[Float]): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- v.indices) {
+        dt += v(i).toDouble * pvec(i); na += v(i).toDouble * v(i)
+        nb += pvec(i).toDouble * pvec(i)
+      }
+      dt / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = emb.filter(col("label") === plabel && col("vec_id") =!= pid &&
+        pmod(col("vec_id"), lit(4)) === (pid % 4))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(cos(r.getSeq[Float](1))).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (v, c) => (-c, v) }.take(10)
+    assert(got.toSeq === exact.toSeq)
+  }
+
   test("q_vec_knn_kmeans: trained quantizer returns 10 scored rows with real recall") {
     val rows = run("q_vec_knn_kmeans").collect()
     assert(rows.length === 10)

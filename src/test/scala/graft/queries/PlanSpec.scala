@@ -139,16 +139,16 @@ class PlanSpec extends SparkSpec {
       s"corpus-keyed exchange in the BM25 plan: $keyed")
   }
 
-  test("q_text_bm25_param: corpus never shuffles — df exchange is term-keyed, never doc-keyed") {
-    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+  test("q_text_bm25_param: corpus never shuffles — stats exchange is pos-keyed, never doc-keyed") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
     val p = plan("q_text_bm25_param")
     assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "global top-10 must be TakeOrderedAndProject, not sort+limit")
     // the parameterized form adds exactly one keyed exchange beyond the
-    // one-row stats reductions: the per-term document-frequency
-    // aggregate — keyed on the |query|-bounded TERM domain with
-    // map-side partials (shuffle rows ≤ partitions × |query|), never on
-    // doc_id (which would re-shuffle the corpus)
+    // one-row stats reduction: the single-pass statistics aggregate —
+    // keyed on the |query|-bounded POSITION domain with map-side
+    // partials (shuffle rows ≤ partitions × |query|), never on doc_id
+    // (which would re-shuffle the corpus)
     val keyed = keyedShuffles("q_text_bm25_param")
     val hashKeys = keyed.collect {
       case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
@@ -158,9 +158,18 @@ class PlanSpec extends SparkSpec {
       s"doc-keyed (corpus-sized) exchange in the param-BM25 plan: $hashKeys")
     assert(keyed.forall {
       case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
-        h.expressions.map(_.sql.toLowerCase).mkString(",").contains("term")
+        h.expressions.map(_.sql.toLowerCase).mkString(",").contains("pos")
       case other => other.numPartitions == 1
     }, s"unexpected keyed exchange: $keyed")
+    // the round-12 verdict's 3-scan note: ALL statistics (N, Σlen,
+    // per-term df) now come from ONE pass over perdoc, so the corpus is
+    // scanned at most TWICE (stats + scoring) — counted via the scans'
+    // inputFiles, never the truncation-prone rendered Location line
+    val corpusScans = p.collect { case f: FileSourceScanExec => f }
+      .count(_.relation.location.inputFiles
+        .exists(_.contains("documents.parquet")))
+    assert(corpusScans <= 2,
+      s"param-BM25 re-scans the corpus $corpusScans times (expected ≤ 2)")
   }
 
   test("dedup pipeline: band edges are an equi-join, never cartesian") {
@@ -509,6 +518,19 @@ class PlanSpec extends SparkSpec {
     assert(!planHasExpr(shortlist)(
       _.isInstanceOf[graft.functions.DotProductF]),
       "no exact dot product below the shortlist — LUT lookups only")
+    // (round-13) the probe is PRUNED — the declared equality-tombstone
+    // row exercises the deployment plan: the policy-fraction kept files
+    // are a strict subset of the codes table's files (tombstone aux
+    // files live elsewhere; filter to the build dir)
+    val codeFiles = scans.flatMap(_.relation.location.inputFiles)
+      .filter(_.contains("/data/ivfpq-")).distinct
+    assert(codeFiles.nonEmpty)
+    val dataDir = new java.io.File(
+      codeFiles.head.replace("file:", "")).getParentFile
+    val total = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(codeFiles.length < total,
+      s"deleted-eq probe listed ${codeFiles.length} files of $total — " +
+        "no file was skipped")
   }
 
   test("IVF+PQ ANN: probe reads manifest-pruned _ivfpq_codes files only; constant shortlist; broadcast re-rank") {
@@ -550,6 +572,37 @@ class PlanSpec extends SparkSpec {
       "no exact dot product below the shortlist — LUT lookups only")
     assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
       "re-rank must be a broadcast id-join of the constant shortlist")
+  }
+
+  test("composite-filter ANN: both conjuncts pre-apply on the codes scan — no join back to the corpus") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
+    val p = plan("q_vec_knn_filtered_multi")
+    val topks = p.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(topks.map(_.limit).toSet ===
+      Set(10, graft.operators.ProductQuantizer.shortlistK))
+    val shortlist = topks
+      .find(_.limit == graft.operators.ProductQuantizer.shortlistK).get
+    // the metadata conjunction lives IN the index — the shortlist
+    // subtree reads only the codes table, never the embeddings parquet
+    // (a join back to the corpus for the second column would re-shuffle
+    // the corpus at 100 TB)
+    val scans = shortlist.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.inputFiles.forall(
+        _.contains("emb_ivfpq_codes"))),
+      "composite filtering must read the committed codes only — read:\n" +
+        scans.flatMap(_.relation.location.inputFiles).mkString("\n"))
+    // both predicate columns appear below the shortlist (pre-filter,
+    // not post-filter: post-filtering a top-k can starve it below k)
+    val filterRefs = shortlist.collect {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.references.map(_.name).toSet
+    }.fold(Set.empty[String])(_ ++ _)
+    assert(Set("label", "tier").subsetOf(filterRefs),
+      s"both conjuncts must pre-apply below the shortlist, saw $filterRefs")
+    assert(!planHasExpr(shortlist)(
+      _.isInstanceOf[graft.functions.DotProductF]),
+      "no exact dot product below the shortlist — LUT lookups only")
   }
 
   test("document chunking is map-only: explode + slice, no keyed exchange") {

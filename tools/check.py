@@ -32,16 +32,18 @@ def norm(v):
             return "NaN"
         if v == 0.0:
             return "0.0"  # -0.0 == 0.0 (IEEE); repr would split them
-        # Large magnitudes (>1e6 — the sf1 aggregate range) compare at 12
-        # significant digits: absolute rounding alone flags last-ulp noise
-        # there (a 3.4e9 SUM at sf1 differs in the 2nd decimal purely from
-        # double fold order — 3e-12 relative), while 12 sig figs stays far
-        # stricter than the ~4e-10 relative error a million-row double sum
-        # can legitimately accumulate. Ordinary-scale values keep the
-        # strict 9-decimal comparison — applying the sig-fig loosening to
-        # every float would blind the gate to genuine sub-1e-12-relative
-        # divergence on small values it previously compared exactly.
-        if abs(v) > 1e6:
+        # Large magnitudes compare at 12 significant digits: absolute
+        # rounding alone flags last-ulp noise there (a 3.4e9 SUM at sf1
+        # differs in the 2nd decimal purely from double fold order —
+        # 3e-12 relative), while 12 sig figs stays far stricter than the
+        # ~4e-10 relative error a million-row double sum can legitimately
+        # accumulate. The cutoff is abs(v) > 1e3 — EXACTLY where 12 sig
+        # figs becomes the coarser (more tolerant) of the two rules: at
+        # 1e3 they coincide (1e-9 absolute), above it 9-decimal rounding
+        # would flag legitimate fold-order noise on ~1e5-scale double
+        # sums (the round-12 advice note). Below 1e3 the strict 9-decimal
+        # comparison is the tolerant one anyway, so nothing is lost.
+        if abs(v) > 1e3:
             return repr(float(f"{round(v, 9):.12g}"))
         return repr(round(v, 9))
     return repr(v)

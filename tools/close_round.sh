@@ -9,6 +9,10 @@
 # Usage: tools/close_round.sh "<round-close commit message>"
 set -euo pipefail
 cd /root/repo
+# self-heal the pre-commit leak-scan hook (round-12 verdict item 5): every
+# source-touching commit — including any "post-close" fix — re-runs the
+# scan on its own tree, so the stamp can never lag the code again
+tools/install_hooks.sh
 msg="${1:-round close}"
 if ! git diff --quiet || ! git diff --cached --quiet || \
    [ -n "$(git status --porcelain)" ]; then
