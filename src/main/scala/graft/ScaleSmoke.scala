@@ -79,8 +79,13 @@ object ScaleSmoke {
       sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val scaledDir = Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target"))
       .resolve(s"scale${mult}x_$srcTag")
+    // the document-tier corpora (scaled docs + the streaming screen)
+    // only build/run when the run targets them — a vectors-only ×1000
+    // run must not pay a 500k-doc corpus build it never reads
+    val docTier = sys.env.get("SPARK_GRAFT_ONLY")
+      .forall(o => !Set("vectors", "relational", "events")(o))
     val scaledDocs = scaledDir.resolve("documents.parquet")
-    if (!Files.exists(scaledDocs)) {
+    if (docTier && !Files.exists(scaledDocs)) {
       val docs = Tables.documents(spark, sfDir)
       val span = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       (0 until mult)
@@ -134,10 +139,20 @@ object ScaleSmoke {
       if (!Files.exists(scaledEm)) {
         val em = Tables.embeddings(spark, sfDir)
         val span = em.agg(max(col("vec_id"))).head().getLong(0) + 1
-        (0 until mult)
-          .map(i => em.withColumn("vec_id", col("vec_id") + lit(i * span)))
-          .reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(scaledEm.toString)
+        if (mult <= 50)
+          (0 until mult)
+            .map(i => em.withColumn("vec_id", col("vec_id") + lit(i * span)))
+            .reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(scaledEm.toString)
+        else
+          // the ×1000 tier: a 1000-branch union plan costs minutes of
+          // analysis alone — the replica index as a crossJoin range
+          // produces the IDENTICAL row set (vec_id + i×span per replica,
+          // replica 0 = original ids) in one scan
+          em.crossJoin(spark.range(0, mult).toDF("rep"))
+            .withColumn("vec_id", col("vec_id") + col("rep") * lit(span))
+            .drop("rep")
+            .write.mode("overwrite").parquet(scaledEm.toString)
       }
     }
     if (targets.contains("q_hybrid_rrf")) buildScaledEmbeddings()
@@ -176,8 +191,9 @@ object ScaleSmoke {
     }
 
     // warm up the JVM on the base corpus before any timed run
-    SparkEntry.queries(allTargets.head)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    if (docTier)
+      SparkEntry.queries(allTargets.head)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
 
     // st_neardup_screen: the streaming ingester's PER-BATCH cost as the
     // committed index grows ×MULT with the batch held FIXED — the L40
@@ -188,7 +204,7 @@ object ScaleSmoke {
     // (At 100 TB the sigs table is additionally bucketed on band — the
     // L31 layout — making the candidate join co-located; unbucketed here,
     // so the ratio bounds the WORST case of re-scanning the index.)
-    {
+    if (docTier) {
       import graft.queries.Extensions.{docTokenSets, docBandRows}
       val isBatch = col("doc_id") % 97 === 0
       val baseDocs = Tables.documents(spark, sfDir)
@@ -392,8 +408,14 @@ object ScaleSmoke {
       // SPARK_GRAFT_VECTOR_QUERIES: optional comma-separated subset —
       // lets a ×100 run target just the index family without paying the
       // all-pairs/maintenance queries at 200k vectors
+      // round 13: the manifest-derived filtered searches — searchEq's
+      //   probe breadth must DECAY toward the base fraction as the
+      //   corpus grows (the candidate-count regime), so the filtered
+      //   ratios track the unfiltered probe, not the old constant 2.5×
       val vecQueries = Seq("q_vec_knn", "q_vec_knn_pq", "q_vec_knn_pq_indexed",
         "q_vec_knn_ivfpq", "q_vec_knn_deleted", "q_vec_knn_deleted_eq",
+        "q_vec_knn_filtered", "q_vec_knn_filtered_deleted",
+        "q_vec_knn_filtered_multi",
         "etl_vec_index_compact", "etl_vec_index_rebuild",
         "q_dedup_semantic_cells", "q_vec_knn_join_cells",
         "q_vec_centroid", "q_embed_neardup_cells", "q_embed_neardup_lsh")
@@ -405,6 +427,31 @@ object ScaleSmoke {
         println(f"""{"query":"$q","mult":$mult,"base_sec":$tb%.2f,""" +
           f""""scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f,""" +
           f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f}""")
+      }
+      // probed-FILE-fraction report for the committed index at both
+      // tiers: the file-level pruning evidence next to the wall ratios
+      // (kept files / bytes of the policy probe vs the table's total) —
+      // reads the same memoized index the timed queries probed
+      def probeReport(dir: String, tag: String): Unit = {
+        import graft.operators.{IvfPq, ProductQuantizer}
+        val cat = graft.queries.Extensions.ivfPqIndexCatalog(spark, dir)
+        val cents = IvfPq.loadCells(spark, cat, "vec", "emb")
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        val (_, pvec) = ProductQuantizer.sampleRows(emb).head
+        val probed = IvfPq.probeCells(cents, pvec)
+        val files = cat.loadTable("vec", "emb_ivfpq_codes").filesAsOf(None)
+        val kept = files.filter(_.colRanges.flatMap(_.get("cell")).forall(rg =>
+          probed.exists(c => rg.max >= c && rg.min <= c)))
+        println(f"""{"query":"ivfpq_probe_files","tier":"$tag",""" +
+          f""""cells":${cents.size},"probed_cells":${probed.size},""" +
+          f""""kept_files":${kept.size},"total_files":${files.size},""" +
+          f""""kept_mb":${kept.map(_.sizeBytes).sum / 1e6}%.2f,""" +
+          f""""total_mb":${files.map(_.sizeBytes).sum / 1e6}%.2f}""")
+      }
+      if (vecOnly.forall(_.contains("q_vec_knn_ivfpq"))) {
+        probeReport(sfDir, "base")
+        probeReport(scaledDir.toString, "scaled")
       }
     }
     spark.stop()

@@ -6,10 +6,13 @@ import graft.Tables
 import graft.Tables.QFn
 
 /** Multimodal column plumbing (builder mandate): image/audio/video travel
-  * as opaque `binary` columns with typed metadata structs. The decode step
-  * is a clearly-marked deterministic STUB (no media libs in this
-  * container); everything Spark-side — schema, batch iteration shape,
-  * partition-parallel decode, metadata struct — is real.
+  * as opaque `binary` columns with typed metadata structs. IMAGES decode
+  * for REAL — javax.imageio ships in the JDK, so [[qMultimodalDecode]]
+  * runs an actual PNG header parse through the partition pipeline; the
+  * audio/video-shaped rows keep the clearly-marked deterministic STUB
+  * (those codecs genuinely aren't in this container). Everything
+  * Spark-side — schema, batch iteration shape, partition-parallel decode,
+  * metadata struct — is real in both paths.
   *
   * In PySpark this is `mapInPandas` over Arrow batches; the JVM-native
   * analog used here is `mapPartitions` over a typed Dataset: one decoder
@@ -77,6 +80,74 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** A REAL decode's output: what the byte stream itself says. No
+    * n_bytes column — the PNG encoder's exact byte count is an
+    * implementation detail of the codec, not a property the oracle can
+    * state; width/height/format ARE. */
+  case class DecodedMeta(doc_id: Long, width: Int, height: Int, codec: String)
+
+  /** REAL image decode: ImageIO header parse — reader discovery by byte
+    * signature, then width/height/format from the stream WITHOUT a full
+    * pixel decode (the production header-sniff shape: corpus triage
+    * reads dimensions from millions of images without rasterizing
+    * them). Fails loudly when no installed codec claims the bytes —
+    * silently stubbing would report fake dimensions as real. */
+  def decodeImage(a: RawAsset): DecodedMeta = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(a.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"no installed codec claims doc ${a.doc_id}'s payload")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        DecodedMeta(a.doc_id, r.getWidth(0), r.getHeight(0),
+          r.getFormatName.toLowerCase)
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** q_multimodal_decode: the REAL decode path end to end — each doc_id
+    * deterministically renders a tiny RGB image (width = id%13+1,
+    * height = id%7+1), encodes it to actual PNG bytes (javax.imageio,
+    * in-JDK), and the second partition-local stage decodes those bytes
+    * back with [[decodeImage]]. The oracle states the invariant that
+    * makes a real decoder oracle-checkable: DECODED dimensions equal
+    * ENCODED ones, a pure function of doc_id — while the payload bytes
+    * themselves stay an internal codec detail (never compared, so the
+    * query is robust to PNG-encoder variation). Both stages ride ONE
+    * partition-local pipeline: no shuffle between encode and decode,
+    * the property that matters when each stage holds a codec instance
+    * at 100 TB. */
+  def qMultimodalDecode: QFn = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // per-partition encoder init would go here (codec tables)
+        it.map { id =>
+          val w = (id % 13 + 1).toInt
+          val h = (id % 7 + 1).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { // deterministic pixel fill
+              img.setRGB(x, y, ((id + x * 31 + y * 17) % 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          RawAsset(id, bos.toByteArray)
+        }
+      }
+      .mapPartitions(_.map(decodeImage))
+      .toDF().orderBy("doc_id")
+  }
+
   /** One sampled frame of a video-ish asset. */
   case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Int)
 
@@ -97,6 +168,7 @@ object Multimodal {
     "q_multimodal_meta"   -> qMultimodalMeta,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
+    "q_multimodal_decode" -> qMultimodalDecode,
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,5 +200,13 @@ object Multimodal {
         |       CAST(f.i * 40 AS INTEGER) AS ts_ms
         |FROM m, LATERAL unnest(range(0, n_frames)) AS f(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the REAL decode's oracle: decoded dims == encoded dims, a pure
+    // function of doc_id; the PNG bytes in between are codec-internal
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+        |       CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+        |       'png' AS codec
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

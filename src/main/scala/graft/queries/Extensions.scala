@@ -1762,6 +1762,13 @@ object Extensions {
       c
     })
 
+  /** The memoized committed-index catalog for `d` — exposed for the
+    * scale smoke's probed-file-fraction report (ScaleSmoke reads the
+    * SAME index the timed queries probed; building a second one would
+    * double the ×MULT encode cost and could drift). */
+  private[graft] def ivfPqIndexCatalog(s: SparkSession, d: String)
+      : graft.catalog.GraftCatalog = ivfPqIndexFor(s, d)
+
   private def qVecKnnIvfPq: QFn = (s, d) => {
     import graft.operators.{IvfPq, ProductQuantizer}
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))

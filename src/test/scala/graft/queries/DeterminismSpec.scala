@@ -52,7 +52,11 @@ class DeterminismSpec extends SparkSpec {
     // integer-checksum fingerprint over a windowed join)
     "etl_vec_index_rebuild", "q_vec_knn_deleted_eq", "q_text_bm25_param",
     "q_dedup_semantic_cells", "q_vec_knn_join_cells",
-    "q_vec_knn_filtered_deleted")
+    "q_vec_knn_filtered_deleted",
+    // round 13: the composite-filter search (manifest-derived probe
+    // breadth + two-column pre-filter) — its real-SQL oracle rests on
+    // the probed result being layout-blind like its siblings
+    "q_vec_knn_filtered_multi")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()
