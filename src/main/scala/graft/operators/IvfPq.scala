@@ -567,27 +567,58 @@ object IvfPq {
       cents, probeN, rerankK)
   }
 
-  /** [[search]] with STRUCTURED equality predicates — the deployment
-    * entry for filtered ANN: `eqFilters` are (column = value) conjuncts
-    * over metadata columns riding the codes table, and the probe
-    * breadth derives from the MANIFEST ([[filteredProbeN]]: selectivity
-    * = Π 1/ndv from per-file column ranges, occupancy from file row
-    * counts) instead of a caller-supplied widen constant. The filter
-    * still PRE-applies on the pruned codes scan, before the shortlist. */
+  /** Manifest-estimated selectivity of a closed range [lo, hi] on an
+    * integer-domain column: overlap of the requested interval with the
+    * column's recorded [min, max] domain, floored at one value (an
+    * equality-narrow range still estimates 1/domain, never 0 — a zero
+    * would demand an infinite probe). 1.0 (no widening) without stats,
+    * like [[columnNdv]]. */
+  def rangeSelectivity(files: Seq[DataFileMeta], column: String,
+                       lo: Double, hi: Double): Double = {
+    val rs = files.flatMap(_.colRanges.toSeq.flatMap(_.get(column)))
+    if (rs.isEmpty) 1.0
+    else {
+      val dmin = rs.map(_.min).min
+      val dmax = rs.map(_.max).max
+      val dom = math.max(1.0, dmax - dmin + 1)
+      val overlap = math.min(hi, dmax) - math.max(lo, dmin) + 1
+      math.min(1.0, math.max(1.0 / dom, overlap / dom))
+    }
+  }
+
+  /** [[search]] with STRUCTURED predicates — the deployment entry for
+    * filtered ANN: `eqFilters` are (column = value) conjuncts and
+    * `rangeFilters` are (column, lo, hi) closed-interval conjuncts
+    * (the licence-tier AND date-range shape real curation filters
+    * take) over metadata columns riding the codes table. Probe breadth
+    * derives from the MANIFEST ([[filteredProbeN]]: selectivity =
+    * Π 1/ndv over equalities × Π overlap-fraction over ranges from
+    * per-file column stats, occupancy from file row counts) instead of
+    * a caller-supplied widen constant. The whole conjunction still
+    * PRE-applies on the pruned codes scan, before the shortlist. */
   def searchEq(s: SparkSession, cat: GraftCatalog, ns: String, table: String,
                emb: DataFrame, probeId: Long, probeVec: Seq[Float],
-               eqFilters: Seq[(String, Any)], k: Int = 10,
-               rerankK: Int = -1): DataFrame = {
-    require(eqFilters.nonEmpty, "searchEq needs at least one equality " +
-      "conjunct; use search() for unfiltered probes")
+               eqFilters: Seq[(String, Any)],
+               rangeFilters: Seq[(String, Double, Double)] = Nil,
+               k: Int = 10, rerankK: Int = -1): DataFrame = {
+    require(eqFilters.nonEmpty || rangeFilters.nonEmpty,
+      "searchEq needs at least one conjunct; use search() for " +
+        "unfiltered probes")
     val cents = loadCells(s, cat, ns, table)
     val files = cat.loadTable(ns, s"${table}_ivfpq_codes").filesAsOf(None)
     val nRows = files.map(_.rowCount).sum
-    val sel = eqFilters.map { case (c, _) => 1.0 / columnNdv(files, c) }.product
+    val sel = eqFilters.map { case (c, _) => 1.0 / columnNdv(files, c) }
+      .product *
+      rangeFilters.map { case (c, lo, hi) =>
+        rangeSelectivity(files, c, lo, hi)
+      }.product
     val floor = if (rerankK > 0) rerankK else ProductQuantizer.shortlistK
     val probeN = filteredProbeN(cents.size, nRows, sel, floor)
-    val metaFilter = eqFilters.map { case (c, v) => col(c) === lit(v) }
-      .reduce(_ && _)
+    val metaFilter =
+      (eqFilters.map { case (c, v) => col(c) === lit(v) } ++
+        rangeFilters.map { case (c, lo, hi) =>
+          col(c) >= lit(lo) && col(c) <= lit(hi)
+        }).reduce(_ && _)
     searchProbed(s, cat, ns, table, emb, probeId, probeVec, k,
       Some(metaFilter), cents, probeN, rerankK)
   }

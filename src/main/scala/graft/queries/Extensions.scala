@@ -1815,23 +1815,27 @@ object Extensions {
 
   /** q_vec_knn_filtered_multi (L70): filtered ANN under a COMPOSITE
     * predicate — real deployments rarely filter on one column (language
-    * AND licence tier AND source is the norm). Both metadata columns
-    * ride the codes table, the conjunction PRE-applies on the same
-    * manifest-pruned 8-byte scan (never a join back to the corpus —
-    * PlanSpec pins it), and the probe breadth compounds the per-column
-    * selectivities from the manifest ([[graft.operators.IvfPq
-    * .searchEq]]: sel = 1/ndv(label) × 1/ndv(tier) = 1/40). At fixture
-    * scale the compounded policy honestly probes EVERY cell — a 1-in-40
-    * filter leaves ~N/40 survivors (≈12 at sf0.01), far fewer than the
-    * re-rank shortlist, so all of them enter it and the result is the
-    * EXACT filtered top-k: the oracle is the real brute-force DuckDB
-    * replay with both predicates, not an observed pin. At corpus scale
+    * AND licence tier AND date range is the norm). Two equality columns
+    * plus a RANGE conjunct (vec_id ≤ ⌊max/2⌋ — ids are
+    * ingest-monotonic, so this is the "first half of the corpus by
+    * arrival" date-range stand-in) all ride the codes table; the whole
+    * conjunction PRE-applies on the same manifest-pruned 8-byte scan
+    * (never a join back to the corpus — PlanSpec pins it), and the
+    * probe breadth compounds the per-conjunct selectivities from the
+    * manifest ([[graft.operators.IvfPq.searchEq]]: sel = 1/ndv(label)
+    * × 1/ndv(tier) × range-overlap(vec_id) ≈ 1/80). At fixture scale
+    * the compounded policy honestly probes EVERY cell — a 1-in-80
+    * filter leaves ~N/80 survivors, far fewer than the re-rank
+    * shortlist, so all of them enter it and the result is the EXACT
+    * filtered top-k: the oracle is the real brute-force DuckDB replay
+    * with all three predicates, not an observed pin. At corpus scale
     * the candidate-count regime takes over and the probe shrinks back
     * toward the base fraction (the [[graft.operators.IvfPq
-    * .filteredProbeN]] decay, spec-pinned); the exactness then relaxes
-    * to the family's ≥8/10 recall floor like every other probed search.
-    * Output drops the index-internal `cell` column so the SQL oracle
-    * can express the result. */
+    * .filteredProbeN]] decay, spec-pinned; measured at ×1000: probeN =
+    * base); the exactness then relaxes to the family's ≥8/10 recall
+    * floor like every other probed search. Output drops the
+    * index-internal `cell` column so the SQL oracle can express the
+    * result. */
   private def qVecKnnFilteredMulti: QFn = (s, d) => {
     import graft.operators.IvfPq
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -1839,8 +1843,11 @@ object Extensions {
     val p = Tables.embeddings(s, d).orderBy("vec_id")
       .select("vec_id", "embedding", "label").head()
     val (pid, pvec, plabel) = (p.getLong(0), p.getSeq[Float](1), p.getInt(2))
+    val maxId = Tables.embeddings(s, d).agg(max(col("vec_id")))
+      .head().getLong(0)
     IvfPq.searchEq(s, cat, "vec", "emb", emb, pid, pvec,
-      eqFilters = Seq("label" -> plabel, "tier" -> (pid % 4).toInt))
+      eqFilters = Seq("label" -> plabel, "tier" -> (pid % 4).toInt),
+      rangeFilters = Seq(("vec_id", 0.0, (maxId / 2).toDouble)))
       .select("vec_id", "cos_sim")
   }
 
@@ -3119,7 +3126,14 @@ object Extensions {
     "sf0.1" -> Seq((1204L, 1L, 0.4065), (1020L, 1L, 0.376),
       (510L, 1L, 0.3445), (144L, 1L, 0.3243), (1978L, 1L, 0.3192),
       (142L, 24L, 0.3113), (794L, 1L, 0.3108), (1841L, 33L, 0.3099),
-      (633L, 42L, 0.3096), (1186L, 1L, 0.3073)))
+      (633L, 42L, 0.3096), (1186L, 1L, 0.3073)),
+    // round-13 sf1 pin (k=142, nProbe=36): 6921 (≡5 mod 13 — the
+    // pruned top-10's #6) drops, 6415 backfills; verified
+    // byte-identical across local[7]/local[32] before pinning
+    "sf1" -> Seq((15473L, 1L, 0.5384), (7991L, 1L, 0.5083),
+      (6992L, 121L, 0.4744), (8913L, 1L, 0.4648), (13380L, 1L, 0.453),
+      (11061L, 1L, 0.4369), (15675L, 81L, 0.4346), (17331L, 1L, 0.4249),
+      (11336L, 1L, 0.4232), (6415L, 1L, 0.4136)))
 
   /** The brute-force exact top-10 in DuckDB — shared by q_vec_knn and
     * (since both re-rank exactly with full fixture recall) the two PQ
@@ -4142,15 +4156,17 @@ object Extensions {
     // recall vs this same brute-force-minus-deleted SQL is gated in
     // VectorMaintenanceSpec instead
     // composite-filter ANN (L70): at fixture scale the compounded
-    // 1-in-40 selectivity probes every cell and the ~N/40 survivors all
-    // fit the shortlist, so the result is EXACT — the real brute-force
-    // replay with both predicates oracles it (see qVecKnnFilteredMulti)
+    // ~1-in-80 selectivity probes every cell and the ~N/80 survivors
+    // all fit the shortlist, so the result is EXACT — the real
+    // brute-force replay with all three predicates (two equalities +
+    // the vec_id range) oracles it (see qVecKnnFilteredMulti)
     "q_vec_knn_filtered_multi" ->
       """WITH p AS (SELECT embedding AS pe, vec_id AS pid, label AS plabel
         |           FROM embeddings ORDER BY vec_id LIMIT 1),
         |f AS (SELECT e.vec_id, e.embedding, p.pe
         |      FROM embeddings e, p
         |      WHERE e.label = p.plabel AND e.vec_id % 4 = p.pid % 4
+        |        AND e.vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)
         |        AND e.vec_id <> p.pid),
         |z AS (SELECT vec_id, unnest(embedding) AS e, unnest(pe) AS q
         |      FROM f),

@@ -153,6 +153,25 @@ class IvfPqSpec extends SparkSpec {
     assert(IvfPq.filteredProbeN(23, 500L, 0.025, rk) === 23)
   }
 
+  test("rangeSelectivity: manifest-estimated interval overlap, floored at one value") {
+    val cat = freshCat()
+    IvfPq.buildIndex(spark, cat, "vec", "emb",
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), col("label")))
+    val files = cat.loadTable("vec", "emb_ivfpq_codes").filesAsOf(None)
+    // label domain 0..9: the lower half is selectivity 0.5, a single
+    // value floors at 1/domain, an interval covering everything is 1.0
+    assert(IvfPq.rangeSelectivity(files, "label", 0, 4) === 0.5)
+    assert(IvfPq.rangeSelectivity(files, "label", 3, 3) === 0.1)
+    assert(IvfPq.rangeSelectivity(files, "label", -100, 100) === 1.0)
+    // no stats → 1.0 (no widening), like columnNdv
+    assert(IvfPq.rangeSelectivity(files, "no_such_column", 0, 1) === 1.0)
+    // a range conjunct compounds into the probe policy exactly like an
+    // equality of the same selectivity
+    assert(IvfPq.filteredProbeN(45, 2000L, 0.1 * 0.5, 480) >
+      IvfPq.filteredProbeN(45, 2000L, 0.1, 480))
+  }
+
   test("columnNdv reads the metadata column's domain from the manifest") {
     val cat = freshCat()
     IvfPq.buildIndex(spark, cat, "vec", "emb",

@@ -501,13 +501,15 @@ class ExtensionsSpec extends SparkSpec {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val p = emb.orderBy("vec_id").select("vec_id", "embedding", "label").head()
     val (pid, pvec, plabel) = (p.getLong(0), p.getSeq[Float](1), p.getInt(2))
-    // both conjuncts hold on every returned row
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    // all three conjuncts hold on every returned row
     val meta = emb.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     got.foreach { case (v, _) =>
-      assert(meta(v) === plabel && v % 4 == pid % 4 && v != pid)
+      assert(meta(v) === plabel && v % 4 == pid % 4 &&
+        v <= maxId / 2 && v != pid)
     }
-    // the compounded 1-in-40 filter leaves fewer survivors than the
+    // the compounded ~1-in-80 filter leaves fewer survivors than the
     // shortlist at fixture scale, so the result is the EXACT filtered
     // top-k — byte-equal to the brute force, not just ≥8/10
     def cos(v: Seq[Float]): Double = {
@@ -519,7 +521,8 @@ class ExtensionsSpec extends SparkSpec {
       dt / (math.sqrt(na) * math.sqrt(nb))
     }
     val exact = emb.filter(col("label") === plabel && col("vec_id") =!= pid &&
-        pmod(col("vec_id"), lit(4)) === (pid % 4))
+        pmod(col("vec_id"), lit(4)) === (pid % 4) &&
+        col("vec_id") <= maxId / 2)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0),
         BigDecimal(cos(r.getSeq[Float](1))).setScale(4,

@@ -592,14 +592,15 @@ class PlanSpec extends SparkSpec {
         _.contains("emb_ivfpq_codes"))),
       "composite filtering must read the committed codes only — read:\n" +
         scans.flatMap(_.relation.location.inputFiles).mkString("\n"))
-    // both predicate columns appear below the shortlist (pre-filter,
-    // not post-filter: post-filtering a top-k can starve it below k)
+    // all three predicate columns appear below the shortlist
+    // (pre-filter, not post-filter: post-filtering a top-k can starve
+    // it below k) — the range conjunct rides vec_id
     val filterRefs = shortlist.collect {
       case f: org.apache.spark.sql.execution.FilterExec =>
         f.condition.references.map(_.name).toSet
     }.fold(Set.empty[String])(_ ++ _)
-    assert(Set("label", "tier").subsetOf(filterRefs),
-      s"both conjuncts must pre-apply below the shortlist, saw $filterRefs")
+    assert(Set("label", "tier", "vec_id").subsetOf(filterRefs),
+      s"all conjuncts must pre-apply below the shortlist, saw $filterRefs")
     assert(!planHasExpr(shortlist)(
       _.isInstanceOf[graft.functions.DotProductF]),
       "no exact dot product below the shortlist — LUT lookups only")
