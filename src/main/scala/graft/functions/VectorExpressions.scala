@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -149,6 +151,12 @@ case class NearestCellF(left: Expression, right: Expression)
       "zero-norm embedding cannot be cell-assigned (vec_id row " +
         "would become unsearchable); drop or re-embed it first")
     val sq = math.sqrt(qn)
+    // hoist the row's vector to a primitive array ONCE — the inner loop
+    // reads it k times, and k×dim virtual ArrayData.getFloat calls
+    // dominate the encode scan once the lambda tax is gone
+    val vf = new Array[Float](dim)
+    p = 0
+    while (p < dim) { vf(p) = v.getFloat(p); p += 1 }
     var bestD = Double.MaxValue
     var best = 0
     var j = 0
@@ -158,7 +166,7 @@ case class NearestCellF(left: Expression, right: Expression)
         s"embedding dim $dim != centroid dim ${c.length}")
       var dt = 0.0
       p = 0
-      while (p < dim) { dt += v.getFloat(p).toDouble * c(p); p += 1 }
+      while (p < dim) { dt += vf(p).toDouble * c(p); p += 1 }
       val d = 1.0 - dt / (sq * centNorms(j))
       if (d < bestD) { bestD = d; best = j }
       j += 1
@@ -177,6 +185,286 @@ case class NearestCellF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native per-row probe-cell ranking over `array<float>` against a
+  * CONSTANT k×dim centroid table: the top-`n` cell ids by (cosine DESC,
+  * cell ASC) — the batch-retrieval hot loop ([[graft.operators.IvfPq
+  * .augmentTop1]]'s per-row analog of the driver-side `probeCells`).
+  *
+  * The composable form — `zip_with` the centroid literal into sim
+  * structs, `array_sort` with a comparator lambda, `slice` +
+  * `transform` — evaluates k×dim lambda closures per ROW in the
+  * interpreter (higher-order functions never enter whole-stage
+  * codegen): at the √N-sized k this is the SAME interpreted tax
+  * [[NearestCellF]] eliminated for the encode scan, paid here per
+  * augmentation-batch row. This expression caches the centroid table
+  * and its norms as primitive arrays and ranks each row in a tight
+  * double loop plus one k-element index sort.
+  *
+  * Ordering is IDENTICAL to the composable comparator: sims accumulate
+  * left-to-right in double precision, `Double.compare` descending (an
+  * all-NaN row — only possible as a whole, since every cell shares the
+  * row's embedding — degrades to cell-ascending order exactly like the
+  * comparator's all-ties case), ties on the 1-based cell id ascending.
+  * Null-element and zero-norm embeddings fail loudly like
+  * [[NearestCellF]] — a batch row that silently probed arbitrary cells
+  * would silently get wrong neighbors. */
+case class ProbeCellsF(cents: Expression, emb: Expression, n: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(cents, emb, n)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (cents.dataType, emb.dataType, n.dataType) match {
+      case (ArrayType(ArrayType(FloatType, _), _), ArrayType(FloatType, _),
+            IntegerType) if cents.foldable && n.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, e, i) => TypeCheckResult.TypeCheckFailure(
+        "graft_probe_cells requires (foldable array<array<float>>, " +
+          s"array<float>, foldable int), got ${c.sql}, ${e.sql}, ${i.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = emb.nullable
+  override def prettyName: String = "graft_probe_cells"
+
+  @transient private lazy val centArrays: Array[Array[Float]] = {
+    val ad = cents.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(j => ad.getArray(j).toFloatArray())
+  }
+  @transient private lazy val centNorms: Array[Double] =
+    centArrays.map { c =>
+      var acc = 0.0; var p = 0
+      while (p < c.length) { val x = c(p).toDouble; acc += x * x; p += 1 }
+      math.sqrt(acc)
+    }
+  @transient private lazy val nProbe: Int = {
+    val v = n.eval(null).asInstanceOf[Int]
+    require(v > 0, s"graft_probe_cells needs a positive probe count, got $v")
+    math.min(v, centArrays.length)
+  }
+
+  def evalVec(v: ArrayData): ArrayData = {
+    val dim = v.numElements()
+    var qn = 0.0
+    var p = 0
+    while (p < dim) {
+      if (v.isNullAt(p)) throw new IllegalArgumentException(
+        "null-element embedding cannot be cell-ranked (batch row would " +
+          "silently probe arbitrary cells); drop or re-embed it first")
+      val x = v.getFloat(p).toDouble; qn += x * x; p += 1
+    }
+    if (qn == 0.0) throw new IllegalArgumentException(
+      "zero-norm embedding cannot be cell-ranked (batch row would " +
+        "silently probe arbitrary cells); drop or re-embed it first")
+    val sq = math.sqrt(qn)
+    val k = centArrays.length
+    // hoist the row's vector to a primitive array ONCE — the inner loop
+    // below reads it k times, and k×dim virtual ArrayData.getFloat
+    // calls are the dominant cost after the lambda tax is gone
+    val vf = new Array[Float](dim)
+    p = 0
+    while (p < dim) { vf(p) = v.getFloat(p); p += 1 }
+    val sims = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = centArrays(j)
+      require(c.length == dim,
+        s"embedding dim $dim != centroid dim ${c.length}")
+      var dt = 0.0
+      p = 0
+      while (p < dim) { dt += vf(p).toDouble * c(p); p += 1 }
+      sims(j) = dt / (sq * centNorms(j))
+      j += 1
+    }
+    // STABLE primitive index sort on sim DESC — stability over the
+    // idx-ascending start order gives the cell-ASC tie-break for free,
+    // with zero boxing (a boxed-comparator sort measurably costs ~14M
+    // Integer allocations per 20k-row batch at k=708). Double.compare's
+    // -0.0 < 0.0 refinement is unreachable (a left fold from +0.0
+    // cannot produce -0.0), so ordering matches the SQL comparator.
+    val idx = Array.tabulate(k)(identity)
+    val tmp = new Array[Int](k)
+    def merge(lo: Int, mid: Int, hi: Int): Unit = {
+      System.arraycopy(idx, lo, tmp, lo, hi - lo)
+      var i = lo; var r = mid; var o = lo
+      while (o < hi) {
+        if (i < mid && (r >= hi ||
+            java.lang.Double.compare(sims(tmp(i)), sims(tmp(r))) >= 0)) {
+          idx(o) = tmp(i); i += 1
+        } else { idx(o) = tmp(r); r += 1 }
+        o += 1
+      }
+    }
+    def msort(lo: Int, hi: Int): Unit = if (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      msort(lo, mid); msort(mid, hi); merge(lo, mid, hi)
+    }
+    msort(0, k)
+    val out = new Array[Long](nProbe)
+    j = 0
+    while (j < nProbe) { out(j) = idx(j).toLong + 1L; j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = emb.eval(input)
+    if (v == null) null else evalVec(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("probeCells", this, classOf[ProbeCellsF].getName)
+    val e = emb.genCode(ctx)
+    val ad = classOf[ArrayData].getName
+    if (nullable) {
+      ev.copy(code = code"""
+        ${e.code}
+        boolean ${ev.isNull} = ${e.isNull};
+        $ad ${ev.value} = null;
+        if (!${ev.isNull}) { ${ev.value} = $ref.evalVec(${e.value}); }""")
+    } else {
+      ev.copy(code = code"""
+        ${e.code}
+        $ad ${ev.value} = $ref.evalVec(${e.value});""",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ProbeCellsF =
+    copy(cents = newChildren(0), emb = newChildren(1), n = newChildren(2))
+}
+
+/** Native asymmetric-distance PQ scoring of a packed 64-bit codes word
+  * against a probe's driver-built lookup tables (the IVF+PQ probe's
+  * per-row hot loop — [[graft.operators.ProductQuantizer.approxCosine]]).
+  *
+  * The composable form evaluates 32 nested `element_at(element_at(…))`
+  * lookups plus 32 shift/mask subexpressions per ROW — codegen'd, but as
+  * a 100+-node expression tree whose every lookup pays generic
+  * `ArrayData` bounds-checked access against the nested literal. This
+  * expression caches both tables ONCE as flat primitive `double[256]`
+  * arrays (the left children must be foldable — they are always probe
+  * literals) and scores each row in one 16-iteration loop of two array
+  * reads, invoked from generated code.
+  *
+  * Arithmetic is BIT-IDENTICAL to the composable chain: both sums
+  * accumulate left-to-right over subspaces m = 0..15 in double
+  * precision (the same fold order as the `reduce(_ + _)` term chain),
+  * the score is `a / (qnorm * sqrt(b))` with the identical operation
+  * tree, and the 4-bit code extraction `(codes >> 4m) & 15` matches
+  * `shiftright`'s arithmetic shift exactly (the mask discards the sign
+  * extension a code of 15 in the top subspace produces). A null codes
+  * word yields null, like the null-propagating chain. Verified
+  * term-for-term in PqScoreSpec; every PQ-family oracle hash is
+  * unchanged. */
+case class PqScoreF(codes: Expression, lut: Expression, cn2: Expression,
+    qnorm: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(codes, lut, cn2, qnorm)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isDD(t: DataType): Boolean = t match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (codes.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_score needs a BIGINT codes word, got ${codes.dataType.sql}")
+    else if (!isDD(lut.dataType) || !lut.foldable ||
+             !isDD(cn2.dataType) || !cn2.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_pq_score needs two foldable array<array<double>> lookup tables")
+    else if (qnorm.dataType != DoubleType || !qnorm.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_score needs a foldable double norm, got ${qnorm.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = codes.nullable
+  override def prettyName: String = "graft_pq_score"
+
+  // the packed-word layout is FIXED by ProductQuantizer (M=16 subspaces
+  // × K=16 centroids = 4-bit codes in one BIGINT); a table of any other
+  // shape means the caller's model disagrees with the word layout —
+  // fail at first evaluation, never score garbage
+  private def flat(e: Expression, name: String): Array[Double] = {
+    val ad = e.eval(null).asInstanceOf[ArrayData]
+    require(ad.numElements() == 16,
+      s"graft_pq_score $name table has ${ad.numElements()} subspaces, " +
+        "packed-word layout needs exactly 16")
+    val out = new Array[Double](256)
+    var m = 0
+    while (m < 16) {
+      val row = ad.getArray(m)
+      require(row.numElements() == 16,
+        s"graft_pq_score $name table subspace $m has " +
+          s"${row.numElements()} centroids, packed-word layout needs 16")
+      var k = 0
+      while (k < 16) {
+        // getDouble on a null element reads garbage silently — a
+        // SQL-authored table with a null slot must fail, not mis-score
+        require(!row.isNullAt(k),
+          s"graft_pq_score $name table has a null entry at ($m, $k)")
+        out(m * 16 + k) = row.getDouble(k); k += 1
+      }
+      m += 1
+    }
+    out
+  }
+  @transient private lazy val lutFlat: Array[Double] = flat(lut, "dot")
+  @transient private lazy val cn2Flat: Array[Double] = flat(cn2, "norm")
+  @transient private lazy val qn: Double = {
+    val v = qnorm.eval(null)
+    // a null literal would unbox to 0.0 silently and score everything
+    // NaN/Inf — refuse it loudly instead
+    require(v != null, "graft_pq_score probe norm must not be null")
+    v.asInstanceOf[Double]
+  }
+
+  def evalCode(code: Long): Double = {
+    var a = 0.0
+    var b = 0.0
+    var m = 0
+    while (m < 16) {
+      val c = ((code >> (4 * m)) & 15L).toInt
+      a += lutFlat(m * 16 + c)
+      b += cn2Flat(m * 16 + c)
+      m += 1
+    }
+    a / (qn * math.sqrt(b))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val c = codes.eval(input)
+    if (c == null) null else evalCode(c.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqScore", this, classOf[PqScoreF].getName)
+    val c = codes.genCode(ctx)
+    if (nullable) {
+      ev.copy(code = code"""
+        ${c.code}
+        boolean ${ev.isNull} = ${c.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) { ${ev.value} = $ref.evalCode(${c.value}); }""")
+    } else {
+      // a non-nullable codes child genCodes its isNull as the literal
+      // `false` — declaring `boolean false = …` would fail janino, so
+      // this arm never re-declares it
+      ev.copy(code = code"""
+        ${c.code}
+        double ${ev.value} = $ref.evalCode(${c.value});""",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqScoreF =
+    copy(codes = newChildren(0), lut = newChildren(1),
+      cn2 = newChildren(2), qnorm = newChildren(3))
+}
+
 /** Session extension registering the native functions, the same injection
   * point the reference's engine uses for its Iceberg extensions
   * (`/root/reference/conf/spark-defaults.conf:1`). Enable with
@@ -192,6 +480,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCellF].getName, "graft_nearest_cell"),
       (children: Seq[Expression]) => NearestCellF(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_probe_cells"),
+      new ExpressionInfo(classOf[ProbeCellsF].getName, "graft_probe_cells"),
+      (children: Seq[Expression]) => ProbeCellsF(children(0), children(1),
+        children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_score"),
+      new ExpressionInfo(classOf[PqScoreF].getName, "graft_pq_score"),
+      (children: Seq[Expression]) => PqScoreF(children(0), children(1),
+        children(2), children(3))))
     ext.injectFunction((
       new FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NGramsGenerator].getName, "graft_ngrams"),

@@ -219,6 +219,56 @@ object IvfPq {
       .otherwise(array_position(dists, array_min(dists)))
   }
 
+  /** Per-ROW probe-cell ranking: the top-`n` cell ids by (cosine DESC,
+    * cell ASC) as an `array<bigint>` column — the batch analog of the
+    * driver-side [[probeCells]], the [[graft.operators.IvfPq
+    * .augmentTop1]] hot loop. Dispatches to the native codegen'd
+    * [[graft.functions.ProbeCellsF]] on a session carrying
+    * GraftExtensions (the [[cellOf]] pattern: `s` is the OWNING session
+    * of the frame, never `SparkSession.active`); the composable
+    * fallback below pays k×dim interpreted lambdas per row — the tax
+    * the native path exists to remove at the √N-sized k. Ordering and
+    * guards are identical on both paths: sims fold left-to-right in
+    * double precision, all-ties degrade to cell-ascending, and
+    * null-element / zero-norm embeddings fail loudly (a batch row that
+    * silently probed arbitrary cells would silently get wrong
+    * neighbors). */
+  def rankedCells(s: SparkSession, cents: Seq[Seq[Float]], emb: Column,
+                  n: Int): Column = {
+    if (s.catalog.functionExists("graft_probe_cells"))
+      return call_function("graft_probe_cells", typedLit(cents), emb,
+        lit(n))
+    def centNorm(c: Seq[Float]): Double =
+      math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+    val dot = dotCol(s) _
+    val centsLit = typedLit(cents)
+    val normsLit = typedLit(cents.map(centNorm))
+    val qn = dot(emb, emb)
+    // constant-size expression: the per-cell cosine folds inside one
+    // zip_with lambda — an unrolled k-branch array would grow the
+    // expression tree (and its analysis cost, paid per micro-batch)
+    // linearly in the √N-sized k
+    val simStructArr = zip_with(centsLit,
+      zip_with(normsLit, sequence(lit(1L), lit(cents.size.toLong)),
+        (nm, i) => struct(nm.as("n"), i.as("i"))),
+      (c, ni) => struct(
+        (dot(emb, c) / (sqrt(qn) * ni("n"))).as("sim"),
+        ni("i").as("cell")))
+    val ranked = array_sort(simStructArr, (l, r) =>
+      when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
+        .otherwise(when(l("cell") < r("cell"), -1)
+          .when(l("cell") > r("cell"), 1).otherwise(0)).cast("int"))
+    when(exists(emb, x => x.isNull), raise_error(concat(
+        lit("null-element embedding cannot be cell-ranked (batch row " +
+          "would silently probe arbitrary cells); drop or re-embed it " +
+          "first"))))
+      .when(qn === lit(0.0), raise_error(concat(
+        lit("zero-norm embedding cannot be cell-ranked (batch row " +
+          "would silently probe arbitrary cells); drop or re-embed it " +
+          "first"))))
+      .otherwise(transform(slice(ranked, 1, n), c => c("cell")))
+  }
+
   /** Rank cells by probe affinity driver-side (k centroids are a
     * parameter, not data) and return the cell ids to scan — the
     * [[probeCount]] policy of the index's own k unless overridden. */
@@ -407,35 +457,9 @@ object IvfPq {
     // overlap (top-1 retrieval needs ONE specific vector probed)
     val probeN = math.min(cents.size,
       math.ceil(probeCount(cents.size) * widen).toInt)
-    def centNorm(c: Seq[Float]): Double =
-      math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
-    // per-row cell ranking as a CONSTANT-SIZE expression: the k
-    // centroids and their norms enter as two array literals and the
-    // per-cell cosine folds inside one zip_with lambda — an unrolled
-    // k-branch array would grow the expression tree (and its
-    // analysis/codegen cost, paid per micro-batch) linearly in the
-    // √N-sized k. Arithmetic is element-wise identical to the unrolled
-    // form (same dot fold, same norm factors), so results are unchanged.
-    val centsLit = typedLit(cents)
-    val normsLit = typedLit(cents.map(centNorm))
-    val simStructArr = zip_with(centsLit,
-      zip_with(normsLit, sequence(lit(1L), lit(cents.size.toLong)),
-        (n, i) => struct(n.as("n"), i.as("i"))),
-      (c, ni) => struct(
-        (dot(col("embedding"), c) /
-          (sqrt(dot(col("embedding"), col("embedding"))) * ni("n")))
-          .as("sim"),
-        ni("i").as("cell")))
     val byCell = batch
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        array_sort(simStructArr, (l, r) =>
-          when(l("sim") > r("sim"), -1).when(l("sim") < r("sim"), 1)
-            .otherwise(when(l("cell") < r("cell"), -1)
-              .when(l("cell") > r("cell"), 1).otherwise(0)).cast("int"))
-          .as("ranked"))
-      .select(col("query_id"), col("qe"),
-        explode(expr(s"transform(slice(ranked, 1, $probeN), c -> c.cell)"))
-          .as("cell"))
+        explode(rankedCells(s, cents, col("embedding"), probeN)).as("cell"))
     // the LIVE read (full cell range): position-delete tombstones apply
     // exactly as in [[probedCodes]] — a vector deleted from the corpus
     // must not surface as anyone's neighbor, even before compaction
@@ -655,7 +679,7 @@ object IvfPq {
       // returned (post-filtering a top-k can starve it to < k rows)
       .where(metaFilter.getOrElse(lit(true)))
       .withColumn("approx",
-        ProductQuantizer.approxCosine(model, probeVec, col("codes")))
+        ProductQuantizer.approxCosine(s, model, probeVec, col("codes")))
       .orderBy(desc("approx"), asc("vec_id"))
       .limit(rerank)
       .select("vec_id", "cell")

@@ -131,14 +131,25 @@ object ProductQuantizer {
     * probe vector: the per-(subspace, centroid) probe dot products and
     * centroid norms form driver-side lookup tables, so the per-row
     * approximate cosine is M shift-mask-lookup terms — never a
-    * dim-float dot product, and never a touch of the raw vectors. */
-  def approxCosine(model: Model, probe: Seq[Float], codes: Column): Column = {
+    * dim-float dot product, and never a touch of the raw vectors.
+    *
+    * `s` is the OWNING session of the codes frame (the [[graft.operators
+    * .IvfPq.cellOf]] threading rule): when it carries GraftExtensions the
+    * scoring runs as the native [[graft.functions.PqScoreF]] — ONE
+    * 16-iteration primitive-array loop per row instead of the 100+-node
+    * nested-`element_at` tree below. Both paths are bit-identical
+    * (same fold order, same operation tree — PqScoreSpec asserts
+    * per-row Double equality), so every PQ-family oracle is unchanged. */
+  def approxCosine(s: SparkSession, model: Model, probe: Seq[Float],
+                   codes: Column): Column = {
     val lut = model.cbooks.zipWithIndex.map { case (cb, m) =>
       cb.map(c => dotd(subvec(probe, m, model.sub), c)) }
     val cn2 = model.cbooks.map(_.map(c => dotd(c, c)))
     val qnorm = math.sqrt(dotd(probe, probe))
     val lutLit = typedLit(lut)
     val cn2Lit = typedLit(cn2)
+    if (s.catalog.functionExists("graft_pq_score"))
+      return call_function("graft_pq_score", codes, lutLit, cn2Lit, lit(qnorm))
     def codeSum(tbl: Column): Column = (0 until M).map { m =>
       val code = shiftright(codes, 4 * m).bitwiseAND(lit(15L)).cast("int")
       element_at(element_at(tbl, m + 1), code + lit(1))

@@ -1517,7 +1517,7 @@ object Extensions {
     emb.filter(col("vec_id") =!= probeId)
       .withColumn("codes", ProductQuantizer.packedCodes(model, col("embedding")))
       .withColumn("approx",
-        ProductQuantizer.approxCosine(model, probeVec, col("codes")))
+        ProductQuantizer.approxCosine(s, model, probeVec, col("codes")))
       .orderBy(desc("approx"), asc("vec_id"))
       .limit(ProductQuantizer.shortlistK)
       .select(col("vec_id"),
@@ -1556,7 +1556,7 @@ object Extensions {
     val shortlist = cat.readTable(s, "vec", "emb_pq_codes")
       .filter(col("vec_id") =!= probeId)
       .withColumn("approx",
-        ProductQuantizer.approxCosine(model, probeVec, col("codes")))
+        ProductQuantizer.approxCosine(s, model, probeVec, col("codes")))
       .orderBy(desc("approx"), asc("vec_id"))
       .limit(ProductQuantizer.shortlistK)
       .select("vec_id")
@@ -1601,7 +1601,7 @@ object Extensions {
     val shortlist = cat.readTable(s, "vec", "emb_pq_codes")
       .filter(col("vec_id") =!= probeId)
       .withColumn("approx",
-        ProductQuantizer.approxCosine(model, probeVec, col("codes")))
+        ProductQuantizer.approxCosine(s, model, probeVec, col("codes")))
       .orderBy(desc("approx"), asc("vec_id"))
       .limit(ProductQuantizer.shortlistK)
       .select("vec_id")

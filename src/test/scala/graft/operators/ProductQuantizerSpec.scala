@@ -76,7 +76,7 @@ class ProductQuantizerSpec extends SparkSpec {
     val scored = emb
       .withColumn("codes", ProductQuantizer.packedCodes(model, col("embedding")))
       .withColumn("approx",
-        ProductQuantizer.approxCosine(model, probe, col("codes")))
+        ProductQuantizer.approxCosine(spark, model, probe, col("codes")))
     // scores are finite cosine-ish values
     assert(scored.filter(col("approx").isNull ||
       abs(col("approx")) > 1.5).count() === 0)
