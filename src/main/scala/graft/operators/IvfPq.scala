@@ -295,7 +295,7 @@ object IvfPq {
     emb.select(col("vec_id") +:
         cellOf(emb.sparkSession, cents, col("embedding")).as("cell") +:
         ProductQuantizer.packedCodes(model, col("embedding")).as("codes") +:
-        meta.map(col): _*)
+        meta.toIndexedSeq.map(col): _*)
       .repartitionByRange(cents.size, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
   }
@@ -438,14 +438,17 @@ object IvfPq {
     * batch to the driver would not scale).
     *
     * Plan: each batch row ranks the k centroid literals with the same
-    * (cosine DESC, cell ASC) rule as [[probeCells]] and explodes its
-    * nProbe probed cells; candidates come from the EQUI-join on `cell`
-    * against the committed codes (a batch spans most cells, so this is a
-    * cell-keyed join over the whole index rather than a per-query pruned
-    * fetch — candidates ∝ batch × occupancy × nProbe, never
-    * batch × corpus); the exact re-rank joins candidates back to the raw
-    * vectors BY ID and takes top-1 per query via a query-PARTITIONED
-    * window. Returns (query_id, neighbor_id, cos_sim). */
+    * (cosine DESC, cell ASC) rule as [[probeCells]] ([[rankedCells]] —
+    * the native per-row expression) and explodes its nProbe probed
+    * cells; candidates come from the EQUI-join on `cell` against the
+    * committed codes, manifest-PRUNED to the union of cells any batch
+    * row probes (a small batch reads only its slice of the index; a
+    * batch spanning most cells degrades to the full cell-keyed join —
+    * candidates ∝ batch × occupancy × nProbe either way, never
+    * batch × corpus); the exact re-rank joins candidates back to the
+    * raw vectors BY ID and takes top-1 per query via a
+    * query-PARTITIONED window. Returns (query_id, neighbor_id,
+    * cos_sim). */
   def augmentTop1(s: SparkSession, cat: GraftCatalog, ns: String,
                   table: String, emb: DataFrame, batch: DataFrame,
                   widen: Double = 1.0): DataFrame = {
@@ -460,12 +463,31 @@ object IvfPq {
     val byCell = batch
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(rankedCells(s, cents, col("embedding"), probeN)).as("cell"))
-    // the LIVE read (full cell range): position-delete tombstones apply
-    // exactly as in [[probedCodes]] — a vector deleted from the corpus
-    // must not surface as anyone's neighbor, even before compaction
+    // manifest-prune the index read to the UNION of cells any batch row
+    // probes — without this the join scanned the FULL cell range, i.e.
+    // O(index) per call: for a streaming micro-batch against a 100 TB
+    // index that is the whole index re-read every trigger, where the
+    // union is ~batch × nProbe distinct cells (bounded by k either way,
+    // so the collect is a ≤k-long driver fetch). The union job re-ranks
+    // the batch once more rather than caching byCell: the native
+    // ranking is a per-row primitive loop, and a persist handle inside
+    // a returned lazy frame would leak past the caller's action. Large
+    // batches degrade gracefully — the union saturates at all k cells,
+    // exactly today's read.
+    val probedUnion = byCell.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (probedUnion.isEmpty)
+      // empty batch: no cells to probe — return the empty result frame
+      // rather than handing readTableWhereAnyLive a vacuous range set
+      return byCell.select(col("query_id"), col("query_id").as("neighbor_id"),
+        lit(0.0).as("cos_sim")).limit(0)
+    // the LIVE read (pruned to the probed union): position-delete
+    // tombstones apply exactly as in [[probedCodes]] — a vector deleted
+    // from the corpus must not surface as anyone's neighbor, even
+    // before compaction
     val cand = byCell
       .join(cat.readTableWhereAnyLive(s, ns, s"${table}_ivfpq_codes",
-          "cell", Seq(1.0 -> cents.size.toDouble),
+          "cell", probedUnion.map(c => c.toDouble -> c.toDouble),
           appendOnlyKey = Some("vec_id"))
         .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       // self-exclusion: when the batch overlaps the indexed corpus (the

@@ -281,4 +281,45 @@ class IvfPqSpec extends SparkSpec {
       .filter(col("cell").isin(1L, 3L))
     assert(probed.count() === expect.count())
   }
+
+  test("augmentTop1 prunes the index read to the batch's probed-cell union") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val cat = freshCat()
+    IvfPq.buildIndex(spark, cat, "vec", "emb", emb)
+    // a ONE-row batch probes only nProbe of the k cells — the codes
+    // read must list strictly fewer files than the cell-clustered
+    // table holds (before this pin, augmentation scanned the FULL cell
+    // range: O(index) per streaming micro-batch)
+    val one = emb.orderBy("vec_id").limit(1)
+    // AQE wraps the plan — disable it so collect sees the raw scans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      IvfPq.augmentTop1(spark, cat, "vec", "emb", emb, one)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val codeFiles = scans.flatMap(_.relation.location.inputFiles)
+      .filter(_.contains("emb_ivfpq_codes")).distinct
+    assert(codeFiles.nonEmpty)
+    val dataDir = new java.io.File(
+      codeFiles.head.replace("file:", "")).getParentFile
+    val total = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(codeFiles.length < total,
+      s"one-query augmentation listed ${codeFiles.length} of $total " +
+        "code files — the probed-union pruning did not engage")
+    // and the pruned read still answers: the row's nearest neighbor
+    // within its probed cells, self excluded
+    val rows = IvfPq.augmentTop1(spark, cat, "vec", "emb", emb, one).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(1) !== one.head().getLong(0))
+  }
+
+  test("augmentTop1 on an empty batch returns an empty, correctly-shaped frame") {
+    val cat = freshCat()
+    IvfPq.buildIndex(spark, cat, "vec", "emb", emb)
+    val res = IvfPq.augmentTop1(spark, cat, "vec", "emb", emb,
+      emb.filter(lit(false)))
+    assert(res.columns.toSeq === Seq("query_id", "neighbor_id", "cos_sim"))
+    assert(res.count() === 0)
+  }
 }
