@@ -453,6 +453,48 @@ object ScaleSmoke {
         probeReport(sfDir, "base")
         probeReport(scaledDir.toString, "scaled")
       }
+      // batch-AUGMENTATION probe pruning (round 13): a small batch's
+      // candidate read must list only the union of its probed cells —
+      // before the fix augmentation re-read the FULL index per call
+      // (O(index) per streaming micro-batch). Reports the plan's actual
+      // listed code files vs the table total, plus the end-to-end wall
+      // for the 10-query batch against the same memoized index.
+      // the union saturates as batch × nProbe approaches k (the k/4
+      // probe policy means ~4 disjoint queries cover every cell), so
+      // the report shows the GRADIENT: a 1-row batch reads ~nProbe/k of
+      // the files, a 10-row batch degrades gracefully toward the full
+      // read — the win is for small/clustered micro-batches, which is
+      // what streaming augmentation triggers actually carry.
+      def augmentReport(dir: String, tag: String, batchRows: Int): Unit = {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import graft.operators.IvfPq
+        val cat = graft.queries.Extensions.ivfPqIndexCatalog(spark, dir)
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        val batch = emb.orderBy("vec_id").limit(batchRows)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val (listed, total) = try {
+          val scans = IvfPq.augmentTop1(spark, cat, "vec", "emb", emb, batch)
+            .queryExecution.executedPlan.collect {
+              case f: FileSourceScanExec => f }
+          val codeFiles = scans.flatMap(_.relation.location.inputFiles)
+            .filter(_.contains("emb_ivfpq_codes")).distinct
+          (codeFiles.length,
+            cat.loadTable("vec", "emb_ivfpq_codes").filesAsOf(None).size)
+        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+        val t0 = System.nanoTime()
+        val n = IvfPq.augmentTop1(spark, cat, "vec", "emb", emb, batch).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"query":"augment_probe_files","tier":"$tag",""" +
+          f""""batch_rows":$batchRows,"augmented":$n,""" +
+          f""""listed_files":$listed,"total_files":$total,"sec":$sec%.2f}""")
+      }
+      if (vecOnly.forall(_.contains("q_vec_knn_ivfpq"))) {
+        for (b <- Seq(1, 10)) {
+          augmentReport(sfDir, "base", b)
+          augmentReport(scaledDir.toString, "scaled", b)
+        }
+      }
     }
     spark.stop()
   }
