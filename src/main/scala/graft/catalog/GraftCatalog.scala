@@ -1655,8 +1655,17 @@ class GraftCatalog(val warehouse: String) {
         "keys in the same commit (sequence-ordered semantics) — " +
         "materialize the table first")
     val delFiles = snaps.filter(_.isPositionDelete).flatMap(_.deletes)
+    // skip files in memory against the ALREADY-loaded manifest —
+    // filesForScan re-parses the full metadata JSON per call, and the
+    // probed-union reads hand this scan hundreds of point ranges
+    val live = meta.filesAsOf(None)
     val keep = ranges.flatMap { case (lower, upper) =>
-      filesForScan(ns, t, column, lower, upper, None).map(_.path)
+      live.filter { f =>
+        f.colRanges.flatMap(_.get(column)) match {
+          case Some(rg) => rg.max >= lower && rg.min <= upper
+          case None     => true
+        }
+      }.map(_.path)
     }.toSet
     val scanned =
       if (delFiles.isEmpty) readKeptFiles(spark, ns, t, None, keep)

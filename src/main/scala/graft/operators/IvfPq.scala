@@ -460,20 +460,31 @@ object IvfPq {
     // overlap (top-1 retrieval needs ONE specific vector probed)
     val probeN = math.min(cents.size,
       math.ceil(probeCount(cents.size) * widen).toInt)
+    // rankedCells resolves against the session OWNING the batch frame
+    // (the cellOf/dotCol threading rule): in foreachBatch/newSession
+    // setups the catalog session `s` and the micro-batch's session can
+    // differ, and dispatch must check the registry the expression will
+    // actually analyze under
     val byCell = batch
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(rankedCells(s, cents, col("embedding"), probeN)).as("cell"))
+        explode(rankedCells(batch.sparkSession, cents, col("embedding"),
+          probeN)).as("cell"))
+      // materialize ONCE (lineage severed): the probed-cell union below
+      // and the candidate join must see the SAME rows — a
+      // non-deterministic batch (limit without a total order, a sample)
+      // re-evaluated for the join could probe cells outside the
+      // collected union, and the pruned read would silently lose those
+      // candidates. Micro-batch-sized by contract, so the eager
+      // checkpoint is cheap; blocks free when the frame is GC'd.
+      .localCheckpoint()
     // manifest-prune the index read to the UNION of cells any batch row
     // probes — without this the join scanned the FULL cell range, i.e.
     // O(index) per call: for a streaming micro-batch against a 100 TB
     // index that is the whole index re-read every trigger, where the
     // union is ~batch × nProbe distinct cells (bounded by k either way,
-    // so the collect is a ≤k-long driver fetch). The union job re-ranks
-    // the batch once more rather than caching byCell: the native
-    // ranking is a per-row primitive loop, and a persist handle inside
-    // a returned lazy frame would leak past the caller's action. Large
-    // batches degrade gracefully — the union saturates at all k cells,
-    // exactly today's read.
+    // so the collect is a ≤k-long driver fetch). Large batches degrade
+    // gracefully — the union saturates at all k cells, exactly the old
+    // full read.
     val probedUnion = byCell.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     if (probedUnion.isEmpty)
@@ -666,23 +677,27 @@ object IvfPq {
           col(c) >= lit(lo) && col(c) <= lit(hi)
         }).reduce(_ && _)
     searchProbed(s, cat, ns, table, emb, probeId, probeVec, k,
-      Some(metaFilter), cents, probeN, rerankK)
+      Some(metaFilter), cents, probeN, rerankK, filesHint = Some(files))
   }
 
   private def searchProbed(s: SparkSession, cat: GraftCatalog, ns: String,
                            table: String, emb: DataFrame, probeId: Long,
                            probeVec: Seq[Float], k: Int,
                            metaFilter: Option[Column], cents: Seq[Seq[Float]],
-                           probeN: Int, rerankK: Int): DataFrame = {
+                           probeN: Int, rerankK: Int,
+                           filesHint: Option[Seq[DataFileMeta]] = None)
+      : DataFrame = {
     val model = loadModel(s, cat, ns, table)
     val probed = probeCells(cents, probeVec, probeN)
     val rerank =
       if (rerankK > 0) rerankK
       else {
         // the adaptive default: probed-cell occupancy from the manifest
-        // (metadata only — the same per-file stats the pruning reads,
-        // fetched with ONE table-metadata load)
-        val files = cat.loadTable(ns, s"${table}_ivfpq_codes").filesAsOf(None)
+        // (metadata only — the same per-file stats the pruning reads;
+        // searchEq threads its already-loaded file list through so a
+        // filtered search parses the metadata ONCE, not per stage)
+        val files = filesHint.getOrElse(
+          cat.loadTable(ns, s"${table}_ivfpq_codes").filesAsOf(None))
         val probedRows = files.filter { f =>
           f.colRanges.flatMap(_.get("cell")) match {
             case Some(rg) => probed.exists(c => rg.max >= c && rg.min <= c)

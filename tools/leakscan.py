@@ -29,6 +29,7 @@ ENV_ALLOW = {
     "SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS", "SPARK_GRAFT_ONLY",
     "SPARK_GRAFT_SCALE_MULT", "SPARK_GRAFT_SCALE_FRESH",
     "SPARK_GRAFT_VECTOR_QUERIES",
+    "SPARK_GRAFT_K_CELLS",
     "SPARK_GRAFT_BENCH_RUNS",
     "SPARK_GRAFT_BENCH_BUDGET", "COURSIER_MODE", "HOME", "PATH", "TMPDIR",
 }
@@ -55,11 +56,20 @@ PATTERNS = {
 
 
 def files():
+    # --root <dir>: scan a checkout OTHER than the working tree — the
+    # pre-commit hook points this at a temp checkout of the git INDEX,
+    # so staged content that differs from the worktree is what gets
+    # scanned (scanning the worktree would let a staged leak ride a
+    # clean filesystem past the gate)
+    root = "."
+    if "--root" in sys.argv:
+        root = sys.argv[sys.argv.index("--root") + 1]
     for root_entry in SCAN_DIRS:
-        if os.path.isfile(root_entry):
-            yield root_entry
+        entry = os.path.join(root, root_entry)
+        if os.path.isfile(entry):
+            yield entry
             continue
-        for dirpath, _, names in os.walk(root_entry):
+        for dirpath, _, names in os.walk(entry):
             for n in names:
                 if os.path.splitext(n)[1] in EXTS:
                     yield os.path.join(dirpath, n)
