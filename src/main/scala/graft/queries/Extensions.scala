@@ -1780,6 +1780,63 @@ object Extensions {
     IvfPq.search(s, cat, "vec", "emb", emb, probeId, probeVec)
   }
 
+  /** q_vec_knn_augment (L71): BATCH retrieval augmentation over the
+    * committed IVF+PQ index — [[graft.operators.IvfPq.augmentTop1]]
+    * declared as its own contract row (its streaming twin is
+    * st_vec_augment): every 10th vector is the query batch, the whole
+    * corpus is indexed (self excluded per row), each batch row ranks
+    * the k centroids natively (`graft_probe_cells`) and the candidate
+    * read is manifest-PRUNED to the union of cells the batch probes —
+    * the round-13 read-cost fix: before it, augmentation re-read the
+    * FULL index per call. Output is the join's deterministic aggregate
+    * fingerprint (the [[qVecKnnJoinCells]] convention: order-free
+    * integer checksums — a float sum would be partition-order-
+    * dependent) plus a brute top-1 agreement probe over the 5 smallest
+    * queries (probe side broadcasts; the corpus pays one scan). Rows
+    * hash against per-SF observed pins ([[knnAugmentObserved]]) —
+    * legitimate because ranking, LUT scoring and the exact re-rank are
+    * deterministic end to end (ties break (cos DESC, neighbor ASC);
+    * verified byte-identical across local[4]/local[32] like the rest
+    * of the index family). */
+  private def qVecKnnAugment: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.IvfPq
+    val dot = dotF(s) _
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cat = ivfPqIndexFor(s, d)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
+    // ONE augmentTop1 call: the eager checkpoint inside it means the
+    // fingerprint agg and the agreement join below reuse the same
+    // materialized ranking
+    val top1 = IvfPq.augmentTop1(s, cat, "vec", "emb", emb, batch)
+    val agg = top1.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_rows"),
+      sum(col("neighbor_id")).as("neighbor_id_sum"),
+      sum(round(col("cos_sim") * 10000).cast("long")).as("cos_tenk_sum"))
+      .head()
+    val probes = batch.orderBy("vec_id").limit(5)
+      .select(col("vec_id").as("pq"), col("embedding").as("pe"))
+    val wb = Window.partitionBy("pq").orderBy(desc("bcos"), asc("vec_id"))
+    val brute = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pq"))
+      .select(col("pq"), col("vec_id"),
+        round(dot(col("embedding"), col("pe")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+           sqrt(dot(col("pe"), col("pe")))), 4).as("bcos"))
+      .withColumn("rk", row_number().over(wb)).filter(col("rk") === 1)
+      .select(col("pq"), col("vec_id").as("brute_n1"))
+    val matches = top1.join(brute, col("query_id") === col("pq"))
+      .filter(col("neighbor_id") === col("brute_n1")).count()
+    import s.implicits._
+    Seq(("cos_tenk_sum", agg.getLong(3)),
+      ("n_queries", agg.getLong(0)),
+      ("n_rows", agg.getLong(1)),
+      ("neighbor_id_sum", agg.getLong(2)),
+      ("sample_top1_matches_of_5", matches))
+      .toDF("metric", "n").orderBy("metric")
+  }
+
   /** q_vec_knn_filtered: METADATA-FILTERED ANN — the production staple
     * (every deployed vector search carries a predicate: language, source,
     * licence tier; here the fixture's `label`). The filter PRE-applies on
@@ -2899,6 +2956,7 @@ object Extensions {
     "q_vec_knn_deleted_eq" -> qVecKnnDeletedEq,
     "q_vec_knn_filtered_deleted" -> qVecKnnFilteredDeleted,
     "q_vec_knn_ivfpq"   -> qVecKnnIvfPq,
+    "q_vec_knn_augment" -> qVecKnnAugment,
     "q_vec_knn_filtered" -> qVecKnnFiltered,
     "q_vec_knn_filtered_multi" -> qVecKnnFilteredMulti,
     "q_embed_neardup"   -> qEmbedNeardup,
@@ -3408,6 +3466,23 @@ object Extensions {
       ("n_rows", 6000L), ("neighbor_id_sum", 55935779L),
       ("sample_top1_matches_of_5", 5L)))
 
+  /** Observed pins for q_vec_knn_augment (same determinism argument and
+    * metric convention as [[knnJoinCellsObserved]]; values captured at
+    * each SF and verified byte-identical across local[7]/local[32]). */
+  private val knnAugmentObserved: Map[String, Seq[(String, Long)]] = Map(
+    "sf0.001" -> Seq(("cos_tenk_sum", 180571L), ("n_queries", 50L),
+      ("n_rows", 50L), ("neighbor_id_sum", 11249L),
+      ("sample_top1_matches_of_5", 3L)),
+    "sf0.01" -> Seq(("cos_tenk_sum", 176191L), ("n_queries", 50L),
+      ("n_rows", 50L), ("neighbor_id_sum", 10853L),
+      ("sample_top1_matches_of_5", 3L)),
+    "sf0.1" -> Seq(("cos_tenk_sum", 802196L), ("n_queries", 200L),
+      ("n_rows", 200L), ("neighbor_id_sum", 200571L),
+      ("sample_top1_matches_of_5", 5L)),
+    "sf1" -> Seq(("cos_tenk_sum", 9511410L), ("n_queries", 2000L),
+      ("n_rows", 2000L), ("neighbor_id_sum", 19658268L),
+      ("sample_top1_matches_of_5", 5L)))
+
   private def cellsVariantOracles: Map[String, String] = {
     val tag = java.nio.file.Paths.get(
       sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01"))
@@ -3418,13 +3493,16 @@ object Extensions {
       }.mkString(",\n") +
         ")\n  t(cluster_size, n_clusters)\nORDER BY cluster_size")
     }
-    val knn = knnJoinCellsObserved.get(tag).map { rows =>
-      "q_vec_knn_join_cells" -> ("SELECT * FROM (VALUES\n" + rows.map {
-        case (m, n) => s"  ('$m', CAST($n AS BIGINT))"
-      }.mkString(",\n") +
-        ")\n  t(metric, n)\nORDER BY metric")
-    }
-    (sem.toSeq ++ knn.toSeq).toMap
+    def metricValues(name: String, obs: Map[String, Seq[(String, Long)]]) =
+      obs.get(tag).map { rows =>
+        name -> ("SELECT * FROM (VALUES\n" + rows.map {
+          case (m, n) => s"  ('$m', CAST($n AS BIGINT))"
+        }.mkString(",\n") +
+          ")\n  t(metric, n)\nORDER BY metric")
+      }
+    val knn = metricValues("q_vec_knn_join_cells", knnJoinCellsObserved)
+    val aug = metricValues("q_vec_knn_augment", knnAugmentObserved)
+    (sem.toSeq ++ knn.toSeq ++ aug.toSeq).toMap
   }
 
   def oracles: Map[String, String] = embedCellsOracle ++ knnOracles ++

@@ -56,7 +56,11 @@ class DeterminismSpec extends SparkSpec {
     // round 13: the composite-filter search (manifest-derived probe
     // breadth + two-column pre-filter) — its real-SQL oracle rests on
     // the probed result being layout-blind like its siblings
-    "q_vec_knn_filtered_multi")
+    "q_vec_knn_filtered_multi",
+    // round 13: batch augmentation over the committed index — the
+    // probed-union pruning and the checkpointed ranking must not make
+    // the fingerprint layout-dependent
+    "q_vec_knn_augment")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()
