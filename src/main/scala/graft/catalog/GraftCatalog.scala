@@ -1549,7 +1549,16 @@ class GraftCatalog(val warehouse: String) {
   def filesForScan(ns: String, t: String, column: String,
                    lower: Double, upper: Double,
                    asOf: Option[Long] = None): Seq[DataFileMeta] =
-    loadTable(ns, t).filesAsOf(asOf).filter { f =>
+    filesForScan(loadTable(ns, t).filesAsOf(asOf), column, lower, upper)
+
+  /** The skipping predicate over an ALREADY-loaded file list — the ONE
+    * place the range-intersection rule (and the keep-stats-less-files
+    * policy) lives; callers holding the manifest (readTableWhereAnyLive's
+    * per-range loop, IvfPq's probe sizing) filter in memory instead of
+    * re-parsing the metadata JSON per call. */
+  def filesForScan(files: Seq[DataFileMeta], column: String,
+                   lower: Double, upper: Double): Seq[DataFileMeta] =
+    files.filter { f =>
       f.colRanges.flatMap(_.get(column)) match {
         case Some(rg) => rg.max >= lower && rg.min <= upper
         case None     => true
@@ -1655,17 +1664,13 @@ class GraftCatalog(val warehouse: String) {
         "keys in the same commit (sequence-ordered semantics) — " +
         "materialize the table first")
     val delFiles = snaps.filter(_.isPositionDelete).flatMap(_.deletes)
-    // skip files in memory against the ALREADY-loaded manifest —
-    // filesForScan re-parses the full metadata JSON per call, and the
-    // probed-union reads hand this scan hundreds of point ranges
+    // skip files in memory against the ALREADY-loaded manifest — the
+    // name-based filesForScan re-parses the full metadata JSON per
+    // call, and the probed-union reads hand this scan hundreds of
+    // point ranges (same predicate, shared overload)
     val live = meta.filesAsOf(None)
     val keep = ranges.flatMap { case (lower, upper) =>
-      live.filter { f =>
-        f.colRanges.flatMap(_.get(column)) match {
-          case Some(rg) => rg.max >= lower && rg.min <= upper
-          case None     => true
-        }
-      }.map(_.path)
+      filesForScan(live, column, lower, upper).map(_.path)
     }.toSet
     val scanned =
       if (delFiles.isEmpty) readKeptFiles(spark, ns, t, None, keep)

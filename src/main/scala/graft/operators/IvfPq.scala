@@ -453,30 +453,32 @@ object IvfPq {
                   table: String, emb: DataFrame, batch: DataFrame,
                   widen: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dot = dotCol(s) _
+    // EVERY expression below analyzes under the session owning the
+    // batch frame (the whole result chain descends from it via the
+    // joins), so dispatch checks THAT registry — the cellOf/dotCol
+    // threading rule; in foreachBatch/newSession setups the catalog
+    // session `s` and the micro-batch's session can differ
+    val dot = dotCol(batch.sparkSession) _
     val cents = loadCells(s, cat, ns, table)
     // probe breadth: the index's own policy fraction, widened
     // multiplicatively where the caller's task is stricter than top-k
     // overlap (top-1 retrieval needs ONE specific vector probed)
     val probeN = math.min(cents.size,
       math.ceil(probeCount(cents.size) * widen).toInt)
-    // rankedCells resolves against the session OWNING the batch frame
-    // (the cellOf/dotCol threading rule): in foreachBatch/newSession
-    // setups the catalog session `s` and the micro-batch's session can
-    // differ, and dispatch must check the registry the expression will
-    // actually analyze under
-    val byCell = batch
+    val ranked = batch
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(rankedCells(batch.sparkSession, cents, col("embedding"),
-          probeN)).as("cell"))
-      // materialize ONCE (lineage severed): the probed-cell union below
-      // and the candidate join must see the SAME rows — a
-      // non-deterministic batch (limit without a total order, a sample)
-      // re-evaluated for the join could probe cells outside the
-      // collected union, and the pruned read would silently lose those
-      // candidates. Micro-batch-sized by contract, so the eager
-      // checkpoint is cheap; blocks free when the frame is GC'd.
+        rankedCells(batch.sparkSession, cents, col("embedding"), probeN)
+          .as("cells"))
+      // materialize ONCE, BEFORE the explode (lineage severed at batch
+      // size — one embedding per row, not nProbe duplicated copies):
+      // the probed-cell union below and the candidate join must see the
+      // SAME rows — a non-deterministic batch (limit without a total
+      // order, a sample) re-evaluated for the join could probe cells
+      // outside the collected union, and the pruned read would silently
+      // lose those candidates. Blocks free when the frame is GC'd.
       .localCheckpoint()
+    val byCell = ranked.select(col("query_id"), col("qe"),
+      explode(col("cells")).as("cell"))
     // manifest-prune the index read to the UNION of cells any batch row
     // probes — without this the join scanned the FULL cell range, i.e.
     // O(index) per call: for a streaming micro-batch against a 100 TB

@@ -1805,10 +1805,13 @@ object Extensions {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cat = ivfPqIndexFor(s, d)
     val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
-    // ONE augmentTop1 call: the eager checkpoint inside it means the
-    // fingerprint agg and the agreement join below reuse the same
-    // materialized ranking
+    // checkpoint the (n_queries)-row result: the fingerprint agg and
+    // the agreement join are two actions — without this the candidate
+    // join + exact re-rank + window would execute twice (augmentTop1's
+    // internal checkpoint covers only the ranked batch, not the joins
+    // above it)
     val top1 = IvfPq.augmentTop1(s, cat, "vec", "emb", emb, batch)
+      .localCheckpoint()
     val agg = top1.agg(
       countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_rows"),

@@ -3,9 +3,13 @@
 
 The per-round LEAKCHECK.json records category hit lists but not WHICH
 commit was scanned, so a round bump doesn't prove a fresh scan. This
-scanner re-runs an equivalent check over the working tree and stamps the
-result with the scanned commit SHA + UTC timestamp; run it before a
-round lands and keep the output next to the round gates:
+scanner re-runs an equivalent check over the WORKING TREE by default —
+pass --root <dir> to scan a different checkout instead (the pre-commit
+hook points it at a temp checkout of the git INDEX, so what gets
+scanned is exactly the staged content the commit will contain, not the
+filesystem) — and stamps the result with the scanned commit SHA + UTC
+timestamp; run it before a round lands and keep the output next to the
+round gates:
 
     python3 tools/leakscan.py > target/LEAKSCAN.json
 
