@@ -416,6 +416,10 @@ object ScaleSmoke {
         "q_vec_knn_ivfpq", "q_vec_knn_deleted", "q_vec_knn_deleted_eq",
         "q_vec_knn_filtered", "q_vec_knn_filtered_deleted",
         "q_vec_knn_filtered_multi",
+        // round 13: batch augmentation — candidate work ∝ batch ×
+        // occupancy × nProbe (batch grows with N here, so ~linear),
+        // candidate READ pruned to the batch's probed-cell union
+        "q_vec_knn_augment",
         "etl_vec_index_compact", "etl_vec_index_rebuild",
         "q_dedup_semantic_cells", "q_vec_knn_join_cells",
         "q_vec_centroid", "q_embed_neardup_cells", "q_embed_neardup_lsh")
