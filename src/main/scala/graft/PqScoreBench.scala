@@ -50,7 +50,7 @@ object PqScoreBench {
     if (!Files.exists(dir)) {
       val span = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
       emb.withColumn("codes",
-          ProductQuantizer.packedCodes(model, col("embedding")))
+          ProductQuantizer.packedCodes(spark, model, col("embedding")))
         .select(col("vec_id"), col("codes"))
         .crossJoin(spark.range(0, mult).toDF("rep"))
         .withColumn("vec_id", col("vec_id") + col("rep") * lit(span))

@@ -333,6 +333,136 @@ case class ProbeCellsF(cents: Expression, emb: Expression, n: Expression)
     copy(cents = newChildren(0), emb = newChildren(1), n = newChildren(2))
 }
 
+/** Native PQ encoding of an `array<float>` embedding to the packed
+  * 64-bit codes word against a CONSTANT M×K×sub codebook table — the
+  * index-build hot loop ([[graft.operators.ProductQuantizer
+  * .packedCodes]]).
+  *
+  * The composable form is statically unrolled over the M = 16 subspaces,
+  * but each subspace's argmin evaluates K zip_with/aggregate lambda
+  * closures in the interpreter (higher-order functions never enter
+  * whole-stage codegen) — M×K×sub interpreted allocations per ROW, paid
+  * by every encode scan (index build, rebuild, streaming maintenance).
+  * This expression caches the codebooks as one flat primitive array and
+  * packs each row in a tight double loop.
+  *
+  * Arithmetic is BIT-IDENTICAL to the chain: per subspace the squared
+  * L2 accumulates left-to-right in double precision from 0.0 (the
+  * aggregate fold), strict `<` keeps the FIRST (lowest) code on exact
+  * ties (`array_position(array_min)` semantics), and the 4-bit codes
+  * sum into disjoint nibbles exactly like the `reduce(_ + _)` of
+  * shifted words. A null EMBEDDING yields null (the null-propagating
+  * chain's behavior); a null ELEMENT fails loudly — the chain would
+  * null-poison the distance folds and emit code 0 for that subspace
+  * (`array_position` on an all-null array returns 0), silently packing
+  * a wrong word; fixture embeddings carry no null elements, so no
+  * result changes, and the loud path is the [[NearestCellF]] family
+  * convention. */
+case class PqEncodeF(cbooks: Expression, emb: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = cbooks
+  override def right: Expression = emb
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (cbooks.dataType, emb.dataType) match {
+      case (ArrayType(ArrayType(ArrayType(FloatType, _), _), _),
+            ArrayType(FloatType, _)) if cbooks.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, e) => TypeCheckResult.TypeCheckFailure(
+        "graft_pq_encode requires (foldable array<array<array<float>>>, " +
+          s"array<float>), got ${c.sql} and ${e.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = emb.nullable
+  override def prettyName: String = "graft_pq_encode"
+
+  // flat layout: cb(m*K*sub + k*sub + p); M/K fixed by the packed-word
+  // layout (16 subspaces × 16 centroids = 4-bit codes in one BIGINT)
+  @transient private lazy val (cbFlat: Array[Float], sub: Int) = {
+    val ms = cbooks.eval(null).asInstanceOf[ArrayData]
+    require(ms.numElements() == 16,
+      s"graft_pq_encode codebook has ${ms.numElements()} subspaces, " +
+        "packed-word layout needs exactly 16")
+    val m0 = ms.getArray(0)
+    require(m0.numElements() == 16,
+      s"graft_pq_encode codebook subspace 0 has ${m0.numElements()} " +
+        "centroids, packed-word layout needs 16")
+    val s = m0.getArray(0).numElements()
+    val out = new Array[Float](16 * 16 * s)
+    var m = 0
+    while (m < 16) {
+      val ks = ms.getArray(m)
+      require(ks.numElements() == 16,
+        s"graft_pq_encode codebook subspace $m has ${ks.numElements()} " +
+          "centroids, packed-word layout needs 16")
+      var k = 0
+      while (k < 16) {
+        val c = ks.getArray(k)
+        require(c.numElements() == s,
+          s"graft_pq_encode centroid ($m,$k) has ${c.numElements()} " +
+            s"dims, expected $s")
+        var p = 0
+        while (p < s) {
+          require(!c.isNullAt(p),
+            s"graft_pq_encode codebook has a null component at ($m,$k,$p)")
+          out((m * 16 + k) * s + p) = c.getFloat(p); p += 1
+        }
+        k += 1
+      }
+      m += 1
+    }
+    (out, s)
+  }
+
+  def evalVec(v: ArrayData): Long = {
+    val dim = v.numElements()
+    require(dim == 16 * sub,
+      s"embedding dim $dim != codebook dim ${16 * sub}")
+    val vf = new Array[Float](dim)
+    var p = 0
+    while (p < dim) {
+      if (v.isNullAt(p)) throw new IllegalArgumentException(
+        "null-element embedding cannot be PQ-encoded (vec_id row would " +
+          "be silently mis-coded); drop or re-embed it first")
+      vf(p) = v.getFloat(p); p += 1
+    }
+    var packed = 0L
+    var m = 0
+    while (m < 16) {
+      var best = Double.MaxValue
+      var code = 0
+      var k = 0
+      while (k < 16) {
+        val base = (m * 16 + k) * sub
+        var acc = 0.0
+        p = 0
+        while (p < sub) {
+          val d = vf(m * sub + p).toDouble - cbFlat(base + p).toDouble
+          acc += d * d; p += 1
+        }
+        if (acc < best) { best = acc; code = k }
+        k += 1
+      }
+      packed += code.toLong << (4 * m)
+      m += 1
+    }
+    packed
+  }
+
+  override def nullSafeEval(cs: Any, e: Any): Any =
+    evalVec(e.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeF].getName)
+    nullSafeCodeGen(ctx, ev, (_, e) => s"${ev.value} = $ref.evalVec($e);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeF =
+    copy(cbooks = newLeft, emb = newRight)
+}
+
 /** Native asymmetric-distance PQ scoring of a packed 64-bit codes word
   * against a probe's driver-built lookup tables (the IVF+PQ probe's
   * per-row hot loop — [[graft.operators.ProductQuantizer.approxCosine]]).
@@ -480,6 +610,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCellF].getName, "graft_nearest_cell"),
       (children: Seq[Expression]) => NearestCellF(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeF].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => PqEncodeF(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_probe_cells"),
       new ExpressionInfo(classOf[ProbeCellsF].getName, "graft_probe_cells"),

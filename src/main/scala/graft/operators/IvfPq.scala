@@ -294,7 +294,7 @@ object IvfPq {
     val meta = emb.columns.filter(c => c != "vec_id" && c != "embedding")
     emb.select(col("vec_id") +:
         cellOf(emb.sparkSession, cents, col("embedding")).as("cell") +:
-        ProductQuantizer.packedCodes(model, col("embedding")).as("codes") +:
+        ProductQuantizer.packedCodes(emb.sparkSession, model, col("embedding")).as("codes") +:
         meta.toIndexedSeq.map(col): _*)
       .repartitionByRange(cents.size, col("cell"))
       .sortWithinPartitions("cell", "vec_id")

@@ -109,12 +109,23 @@ object ProductQuantizer {
   }
 
   /** Encode an embedding column to the packed 64-bit code word:
-    * subspace m's 4-bit code occupies bits [4m, 4m+4). Statically
-    * unrolled over the M subspaces (M is a compile-time constant), so
-    * the whole encode is one codegen'd projection — argmin L2 against
-    * the broadcast codebook literal, ties to the lowest code. */
-  def packedCodes(model: Model, emb: Column): Column = {
+    * subspace m's 4-bit code occupies bits [4m, 4m+4).
+    *
+    * `s` is the OWNING session of the frame being encoded (the
+    * [[graft.operators.IvfPq.cellOf]] threading rule): when it carries
+    * GraftExtensions the encode runs as the native [[graft.functions
+    * .PqEncodeF]] — one tight M×K×sub double loop per row. The
+    * composable fallback below is statically unrolled over the M
+    * subspaces, but each subspace's argmin evaluates K
+    * zip_with/aggregate lambda closures in the INTERPRETER (HOFs never
+    * enter whole-stage codegen) — the index-build tax the native path
+    * removes. Both paths are bit-identical (same L2 fold order, ties to
+    * the lowest code — PqEncodeSpec pins per-row word equality), so
+    * every committed index and oracle is unchanged. */
+  def packedCodes(s: SparkSession, model: Model, emb: Column): Column = {
     val cbLit = typedLit(model.cbooks)
+    if (s.catalog.functionExists("graft_pq_encode"))
+      return call_function("graft_pq_encode", cbLit, emb)
     (0 until M).map { m =>
       val sv = slice(emb, m * model.sub + 1, model.sub)
       val dists = transform(element_at(cbLit, m + 1), c =>
@@ -183,7 +194,7 @@ object ProductQuantizer {
     import spark.implicits._
     val model = train(sampleRows(emb).map(_._2).toSeq)
     val codes = emb.select(col("vec_id"),
-      packedCodes(model, col("embedding")).as("codes"))
+      packedCodes(emb.sparkSession, model, col("embedding")).as("codes"))
     val stamp = System.currentTimeMillis()
     def commit(t: String, df: DataFrame): TableMeta = {
       val dir = Paths.get(cat.warehouse, ns, t, "data", s"pq-$stamp")

@@ -441,7 +441,7 @@ object Etl {
     val model = ProductQuantizer.loadModel(s, cat, "vec", "emb")
     val committed = cat.readTable(s, "vec", "emb_pq_codes")
     val fresh = emb.select(col("vec_id"),
-      ProductQuantizer.packedCodes(model, col("embedding")).as("fresh"))
+      ProductQuantizer.packedCodes(s, model, col("embedding")).as("fresh"))
     val codesCheck = committed.join(fresh, "vec_id").agg(
       count(lit(1)).as("n_vectors"),
       lit(8L).as("code_bytes"),

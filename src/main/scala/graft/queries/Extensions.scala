@@ -1515,7 +1515,7 @@ object Extensions {
     val (probeId, probeVec) = sample.head
     val model = ProductQuantizer.train(sample.map(_._2).toSeq)
     emb.filter(col("vec_id") =!= probeId)
-      .withColumn("codes", ProductQuantizer.packedCodes(model, col("embedding")))
+      .withColumn("codes", ProductQuantizer.packedCodes(s, model, col("embedding")))
       .withColumn("approx",
         ProductQuantizer.approxCosine(s, model, probeVec, col("codes")))
       .orderBy(desc("approx"), asc("vec_id"))

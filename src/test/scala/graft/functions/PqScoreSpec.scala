@@ -42,7 +42,7 @@ class PqScoreSpec extends SparkSpec {
     val chain = codeSum(typedLit(lut)) /
       (lit(qnorm) * sqrt(codeSum(typedLit(cn2))))
     val rows = emb
-      .withColumn("codes", ProductQuantizer.packedCodes(model, col("embedding")))
+      .withColumn("codes", ProductQuantizer.packedCodes(spark, model, col("embedding")))
       .select(
         call_function("graft_pq_score", col("codes"),
           typedLit(lut), typedLit(cn2), lit(qnorm)).as("native"),
@@ -64,7 +64,7 @@ class PqScoreSpec extends SparkSpec {
   test("codegen and interpreted evaluation agree") {
     val (model, probe) = fixture
     val df = emb.limit(64)
-      .withColumn("codes", ProductQuantizer.packedCodes(model, col("embedding")))
+      .withColumn("codes", ProductQuantizer.packedCodes(spark, model, col("embedding")))
       .select(col("vec_id"),
         ProductQuantizer.approxCosine(spark, model, probe, col("codes"))
           .as("score"))
