@@ -120,7 +120,12 @@ object ScaleSmoke {
       // quadratic-per-block oracle stand-ins — the scale path is the
       // learned-cell blocking, measured as q_embed_neardup_cells in the
       // vector tier.)
-      "q_text_bm25", "q_hybrid_rrf")
+      "q_text_bm25", "q_hybrid_rrf",
+      // round 13: BM25 through the committed inverted index — the wall
+      // ratio should track the probed POSTING LISTS (df of the fixture
+      // terms), never the corpus; the kept-file fraction is reported
+      // separately by textIndexReport below
+      "q_text_bm25_indexed")
     // SPARK_GRAFT_ONLY: comma-separated target filter for iteration
     // ("none" runs only the streaming-screen block below)
     val targets = sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -291,6 +296,27 @@ object ScaleSmoke {
       println(f"""{"query":"$q","mult":$mult,"base_sec":$tb%.2f,""" +
         f""""scaled_sec":$ts%.2f,"ratio":${ts / tb}%.2f,""" +
         f""""shuffle_mb_base":$mbB%.1f,"shuffle_mb_scaled":$mbS%.1f$rounds$vocab}""")
+    }
+
+    // inverted-text-index pruning report (round 13): the file-level
+    // evidence next to q_text_bm25_indexed's wall ratio — the fixture
+    // query's terms keep a file fraction set by the term span over the
+    // range-clustered layout, and the kept BYTES track the terms'
+    // posting lists (O(df)), never the corpus. Reads the same memoized
+    // index the timed query probed.
+    if (targets.contains("q_text_bm25_indexed")) {
+      def textIndexReport(dir: String, tag: String): Unit = {
+        val cat = graft.queries.Extensions.textIndexFor(spark, dir)
+        val live = cat.loadTable("txt", "docs_postings").filesAsOf(None)
+        val kept = cat.filesForScanStringAny(live, "term",
+          graft.queries.Extensions.bm25Terms)
+        println(f"""{"query":"text_index_probe_files","tier":"$tag",""" +
+          f""""kept_files":${kept.size},"total_files":${live.size},""" +
+          f""""kept_mb":${kept.map(_.sizeBytes).sum / 1e6}%.2f,""" +
+          f""""total_mb":${live.map(_.sizeBytes).sum / 1e6}%.2f}""")
+      }
+      textIndexReport(sfDir, "base")
+      textIndexReport(scaledDir.toString, "scaled")
     }
 
     // relational tier at ×MULT fact volume (sf0.1 × 10 ≈ sf1): lineitem +

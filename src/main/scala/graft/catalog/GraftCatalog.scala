@@ -1589,6 +1589,31 @@ class GraftCatalog(val warehouse: String) {
     readKeptFiles(spark, ns, t, asOf,
       filesForScanString(ns, t, column, lower, upper, asOf).map(_.path).toSet)
 
+  /** File skipping for a UNION of string POINT lookups in one kept-file
+    * set — the inverted-index probe's read shape: a retrieval query's
+    * terms prune together against the postings table's per-file term
+    * bounds, and the survivors are scanned ONCE (the string analog of
+    * [[readTableWhereAnyLive]]'s range union; same conservative
+    * truncate(16) argument as [[filesForScanString]]). */
+  def filesForScanStringAny(files: Seq[DataFileMeta], column: String,
+                            points: Seq[String]): Seq[DataFileMeta] =
+    files.filter { f =>
+      f.strRanges.flatMap(_.get(column)) match {
+        case Some(rg) => points.exists(p => rg.max >= p && rg.min <= p)
+        case None     => true
+      }
+    }
+
+  /** Read with file skipping for a union of string point predicates; the
+    * caller still applies the row-level filter (same contract as
+    * [[readTableWhereString]]). */
+  def readTableWhereStringAny(spark: SparkSession, ns: String, t: String,
+                              column: String, points: Seq[String],
+                              asOf: Option[Long] = None): DataFrame =
+    readKeptFiles(spark, ns, t, asOf,
+      filesForScanStringAny(loadTable(ns, t).filesAsOf(asOf), column, points)
+        .map(_.path).toSet)
+
   /** Read with file skipping on a numeric column predicate. The caller
     * still applies the row-level filter; this only prunes whole files. */
   def readTableWhere(spark: SparkSession, ns: String, t: String,

@@ -1,0 +1,174 @@
+package graft.operators
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{GraftCatalog, TableMeta}
+
+/** Committed INVERTED TEXT INDEX — the sparse-retrieval analog of the
+  * IVF+PQ vector index ([[IvfPq]]): BM25 over a raw corpus re-reads and
+  * re-tokenizes every document per query (`q_text_bm25`'s two map-only
+  * scans are the best a scan-based plan can do), which at 100 TB makes
+  * every retrieval call pay the full corpus. This operator tokenizes
+  * ONCE at build time and commits posting lists through the catalog so
+  * a query reads O(df) posting rows — the classic inverted-file trade
+  * (Zobel & Moffat, "Inverted files for text search engines", 2006)
+  * restated in Spark terms: the index is a TABLE, the probe is a
+  * manifest-pruned scan, and the scoring plan never touches the corpus.
+  *
+  * Tables (namespace/table passed by the caller):
+  *  - `<t>_postings(term STRING, doc_id BIGINT, tf INT, len INT)` — one
+  *    row per (term, document) pair. `len` (the document's token count)
+  *    is DENORMALIZED onto every posting — the impact-ordered-index
+  *    trick that removes the per-query join back to a doc-lengths
+  *    table: scoring needs (tf, df, len, N, Σlen) and nothing else, so
+  *    a probe's plan is postings-only. Written range-CLUSTERED on
+  *    (term, doc_id) so each file covers a narrow term range and the
+  *    catalog's truncated string footer stats ([[GraftCatalog
+  *    .filesForScanStringAny]]) prune a query's terms to a few files.
+  *  - `<t>_stats(n_docs BIGINT, sum_len BIGINT)` — append-only DELTA
+  *    rows (one per build/append commit) summed at read time, so
+  *    incremental maintenance never rewrites statistics. N and Σlen
+  *    count EVERY document (including zero-token ones that produce no
+  *    postings), matching the scan-based BM25's corpus statistics.
+  *
+  * Incremental maintenance is a pure append on both tables
+  * ([[appendDocs]]): new documents append their postings (clustered
+  * among themselves) and one stats delta row. df is never materialized
+  * — it is exact at query time as the posting-row count per term over
+  * the pruned scan (conservative pruning keeps every file that can
+  * hold a query term, so the count sees ALL of a term's postings,
+  * whichever commit wrote them). This is what makes append-equivalence
+  * exact: an incrementally-grown index answers byte-identically to a
+  * fresh rebuild (proven by `etl_text_index`).
+  *
+  * Scale: build is one tokenize scan + one range shuffle of
+  * constant-width posting rows; a probe reads `O(Σ df(term))` rows from
+  * the pruned file union, aggregates per candidate doc (exchange sized
+  * by candidates, never the corpus), and ranks with a constant top-k.
+  * The reference delegates retrieval entirely (its Superset BI layer
+  * queries the warehouse); this family is the engine-side answer. */
+object TextIndex {
+
+  /** Target posting rows per index file. Small enough that a term's
+    * postings concentrate in few files, large enough that file count
+    * stays manifest-friendly (~1 MB files at 8 bytes/row compressed). */
+  private val RowsPerFile = 131072L
+
+  /** Layout floor: even a tiny corpus writes ≥8 range-clustered files so
+    * term pruning has something to skip (mirrors IvfPq's kCells floor). */
+  private[graft] def filesFor(nPostings: Long): Int =
+    math.max(8L, nPostings / RowsPerFile + 1L).toInt
+
+  /** Posting rows for a (doc_id, text) frame under the caller's
+    * tokenizer (a SQL array<string> expression over `text` — the SAME
+    * expression the query side scores with, which is the index
+    * contract). One flat map + one (term, doc_id) aggregate. */
+  def postingsOf(docs: DataFrame, tokensExpr: String): DataFrame =
+    docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("len"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("tf"), max(col("len")).as("len"))
+      .select(col("term"), col("doc_id"), col("tf"), col("len"))
+
+  /** One corpus-stats DELTA row for a (doc_id, text) frame: every doc
+    * counts, token-less ones included (they carry length 0 and can
+    * never match, but BM25's N must see them — the scan-based plan's
+    * `count(*)` does). */
+  private def statsDelta(docs: DataFrame, tokensExpr: String): DataFrame =
+    docs.select(expr(s"size($tokensExpr)").as("len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+
+  private def commitDf(cat: GraftCatalog, ns: String, t: String,
+                       df: DataFrame, operation: String): TableMeta = {
+    val dir = Paths.get(cat.warehouse, ns, t, "data",
+      s"textidx-${System.nanoTime()}")
+    df.write.parquet(dir.toString)
+    if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
+    cat.registerFiles(ns, t, Seq(dir), operation = operation)
+  }
+
+  private def commitPostings(spark: SparkSession, cat: GraftCatalog,
+                             ns: String, table: String, docs: DataFrame,
+                             tokensExpr: String,
+                             operation: String): TableMeta = {
+    val p = postingsOf(docs, tokensExpr).persist()
+    try {
+      val clustered = p
+        .repartitionByRange(filesFor(p.count()), col("term"), col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+      val meta = commitDf(cat, ns, s"${table}_postings", clustered, operation)
+      commitDf(cat, ns, s"${table}_stats",
+        statsDelta(docs, tokensExpr), operation)
+      meta
+    } finally { p.unpersist(); () }
+  }
+
+  /** Build (or rebuild) the index from scratch: one tokenize scan, one
+    * range-clustered postings commit, one stats row. */
+  def buildIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
+                 table: String, docs: DataFrame,
+                 tokensExpr: String): TableMeta =
+    commitPostings(spark, cat, ns, table, docs, tokensExpr, "overwrite")
+
+  /** Incrementally index NEW documents (caller guarantees unseen
+    * doc_ids — the corpus is append-only under dedup upstream): appends
+    * postings clustered among themselves plus one stats delta. O(batch),
+    * never touches existing files. */
+  def appendDocs(spark: SparkSession, cat: GraftCatalog, ns: String,
+                 table: String, docs: DataFrame,
+                 tokensExpr: String): TableMeta =
+    commitPostings(spark, cat, ns, table, docs, tokensExpr, "append")
+
+  /** (kept, total) postings-file counts for a term set — the pruning
+    * fraction the scale smoke reports and specs pin. */
+  def termFiles(cat: GraftCatalog, ns: String, table: String,
+                terms: Seq[String]): (Int, Int) = {
+    val live = cat.loadTable(ns, s"${table}_postings").filesAsOf(None)
+    (cat.filesForScanStringAny(live, "term", terms).size, live.size)
+  }
+
+  /** The pruned postings scan for a query's terms: manifest string-stats
+    * pruning to the file union, then the row-level In filter (parquet
+    * pushdown inside the survivors). */
+  def postingsFor(spark: SparkSession, cat: GraftCatalog, ns: String,
+                  table: String, terms: Seq[String]): DataFrame =
+    cat.readTableWhereStringAny(spark, ns, s"${table}_postings", "term",
+        terms)
+      .filter(col("term").isInCollection(terms))
+
+  /** Corpus statistics as ONE row: the sum of the committed deltas. */
+  def statsRow(spark: SparkSession, cat: GraftCatalog, ns: String,
+               table: String): DataFrame =
+    cat.readTable(spark, ns, s"${table}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_len")).as("sum_len"))
+
+  /** Scoring-ready candidate frame for a term list, postings-only:
+    * `(doc_id, len, tf0..tfN-1, df0..dfN-1, n_docs, sum_len)` with the
+    * EXACT column names/types the scan-based BM25 computes, so the
+    * caller applies the same scoring expressions and the result is
+    * bit-identical on the matching docs. Plan: one pruned postings scan
+    * → per-doc tf pivot in FIXED term order (exchange sized by
+    * candidate docs) → df per term as a one-row aggregate OVER THE
+    * PIVOT (exact: conservative pruning sees every posting of every
+    * query term) → both one-row frames broadcast back. */
+  def bm25Candidates(spark: SparkSession, cat: GraftCatalog, ns: String,
+                     table: String, terms: Seq[String]): DataFrame = {
+    val posts = postingsFor(spark, cat, ns, table, terms)
+    val pivotCols = max(col("len")).as("len") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(max(when(col("term") === t, col("tf"))), lit(0))
+          .as(s"tf$i")
+      }
+    val perDoc = posts.groupBy(col("doc_id"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    val dfCols = terms.indices
+      .map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val dfs = perDoc.agg(dfCols.head, dfCols.tail: _*)
+    perDoc.crossJoin(broadcast(dfs))
+      .crossJoin(broadcast(statsRow(spark, cat, ns, table)))
+  }
+}

@@ -454,6 +454,66 @@ object Etl {
     codesCheck.crossJoin(booksCheck)
   }
 
+  /** etl_text_index (L73): BUILD + incrementally MAINTAIN the committed
+    * inverted text index ([[graft.operators.TextIndex]] — the sparse-
+    * retrieval analog of etl_pq_index's vector index). The scenario is
+    * the deployment lifecycle: 4/5 of the corpus is indexed in the
+    * initial build (one tokenize scan, range-clustered postings +
+    * stats-delta commit), the remaining 1/5 arrives later through the
+    * pure-append [[graft.operators.TextIndex.appendDocs]] path
+    * (O(batch) — existing files untouched). The returned row is the
+    * self-verification the oracle checks from the RAW corpus alone:
+    * `n_docs`/`n_postings` (exact distinct (doc, term) pairs — drops or
+    * duplicates on either path shift it), plus booleans that flip if
+    * (a) the summed stats deltas disagree with a direct corpus
+    * aggregate, (b) the incrementally-grown postings differ from a
+    * fresh one-shot rebuild's BY CONTENT (two-sided exceptAll — the
+    * append-equivalence contract), (c) a single probe term fails to
+    * prune the file list (the layout's reason to exist), or (d) the
+    * indexed BM25 top-10 from the INCREMENTAL index differs row-for-row
+    * from the scan-based plan's matching-doc top-10 (serve parity on
+    * the maintained index; q_text_bm25_indexed pins the memoized
+    * full-build separately). */
+  private def etlTextIndex: QFn = (s, d) => {
+    import graft.operators.TextIndex
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "etl_text_index")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val tok = Extensions.tokensExpr
+    val docs = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    TextIndex.buildIndex(s, cat, "txt", "docs",
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), tok)
+    TextIndex.appendDocs(s, cat, "txt", "docs",
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), tok)
+    TextIndex.buildIndex(s, cat, "txt2", "docs", docs, tok)
+    val inc = cat.readTable(s, "txt", "docs_postings")
+    val full = cat.readTable(s, "txt2", "docs_postings")
+    val nPostings = inc.count()
+    val incrementalEquiv = nPostings == full.count() &&
+      inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty
+    val stats = TextIndex.statsRow(s, cat, "txt", "docs").collect()(0)
+    val expect = docs.select(expr(s"size($tok)").as("len"))
+      .agg(count(lit(1)), sum(col("len"))).collect()(0)
+    val statsOk = stats.getLong(0) == expect.getLong(0) &&
+      stats.getLong(1) == expect.getLong(1)
+    val (kept, total) =
+      TextIndex.termFiles(cat, "txt", "docs", Extensions.bm25Terms.take(1))
+    val terms = Extensions.bm25Terms
+    val viaIndex = TextIndex.bm25Candidates(s, cat, "txt", "docs", terms)
+      .select(Extensions.bm25RankCols(terms.length): _*)
+      .orderBy(desc("score"), asc("doc_id")).limit(10).collect().toSeq
+    val viaScan = Extensions.bm25Scores(docs)
+      .filter(col("n_hits") > 0)
+      .orderBy(desc("score"), asc("doc_id")).limit(10).collect().toSeq
+    import s.implicits._
+    Seq((expect.getLong(0), nPostings, statsOk, incrementalEquiv,
+        kept < total, viaIndex == viaScan))
+      .toDF("n_docs", "n_postings", "stats_ok", "incremental_equiv",
+        "pruned", "serve_parity")
+  }
+
   /** etl_vec_index_compact: pay down BOTH kinds of debt the persisted
     * ANN index accumulates in production ([[graft.etl.VectorMaintenance]])
     * and PROVE the probe answer is invariant across the rewrite. The
@@ -874,6 +934,7 @@ object Etl {
     "etl_zorder"          -> etlZorder,
     "etl_neardup_maintain" -> etlNeardupMaintain,
     "etl_pq_index"        -> etlPqIndex,
+    "etl_text_index"      -> etlTextIndex,
     "etl_vec_index_compact" -> etlVecIndexCompact,
     "etl_vec_index_rebuild" -> etlVecIndexRebuild,
     "etl_shard_export"    -> etlShardExport,
@@ -973,6 +1034,16 @@ object Etl {
       """SELECT count(*) AS n_vectors, CAST(8 AS BIGINT) AS code_bytes,
         |       true AS codes_roundtrip_ok, true AS books_complete
         |FROM embeddings""".stripMargin,
+    // n_postings = exact distinct (doc, term) pairs under the shared
+    // tokenizer; the booleans replay the in-query invariants
+    "etl_text_index" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '')))) AS BIGINT) AS n_postings,
+        |  true AS stats_ok, true AS incremental_equiv,
+        |  true AS pruned, true AS serve_parity
+        |FROM documents""".stripMargin,
     "etl_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,

@@ -234,7 +234,19 @@ object Extensions {
       bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val stats = perDoc.agg(statCols.head, statCols.tail: _*)
-    val termScore = bm25Terms.indices.map { i =>
+    perDoc.crossJoin(broadcast(stats))
+      .select(bm25RankCols(bm25Terms.length): _*)
+  }
+
+  /** The BM25 scoring projection over any frame carrying `(doc_id, len,
+    * tf$i, df$i, n_docs, sum_len)` — ONE Column tree shared by the
+    * scan-based plan ([[bm25Scores]]) and the committed-index plan
+    * ([[qTextBm25Indexed]]), so the two paths cannot drift
+    * arithmetically: same operand order, same textual-order term sum,
+    * same 4-decimal rounding — identical inputs give bit-identical
+    * scores. */
+  private[queries] def bm25RankCols(nTerms: Int): Seq[Column] = {
+    val termScore = (0 until nTerms).map { i =>
       val tf = col(s"tf$i").cast("double")
       val df = col(s"df$i").cast("double")
       when(col(s"tf$i") > 0,
@@ -244,11 +256,10 @@ object Extensions {
             (col("len").cast("double") * col("n_docs") / col("sum_len")))))
         .otherwise(lit(0.0))
     }
-    perDoc.crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        bm25Terms.indices.map(i => when(col(s"tf$i") > 0, 1).otherwise(0))
-          .reduce(_ + _).cast("int").as("n_hits"),
-        round(termScore.reduce(_ + _), 4).as("score"))
+    Seq(col("doc_id"),
+      (0 until nTerms).map(i => when(col(s"tf$i") > 0, 1).otherwise(0))
+        .reduce(_ + _).cast("int").as("n_hits"),
+      round(termScore.reduce(_ + _), 4).as("score"))
   }
 
   /** q_text_bm25 (L57): BM25 top-10 for the fixed query — ranked sparse
@@ -329,6 +340,55 @@ object Extensions {
          |LIMIT 10""".stripMargin,
       Map("qterms" -> bm25ParamTerms.toArray))
     finally s.catalog.dropTempView(v)
+  }
+
+  /** One committed inverted text index per (JVM, sfDir) — the build
+    * (one tokenize scan + range-clustered postings commit) is a
+    * deterministic pure function of the documents table, i.e. a layout
+    * FIXTURE like [[ivfPqIndexFx]]: memoized so repeated runs measure
+    * the steady-state pruned PROBE the index exists for. */
+  private val textIndexFx = scala.collection.concurrent.TrieMap
+    .empty[String, graft.catalog.GraftCatalog]
+
+  private[graft] def textIndexFor(s: SparkSession, d: String)
+      : graft.catalog.GraftCatalog =
+    textIndexFx.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(
+          sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+        "textidx")
+      val c = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+      graft.operators.TextIndex.buildIndex(s, c, "txt", "docs",
+        Tables.spread(s, Tables.documents(s, d))
+          .select(col("doc_id"), col("text")),
+        tokensExpr)
+      c
+    })
+
+  /** q_text_bm25_indexed (L72): BM25 through the COMMITTED inverted
+    * index ([[graft.operators.TextIndex]]) — the retrieval plan a
+    * 100 TB deployment actually runs: [[qTextBm25]] re-tokenizes the
+    * whole corpus per query (two map-only scans — optimal for a
+    * scan-based plan, but still O(corpus) per call); here the corpus
+    * was tokenized ONCE at build time and the query reads O(df)
+    * posting rows from a manifest-PRUNED file union (term string-stats
+    * skipping — the sparse analog of the IVF probe's cell pruning).
+    * Scoring applies the SAME Column tree as the scan-based plan
+    * ([[bm25RankCols]]) to the same integer inputs (tf/len from the
+    * pruned postings, df as the exact per-term posting count over the
+    * pivot, N/Σlen from the committed stats deltas), so on every
+    * matching document the score is bit-identical to q_text_bm25's.
+    * Result: top-10 among docs matching ≥1 term — an inverted index
+    * cannot see (and retrieval must not rank) zero-hit docs, hence the
+    * `n_hits > 0` oracle twin. The plan touches ONLY index tables:
+    * no documents-table scan anywhere (PlanSpec-pinned). */
+  private def qTextBm25Indexed: QFn = (s, d) => {
+    val cat = textIndexFor(s, d)
+    graft.operators.TextIndex
+      .bm25Candidates(s, cat, "txt", "docs", bm25Terms)
+      .select(bm25RankCols(bm25Terms.length): _*)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
   }
 
   /** q_hybrid_rrf (L58): reciprocal-rank fusion (Cormack, Clarke &
@@ -2925,6 +2985,7 @@ object Extensions {
     "q_text_repetition" -> qTextRepetition,
     "q_text_bm25"       -> qTextBm25,
     "q_text_bm25_param" -> qTextBm25Param,
+    "q_text_bm25_indexed" -> qTextBm25Indexed,
     "q_hybrid_rrf"      -> qHybridRrf,
     "q_dedup_semantic_cells" -> qDedupSemanticCells,
     "q_dedup_semantic"  -> qDedupSemantic,
@@ -3422,7 +3483,14 @@ object Extensions {
            |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
            |ORDER BY rrf_score DESC, doc_id""".stripMargin
     }
+    // the indexed twin ranks only MATCHING docs (an inverted index never
+    // sees zero-hit rows) — otherwise the identical scored replay
+    val bm25Indexed =
+      s"""$scoredSql
+         |SELECT doc_id, n_hits, score FROM scored WHERE n_hits > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
     Map("q_text_bm25" -> bm25, "q_text_bm25_param" -> bm25ParamOracle,
+      "q_text_bm25_indexed" -> bm25Indexed,
       "q_hybrid_rrf" -> hybrid) ++ hybridIndexed
   }
 

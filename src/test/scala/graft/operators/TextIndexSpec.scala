@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+import graft.catalog.GraftCatalog
+
+/** The committed inverted text index (SURVEY L72/L73): exactness of the
+  * posting rows, conservative term pruning, pure-append incremental
+  * maintenance, and end-to-end serve parity with the scan-based BM25. */
+class TextIndexSpec extends SparkSpec {
+
+  private val tok = graft.queries.Extensions.tokensExpr
+
+  private def freshCat(): GraftCatalog = {
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "textidx_spec")
+    new GraftCatalog(base.resolve("wh").toString)
+  }
+
+  test("postingsOf emits exact (term, doc, tf, len) rows; token-less docs produce none but count in stats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles Spark data; spark wins"),
+      (2L, "!!! ???"), // tokenizes to nothing
+      (3L, "data data data")).toDF("doc_id", "text")
+    val rows = TextIndex.postingsOf(docs, tok)
+      .orderBy("term", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(rows.toSeq === Seq(
+      ("data", 1L, 1, 6), ("data", 3L, 3, 3),
+      ("shuffles", 1L, 1, 6),
+      ("spark", 1L, 3, 6),
+      ("wins", 1L, 1, 6)))
+    val cat = freshCat()
+    TextIndex.buildIndex(spark, cat, "t", "d", docs, tok)
+    // stats count EVERY doc — the empty one too (BM25's N does)
+    val st = TextIndex.statsRow(spark, cat, "t", "d").collect()(0)
+    assert(st.getLong(0) === 3L && st.getLong(1) === 9L)
+  }
+
+  test("pruned probe: a term's postings read fewer files than the table holds, identically to a full scan") {
+    val cat = freshCat()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    TextIndex.buildIndex(spark, cat, "t", "d", docs, tok)
+    val (kept, total) = TextIndex.termFiles(cat, "t", "d", Seq("vector"))
+    assert(total >= 8, s"layout floor: expected >=8 postings files, got $total")
+    assert(kept < total,
+      s"term pruning kept $kept of $total files — nothing was skipped")
+    val pruned = TextIndex.postingsFor(spark, cat, "t", "d", Seq("vector"))
+      .orderBy("doc_id").collect().toSeq
+    val full = cat.readTable(spark, "t", "d_postings")
+      .filter(col("term") === "vector").orderBy("doc_id").collect().toSeq
+    assert(pruned === full, "pruning changed the answer")
+    assert(pruned.nonEmpty, "fixture term must match")
+  }
+
+  test("incremental append == one-shot rebuild, by content; stats deltas sum exactly") {
+    val cat = freshCat()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    TextIndex.buildIndex(spark, cat, "inc", "d",
+      docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), tok)
+    TextIndex.appendDocs(spark, cat, "inc", "d",
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), tok)
+    TextIndex.buildIndex(spark, cat, "full", "d", docs, tok)
+    val inc = cat.readTable(spark, "inc", "d_postings")
+    val full = cat.readTable(spark, "full", "d_postings")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incrementally-grown postings differ from a fresh rebuild")
+    assert(TextIndex.statsRow(spark, cat, "inc", "d").collect().toSeq ===
+      TextIndex.statsRow(spark, cat, "full", "d").collect().toSeq)
+    // the appended table carries BOTH commits' stats deltas
+    assert(cat.readTable(spark, "inc", "d_stats").count() === 2L)
+  }
+
+  test("declared serve parity: q_text_bm25_indexed == scan-based top-10 over matching docs, bit-identical") {
+    val indexed = SparkEntry.queries("q_text_bm25_indexed")(spark, sfDir)
+      .collect().toSeq
+    val scan = SparkEntry.queries("q_text_bm25")(spark, sfDir)
+      .filter(col("n_hits") > 0).collect().toSeq
+    assert(indexed === scan.take(indexed.size),
+      "indexed BM25 diverged from the scan-based plan")
+    assert(indexed.nonEmpty)
+  }
+}

@@ -60,7 +60,13 @@ class DeterminismSpec extends SparkSpec {
     // round 13: batch augmentation over the committed index — the
     // probed-union pruning and the checkpointed ranking must not make
     // the fingerprint layout-dependent
-    "q_vec_knn_augment")
+    "q_vec_knn_augment",
+    // round 13: the inverted text index — the probe's pruned-union scan
+    // and candidate pivot must be layout-blind (serve), and the build's
+    // range-clustered file boundaries (which DO vary with layout) must
+    // never leak into content: postings equality, stats sums, df counts
+    // (the etl row re-checks all of it in the sibling session)
+    "q_text_bm25_indexed", "etl_text_index")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()

@@ -172,6 +172,45 @@ class PlanSpec extends SparkSpec {
       s"param-BM25 re-scans the corpus $corpusScans times (expected ≤ 2)")
   }
 
+  test("q_text_bm25_indexed: reads manifest-pruned postings only — never the corpus") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
+    val p = plan("q_text_bm25_indexed")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }
+      .exists(_.limit == 10),
+      "global top-10 must be TakeOrderedAndProject, not sort+limit")
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    // (a) the plan touches ONLY index tables — postings + the stats
+    // deltas; the documents parquet appears nowhere (tokenization was
+    // paid ONCE at build time, the whole point of the index)
+    assert(scans.forall(_.relation.location.inputFiles.forall(f =>
+        f.contains("docs_postings") || f.contains("docs_stats"))),
+      "indexed BM25 must read only index tables — read:\n" +
+        scans.flatMap(_.relation.location.inputFiles).mkString("\n"))
+    // (b) the term union PRUNED: every postings scan lists exactly the
+    // kept-file fraction, strictly fewer files than the table holds
+    val cat = graft.queries.Extensions.textIndexFor(spark, sfDir)
+    val (kept, total) =
+      graft.operators.TextIndex.termFiles(cat, "txt", "docs",
+        graft.queries.Extensions.bm25Terms)
+    assert(kept < total,
+      s"term pruning kept $kept of $total postings files — nothing skipped")
+    val postingScans = scans
+      .filter(_.relation.location.inputFiles.exists(_.contains("docs_postings")))
+    assert(postingScans.nonEmpty)
+    assert(postingScans.forall(
+        _.relation.location.inputFiles.length <= kept),
+      "a postings scan listed more files than the pruned union")
+    // (c) the only keyed exchange is the candidate-doc pivot — sized by
+    // matching docs, never the corpus (plus one-row stat reductions)
+    val keyed = keyedShuffles("q_text_bm25_indexed")
+    assert(keyed.forall {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.map(_.sql.toLowerCase).mkString(",").contains("doc_id")
+      case other => other.numPartitions == 1
+    }, s"unexpected keyed exchange in the indexed-BM25 plan: $keyed")
+  }
+
   test("dedup pipeline: band edges are an equi-join, never cartesian") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
