@@ -1,0 +1,156 @@
+package graft.catalog
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Manifest-level BLOOM point-lookup skipping (SURVEY L74).
+  *
+  * Range stats prune files only when the predicate column correlates
+  * with the write layout. A table clustered by topic/time holds ids
+  * SCATTERED across every file, so each file's id [min, max] spans the
+  * whole domain and `filesForScan` keeps everything — a point lookup
+  * ("fetch document 12345", the RTBF audit read) scans the table. The
+  * production answer (parquet column bloom filters, Iceberg's puffin
+  * sidecars, ClickHouse skip indexes) is a per-file membership sketch
+  * consulted AFTER range pruning; this is that, at the catalog layer:
+  *
+  *  - at registration, one Spark job aggregates a per-(file, column)
+  *    bloom (split into m = next-pow-2(10·maxRows) bits, k = 7 —
+  *    ~1% FPP at 10 bits/row) and writes ONE sidecar parquet per
+  *    commit, sorted by file so later point reads push down;
+  *  - each `DataFileMeta` carries `bloomPath` (the commit's sidecar);
+  *    the manifest JSON stays O(files), never O(rows) — the bits live
+  *    in the sidecar, not the snapshot log;
+  *  - `GraftCatalog.filesForScanEquals` range-prunes first, then
+  *    bloom-tests only the survivors, reading each sidecar once per
+  *    scan (a bounded metadata read: files without blooms, or columns
+  *    not bloomed, stay conservatively kept).
+  *
+  * Determinism: hashing is the splitmix64 finalizer + Kirsch-
+  * Mitzenmacher double hashing — pure functions of the value, so the
+  * same corpus always builds byte-identical sidecars whatever the
+  * layout (merge is a commutative OR). No false negatives by
+  * construction; false positives only cost a kept file.
+  */
+object BloomIndex {
+
+  /** k: hash probes per value (~optimal for 10 bits/row). */
+  val HashCount = 7
+
+  /** m in BITS: next power of two of 10·rows, floored at 1024 (tiny
+    * files), capped at 2^27 (16 MiB — a file with more rows than that
+    * should be split long before bloom sizing is its problem). */
+  def bitsFor(maxRows: Long): Int = {
+    val target = math.max(1024L, math.min(maxRows * 10L, 1L << 27))
+    var m = 1024
+    while (m < target) m <<= 1
+    m
+  }
+
+  /** splitmix64 finalizer (Steele/Lea/Flood 2014, public domain). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def eachBit(value: Long, mBits: Int)(f: Int => Unit): Unit = {
+    val h1 = mix64(value)
+    val h2 = mix64(h1) | 1L // odd stride hits every position of a pow-2 m
+    var h = h1
+    var i = 0
+    while (i < HashCount) {
+      f((h & (mBits - 1L)).toInt) // m is a power of two — mask, not mod
+      h += h2
+      i += 1
+    }
+  }
+
+  private[catalog] def set(bits: Array[Byte], value: Long): Unit =
+    eachBit(value, bits.length * 8)(p =>
+      bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte)
+
+  /** Membership test: false = DEFINITELY absent (skip the file). */
+  def mightContain(bits: Array[Byte], value: Long): Boolean = {
+    var all = true
+    eachBit(value, bits.length * 8)(p =>
+      all &&= ((bits(p >>> 3) >> (p & 7)) & 1) == 1)
+    all
+  }
+
+  /** Partial-aggregable typed bloom: byte-array buffer, in-place set,
+    * commutative OR merge — map-side combines like any built-in
+    * aggregate, so the registration job shuffles m bits per (file,
+    * column), never row data. */
+  class BloomAgg(mBits: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](mBits / 8)
+    override def reduce(b: Array[Byte], x: Long): Array[Byte] = { set(b, x); b }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** ONE sidecar parquet for a commit's files: rows `(file, column, m,
+    * k, bits BINARY)`, sorted by (file, column) for point pushdown.
+    * Null values are EXCLUDED (SQL equality never matches null, so an
+    * absent bit is correct, not a false negative). Values hash by their
+    * LONG cast — the integral id columns point lookups target. */
+  def buildSidecar(spark: SparkSession, files: Seq[DataFileMeta],
+                   columns: Seq[String], outDir: Path): Unit = {
+    require(columns.nonEmpty, "bloom sidecar needs at least one column")
+    val m = bitsFor(math.max(1L, files.map(_.rowCount).max))
+    val agg = udaf(new BloomAgg(m))
+    val src = spark.read.parquet(files.map(_.path): _*)
+    // integral columns only: a lossy cast would silently hash a
+    // DIFFERENT value than the lookup later tests (false negatives —
+    // the one failure mode a bloom must never have)
+    columns.foreach { c =>
+      val dt = src.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"bloom column $c must be integral, got ${dt.typeName}")
+    }
+    columns.map { c =>
+        src.filter(col(c).isNotNull)
+          // normalize the scan's file URI ("file:/x" or "file:///x") to
+          // the manifest's plain "/x" path
+          .select(regexp_replace(input_file_name(), "^file:(//)?", "")
+            .as("file"), col(c).cast("long").as("v"))
+          .groupBy(col("file"))
+          .agg(agg(col("v")).as("bits"))
+          .select(col("file"), lit(c).as("column"), lit(m).as("m"),
+            lit(HashCount).as("k"), col("bits"))
+      }
+      .reduce(_ unionByName _)
+      .repartition(1).sortWithinPartitions("file", "column")
+      .write.parquet(outDir.toString)
+  }
+
+  /** Bloom-test `files` (grouped by their commit sidecar — one sidecar
+    * read per scan) for a point predicate `column = value`. Files
+    * without a sidecar, or without a bloom row for this column, stay
+    * kept: skipping must be conservative. */
+  def kept(spark: SparkSession, files: Seq[DataFileMeta], column: String,
+           value: Long): Seq[DataFileMeta] =
+    files.groupBy(_.bloomPath).toSeq.flatMap {
+      case (None, fs) => fs
+      case (Some(sc), fs) =>
+        val mine = fs.map(_.path).toSet
+        val bitsByFile = spark.read.parquet(sc)
+          .filter(col("column") === column)
+          .select(col("file"), col("bits"))
+          .collect()
+          .filter(r => mine(r.getString(0)))
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        fs.filter(f =>
+          bitsByFile.get(f.path).forall(mightContain(_, value)))
+    }
+}

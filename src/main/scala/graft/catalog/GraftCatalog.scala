@@ -46,7 +46,11 @@ case class DataFileMeta(path: String, sizeBytes: Long, rowCount: Long,
                         partition: Option[Map[String, String]] = None,
                         specId: Option[Int] = None,
                         valueCounts: Option[Map[String, Long]] = None,
-                        nullCounts: Option[Map[String, Long]] = None)
+                        nullCounts: Option[Map[String, Long]] = None,
+                        // commit-level bloom sidecar for point-lookup
+                        // skipping ([[BloomIndex]]); the bits live in the
+                        // sidecar parquet, never in this manifest JSON
+                        bloomPath: Option[String] = None)
 
 /** One immutable partition spec version (Iceberg "partition spec
   * evolution"): a table's spec can be replaced without touching any file —
@@ -573,6 +577,48 @@ class GraftCatalog(val warehouse: String) {
       if (Files.isDirectory(p)) findParquet(p) else Seq(p))
     commitSnapshot(ns, t, operation, statFiles(expanded))
   }
+
+  /** [[registerFiles]] + a per-commit bloom sidecar over `bloomColumns`
+    * ([[BloomIndex]]): one Spark aggregation job per commit builds the
+    * per-(file, column) membership sketches, committed as ONE sidecar
+    * parquet whose path every file's manifest entry records — the
+    * point-lookup skipping layer for columns whose values scatter
+    * across the write layout (where [min,max] prunes nothing). */
+  def registerFilesWithBlooms(spark: SparkSession, ns: String, t: String,
+                              paths: Seq[Path], bloomColumns: Seq[String],
+                              operation: String = "append"): TableMeta = {
+    val expanded = paths.flatMap(p =>
+      if (Files.isDirectory(p)) findParquet(p) else Seq(p))
+    val stated = statFiles(expanded)
+    val dir = tableDir(ns, t).resolve("bloom")
+      .resolve(s"bloom-${System.nanoTime()}")
+    BloomIndex.buildSidecar(spark, stated, bloomColumns, dir)
+    commitSnapshot(ns, t, operation,
+      stated.map(_.copy(bloomPath = Some(dir.toString))))
+  }
+
+  /** File skipping for a POINT predicate `column = value`: range stats
+    * first (free — already in the manifest), then the survivors'
+    * bloom sidecars ([[BloomIndex.kept]] — one bounded metadata read
+    * per sidecar). Files without blooms stay kept; both layers are
+    * conservative, so the caller's row filter gives exact results. */
+  def filesForScanEquals(spark: SparkSession, ns: String, t: String,
+                         column: String, value: Long,
+                         asOf: Option[Long] = None): Seq[DataFileMeta] =
+    BloomIndex.kept(spark,
+      filesForScan(loadTable(ns, t).filesAsOf(asOf), column,
+        value.toDouble, value.toDouble),
+      column, value)
+
+  /** Read with point-predicate file skipping (range + bloom); the caller
+    * still applies the row-level filter (same contract as
+    * [[readTableWhere]]). */
+  def readTableWhereEquals(spark: SparkSession, ns: String, t: String,
+                           column: String, value: Long,
+                           asOf: Option[Long] = None): DataFrame =
+    readKeptFiles(spark, ns, t, asOf,
+      filesForScanEquals(spark, ns, t, column, value, asOf)
+        .map(_.path).toSet)
 
   /** Partition-clustered write: computes each spec field's canonical value,
     * writes one directory per partition tuple (`partitionBy` — the derived
@@ -1383,6 +1429,122 @@ class GraftCatalog(val warehouse: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
     else groups.map { case (v, fs) => scanAt(spark, meta, v, fs) }
       .reduce(_ unionByName _)
+  }
+
+  /** Row-level CDC CHANGELOG for snapshots in `(fromExclusive,
+    * toInclusive]` — Iceberg's `table.changes` surface, the consumption
+    * pattern downstream sync needs when the table carries DML (where
+    * [[readIncremental]] rightly refuses): every change materializes as
+    * a row plus `_change_type` (insert | delete) and `_change_ordinal`
+    * (1-based position of its snapshot in the range). Per snapshot kind:
+    *
+    *  - append: added files' rows → insert;
+    *  - overwrite (copy-on-write DML, compaction, rollback): file-set
+    *    diff vs the previous snapshot — removed files' rows → delete,
+    *    added files' rows → insert (Iceberg's CoW changelog semantics:
+    *    rewritten rows surface as delete+insert pairs; net-change
+    *    folding is the consumer's choice);
+    *  - merge-on-read POSITION delete: the `(file_path, pos)` tuples
+    *    resolve against the referenced files of the PREVIOUS state —
+    *    only files the delete actually touches are read (stacked
+    *    deletes never re-emit positions, so a raw semi-join is exact);
+    *  - merge-on-read EQUALITY delete / upsert: previous-state rows
+    *    matching the tombstone keys (null-safe, [[readInternal]]'s
+    *    fold semantics) → delete; same-snapshot added files (the
+    *    upsert shape — by the sequence rule they survive their own
+    *    tombstones) → insert.
+    *
+    * Scale: metadata-only planning like every read here — the append
+    * and MoR branches scan only their snapshot's delta files (plus,
+    * for position deletes, the bounded referenced subset of the
+    * previous state), so changelog cost tracks the CHANGES. The
+    * overwrite branch's delete side reads the previous LIVE state
+    * (debt applied) filtered to the removed files — an overwrite
+    * rewrites its files wholesale, so its changelog is proportional to
+    * what it rewrote, the honest CoW cost. */
+  def readChangelog(spark: SparkSession, ns: String, t: String,
+                    fromExclusive: Long, toInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import GraftCatalog.{PosFileCol, PosIdxCol}
+    val meta = loadTable(ns, t)
+    val range = meta.snapshots
+      .filter(sn => sn.id > fromExclusive && sn.id <= toInclusive)
+      .sortBy(_.id)
+    val outCols = meta.schema.fieldNames.toSeq
+    def tag(df: DataFrame, tpe: String, ord: Long): DataFrame =
+      df.select(outCols.map(col): _*)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_change_ordinal", lit(ord))
+    val parts: Seq[DataFrame] = range.zipWithIndex.flatMap { case (sn, i) =>
+      val ord = (i + 1).toLong
+      val prevId = meta.snapshots.filter(_.id < sn.id)
+        .map(_.id).maxOption.getOrElse(0L)
+      if (sn.deletes.nonEmpty && sn.isPositionDelete) {
+        val tuples = spark.read.parquet(sn.deletes.map(_.path): _*)
+        // bounded driver fetch: the distinct files this delete touches
+        val refPaths = tuples.select(col("file_path")).distinct()
+          .collect().map(_.getString(0).replaceFirst("^file:(//)?", ""))
+          .toSet
+        val prev = readKeptFiles(spark, ns, t, Some(prevId), refPaths,
+          keepPos = true)
+        Seq(tag(prev.join(broadcast(tuples),
+          prev(PosFileCol) === tuples("file_path") &&
+            prev(PosIdxCol) === tuples("pos"), "left_semi"),
+          "delete", ord))
+      } else if (sn.deletes.nonEmpty) {
+        val keys = sn.equalityKeys.getOrElse(Nil)
+        require(keys.nonEmpty,
+          s"$ns.$t snapshot ${sn.id}: equality-delete snapshot without keys")
+        val vals = spark.read.parquet(sn.deletes.map(_.path): _*)
+        val prev = readTable(spark, ns, t, asOf = Some(prevId))
+        val cond = keys.map(k => prev(k) <=> vals(k)).reduce(_ && _)
+        val dels = tag(prev.join(broadcast(vals), cond, "left_semi"),
+          "delete", ord)
+        val added = sn.addedFiles.map(_.path).toSet
+        if (added.isEmpty) Seq(dels)
+        else Seq(dels,
+          tag(readKeptFiles(spark, ns, t, Some(sn.id), added), "insert", ord))
+      } else if (sn.operation == "append") {
+        val files = sn.addedFiles.map(_.path).toSet
+        if (files.isEmpty) Nil
+        else Seq(tag(readKeptFiles(spark, ns, t, Some(sn.id), files),
+          "insert", ord))
+      } else { // overwrite / replace: file-set diff
+        val prevFiles = meta.filesAsOf(Some(prevId)).map(_.path).toSet
+        val curFiles = meta.filesAsOf(Some(sn.id)).map(_.path).toSet
+        val removed = prevFiles -- curFiles
+        val added = curFiles -- prevFiles
+        val dels =
+          if (removed.isEmpty) Nil
+          else {
+            // the delete side is the previous LIVE state restricted to
+            // the removed files — a raw file read would re-emit rows
+            // merge-on-read tombstones had already deleted before this
+            // overwrite (materialize/compaction folds that debt away,
+            // and so must the changelog)
+            val prevLive = readInternal(spark, ns, t, Some(prevId),
+              withPos = true)
+            Seq(tag(prevLive.filter(
+              org.apache.spark.sql.functions.regexp_replace(
+                prevLive(GraftCatalog.PosFileCol), "^file:(//)?", "")
+                .isInCollection(removed)), "delete", ord))
+          }
+        val inss =
+          if (added.isEmpty) Nil
+          else Seq(tag(readKeptFiles(spark, ns, t, Some(sn.id), added),
+            "insert", ord))
+        dels ++ inss
+      }
+    }
+    if (parts.isEmpty) {
+      val schema = org.apache.spark.sql.types.StructType(meta.schema.fields ++
+        Seq(org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_change_ordinal",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else parts.reduce(_ unionByName _)
   }
 
   /** Iceberg's remaining maintenance verb: expire history, keeping the

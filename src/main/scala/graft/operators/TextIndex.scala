@@ -123,6 +123,42 @@ object TextIndex {
                  tokensExpr: String): TableMeta =
     commitPostings(spark, cat, ns, table, docs, tokensExpr, "append")
 
+  /** [[appendDocs]] keyed to a micro-batch id — the IDEMPOTENT form a
+    * streaming sink must use (the [[IvfPq.appendCodesBatch]] contract:
+    * `foreachBatch` is at-least-once, and a blind append would double a
+    * replayed batch's postings AND its stats delta — doubled df/tf
+    * means silently wrong BM25 scores forever after). Each batch owns
+    * the directory `textidx-batch-<id>` in BOTH tables; replay
+    * detection scans each table's FULL snapshot log independently, so
+    * a crash BETWEEN the two commits (postings landed, stats didn't)
+    * replays only the missing half. The tokenize pass is shared. */
+  def appendDocsBatch(spark: SparkSession, cat: GraftCatalog, ns: String,
+                      table: String, docs: DataFrame, tokensExpr: String,
+                      batchId: Long): Unit = {
+    val tag = s"textidx-batch-$batchId"
+    def committed(t: String): Boolean = cat.tableExists(ns, t) &&
+      cat.loadTable(ns, t).snapshots
+        .exists(_.addedFiles.exists(_.path.contains(s"/$tag/")))
+    val pTab = s"${table}_postings"
+    val sTab = s"${table}_stats"
+    if (committed(pTab) && committed(sTab)) return
+    val p = postingsOf(docs, tokensExpr).persist()
+    try {
+      def land(t: String, df: DataFrame): Unit = {
+        val dir = Paths.get(cat.warehouse, ns, t, "data", tag)
+        df.write.mode("overwrite").parquet(dir.toString)
+        if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
+        cat.registerFiles(ns, t, Seq(dir), operation = "append")
+        ()
+      }
+      if (!committed(pTab))
+        land(pTab, p
+          .repartitionByRange(filesFor(p.count()), col("term"), col("doc_id"))
+          .sortWithinPartitions("term", "doc_id"))
+      if (!committed(sTab)) land(sTab, statsDelta(docs, tokensExpr))
+    } finally { p.unpersist(); () }
+  }
+
   /** (kept, total) postings-file counts for a term set — the pruning
     * fraction the scale smoke reports and specs pin. */
   def termFiles(cat: GraftCatalog, ns: String, table: String,

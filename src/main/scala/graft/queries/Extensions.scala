@@ -382,14 +382,26 @@ object Extensions {
     * cannot see (and retrieval must not rank) zero-hit docs, hence the
     * `n_hits > 0` oracle twin. The plan touches ONLY index tables:
     * no documents-table scan anywhere (PlanSpec-pinned). */
-  private def qTextBm25Indexed: QFn = (s, d) => {
-    val cat = textIndexFor(s, d)
+  private def qTextBm25Indexed: QFn = (s, d) =>
+    bm25IndexedTop10(s, textIndexFor(s, d))
+
+  /** The indexed-BM25 serve plan over ANY `txt.docs` TextIndex catalog —
+    * shared verbatim with st_text_index_maintain, which proves the
+    * streaming-maintained index answers identically. */
+  private[graft] def bm25IndexedTop10(s: SparkSession,
+      cat: graft.catalog.GraftCatalog): DataFrame =
     graft.operators.TextIndex
       .bm25Candidates(s, cat, "txt", "docs", bm25Terms)
       .select(bm25RankCols(bm25Terms.length): _*)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
-  }
+
+  /** The REAL DuckDB oracle for any indexed-BM25 top-10 (matching docs
+    * only — an inverted index never sees zero-hit rows). */
+  private[graft] def bm25IndexedOracleSql: String =
+    s"""${bm25ScoredSqlFor(bm25Terms)}
+       |SELECT doc_id, n_hits, score FROM scored WHERE n_hits > 0
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** q_hybrid_rrf (L58): reciprocal-rank fusion (Cormack, Clarke &
     * Büttcher 2009; k=60) of the two retrieval legs every production
@@ -3483,14 +3495,8 @@ object Extensions {
            |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
            |ORDER BY rrf_score DESC, doc_id""".stripMargin
     }
-    // the indexed twin ranks only MATCHING docs (an inverted index never
-    // sees zero-hit rows) — otherwise the identical scored replay
-    val bm25Indexed =
-      s"""$scoredSql
-         |SELECT doc_id, n_hits, score FROM scored WHERE n_hits > 0
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
     Map("q_text_bm25" -> bm25, "q_text_bm25_param" -> bm25ParamOracle,
-      "q_text_bm25_indexed" -> bm25Indexed,
+      "q_text_bm25_indexed" -> bm25IndexedOracleSql,
       "q_hybrid_rrf" -> hybrid) ++ hybridIndexed
   }
 

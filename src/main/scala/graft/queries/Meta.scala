@@ -1265,6 +1265,62 @@ object Meta {
       .orderBy("phase") // total key: phase strings are unique
   }
 
+  /** meta_changelog (L76): row-level CDC over a DML-carrying history —
+    * [[graft.catalog.GraftCatalog.readChangelog]] end to end, the
+    * consumption surface [[graft.catalog.GraftCatalog.readIncremental]]
+    * rightly refuses to fake (meta_incremental pins the refusal). The
+    * scenario exercises every snapshot kind in one table: (1) initial
+    * append — 5 region rows as inserts; (2) a merge-on-read POSITION
+    * delete (key 0) — the tuples resolve back to the concrete row; (3)
+    * a merge-on-read EQUALITY delete (key 1) — previous-state rows
+    * matching the tombstone; (4) an UPSERT (mergeIntoMor on key 2, name
+    * suffixed "-v2") — one snapshot emitting the old row as delete AND
+    * the new as insert (the sequence rule: added files survive their
+    * own tombstones); (5) a plain append (key 9) — one insert. The
+    * in-query require replays the changelog onto empty state: Σinserts
+    * − Σdeletes must equal the live row count. Oracled row-for-row
+    * from raw region (keys AND names — a wrong-row delete breaks the
+    * hash, not just a count). */
+  private def metaChangelog: QFn = (s, d) => {
+    import s.implicits._
+    val (_, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.createNamespace("nyc")
+    val t = "chg_" + java.util.UUID.randomUUID.toString.take(8)
+    val region = graft.Tables.region(s, d)
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "meta_chg")
+    region.coalesce(1).write.parquet(base.resolve("r0").toString)
+    cat.createTable("nyc", t, region.schema)
+    cat.registerFiles("nyc", t, Seq(base.resolve("r0")))          // s1
+    graft.etl.Merge.deleteWherePos(s, cat, "nyc", t,
+      col("r_regionkey") === 0)                                    // s2
+    graft.etl.Merge.deleteWhereMor(s, cat, "nyc", t,
+      col("r_regionkey") === 1, Seq("r_regionkey"))                // s3
+    graft.etl.Merge.mergeIntoMor(s, cat, "nyc", t,
+      region.filter(col("r_regionkey") === 2)
+        .withColumn("r_name", concat(col("r_name"), lit("-v2"))),
+      Seq("r_regionkey"))                                          // s4
+    region.limit(0).unionByName(
+        Seq((9, "NEWLAND")).toDF("r_regionkey", "r_name")
+          .select(col("r_regionkey").cast("int"), col("r_name")))
+      .coalesce(1).write.parquet(base.resolve("r5").toString)
+    cat.registerFiles("nyc", t, Seq(base.resolve("r5")))           // s5
+    val last = cat.snapshots("nyc", t).map(_.id).max
+    val chg = cat.readChangelog(s, "nyc", t, 0L, last)
+    val counts = chg.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val live = cat.readTable(s, "nyc", t).count()
+    require(counts.getOrElse("insert", 0L) - counts.getOrElse("delete", 0L)
+        == live,
+      s"changelog does not replay to the live state: $counts vs $live live")
+    chg.select(col("_change_ordinal").as("change_ordinal"),
+        col("_change_type").as("change_type"),
+        col("r_regionkey"), col("r_name"))
+      .orderBy("change_ordinal", "change_type", "r_regionkey")
+  }
+
   /** meta_file_skip: manifest-style file skipping observable end-to-end —
     * a table of two disjoint-range files is scanned with a predicate that
     * can only hit one; the report shows files pruned vs scanned and that
@@ -1306,6 +1362,77 @@ object Meta {
         (base, mid)
       })
     }
+
+  /** One scattered-id fixture per (JVM, sfDir): 16 files each holding ONE
+    * residue class of l_orderkey (ids r, r+16, r+32, … — every file's
+    * [min, max] spans ~the whole id domain), the layout a topic/time-
+    * clustered corpus gives its id column. The writes are layout setup
+    * (memoized like [[fileSkipFixture]]); registration + the bloom build
+    * + the point lookups stay per-run — they are the measured operator. */
+  private val bloomSkipFixtures =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def bloomSkipFixture(s: SparkSession, d: String): java.nio.file.Path =
+    bloomSkipFixtures.synchronized {
+      bloomSkipFixtures.getOrElseUpdate(d, {
+        val li = graft.Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        val base = Files.createTempDirectory(
+          Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+          "meta_bloom")
+        // one file per residue class (coalesce(1)): n_files = 16 is part
+        // of the oracled contract, whatever the SF
+        (0 until 16).foreach { r =>
+          li.filter(pmod(col("l_orderkey"), lit(16)) === r).coalesce(1)
+            .write.parquet(base.resolve(s"r$r").toString)
+        }
+        base
+      })
+    }
+
+  /** meta_bloom_skip (L74): point-lookup file skipping where range stats
+    * are BLIND — the [[graft.catalog.BloomIndex]] sidecar layer end to
+    * end. The fixture scatters ids across 16 files (each holds one
+    * residue class, so every file's [min, max] spans the domain);
+    * the in-query invariants: range skipping alone keeps ALL 16 files
+    * (the blindness, asserted — if a layout change ever made ranges
+    * selective here the row flips), the bloom keeps strictly fewer for
+    * a point lookup on a real id (the max l_orderkey), and the pruned
+    * read returns EXACTLY the full scan's rows (no false negatives by
+    * construction; FPs only cost kept files). Counts replay in DuckDB
+    * from raw lineitem. */
+  private def metaBloomSkip: QFn = (s, d) => {
+    import s.implicits._
+    val (_, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.createNamespace("nyc")
+    val li = graft.Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+    val base = bloomSkipFixture(s, d)
+    val t = "li_scatter_" + java.util.UUID.randomUUID.toString.take(8)
+    cat.createTable("nyc", t, li.schema)
+    cat.registerFilesWithBlooms(s, "nyc", t,
+      (0 until 16).map(r => base.resolve(s"r$r")),
+      Seq("l_orderkey"))
+    // an INTERIOR existing id (largest key ≤ the domain midpoint): every
+    // residue file's [min, max] straddles it — a domain-EDGE probe (the
+    // global max) would be the one point where ranges do prune
+    val mm = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val probe = li.filter(col("l_orderkey") <= mid)
+      .agg(max("l_orderkey")).head().getLong(0)
+    val total = cat.files("nyc", t).size.toLong
+    val rangeKept = cat.filesForScan("nyc", t, "l_orderkey",
+      probe.toDouble, probe.toDouble).size.toLong
+    val bloomKept = cat.filesForScanEquals(s, "nyc", t, "l_orderkey", probe)
+      .size.toLong
+    val pruned = cat.readTableWhereEquals(s, "nyc", t, "l_orderkey", probe)
+      .filter(col("l_orderkey") === probe).count()
+    val full = cat.readTable(s, "nyc", t)
+      .filter(col("l_orderkey") === probe).count()
+    Seq((total, rangeKept, bloomKept < rangeKept, pruned, full,
+        pruned == full && pruned > 0))
+      .toDF("n_files", "n_files_range_kept", "bloom_prunes",
+        "n_rows_pruned_scan", "n_rows_full_scan", "results_agree")
+  }
 
   private def metaFileSkip: QFn = (s, d) => {
     import s.implicits._
@@ -1594,6 +1721,8 @@ object Meta {
     "meta_merge_pos"   -> metaMergePos,
     "meta_incremental" -> metaIncremental,
     "meta_file_skip"   -> metaFileSkip,
+    "meta_bloom_skip"  -> metaBloomSkip,
+    "meta_changelog"   -> metaChangelog,
     "meta_snapshots"   -> metaSnapshots,
     "meta_files"       -> metaFiles,
     "meta_time_travel" -> metaTimeTravel,
@@ -1824,6 +1953,39 @@ object Meta {
         |       (SELECT CAST(n AS BIGINT) FROM str) AS n_rows_pruned_scan_str,
         |       (SELECT CAST(n AS BIGINT) FROM str) AS n_rows_full_scan_str,
         |       true AS str_skip_ok""".stripMargin,
+    // row-for-row CDC replay from raw region: ordinal 1 inserts all 5
+    // rows, 2 position-deletes key 0, 3 equality-deletes key 1, 4 is
+    // the upsert pair on key 2 (old name out, "-v2" in), 5 appends 9
+    "meta_changelog" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS change_ordinal,
+        |         'insert' AS change_type, r_regionkey, r_name FROM region
+        |  UNION ALL SELECT 2, 'delete', r_regionkey, r_name FROM region
+        |    WHERE r_regionkey = 0
+        |  UNION ALL SELECT 3, 'delete', r_regionkey, r_name FROM region
+        |    WHERE r_regionkey = 1
+        |  UNION ALL SELECT 4, 'delete', r_regionkey, r_name FROM region
+        |    WHERE r_regionkey = 2
+        |  UNION ALL SELECT 4, 'insert', r_regionkey, r_name || '-v2'
+        |    FROM region WHERE r_regionkey = 2
+        |  UNION ALL SELECT 5, 'insert', CAST(9 AS INTEGER), 'NEWLAND')
+        |ORDER BY change_ordinal, change_type, r_regionkey""".stripMargin,
+    // the scattered-id layout makes range stats blind by construction
+    // (16 residue-class files, each spanning the id domain); the point-
+    // lookup row counts replay over raw lineitem at the max id
+    "meta_bloom_skip" ->
+      """WITH mm AS (SELECT (min(l_orderkey) + max(l_orderkey)) // 2
+        |             AS mid FROM lineitem),
+        |probe AS (SELECT max(l_orderkey) AS k FROM lineitem
+        |          WHERE l_orderkey <= (SELECT mid FROM mm)),
+        |cnt AS (SELECT count(*) AS n FROM lineitem
+        |        WHERE l_orderkey = (SELECT k FROM probe))
+        |SELECT CAST(16 AS BIGINT) AS n_files,
+        |       CAST(16 AS BIGINT) AS n_files_range_kept,
+        |       true AS bloom_prunes,
+        |       (SELECT CAST(n AS BIGINT) FROM cnt) AS n_rows_pruned_scan,
+        |       (SELECT CAST(n AS BIGINT) FROM cnt) AS n_rows_full_scan,
+        |       true AS results_agree""".stripMargin,
     // manifest (footer-derived) row counts vs an independent physical
     // count(*) per table; region_prq is the renamed-extension twin of
     // region, so it replays from the region view

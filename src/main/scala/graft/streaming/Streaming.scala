@@ -545,6 +545,67 @@ object Streaming {
     IvfPq.search(s, cat, "vec", "emb", emb, probeId, probeVec)
   }
 
+  /** st_text_index_maintain (L75): streaming maintenance of the
+    * committed INVERTED TEXT INDEX — the sparse twin of
+    * st_vec_index_maintain: documents arrive as parquet drops in a
+    * landing zone, and each micro-batch pays ONE tokenize pass before
+    * an idempotent batch-tagged append of range-clustered postings plus
+    * its stats delta ([[graft.operators.TextIndex.appendDocsBatch]] —
+    * replay detection per TABLE against the full snapshot log, so a
+    * crash between the two commits replays only the missing half; a
+    * doubled stats delta would silently corrupt every later BM25
+    * score).
+    *
+    * The RESULT is the proof, and it is a REAL DuckDB oracle (not a
+    * pin): after the drain, the SHARED indexed-BM25 serve plan
+    * ([[graft.queries.Extensions.bm25IndexedTop10]]) runs over the
+    * maintained index and must hash-match the scan-based BM25 replay
+    * over the raw corpus. A missed batch shifts df/N and changes
+    * scores; a double append doubles them; a clustering or pruning bug
+    * over the multi-snapshot layout drops candidates — all surface in
+    * the top-10. In-query require: the summed stats deltas equal a
+    * direct corpus aggregate (N and Σlen exact across 3 snapshots). */
+  def stTextIndexMaintain: QFn = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.TextIndex
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_textidx")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val tok = graft.queries.Extensions.tokensExpr
+    val docs = graft.Tables.documents(s, d).select("doc_id", "text")
+    val in = base.resolve("in")
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+        .write.parquet(in.resolve(s"b$i").toString)
+    }
+    val q = withStatePartitions(s, 4)(s.readStream
+      .schema(docs.schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          TextIndex.appendDocsBatch(batch.sparkSession, cat, "txt", "docs",
+            batch, tok, id)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start())
+    try q.awaitTermination() finally q.stop()
+    val stats = TextIndex.statsRow(s, cat, "txt", "docs").collect()(0)
+    val expect = docs.select(expr(s"size($tok)").as("len"))
+      .agg(count(lit(1)), sum(col("len"))).collect()(0)
+    require(stats.getLong(0) == expect.getLong(0) &&
+        stats.getLong(1) == expect.getLong(1),
+      s"streamed stats deltas (${stats.getLong(0)}, ${stats.getLong(1)}) " +
+        s"!= direct corpus aggregate (${expect.getLong(0)}, " +
+        s"${expect.getLong(1)})")
+    graft.queries.Extensions.bm25IndexedTop10(s, cat)
+  }
+
   /** st_vec_augment (L63): STREAMING retrieval augmentation — the
     * production loop that attaches, to every newly arriving vector, its
     * nearest neighbor from the committed index (RAG corpus enrichment,
@@ -1063,6 +1124,7 @@ object Streaming {
     "st_neardup_catalog" -> stNeardupCatalog,
     "st_catalog_source" -> stCatalogSource,
     "st_vec_index_maintain" -> stVecIndexMaintain,
+    "st_text_index_maintain" -> stTextIndexMaintain,
     "st_vec_augment"  -> stVecAugment,
     "st_join"         -> stJoin,
     "st_join_outer"   -> stJoinOuter,
@@ -1089,6 +1151,11 @@ object Streaming {
       |AS t(w_start, k, n) ORDER BY w_start, k""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the streaming-maintained inverted index must answer the indexed
+    // BM25 top-10 IDENTICALLY to the scan-based replay over the raw
+    // corpus — a missed/doubled batch shifts df/N and breaks the hash
+    "st_text_index_maintain" ->
+      graft.queries.Extensions.bm25IndexedOracleSql,
     // each invariant equals the batch cardinality DuckDB derives from
     // the raw table itself — replay double-appends, dropped batches,
     // missing-neighbor queries and batch/self contamination all break it

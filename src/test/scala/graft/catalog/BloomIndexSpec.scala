@@ -1,0 +1,104 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Manifest-level bloom point-lookup skipping (SURVEY L74): hashing
+  * laws (no false negatives, bounded FPs, order-independence), the
+  * sidecar build, conservative fallbacks, and pruning on the layout
+  * range stats are blind to. */
+class BloomIndexSpec extends SparkSpec {
+
+  test("no false negatives, bounded false positives, order-independent bits") {
+    val m = BloomIndex.bitsFor(1000) // 16384 bits for 1000 values
+    val values = (0L until 1000L).map(_ * 977L + 13L)
+    val a = new Array[Byte](m / 8)
+    values.foreach(BloomIndex.set(a, _))
+    // every inserted value MUST test present
+    assert(values.forall(BloomIndex.mightContain(a, _)))
+    // insertion order cannot change the bits (OR is commutative)
+    val b = new Array[Byte](m / 8)
+    values.reverse.foreach(BloomIndex.set(b, _))
+    assert(java.util.Arrays.equals(a, b))
+    // absent values are mostly absent (~1% FPP at 10 bits/value; allow 5%)
+    val fp = (1L to 2000L).count(i => BloomIndex.mightContain(a, -i))
+    assert(fp < 100, s"false-positive rate too high: $fp/2000")
+  }
+
+  private def scatteredTable(cat: GraftCatalog, ns: String, t: String,
+                             withBlooms: Boolean): Unit = {
+    import spark.implicits._
+    // ids 0..799 scattered across 4 files by residue: every file's
+    // [min, max] spans ~the whole domain
+    val df = (0L until 800L).map(i => (i, s"v$i")).toDF("id", "payload")
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bloom_spec")
+    (0 until 4).foreach { r =>
+      df.filter(pmod(col("id"), lit(4)) === r).coalesce(1)
+        .write.parquet(base.resolve(s"r$r").toString)
+    }
+    cat.createTable(ns, t, df.schema)
+    if (withBlooms)
+      cat.registerFilesWithBlooms(spark, ns, t,
+        (0 until 4).map(r => base.resolve(s"r$r")), Seq("id"))
+    else
+      cat.registerFiles(ns, t, (0 until 4).map(r => base.resolve(s"r$r")))
+  }
+
+  test("point lookup prunes to the id's file where range stats keep everything; read is exact") {
+    val wh = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bloom_wh")
+    val cat = new GraftCatalog(wh.resolve("wh").toString)
+    cat.createNamespace("b")
+    scatteredTable(cat, "b", "t", withBlooms = true)
+    val probe = 399L // interior id, residue 3
+    assert(cat.filesForScan(cat.loadTable("b", "t").filesAsOf(None),
+      "id", probe.toDouble, probe.toDouble).size === 4,
+      "fixture broken: range stats were supposed to be blind here")
+    val kept = cat.filesForScanEquals(spark, "b", "t", "id", probe)
+    assert(kept.size < 4, s"bloom kept ${kept.size}/4 files — no pruning")
+    assert(kept.exists(_.path.contains("/r3/")),
+      "the file actually holding the id must survive")
+    val rows = cat.readTableWhereEquals(spark, "b", "t", "id", probe)
+      .filter(col("id") === probe).collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("v399"))
+    // an id that is in NO file: every bloom may reject it (exactness
+    // comes from the row filter either way)
+    val none = cat.readTableWhereEquals(spark, "b", "t", "id", 12345L)
+      .filter(col("id") === 12345L).count()
+    assert(none === 0L)
+  }
+
+  test("conservative fallbacks: bloom-less commits and un-bloomed columns stay kept") {
+    val wh = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bloom_wh2")
+    val cat = new GraftCatalog(wh.resolve("wh").toString)
+    cat.createNamespace("b")
+    // commit 1 without blooms, commit 2 with — pruning applies per commit
+    scatteredTable(cat, "b", "mixed", withBlooms = false)
+    import spark.implicits._
+    val extra = Seq((800L, "v800"), (801L, "v801")).toDF("id", "payload")
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bloom_extra")
+    extra.coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("x").toString)
+    cat.registerFilesWithBlooms(spark, "b", "mixed",
+      Seq(dir.resolve("x")), Seq("id"))
+    // a probe only in the bloom-less half: all 4 legacy files kept
+    // (conservative), the bloomed file pruned by its bloom
+    val kept = cat.filesForScanEquals(spark, "b", "mixed", "id", 399L)
+    assert(kept.count(_.bloomPath.isEmpty) === 4)
+    assert(kept.count(_.bloomPath.nonEmpty) === 0,
+      "the bloomed commit's file holds only 800/801 — must be pruned")
+    // a column with no bloom rows falls back to keep-everything
+    val keptPayload = BloomIndex.kept(spark,
+      cat.loadTable("b", "mixed").filesAsOf(None), "payload", 1L)
+    assert(keptPayload.size === 5)
+    // reads stay exact across the mixed commits
+    assert(cat.readTableWhereEquals(spark, "b", "mixed", "id", 800L)
+      .filter(col("id") === 800L).count() === 1L)
+  }
+}

@@ -77,6 +77,27 @@ class TextIndexSpec extends SparkSpec {
     assert(cat.readTable(spark, "inc", "d_stats").count() === 2L)
   }
 
+  test("appendDocsBatch is idempotent on checkpoint replay, per table") {
+    import spark.implicits._
+    val cat = freshCat()
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma gamma"))
+      .toDF("doc_id", "text")
+    TextIndex.appendDocsBatch(spark, cat, "s", "d", docs, tok, batchId = 0L)
+    val p1 = cat.readTable(spark, "s", "d_postings").collect().toSet
+    val s1 = TextIndex.statsRow(spark, cat, "s", "d").collect().toSeq
+    // full replay: both tables already tagged — a no-op
+    TextIndex.appendDocsBatch(spark, cat, "s", "d", docs, tok, batchId = 0L)
+    assert(cat.readTable(spark, "s", "d_postings").collect().toSet === p1)
+    assert(TextIndex.statsRow(spark, cat, "s", "d").collect().toSeq === s1)
+    // a NEW batch still lands (tags are per batch id)
+    TextIndex.appendDocsBatch(spark, cat, "s", "d",
+      Seq((3L, "gamma delta")).toDF("doc_id", "text"), tok, batchId = 1L)
+    assert(cat.readTable(spark, "s", "d_postings").count() ===
+      p1.size.toLong + 2L)
+    assert(TextIndex.statsRow(spark, cat, "s", "d").collect()(0)
+      .getLong(0) === 3L)
+  }
+
   test("declared serve parity: q_text_bm25_indexed == scan-based top-10 over matching docs, bit-identical") {
     val indexed = SparkEntry.queries("q_text_bm25_indexed")(spark, sfDir)
       .collect().toSeq
