@@ -159,6 +159,30 @@ object TextIndex {
     } finally { p.unpersist(); () }
   }
 
+  /** Pay down streaming-append debt ([[graft.etl.VectorMaintenance
+    * .compactIndex]]'s sparse twin): every [[appendDocsBatch]] commit
+    * writes its own ≥8-file range-clustered set, so a long-running
+    * maintenance stream accretes one file SET per batch — probes stay
+    * correct (pruning is per file) but the kept-file count grows with
+    * ingest history instead of corpus size. One linear pass re-clusters
+    * ALL live postings into the canonical ≤[[filesFor]](n) layout
+    * (overwrite snapshot) and folds the accumulated stats deltas into
+    * one row. Query answers are INVARIANT: same posting rows, same
+    * stats sums, different files. */
+  def compactIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
+                   table: String): TableMeta = {
+    val p = cat.readTable(spark, ns, s"${table}_postings").persist()
+    try {
+      val meta = commitDf(cat, ns, s"${table}_postings",
+        p.repartitionByRange(filesFor(p.count()), col("term"), col("doc_id"))
+          .sortWithinPartitions("term", "doc_id"),
+        "overwrite")
+      commitDf(cat, ns, s"${table}_stats",
+        statsRow(spark, cat, ns, table), "overwrite")
+      meta
+    } finally { p.unpersist(); () }
+  }
+
   /** (kept, total) postings-file counts for a term set — the pruning
     * fraction the scale smoke reports and specs pin. */
   def termFiles(cat: GraftCatalog, ns: String, table: String,

@@ -514,6 +514,54 @@ object Etl {
         "pruned", "serve_parity")
   }
 
+  /** etl_text_index_compact (L77): pay down the small-file debt a
+    * streaming-maintained inverted index accretes
+    * ([[graft.operators.TextIndex.compactIndex]] — the sparse twin of
+    * etl_vec_index_compact). The fixture is exactly the committed state
+    * st_text_index_maintain leaves behind: three batch-tagged appends,
+    * each its own ≥8-file range-clustered set plus a stats delta row.
+    * Compaction re-clusters all live postings into the canonical layout
+    * in ONE linear pass and folds the stats to one row; the in-query
+    * requires fail loudly on: an un-shrunk postings file count, stats
+    * rows not folded to 1, a changed stats sum, or a changed indexed
+    * BM25 answer (pre/post top-10 compared row-for-row — the rewrite
+    * must be semantically invisible). Output is the post-compaction
+    * top-10, hash-matched against the REAL scan-based DuckDB replay. */
+  private def etlTextIndexCompact: QFn = (s, d) => {
+    import graft.operators.TextIndex
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "etl_text_compact")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    val tok = Extensions.tokensExpr
+    val docs = Tables.spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    (0 until 3).foreach { i =>
+      TextIndex.appendDocsBatch(s, cat, "txt", "docs",
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), tok, i.toLong)
+    }
+    def postingsMeta = cat.loadTable("txt", "docs_postings")
+    val filesBefore = postingsMeta.filesAsOf(None).size
+    val statsBefore = TextIndex.statsRow(s, cat, "txt", "docs")
+      .collect()(0)
+    val before = Extensions.bm25IndexedTop10(s, cat).collect().toSeq
+    TextIndex.compactIndex(s, cat, "txt", "docs")
+    val filesAfter = postingsMeta.filesAsOf(None).size
+    require(filesAfter < filesBefore,
+      s"postings files $filesBefore -> $filesAfter: compaction must " +
+        "shrink the per-batch file accretion")
+    require(cat.readTable(s, "txt", "docs_stats").count() == 1L,
+      "stats deltas must fold to one row")
+    val statsAfter = TextIndex.statsRow(s, cat, "txt", "docs").collect()(0)
+    require(statsBefore == statsAfter,
+      s"stats changed across compaction: $statsBefore -> $statsAfter")
+    val after = Extensions.bm25IndexedTop10(s, cat)
+    require(before == after.collect().toSeq,
+      "compaction changed the indexed BM25 answer — the rewrite must " +
+        "be semantically invisible")
+    after
+  }
+
   /** etl_vec_index_compact: pay down BOTH kinds of debt the persisted
     * ANN index accumulates in production ([[graft.etl.VectorMaintenance]])
     * and PROVE the probe answer is invariant across the rewrite. The
@@ -935,6 +983,7 @@ object Etl {
     "etl_neardup_maintain" -> etlNeardupMaintain,
     "etl_pq_index"        -> etlPqIndex,
     "etl_text_index"      -> etlTextIndex,
+    "etl_text_index_compact" -> etlTextIndexCompact,
     "etl_vec_index_compact" -> etlVecIndexCompact,
     "etl_vec_index_rebuild" -> etlVecIndexRebuild,
     "etl_shard_export"    -> etlShardExport,
@@ -1034,6 +1083,10 @@ object Etl {
       """SELECT count(*) AS n_vectors, CAST(8 AS BIGINT) AS code_bytes,
         |       true AS codes_roundtrip_ok, true AS books_complete
         |FROM embeddings""".stripMargin,
+    // post-compaction indexed BM25 == the scan-based replay over the
+    // raw corpus (the in-query requires gate the structural invariants)
+    "etl_text_index_compact" ->
+      graft.queries.Extensions.bm25IndexedOracleSql,
     // n_postings = exact distinct (doc, term) pairs under the shared
     // tokenizer; the booleans replay the in-query invariants
     "etl_text_index" ->

@@ -98,6 +98,33 @@ class TextIndexSpec extends SparkSpec {
       .getLong(0) === 3L)
   }
 
+  test("compaction shrinks the per-batch file accretion and is answer-invariant") {
+    val cat = freshCat()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    (0 until 3).foreach { i =>
+      TextIndex.appendDocsBatch(spark, cat, "c", "d",
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), tok, i.toLong)
+    }
+    def meta = cat.loadTable("c", "d_postings")
+    val filesBefore = meta.filesAsOf(None).size
+    val postingsBefore = cat.readTable(spark, "c", "d_postings")
+      .orderBy("term", "doc_id", "tf", "len").collect().toSeq
+    val statsBefore = TextIndex.statsRow(spark, cat, "c", "d")
+      .collect().toSeq
+    TextIndex.compactIndex(spark, cat, "c", "d")
+    assert(meta.filesAsOf(None).size < filesBefore,
+      s"compaction did not shrink $filesBefore files")
+    assert(cat.readTable(spark, "c", "d_postings")
+      .orderBy("term", "doc_id", "tf", "len").collect().toSeq
+      === postingsBefore, "compaction changed the posting rows")
+    assert(TextIndex.statsRow(spark, cat, "c", "d").collect().toSeq
+      === statsBefore)
+    // pruning still engages on the compacted layout
+    val (kept, total) = TextIndex.termFiles(cat, "c", "d", Seq("vector"))
+    assert(kept < total)
+  }
+
   test("declared serve parity: q_text_bm25_indexed == scan-based top-10 over matching docs, bit-identical") {
     val indexed = SparkEntry.queries("q_text_bm25_indexed")(spark, sfDir)
       .collect().toSeq

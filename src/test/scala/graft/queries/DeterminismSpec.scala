@@ -66,7 +66,9 @@ class DeterminismSpec extends SparkSpec {
     // range-clustered file boundaries (which DO vary with layout) must
     // never leak into content: postings equality, stats sums, df counts
     // (the etl row re-checks all of it in the sibling session)
-    "q_text_bm25_indexed", "etl_text_index")
+    "q_text_bm25_indexed", "etl_text_index",
+    // the compaction rewrite must be layout-blind like its vector twin
+    "etl_text_index_compact")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()
