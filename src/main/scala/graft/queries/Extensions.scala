@@ -398,10 +398,30 @@ object Extensions {
 
   /** The REAL DuckDB oracle for any indexed-BM25 top-10 (matching docs
     * only — an inverted index never sees zero-hit rows). */
-  private[graft] def bm25IndexedOracleSql: String =
-    s"""${bm25ScoredSqlFor(bm25Terms)}
+  private[graft] def bm25IndexedOracleSqlFor(terms: Seq[String]): String =
+    s"""${bm25ScoredSqlFor(terms)}
        |SELECT doc_id, n_hits, score FROM scored WHERE n_hits > 0
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  private[graft] def bm25IndexedOracleSql: String =
+    bm25IndexedOracleSqlFor(bm25Terms)
+
+  /** q_text_bm25_indexed_param (L78): the committed index as a
+    * RETRIEVAL OPERATOR — the same index the fixture query probes
+    * serves an ARBITRARY term list ([[bm25ParamTerms]], deliberately
+    * disjoint from [[bm25Terms]]) with no rebuild: the query's terms
+    * prune their own file union, df/tf/len come off the same committed
+    * postings, and the scoring tree is [[bm25RankCols]] at the new
+    * width. Nothing in the index depends on the query — the L65
+    * parameterized-retrieval claim, proven on the index path. */
+  private def qTextBm25IndexedParam: QFn = (s, d) => {
+    val cat = textIndexFor(s, d)
+    graft.operators.TextIndex
+      .bm25Candidates(s, cat, "txt", "docs", bm25ParamTerms)
+      .select(bm25RankCols(bm25ParamTerms.length): _*)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
 
   /** q_hybrid_rrf (L58): reciprocal-rank fusion (Cormack, Clarke &
     * Büttcher 2009; k=60) of the two retrieval legs every production
@@ -484,6 +504,40 @@ object Extensions {
         .over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("int"))
       .select(col("vec_id").as("doc_id"), col("knn_rank"))
     rrfFuse(bm25SparseLeg(s, d, probeId), dense)
+  }
+
+  /** q_hybrid_rrf_full_indexed (L79): hybrid search with BOTH legs on
+    * committed indexes — the complete deployment: the dense leg probes
+    * the IVF+PQ codes (manifest-pruned, constant shortlist, exact
+    * re-rank) and the sparse leg reads the inverted text index's pruned
+    * posting union. Neither leg scans the DOCUMENTS corpus — at 100 TB
+    * the query is two file-pruned index reads, the dense leg's
+    * constant-shortlist exact-re-rank join (the only vector read), and
+    * a ≤2k-row fusion join; q_hybrid_rrf_indexed's remaining linear
+    * pass (the scan-based sparse leg) is gone. The sparse leg ranks
+    * matching docs (index
+    * semantics — its own oracle CTE carries the same n_hits>0 filter);
+    * the dense top-10 reuses q_vec_knn_ivfpq's per-SF pins; fusion
+    * arithmetic identical to both siblings ([[rrfFuse]]). */
+  private def qHybridRrfFullIndexed: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{IvfPq, ProductQuantizer, TextIndex}
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
+    val dense = IvfPq.search(s, ivfPqIndexFor(s, d), "vec", "emb", emb,
+        probeId, probeVec)
+      .withColumn("knn_rank", row_number()
+        .over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("int"))
+      .select(col("vec_id").as("doc_id"), col("knn_rank"))
+    val sparse = TextIndex
+      .bm25Candidates(s, textIndexFor(s, d), "txt", "docs", bm25Terms)
+      .select(bm25RankCols(bm25Terms.length): _*)
+      .filter(col("doc_id") =!= probeId)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+      .withColumn("bm25_rank", row_number()
+        .over(Window.orderBy(desc("score"), asc("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("bm25_rank"))
+    rrfFuse(sparse, dense)
   }
 
   // ---------------------------------------------------------- dedup family
@@ -2998,10 +3052,12 @@ object Extensions {
     "q_text_bm25"       -> qTextBm25,
     "q_text_bm25_param" -> qTextBm25Param,
     "q_text_bm25_indexed" -> qTextBm25Indexed,
+    "q_text_bm25_indexed_param" -> qTextBm25IndexedParam,
     "q_hybrid_rrf"      -> qHybridRrf,
     "q_dedup_semantic_cells" -> qDedupSemanticCells,
     "q_dedup_semantic"  -> qDedupSemantic,
     "q_hybrid_rrf_indexed" -> qHybridRrfIndexed,
+    "q_hybrid_rrf_full_indexed" -> qHybridRrfFullIndexed,
     "q_decontaminate_semantic" -> qDecontaminateSemantic,
     "q_vec_knn_join_cells" -> qVecKnnJoinCells,
     "q_vec_knn_join"    -> qVecKnnJoin,
@@ -3472,17 +3528,20 @@ object Extensions {
     val tag = java.nio.file.Paths.get(
       sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.01"))
       .getFileName.toString
-    val hybridIndexed = knnIvfPqObserved.get(tag).map { rows =>
+    val hybridIndexed = knnIvfPqObserved.get(tag).toSeq.flatMap { rows =>
       val denseValues = rows.map { case (v, _, c) =>
         s"  (CAST($v AS BIGINT), CAST($c AS DOUBLE))"
       }.mkString(",\n")
-      "q_hybrid_rrf_indexed" ->
+      // sparseFilter: the scan-based sparse leg ranks ALL scored docs;
+      // the index-served leg ranks MATCHING docs only (n_hits > 0 —
+      // the same semantics its standalone oracle carries)
+      def fused(name: String, sparseFilter: String) = name ->
         s"""$scoredSql,
            |p AS (SELECT vec_id AS pid FROM embeddings ORDER BY vec_id LIMIT 1),
            |sparse AS (
            |  SELECT doc_id, CAST(row_number()
            |      OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS bm25_rank
-           |  FROM scored, p WHERE doc_id <> pid
+           |  FROM scored, p WHERE doc_id <> pid$sparseFilter
            |  ORDER BY score DESC, doc_id LIMIT 10),
            |dense AS (
            |  SELECT vec_id AS doc_id, CAST(row_number()
@@ -3494,9 +3553,12 @@ object Extensions {
            |        + COALESCE(1.0 / (60.0 + d.knn_rank), 0.0), 6) AS rrf_score
            |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
            |ORDER BY rrf_score DESC, doc_id""".stripMargin
+      Seq(fused("q_hybrid_rrf_indexed", ""),
+        fused("q_hybrid_rrf_full_indexed", " AND n_hits > 0"))
     }
     Map("q_text_bm25" -> bm25, "q_text_bm25_param" -> bm25ParamOracle,
       "q_text_bm25_indexed" -> bm25IndexedOracleSql,
+      "q_text_bm25_indexed_param" -> bm25IndexedOracleSqlFor(bm25ParamTerms),
       "q_hybrid_rrf" -> hybrid) ++ hybridIndexed
   }
 

@@ -68,7 +68,10 @@ class DeterminismSpec extends SparkSpec {
     // (the etl row re-checks all of it in the sibling session)
     "q_text_bm25_indexed", "etl_text_index",
     // the compaction rewrite must be layout-blind like its vector twin
-    "etl_text_index_compact")
+    "etl_text_index_compact",
+    // round 13: parameterized index serve + the fully-indexed hybrid
+    // (both legs' prunings + RRF fusion must be layout-blind)
+    "q_text_bm25_indexed_param", "q_hybrid_rrf_full_indexed")
 
   test("results are identical under a different shuffle-partition layout") {
     val alt = spark.newSession()

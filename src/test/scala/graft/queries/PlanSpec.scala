@@ -211,6 +211,39 @@ class PlanSpec extends SparkSpec {
     }, s"unexpected keyed exchange in the indexed-BM25 plan: $keyed")
   }
 
+  test("fully-indexed hybrid: no documents scan — index tables + the dense re-rank's vector read only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = plan("q_hybrid_rrf_full_indexed")
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    // every file read is an index table (postings/stats/ivfpq codes +
+    // model side tables) or the embeddings parquet (the constant-
+    // shortlist exact re-rank join, the dense leg's only vector read);
+    // the documents corpus appears NOWHERE — both retrieval legs are
+    // index-served
+    val files = scans.flatMap(_.relation.location.inputFiles)
+    assert(files.forall(f =>
+        f.contains("docs_postings") || f.contains("docs_stats") ||
+          f.contains("emb_ivfpq") || f.contains("embeddings.parquet")),
+      "unexpected scan in the fully-indexed hybrid:\n" + files.mkString("\n"))
+    assert(!files.exists(_.contains("documents.parquet")),
+      "the fully-indexed hybrid must never scan the documents corpus")
+    // both prunings engaged: postings files < table total, codes files
+    // < table total
+    val postings = files.filter(_.contains("docs_postings")).distinct
+    val codes = files.filter(_.contains("emb_ivfpq_codes")).distinct
+    assert(postings.nonEmpty && codes.nonEmpty)
+    def totalIn(sample: String): Int = {
+      val dir = new java.io.File(
+        sample.replace("file:", "")).getParentFile
+      dir.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(postings.length < totalIn(postings.head),
+      "sparse leg read every postings file — term pruning did not engage")
+    assert(codes.length < totalIn(codes.head),
+      "dense leg read every codes file — cell pruning did not engage")
+  }
+
   test("dedup pipeline: band edges are an equi-join, never cartesian") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
