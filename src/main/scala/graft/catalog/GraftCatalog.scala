@@ -1467,8 +1467,21 @@ class GraftCatalog(val warehouse: String) {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     import GraftCatalog.{PosFileCol, PosIdxCol}
     val meta = loadTable(ns, t)
+    // a consumer's base snapshot must still be in the log: expiration
+    // folds history into a boundary checkpoint, and replaying that
+    // checkpoint's overwrite against a mid-expired base would re-emit
+    // every row the consumer already processed as a fresh insert —
+    // refuse loudly, never double-count silently (0 = fresh consumer,
+    // for whom the folded-from-empty replay is exactly right)
+    require(fromExclusive == 0L ||
+        meta.snapshots.exists(sn => sn.id == fromExclusive && !sn.isStaged),
+      s"$ns.$t: changelog base snapshot $fromExclusive is expired or " +
+        "staged — the delta cannot be reconstructed; reprocess from 0")
+    // staged (unpublished WAP) snapshots are not part of the current
+    // lineage — stateAsOf excludes them, and so must the changelog
     val range = meta.snapshots
-      .filter(sn => sn.id > fromExclusive && sn.id <= toInclusive)
+      .filter(sn =>
+        !sn.isStaged && sn.id > fromExclusive && sn.id <= toInclusive)
       .sortBy(_.id)
     val outCols = meta.schema.fieldNames.toSeq
     def tag(df: DataFrame, tpe: String, ord: Long): DataFrame =
@@ -1477,7 +1490,8 @@ class GraftCatalog(val warehouse: String) {
         .withColumn("_change_ordinal", lit(ord))
     val parts: Seq[DataFrame] = range.zipWithIndex.flatMap { case (sn, i) =>
       val ord = (i + 1).toLong
-      val prevId = meta.snapshots.filter(_.id < sn.id)
+      val prevId = meta.snapshots
+        .filter(p => !p.isStaged && p.id < sn.id)
         .map(_.id).maxOption.getOrElse(0L)
       if (sn.deletes.nonEmpty && sn.isPositionDelete) {
         val tuples = spark.read.parquet(sn.deletes.map(_.path): _*)
@@ -1510,7 +1524,12 @@ class GraftCatalog(val warehouse: String) {
         else Seq(tag(readKeptFiles(spark, ns, t, Some(sn.id), files),
           "insert", ord))
       } else { // overwrite / replace: file-set diff
-        val prevFiles = meta.filesAsOf(Some(prevId)).map(_.path).toSet
+        // prevId 0 = no previous lineage (e.g. the boundary checkpoint
+        // expiration leaves as the earliest snapshot): the previous
+        // state is EMPTY, the whole snapshot replays as inserts
+        val prevFiles =
+          if (prevId == 0L) Set.empty[String]
+          else meta.filesAsOf(Some(prevId)).map(_.path).toSet
         val curFiles = meta.filesAsOf(Some(sn.id)).map(_.path).toSet
         val removed = prevFiles -- curFiles
         val added = curFiles -- prevFiles

@@ -80,6 +80,53 @@ class ChangelogSpec extends SparkSpec {
       ords.toSeq == (ords.head to ords.last).toSeq)
   }
 
+  test("staged WAP snapshots never leak into the changelog; published ones do") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createNamespace("c")
+    val rows = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("c", "t", rows.schema)
+    cat.registerFiles("c", "t", Seq(writeRows(rows)))
+    val stagedId = cat.stageAppend("c", "t",
+      Seq(writeRows(Seq((2L, "b")).toDF("id", "v"))))
+    val last = cat.snapshots("c", "t").map(_.id).max
+    val preTypes = cat.readChangelog(spark, "c", "t", 0L, math.max(last, stagedId))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(preTypes === Set(1L), "an unpublished staged append leaked")
+    cat.publishSnapshot("c", "t", stagedId)
+    val post = cat.readChangelog(spark, "c", "t", 0L, stagedId)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(post === Set(1L, 2L))
+  }
+
+  test("a base snapshot folded away by expiration refuses instead of double-counting") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createNamespace("c")
+    val rows = Seq((1L, "a")).toDF("id", "v")
+    cat.createTable("c", "t", rows.schema)
+    cat.registerFiles("c", "t", Seq(writeRows(rows)))                 // s1
+    cat.registerFiles("c", "t", Seq(writeRows(Seq((2L, "b")).toDF("id", "v")))) // s2
+    cat.registerFiles("c", "t", Seq(writeRows(Seq((3L, "c")).toDF("id", "v")))) // s3
+    cat.expireSnapshots("c", "t", keepLast = 1)
+    val last = cat.snapshots("c", "t").map(_.id).max
+    // a consumer who had processed through the (now expired) snapshot 1
+    // must be refused — the boundary checkpoint would replay rows 1-2
+    // as fresh inserts
+    val refused =
+      try { cat.readChangelog(spark, "c", "t", 1L, last); false }
+      catch { case _: IllegalArgumentException => true }
+    assert(refused, "changelog over an expired base must refuse")
+    // a FRESH consumer still gets a correct folded-from-empty replay
+    val fresh = cat.readChangelog(spark, "c", "t", 0L, last)
+    val net = fresh.groupBy("id", "v")
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("n")).filter(col("n") =!= 0L)
+    val live = cat.readTable(spark, "c", "t")
+      .groupBy("id", "v").agg(count(lit(1)).as("n"))
+    assert(net.exceptAll(live).isEmpty && live.exceptAll(net).isEmpty)
+  }
+
   test("empty range yields an empty frame with the changelog schema") {
     import spark.implicits._
     val cat = freshCat()
