@@ -144,11 +144,16 @@ object BloomIndex {
       case (None, fs) => fs
       case (Some(sc), fs) =>
         val mine = fs.map(_.path).toSet
+        // push BOTH predicates into the sorted sidecar scan — without
+        // the file filter, every point lookup ships every file's bit
+        // array to the driver even when range pruning already narrowed
+        // the candidates (the sidecar is sorted by (file, column)
+        // precisely so this prunes)
         val bitsByFile = spark.read.parquet(sc)
-          .filter(col("column") === column)
+          .filter(col("column") === column &&
+            col("file").isInCollection(mine))
           .select(col("file"), col("bits"))
           .collect()
-          .filter(r => mine(r.getString(0)))
           .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
         fs.filter(f =>
           bitsByFile.get(f.path).forall(mightContain(_, value)))

@@ -590,11 +590,17 @@ class GraftCatalog(val warehouse: String) {
     val expanded = paths.flatMap(p =>
       if (Files.isDirectory(p)) findParquet(p) else Seq(p))
     val stated = statFiles(expanded)
-    val dir = tableDir(ns, t).resolve("bloom")
-      .resolve(s"bloom-${System.nanoTime()}")
-    BloomIndex.buildSidecar(spark, stated, bloomColumns, dir)
-    commitSnapshot(ns, t, operation,
-      stated.map(_.copy(bloomPath = Some(dir.toString))))
+    // zero files = an empty commit, same as registerFiles — there is
+    // nothing to sketch (buildSidecar would otherwise crash on an
+    // unrelated empty.max)
+    if (stated.isEmpty) commitSnapshot(ns, t, operation, stated)
+    else {
+      val dir = tableDir(ns, t).resolve("bloom")
+        .resolve(s"bloom-${System.nanoTime()}")
+      BloomIndex.buildSidecar(spark, stated, bloomColumns, dir)
+      commitSnapshot(ns, t, operation,
+        stated.map(_.copy(bloomPath = Some(dir.toString))))
+    }
   }
 
   /** File skipping for a POINT predicate `column = value`: range stats
@@ -1499,19 +1505,49 @@ class GraftCatalog(val warehouse: String) {
         val refPaths = tuples.select(col("file_path")).distinct()
           .collect().map(_.getString(0).replaceFirst("^file:(//)?", ""))
           .toSet
-        val prev = readKeptFiles(spark, ns, t, Some(prevId), refPaths,
+        // resolve as of THIS snapshot, not the previous: a one-commit
+        // position UPSERT (commitPositionDeletes with addedFiles —
+        // readInternal's documented legal shape) may target rows of its
+        // OWN new files; the added rows also emit as inserts below (a
+        // same-commit insert+delete of one row nets out, the standard
+        // CDC encoding)
+        val ref = readKeptFiles(spark, ns, t, Some(sn.id), refPaths,
           keepPos = true)
-        Seq(tag(prev.join(broadcast(tuples),
-          prev(PosFileCol) === tuples("file_path") &&
-            prev(PosIdxCol) === tuples("pos"), "left_semi"),
-          "delete", ord))
+        val dels = tag(ref.join(broadcast(tuples),
+          ref(PosFileCol) === tuples("file_path") &&
+            ref(PosIdxCol) === tuples("pos"), "left_semi"),
+          "delete", ord)
+        val added = sn.addedFiles.map(_.path).toSet
+        if (added.isEmpty) Seq(dels)
+        else Seq(dels,
+          tag(readKeptFiles(spark, ns, t, Some(sn.id), added), "insert", ord))
       } else if (sn.deletes.nonEmpty) {
         val keys = sn.equalityKeys.getOrElse(Nil)
         require(keys.nonEmpty,
           s"$ns.$t snapshot ${sn.id}: equality-delete snapshot without keys")
+        // keys were recorded under the SNAPSHOT's schema version —
+        // resolve by field id to the current name/type and cast the
+        // tombstone values, exactly like readInternal's fold, so the
+        // changelog serves schema-evolved histories the table itself
+        // serves (a raw-name join would throw after a key rename)
+        val sv = meta.versionOf(sn.schemaVer)
+        val cur = meta.currentSchemaVersion
+        val keyPairs = keys.map { k =>
+          val old = sv.fields.find(_.name == k).getOrElse(
+            throw new IllegalStateException(
+              s"$ns.$t: delete key $k not in schema version ${sv.version}"))
+          val now = cur.fields.find(_.id == old.id).getOrElse(
+            throw new IllegalStateException(
+              s"$ns.$t: delete-key column $k (field ${old.id}) was " +
+                "dropped; the changelog cannot resolve its tombstones"))
+          (k, now)
+        }
         val vals = spark.read.parquet(sn.deletes.map(_.path): _*)
+          .select(keyPairs.map { case (k, now) =>
+            col(k).cast(now.dataType).as(s"__del_${now.name}") }: _*)
         val prev = readTable(spark, ns, t, asOf = Some(prevId))
-        val cond = keys.map(k => prev(k) <=> vals(k)).reduce(_ && _)
+        val cond = keyPairs.map { case (_, now) =>
+          prev(now.name) <=> vals(s"__del_${now.name}") }.reduce(_ && _)
         val dels = tag(prev.join(broadcast(vals), cond, "left_semi"),
           "delete", ord)
         val added = sn.addedFiles.map(_.path).toSet

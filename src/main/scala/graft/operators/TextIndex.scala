@@ -62,25 +62,30 @@ object TextIndex {
   private[graft] def filesFor(nPostings: Long): Int =
     math.max(8L, nPostings / RowsPerFile + 1L).toInt
 
-  /** Posting rows for a (doc_id, text) frame under the caller's
-    * tokenizer (a SQL array<string> expression over `text` — the SAME
-    * expression the query side scores with, which is the index
-    * contract). One flat map + one (term, doc_id) aggregate. */
-  def postingsOf(docs: DataFrame, tokensExpr: String): DataFrame =
-    docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("len"),
+  /** Posting rows from an already-tokenized (doc_id, toks) frame: one
+    * flat map + one (term, doc_id) aggregate. */
+  private def postingsFromToks(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), size(col("toks")).as("len"),
         explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("int").as("tf"), max(col("len")).as("len"))
       .select(col("term"), col("doc_id"), col("tf"), col("len"))
 
-  /** One corpus-stats DELTA row for a (doc_id, text) frame: every doc
+  /** Posting rows for a (doc_id, text) frame under the caller's
+    * tokenizer (a SQL array<string> expression over `text` — the SAME
+    * expression the query side scores with, which is the index
+    * contract). */
+  def postingsOf(docs: DataFrame, tokensExpr: String): DataFrame =
+    postingsFromToks(
+      docs.select(col("doc_id"), expr(tokensExpr).as("toks")))
+
+  /** One corpus-stats DELTA row from the tokenized frame: every doc
     * counts, token-less ones included (they carry length 0 and can
     * never match, but BM25's N must see them — the scan-based plan's
     * `count(*)` does). */
-  private def statsDelta(docs: DataFrame, tokensExpr: String): DataFrame =
-    docs.select(expr(s"size($tokensExpr)").as("len"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+  private def statsFromToks(toks: DataFrame): DataFrame =
+    toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("sum_len"))
 
   private def commitDf(cat: GraftCatalog, ns: String, t: String,
                        df: DataFrame, operation: String): TableMeta = {
@@ -95,16 +100,20 @@ object TextIndex {
                              ns: String, table: String, docs: DataFrame,
                              tokensExpr: String,
                              operation: String): TableMeta = {
-    val p = postingsOf(docs, tokensExpr).persist()
+    // tokenize ONCE: postings and the stats delta both derive from the
+    // persisted token arrays (re-running the tokenizer for the stats
+    // row would double the dominant build cost)
+    val toks = docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .persist()
     try {
+      val p = postingsFromToks(toks)
       val clustered = p
         .repartitionByRange(filesFor(p.count()), col("term"), col("doc_id"))
         .sortWithinPartitions("term", "doc_id")
       val meta = commitDf(cat, ns, s"${table}_postings", clustered, operation)
-      commitDf(cat, ns, s"${table}_stats",
-        statsDelta(docs, tokensExpr), operation)
+      commitDf(cat, ns, s"${table}_stats", statsFromToks(toks), operation)
       meta
-    } finally { p.unpersist(); () }
+    } finally { toks.unpersist(); () }
   }
 
   /** Build (or rebuild) the index from scratch: one tokenize scan, one
@@ -142,7 +151,8 @@ object TextIndex {
     val pTab = s"${table}_postings"
     val sTab = s"${table}_stats"
     if (committed(pTab) && committed(sTab)) return
-    val p = postingsOf(docs, tokensExpr).persist()
+    val toks = docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .persist()
     try {
       def land(t: String, df: DataFrame): Unit = {
         val dir = Paths.get(cat.warehouse, ns, t, "data", tag)
@@ -151,12 +161,14 @@ object TextIndex {
         cat.registerFiles(ns, t, Seq(dir), operation = "append")
         ()
       }
-      if (!committed(pTab))
+      if (!committed(pTab)) {
+        val p = postingsFromToks(toks)
         land(pTab, p
           .repartitionByRange(filesFor(p.count()), col("term"), col("doc_id"))
           .sortWithinPartitions("term", "doc_id"))
-      if (!committed(sTab)) land(sTab, statsDelta(docs, tokensExpr))
-    } finally { p.unpersist(); () }
+      }
+      if (!committed(sTab)) land(sTab, statsFromToks(toks))
+    } finally { toks.unpersist(); () }
   }
 
   /** Pay down streaming-append debt ([[graft.etl.VectorMaintenance

@@ -350,8 +350,12 @@ object Extensions {
   private val textIndexFx = scala.collection.concurrent.TrieMap
     .empty[String, graft.catalog.GraftCatalog]
 
+  // synchronized like Meta's fixture memos: TrieMap.getOrElseUpdate may
+  // evaluate the builder in RACING threads (one insert wins, the losers'
+  // multi-second builds + temp warehouses are discarded) — concurrent
+  // first probes from the three index-served queries would each pay it
   private[graft] def textIndexFor(s: SparkSession, d: String)
-      : graft.catalog.GraftCatalog =
+      : graft.catalog.GraftCatalog = textIndexFx.synchronized {
     textIndexFx.getOrElseUpdate(d, {
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(
@@ -364,6 +368,7 @@ object Extensions {
         tokensExpr)
       c
     })
+  }
 
   /** q_text_bm25_indexed (L72): BM25 through the COMMITTED inverted
     * index ([[graft.operators.TextIndex]]) — the retrieval plan a
@@ -1870,8 +1875,10 @@ object Extensions {
     * on the same pruned scan. Unfiltered search prunes the columns
     * away (Catalyst column pruning), so q_vec_knn_ivfpq reads the same
     * bytes either way. */
+  // synchronized for the same reason as [[textIndexFor]]: racing first
+  // probes must not each pay the build
   private def ivfPqIndexFor(s: SparkSession, d: String)
-      : graft.catalog.GraftCatalog =
+      : graft.catalog.GraftCatalog = ivfPqIndexFx.synchronized {
     ivfPqIndexFx.getOrElseUpdate(d, {
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
@@ -1887,6 +1894,7 @@ object Extensions {
           pmod(col("vec_id"), lit(4)).cast("int").as("tier")))
       c
     })
+  }
 
   /** The memoized committed-index catalog for `d` — exposed for the
     * scale smoke's probed-file-fraction report (ScaleSmoke reads the

@@ -80,6 +80,38 @@ class ChangelogSpec extends SparkSpec {
       ords.toSeq == (ords.head to ords.last).toSeq)
   }
 
+  test("one-commit position upsert: tuples into prior files emit deletes, same-snapshot adds emit inserts") {
+    import spark.implicits._
+    import GraftCatalog.{PosFileCol, PosIdxCol}
+    val cat = freshCat()
+    cat.createNamespace("c")
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.createTable("c", "t", rows.schema)
+    cat.registerFiles("c", "t", Seq(writeRows(rows)))
+    val base = cat.snapshots("c", "t").map(_.id).max
+    // the documented legal shape: ONE commit that position-deletes the
+    // old version of id=1 and adds its replacement file
+    val doomed = cat.readTableWithPositions(spark, "c", "t")
+      .filter(col("id") === 1L)
+      .select(col(PosFileCol).as("file_path"), col(PosIdxCol).as("pos"))
+    val delDir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "chg_del")
+    doomed.coalesce(1).write.mode("overwrite")
+      .parquet(delDir.resolve("d").toString)
+    cat.commitPositionDeletes("c", "t",
+      Seq(delDir.resolve("d")), Seq(writeRows(Seq((1L, "a2")).toDF("id", "v"))))
+    val last = cat.snapshots("c", "t").map(_.id).max
+    val chg = cat.readChangelog(spark, "c", "t", base, last)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(chg === Set((1L, "a", "delete"), (1L, "a2", "insert")),
+      s"position-upsert changelog wrong: $chg")
+    // and the table itself agrees
+    assert(cat.readTable(spark, "c", "t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a2"), (2L, "b")))
+  }
+
   test("staged WAP snapshots never leak into the changelog; published ones do") {
     import spark.implicits._
     val cat = freshCat()
