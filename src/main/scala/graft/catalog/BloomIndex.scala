@@ -74,6 +74,22 @@ object BloomIndex {
     eachBit(value, bits.length * 8)(p =>
       bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte)
 
+  /** Canonical 60-bit string hash — the repo's md5 convention
+    * ([[graft.queries.Extensions.tokenHash64Sql]]): first 15 hex digits
+    * of md5(value) as a BIGINT. Computed identically by the Spark-side
+    * build expression ([[hashExprSql]]) and this driver-side lookup, so
+    * a string bloom can never false-negative on a hash mismatch. */
+  def hash64(value: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** The Spark-side twin of [[hash64]] over a column. */
+  private def hashExprSql(c: String): String =
+    s"cast(conv(substring(md5(`$c`), 1, 15), 16, 10) as bigint)"
+
   /** Membership test: false = DEFINITELY absent (skip the file). */
   def mightContain(bits: Array[Byte], value: Long): Boolean = {
     var all = true
@@ -102,28 +118,33 @@ object BloomIndex {
   /** ONE sidecar parquet for a commit's files: rows `(file, column, m,
     * k, bits BINARY)`, sorted by (file, column) for point pushdown.
     * Null values are EXCLUDED (SQL equality never matches null, so an
-    * absent bit is correct, not a false negative). Values hash by their
-    * LONG cast — the integral id columns point lookups target. */
+    * absent bit is correct, not a false negative). Integral values hash
+    * by their LONG cast; STRING values (UUID-style ids) by the
+    * canonical md5-60 [[hash64]], computed identically at build and
+    * lookup. */
   def buildSidecar(spark: SparkSession, files: Seq[DataFileMeta],
                    columns: Seq[String], outDir: Path): Unit = {
     require(columns.nonEmpty, "bloom sidecar needs at least one column")
     val m = bitsFor(math.max(1L, files.map(_.rowCount).max))
     val agg = udaf(new BloomAgg(m))
     val src = spark.read.parquet(files.map(_.path): _*)
-    // integral columns only: a lossy cast would silently hash a
-    // DIFFERENT value than the lookup later tests (false negatives —
-    // the one failure mode a bloom must never have)
-    columns.foreach { c =>
-      val dt = src.schema(c).dataType
-      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
-        s"bloom column $c must be integral, got ${dt.typeName}")
+    // integral columns hash by VALUE, strings by the canonical md5-60
+    // ([[hash64]]); anything else is refused — a lossy cast would
+    // silently hash a DIFFERENT value than the lookup later tests
+    // (false negatives, the one failure mode a bloom must never have)
+    def hashed(c: String) = src.schema(c).dataType.typeName match {
+      case "byte" | "short" | "integer" | "long" =>
+        col(c).cast("long")
+      case "string" => expr(hashExprSql(c))
+      case other => throw new IllegalArgumentException(
+        s"bloom column $c must be integral or string, got $other")
     }
     columns.map { c =>
         src.filter(col(c).isNotNull)
           // normalize the scan's file URI ("file:/x" or "file:///x") to
           // the manifest's plain "/x" path
           .select(regexp_replace(input_file_name(), "^file:(//)?", "")
-            .as("file"), col(c).cast("long").as("v"))
+            .as("file"), hashed(c).as("v"))
           .groupBy(col("file"))
           .agg(agg(col("v")).as("bits"))
           .select(col("file"), lit(c).as("column"), lit(m).as("m"),

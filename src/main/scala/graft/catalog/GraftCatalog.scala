@@ -626,6 +626,24 @@ class GraftCatalog(val warehouse: String) {
       filesForScanEquals(spark, ns, t, column, value, asOf)
         .map(_.path).toSet)
 
+  /** [[filesForScanEquals]] for a STRING point predicate (UUID-style
+    * ids): truncated string ranges first, then the survivors' blooms
+    * under the canonical md5-60 hash the sidecar was built with. */
+  def filesForScanEqualsString(spark: SparkSession, ns: String, t: String,
+                               column: String, value: String,
+                               asOf: Option[Long] = None): Seq[DataFileMeta] =
+    BloomIndex.kept(spark,
+      filesForScanString(ns, t, column, value, value, asOf),
+      column, BloomIndex.hash64(value))
+
+  /** Read with STRING point-predicate file skipping (range + bloom). */
+  def readTableWhereEqualsString(spark: SparkSession, ns: String, t: String,
+                                 column: String, value: String,
+                                 asOf: Option[Long] = None): DataFrame =
+    readKeptFiles(spark, ns, t, asOf,
+      filesForScanEqualsString(spark, ns, t, column, value, asOf)
+        .map(_.path).toSet)
+
   /** Partition-clustered write: computes each spec field's canonical value,
     * writes one directory per partition tuple (`partitionBy` — the derived
     * columns are dropped from the data files; SOURCE columns stay, which is

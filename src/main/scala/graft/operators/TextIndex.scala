@@ -105,15 +105,15 @@ object TextIndex {
     // row would double the dominant build cost)
     val toks = docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
       .persist()
+    val p = postingsFromToks(toks).persist() // count + clustered write
     try {
-      val p = postingsFromToks(toks)
       val clustered = p
         .repartitionByRange(filesFor(p.count()), col("term"), col("doc_id"))
         .sortWithinPartitions("term", "doc_id")
       val meta = commitDf(cat, ns, s"${table}_postings", clustered, operation)
       commitDf(cat, ns, s"${table}_stats", statsFromToks(toks), operation)
       meta
-    } finally { toks.unpersist(); () }
+    } finally { p.unpersist(); toks.unpersist(); () }
   }
 
   /** Build (or rebuild) the index from scratch: one tokenize scan, one
@@ -162,10 +162,11 @@ object TextIndex {
         ()
       }
       if (!committed(pTab)) {
-        val p = postingsFromToks(toks)
-        land(pTab, p
+        val p = postingsFromToks(toks).persist() // count + write
+        try land(pTab, p
           .repartitionByRange(filesFor(p.count()), col("term"), col("doc_id"))
           .sortWithinPartitions("term", "doc_id"))
+        finally { p.unpersist(); () }
       }
       if (!committed(sTab)) land(sTab, statsFromToks(toks))
     } finally { toks.unpersist(); () }

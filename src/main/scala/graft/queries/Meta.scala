@@ -1375,7 +1375,11 @@ object Meta {
   private def bloomSkipFixture(s: SparkSession, d: String): java.nio.file.Path =
     bloomSkipFixtures.synchronized {
       bloomSkipFixtures.getOrElseUpdate(d, {
-        val li = graft.Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        // okey_str: the string twin of the id (the UUID-style case) —
+        // blooms must serve ids that are not numbers
+        val li = graft.Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_orderkey").cast("string").as("okey_str"))
         val base = Files.createTempDirectory(
           Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
           "meta_bloom")
@@ -1405,13 +1409,15 @@ object Meta {
     val (_, wh) = demoDirs(d)
     val cat = new GraftCatalog(wh)
     cat.createNamespace("nyc")
-    val li = graft.Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+    val li = graft.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_orderkey").cast("string").as("okey_str"))
     val base = bloomSkipFixture(s, d)
     val t = "li_scatter_" + java.util.UUID.randomUUID.toString.take(8)
     cat.createTable("nyc", t, li.schema)
     cat.registerFilesWithBlooms(s, "nyc", t,
       (0 until 16).map(r => base.resolve(s"r$r")),
-      Seq("l_orderkey"))
+      Seq("l_orderkey", "okey_str"))
     // an INTERIOR existing id (largest key ≤ the domain midpoint): every
     // residue file's [min, max] straddles it — a domain-EDGE probe (the
     // global max) would be the one point where ranges do prune
@@ -1428,10 +1434,21 @@ object Meta {
       .filter(col("l_orderkey") === probe).count()
     val full = cat.readTable(s, "nyc", t)
       .filter(col("l_orderkey") === probe).count()
+    // the STRING twin (UUID-style ids): same probe as text, through the
+    // md5-60 bloom; string footer ranges may or may not prune on their
+    // own (lexicographic order over digit strings), so the pin is
+    // against TOTAL, not the range-kept count
+    val keptStr = cat.filesForScanEqualsString(s, "nyc", t, "okey_str",
+      probe.toString).size.toLong
+    val prunedStr = cat.readTableWhereEqualsString(s, "nyc", t, "okey_str",
+        probe.toString)
+      .filter(col("okey_str") === probe.toString).count()
     Seq((total, rangeKept, bloomKept < rangeKept, pruned, full,
-        pruned == full && pruned > 0))
+        pruned == full && pruned > 0,
+        keptStr < total, prunedStr == full))
       .toDF("n_files", "n_files_range_kept", "bloom_prunes",
-        "n_rows_pruned_scan", "n_rows_full_scan", "results_agree")
+        "n_rows_pruned_scan", "n_rows_full_scan", "results_agree",
+        "bloom_prunes_str", "results_agree_str")
   }
 
   private def metaFileSkip: QFn = (s, d) => {
@@ -1985,7 +2002,9 @@ object Meta {
         |       true AS bloom_prunes,
         |       (SELECT CAST(n AS BIGINT) FROM cnt) AS n_rows_pruned_scan,
         |       (SELECT CAST(n AS BIGINT) FROM cnt) AS n_rows_full_scan,
-        |       true AS results_agree""".stripMargin,
+        |       true AS results_agree,
+        |       true AS bloom_prunes_str,
+        |       true AS results_agree_str""".stripMargin,
     // manifest (footer-derived) row counts vs an independent physical
     // count(*) per table; region_prq is the renamed-extension twin of
     // region, so it replays from the region view

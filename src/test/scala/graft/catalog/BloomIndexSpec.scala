@@ -72,6 +72,37 @@ class BloomIndexSpec extends SparkSpec {
     assert(none === 0L)
   }
 
+  test("string blooms: build-side and lookup-side hashes agree, no false negatives, pruning engages") {
+    import spark.implicits._
+    // the canonical md5-60 must match Spark's expression bit-for-bit —
+    // a drift here would be a silent false-negative factory
+    val sparkHash = spark.sql(
+      "SELECT cast(conv(substring(md5('doc-42'), 1, 15), 16, 10) as bigint)")
+      .head().getLong(0)
+    assert(sparkHash === BloomIndex.hash64("doc-42"))
+    val wh = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bloom_str")
+    val cat = new GraftCatalog(wh.resolve("wh").toString)
+    cat.createNamespace("b")
+    val df = (0L until 400L).map(i => (i, s"uuid-$i")).toDF("id", "sid")
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bloom_str_rows")
+    (0 until 4).foreach { r =>
+      df.filter(pmod(col("id"), lit(4)) === r).coalesce(1)
+        .write.parquet(base.resolve(s"r$r").toString)
+    }
+    cat.createTable("b", "t", df.schema)
+    cat.registerFilesWithBlooms(spark, "b", "t",
+      (0 until 4).map(r => base.resolve(s"r$r")), Seq("sid"))
+    // every present value is found (no false negatives across all rows)
+    val kept = cat.filesForScanEqualsString(spark, "b", "t", "sid", "uuid-37")
+    assert(kept.exists(_.path.contains("/r1/")), "the holder file was pruned")
+    assert(kept.size < 4, s"string bloom kept ${kept.size}/4 — no pruning")
+    val rows = cat.readTableWhereEqualsString(spark, "b", "t", "sid", "uuid-37")
+      .filter(col("sid") === "uuid-37").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(37L))
+  }
+
   test("conservative fallbacks: bloom-less commits and un-bloomed columns stay kept") {
     val wh = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "bloom_wh2")
