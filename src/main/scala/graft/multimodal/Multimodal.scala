@@ -8,11 +8,13 @@ import graft.Tables.QFn
 /** Multimodal column plumbing (builder mandate): image/audio/video travel
   * as opaque `binary` columns with typed metadata structs. IMAGES decode
   * for REAL — javax.imageio ships in the JDK, so [[qMultimodalDecode]]
-  * runs an actual PNG header parse through the partition pipeline; the
-  * audio/video-shaped rows keep the clearly-marked deterministic STUB
-  * (those codecs genuinely aren't in this container). Everything
+  * runs an actual PNG header parse through the partition pipeline — and
+  * so does AUDIO ([[qMultimodalAudio]] — javax.sound.sampled parses the
+  * WAV container and the decoded PCM stream is checksummed end to end);
+  * the video-shaped rows keep the clearly-marked deterministic STUB
+  * (video codecs genuinely aren't in this container). Everything
   * Spark-side — schema, batch iteration shape, partition-parallel decode,
-  * metadata struct — is real in both paths.
+  * metadata struct — is real in every path.
   *
   * In PySpark this is `mapInPandas` over Arrow batches; the JVM-native
   * analog used here is `mapPartitions` over a typed Dataset: one decoder
@@ -148,6 +150,85 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** A REAL audio decode's output: the container header's format facts
+    * plus a checksum over the decoded PCM samples themselves — header
+    * AND payload round-trip, not just metadata. */
+  case class AudioMeta(doc_id: Long, n_frames: Int, sample_rate: Int,
+                       channels: Int, bits: Int, duration_ms: Int,
+                       pcm_sum: Long)
+
+  /** REAL audio decode: javax.sound.sampled parses the RIFF/WAVE
+    * container (in-JDK, headless-safe — no mixer is touched), yields
+    * the format facts, and the sample stream is read back in full for
+    * the checksum. Fails loudly on any non-PCM-signed/-little-endian
+    * payload — silently mis-summing big-endian bytes would report a
+    * wrong checksum as real. */
+  def decodeAudio(a: RawAsset): AudioMeta = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(a.payload))
+    try {
+      val f = ais.getFormat
+      require(f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          !f.isBigEndian && f.getSampleSizeInBits == 16 &&
+          f.getChannels == 1,
+        s"doc ${a.doc_id}: unsupported audio shape $f")
+      val frames = ais.getFrameLength.toInt
+      val bytes = ais.readAllBytes()
+      require(bytes.length == frames * 2,
+        s"doc ${a.doc_id}: torn PCM stream (${bytes.length} bytes, " +
+          s"$frames frames)")
+      var sum = 0L
+      var i = 0
+      while (i < frames) {
+        val lo = bytes(2 * i) & 0xFF
+        val hi = bytes(2 * i + 1)
+        sum += (((hi & 0xFF) << 8) | lo).toShort
+        i += 1
+      }
+      AudioMeta(a.doc_id, frames, f.getSampleRate.toInt, f.getChannels,
+        f.getSampleSizeInBits, frames * 1000 / f.getSampleRate.toInt, sum)
+    } finally ais.close()
+  }
+
+  /** q_multimodal_audio: the REAL audio path end to end — each doc_id
+    * deterministically synthesizes (id%5+1)·160 signed-16-bit mono PCM
+    * frames at 8 kHz, wraps them in an actual WAV container
+    * (AudioSystem.write), and the second partition-local stage decodes
+    * the container back with [[decodeAudio]]. The oracle states what
+    * makes a real codec oracle-checkable: frame count, format facts,
+    * duration, AND the sum of the decoded samples — all pure functions
+    * of doc_id (the WAV bytes in between stay codec-internal). Same
+    * single partition-local pipeline shape as q_multimodal_decode. */
+  def qMultimodalAudio: QFn = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // per-partition encoder init would go here (codec tables)
+        it.map { id =>
+          val frames = (id % 5 + 1).toInt * 160
+          val pcm = new Array[Byte](frames * 2)
+          var i = 0
+          while (i < frames) {
+            val v = ((id * 31 + i.toLong * 7) % 20001 - 10000).toShort
+            pcm(2 * i) = (v & 0xFF).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          RawAsset(id, bos.toByteArray)
+        }
+      }
+      .mapPartitions(_.map(decodeAudio))
+      .toDF().orderBy("doc_id")
+  }
+
   /** One sampled frame of a video-ish asset. */
   case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Int)
 
@@ -169,6 +250,7 @@ object Multimodal {
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_audio"  -> qMultimodalAudio,
   )
 
   val oracles: Map[String, String] = Map(
@@ -208,5 +290,23 @@ object Multimodal {
         |       CAST(doc_id % 7 + 1 AS INTEGER) AS height,
         |       'png' AS codec
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the REAL audio decode's oracle: header facts AND the decoded PCM
+    // sample sum, all pure functions of doc_id — a torn container, a
+    // sample-rate lie, or one flipped byte in the stream breaks it
+    "q_multimodal_audio" ->
+      """WITH m AS (SELECT doc_id, (doc_id % 5 + 1) * 160 AS frames
+        |           FROM documents),
+        |s AS (SELECT m.doc_id, m.frames,
+        |             sum((m.doc_id * 31 + t.i * 7) % 20001 - 10000)
+        |               AS pcm_sum
+        |      FROM m JOIN range(0, 800) t(i) ON t.i < m.frames
+        |      GROUP BY m.doc_id, m.frames)
+        |SELECT doc_id, CAST(frames AS INTEGER) AS n_frames,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(1 AS INTEGER) AS channels,
+        |       CAST(16 AS INTEGER) AS bits,
+        |       CAST(frames // 8 AS INTEGER) AS duration_ms,
+        |       CAST(pcm_sum AS BIGINT) AS pcm_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

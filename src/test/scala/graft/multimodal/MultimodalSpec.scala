@@ -25,6 +25,30 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("no installed codec"))
   }
 
+  test("decodeAudio round-trips real WAV bytes: header facts and the exact PCM sample sum") {
+    val samples = Array[Short](100, -200, 300, -400)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = Multimodal.decodeAudio(Multimodal.RawAsset(9L, bos.toByteArray))
+    assert(got === Multimodal.AudioMeta(9L, 4, 8000, 1, 16, 0, -200L))
+  }
+
+  test("decodeAudio fails loudly on a non-audio container") {
+    intercept[Exception] {
+      Multimodal.decodeAudio(Multimodal.RawAsset(1L,
+        "definitely not audio".getBytes("UTF-8")))
+    }
+  }
+
   test("q_multimodal_decode: decoded dims equal encoded dims for every doc") {
     val rows = Multimodal.queries("q_multimodal_decode")(spark, sfDir)
       .collect()
