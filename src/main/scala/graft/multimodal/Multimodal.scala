@@ -10,9 +10,12 @@ import graft.Tables.QFn
   * for REAL — javax.imageio ships in the JDK, so [[qMultimodalDecode]]
   * runs an actual PNG header parse through the partition pipeline — and
   * so does AUDIO ([[qMultimodalAudio]] — javax.sound.sampled parses the
-  * WAV container and the decoded PCM stream is checksummed end to end);
-  * the video-shaped rows keep the clearly-marked deterministic STUB
-  * (video codecs genuinely aren't in this container). Everything
+  * WAV container and the decoded PCM stream is checksummed end to end)
+  * and the MULTI-FRAME video shape ([[qMultimodalVideo]] — animated GIF
+  * through ImageIO's write-sequence/read APIs, the in-JDK frame-sequence
+  * container; TRUE video codecs — H.264 etc. — genuinely aren't in this
+  * container, and [[qMultimodalFrames]] keeps the clearly-marked
+  * deterministic stub for that sampling arithmetic). Everything
   * Spark-side — schema, batch iteration shape, partition-parallel decode,
   * metadata struct — is real in every path.
   *
@@ -229,6 +232,87 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** A REAL multi-frame decode's output: frame count and dimensions
+    * from the container itself. No pixel checksum — GIF is palettized,
+    * so the encoder's color quantization is codec-internal (unlike the
+    * audio path's lossless PCM, where the sample sum IS oracle-able). */
+  case class VideoMeta(doc_id: Long, n_frames: Int, width: Int,
+                       height: Int, codec: String)
+
+  /** REAL multi-frame decode: the ImageIO GIF reader parses the
+    * container, counts frames (`getNumImages(true)` walks the actual
+    * image blocks) and reads per-frame dimensions. Fails loudly when
+    * no codec claims the bytes. */
+  def decodeVideo(a: RawAsset): VideoMeta = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(a.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"no installed codec claims doc ${a.doc_id}'s payload")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        require(n > 0, s"doc ${a.doc_id}: empty container")
+        VideoMeta(a.doc_id, n, r.getWidth(0), r.getHeight(0),
+          r.getFormatName.toLowerCase)
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** q_multimodal_video: the REAL multi-frame (video-shaped) path end
+    * to end — each doc_id renders (id%4+1) deterministic frames of
+    * (id%13+1)×(id%7+1) pixels, encodes them into ONE animated-GIF
+    * container (ImageIO's write-sequence API — the in-JDK multi-frame
+    * codec; true video codecs don't ship in this container, and the
+    * frame-sequence-in-one-binary-payload shape is identical), and the
+    * second partition-local stage decodes the container back. Oracle:
+    * frame count and dimensions as pure functions of doc_id — the
+    * container's byte layout and GIF's palette quantization stay
+    * codec-internal. */
+  def qMultimodalVideo: QFn = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 13 + 1).toInt
+          val h = (id % 7 + 1).toInt
+          val n = (id % 4 + 1).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < n) {
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  img.setRGB(x, y,
+                    ((id + f * 97 + x * 31 + y * 17) % 0xFFFFFF).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          RawAsset(id, bos.toByteArray)
+        }
+      }
+      .mapPartitions(_.map(decodeVideo))
+      .toDF().orderBy("doc_id")
+  }
+
   /** One sampled frame of a video-ish asset. */
   case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Int)
 
@@ -251,6 +335,7 @@ object Multimodal {
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_audio"  -> qMultimodalAudio,
+    "q_multimodal_video"  -> qMultimodalVideo,
   )
 
   val oracles: Map[String, String] = Map(
@@ -308,5 +393,14 @@ object Multimodal {
         |       CAST(frames // 8 AS INTEGER) AS duration_ms,
         |       CAST(pcm_sum AS BIGINT) AS pcm_sum
         |FROM s ORDER BY doc_id""".stripMargin,
+    // the REAL multi-frame decode's oracle: container-parsed frame
+    // count and dimensions, pure functions of doc_id
+    "q_multimodal_video" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 4 + 1 AS INTEGER) AS n_frames,
+        |       CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+        |       CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+        |       'gif' AS codec
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

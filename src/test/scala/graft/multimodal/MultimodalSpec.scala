@@ -49,6 +49,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeVideo counts real frames in a real animated-GIF container") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      (0 until 3).foreach { _ =>
+        w.writeToSequence(new javax.imageio.IIOImage(
+          new java.awt.image.BufferedImage(4, 2,
+            java.awt.image.BufferedImage.TYPE_INT_RGB), null, null), null)
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    val got = Multimodal.decodeVideo(Multimodal.RawAsset(5L, bos.toByteArray))
+    assert(got === Multimodal.VideoMeta(5L, 3, 4, 2, "gif"))
+  }
+
   test("q_multimodal_decode: decoded dims equal encoded dims for every doc") {
     val rows = Multimodal.queries("q_multimodal_decode")(spark, sfDir)
       .collect()
