@@ -22,7 +22,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] = Seq("expire_snapshots", "rollback_to_snapshot",
     "create_branch", "fast_forward", "drop_branch", "create_tag", "drop_tag",
-    "rewrite_data_files", "rebuild_vector_index")
+    "rewrite_data_files", "rebuild_vector_index", "compact_text_index")
 
   def load(cat: GraftCatalog, pname: String): Option[UnboundProcedure] = {
     def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
@@ -135,6 +135,23 @@ private[catalog] object GraftProcedures {
         val after = cat.readTable(spark, ns, s"${t}_ivfpq_cells").count().toInt
         val n = cat.readTable(spark, ns, s"${t}_ivfpq_codes").count()
         Seq(new GenericInternalRow(Array[Any](before, after, n)))
+      })
+      // the inverted text index's maintenance verb ([[graft.operators
+      // .TextIndex.compactIndex]]): re-cluster all live postings into
+      // the canonical layout and fold the stats deltas — one linear
+      // pass, answer-invariant (etl_text_index_compact exercises it
+      // through this SQL surface)
+      case "compact_text_index" => Some(proc(pname,
+        Seq(p("table", StringType)),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false)))) { in =>
+        val (ns, t) = nsT(in)
+        val spark = SparkSession.active
+        val before = cat.files(ns, s"${t}_postings").size
+        graft.operators.TextIndex.compactIndex(spark, cat, ns, t)
+        Seq(new GenericInternalRow(Array[Any](before,
+          cat.files(ns, s"${t}_postings").size)))
       })
       case _ => None
     }

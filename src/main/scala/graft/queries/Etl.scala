@@ -545,8 +545,25 @@ object Etl {
     val statsBefore = TextIndex.statsRow(s, cat, "txt", "docs")
       .collect()(0)
     val before = Extensions.bm25IndexedTop10(s, cat).collect().toSeq
-    TextIndex.compactIndex(s, cat, "txt", "docs")
+    // the compaction itself runs through the SQL CALL surface — the
+    // maintenance verb a deployment invokes (the rebuild_vector_index
+    // precedent); the report's counts must agree with the manifest
+    val cname = "gtic_" + base.getFileName.toString
+      .replaceAll("[^a-zA-Z0-9]", "")
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse",
+      base.resolve("wh").toString)
+    val report = try
+      s.sql(s"CALL $cname.system.compact_text_index('txt.docs')").head()
+    finally {
+      s.conf.unset(s"spark.sql.catalog.$cname")
+      s.conf.unset(s"spark.sql.catalog.$cname.warehouse")
+    }
     val filesAfter = postingsMeta.filesAsOf(None).size
+    require(report.getInt(0) == filesBefore && report.getInt(1) == filesAfter,
+      s"CALL report (${report.getInt(0)} -> ${report.getInt(1)}) disagrees " +
+        s"with the manifest ($filesBefore -> $filesAfter)")
     require(filesAfter < filesBefore,
       s"postings files $filesBefore -> $filesAfter: compaction must " +
         "shrink the per-batch file accretion")
