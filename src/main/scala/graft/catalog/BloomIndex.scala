@@ -101,10 +101,17 @@ object BloomIndex {
   /** Partial-aggregable typed bloom: byte-array buffer, in-place set,
     * commutative OR merge — map-side combines like any built-in
     * aggregate, so the registration job shuffles m bits per (file,
-    * column), never row data. */
-  class BloomAgg(mBits: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    * column), never row data. Input is BOXED so null hash values (null
+    * source values — SQL equality never matches them, an absent bit is
+    * correct) skip without a pre-filter, letting ALL columns aggregate
+    * in ONE source scan. */
+  class BloomAgg(mBits: Int)
+      extends Aggregator[java.lang.Long, Array[Byte], Array[Byte]] {
     override def zero: Array[Byte] = new Array[Byte](mBits / 8)
-    override def reduce(b: Array[Byte], x: Long): Array[Byte] = { set(b, x); b }
+    override def reduce(b: Array[Byte], x: java.lang.Long): Array[Byte] = {
+      if (x != null) set(b, x)
+      b
+    }
     override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
       var i = 0
       while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
@@ -139,20 +146,30 @@ object BloomIndex {
       case other => throw new IllegalArgumentException(
         s"bloom column $c must be integral or string, got $other")
     }
-    columns.map { c =>
-        src.filter(col(c).isNotNull)
-          // normalize the scan's file URI ("file:/x" or "file:///x") to
-          // the manifest's plain "/x" path
-          .select(regexp_replace(input_file_name(), "^file:(//)?", "")
-            .as("file"), hashed(c).as("v"))
-          .groupBy(col("file"))
-          .agg(agg(col("v")).as("bits"))
-          .select(col("file"), lit(c).as("column"), lit(m).as("m"),
-            lit(HashCount).as("k"), col("bits"))
-      }
-      .reduce(_ unionByName _)
-      .repartition(1).sortWithinPartitions("file", "column")
-      .write.parquet(outDir.toString)
+    // ONE scan aggregates every column's bloom (null hashes skip inside
+    // the aggregator — a per-column filter would force a scan per
+    // column, doubling registration I/O for a two-column table); the
+    // per-file aggregate is tiny, persisted only so the per-column melt
+    // below doesn't re-run the scan per union branch
+    val agged = src
+      .select(
+        // normalize the scan's file URI ("file:/x" or "file:///x") to
+        // the manifest's plain "/x" path
+        regexp_replace(input_file_name(), "^file:(//)?", "").as("file") +:
+          columns.map(c => hashed(c).as(s"__h_$c")): _*)
+      .groupBy(col("file"))
+      .agg(agg(col(s"__h_${columns.head}")).as(s"__b_${columns.head}"),
+        columns.tail.map(c => agg(col(s"__h_$c")).as(s"__b_$c")): _*)
+      .persist()
+    try {
+      columns.map { c =>
+          agged.select(col("file"), lit(c).as("column"), lit(m).as("m"),
+            lit(HashCount).as("k"), col(s"__b_$c").as("bits"))
+        }
+        .reduce(_ unionByName _)
+        .repartition(1).sortWithinPartitions("file", "column")
+        .write.parquet(outDir.toString)
+    } finally { agged.unpersist(); () }
   }
 
   /** Bloom-test `files` (grouped by their commit sidecar — one sidecar

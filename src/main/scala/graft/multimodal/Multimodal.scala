@@ -176,7 +176,10 @@ object Multimodal {
           !f.isBigEndian && f.getSampleSizeInBits == 16 &&
           f.getChannels == 1,
         s"doc ${a.doc_id}: unsupported audio shape $f")
-      val frames = ais.getFrameLength.toInt
+      val framesL = ais.getFrameLength
+      require(framesL >= 0 && framesL <= Int.MaxValue / 2,
+        s"doc ${a.doc_id}: frame count $framesL out of decodable range")
+      val frames = framesL.toInt
       val bytes = ais.readAllBytes()
       require(bytes.length == frames * 2,
         s"doc ${a.doc_id}: torn PCM stream (${bytes.length} bytes, " +
@@ -189,8 +192,12 @@ object Multimodal {
         sum += (((hi & 0xFF) << 8) | lo).toShort
         i += 1
       }
+      // Long millisecond arithmetic: frames * 1000 overflows Int for any
+      // clip past ~2.1M frames (~4.5 min at 8 kHz) — a valid WAV, not an
+      // edge case
       AudioMeta(a.doc_id, frames, f.getSampleRate.toInt, f.getChannels,
-        f.getSampleSizeInBits, frames * 1000 / f.getSampleRate.toInt, sum)
+        f.getSampleSizeInBits,
+        (frames.toLong * 1000L / f.getSampleRate.toLong).toInt, sum)
     } finally ais.close()
   }
 
@@ -275,14 +282,17 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
+        // per-partition encoder init (the codec-instance-per-partition
+        // shape): ONE registry lookup + writer, reused across rows via
+        // setOutput — not one per document
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
         it.map { id =>
           val w = (id % 13 + 1).toInt
           val h = (id % 7 + 1).toInt
           val n = (id % 4 + 1).toInt
           val bos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          val writer = javax.imageio.ImageIO
-            .getImageWritersByFormatName("gif").next()
           try {
             writer.setOutput(ios)
             writer.prepareWriteSequence(null)
@@ -305,7 +315,7 @@ object Multimodal {
               f += 1
             }
             writer.endWriteSequence()
-          } finally { writer.dispose(); ios.close() }
+          } finally ios.close() // the shared writer outlives the row
           RawAsset(id, bos.toByteArray)
         }
       }

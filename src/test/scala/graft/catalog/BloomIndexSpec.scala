@@ -94,7 +94,19 @@ class BloomIndexSpec extends SparkSpec {
     cat.createTable("b", "t", df.schema)
     cat.registerFilesWithBlooms(spark, "b", "t",
       (0 until 4).map(r => base.resolve(s"r$r")), Seq("sid"))
-    // every present value is found (no false negatives across all rows)
+    // NO false negatives across ALL 400 values: read the sidecar bits
+    // once, then test every present value against its holder file's
+    // bloom directly (the end-to-end path is exercised below for one)
+    val bits = spark.read.parquet(
+        cat.loadTable("b", "t").filesAsOf(None).head.bloomPath.get)
+      .filter(col("column") === "sid").select("file", "bits").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    (0L until 400L).foreach { i =>
+      val holder = bits.keys.find(_.contains(s"/r${i % 4}/")).get
+      assert(BloomIndex.mightContain(bits(holder),
+          BloomIndex.hash64(s"uuid-$i")),
+        s"false negative: uuid-$i absent from its holder's bloom")
+    }
     val kept = cat.filesForScanEqualsString(spark, "b", "t", "sid", "uuid-37")
     assert(kept.exists(_.path.contains("/r1/")), "the holder file was pruned")
     assert(kept.size < 4, s"string bloom kept ${kept.size}/4 — no pruning")
