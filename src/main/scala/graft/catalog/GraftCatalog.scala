@@ -1489,7 +1489,7 @@ class GraftCatalog(val warehouse: String) {
   def readChangelog(spark: SparkSession, ns: String, t: String,
                     fromExclusive: Long, toInclusive: Long): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
-    import GraftCatalog.{PosFileCol, PosIdxCol}
+    import graft.catalog.GraftCatalog.{PosFileCol, PosIdxCol}
     val meta = loadTable(ns, t)
     // a consumer's base snapshot must still be in the log: expiration
     // folds history into a boundary checkpoint, and replaying that

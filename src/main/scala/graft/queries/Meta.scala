@@ -1321,6 +1321,67 @@ object Meta {
       .orderBy("change_ordinal", "change_type", "r_regionkey")
   }
 
+  /** meta_changelog_sync (L80): the changelog CONSUMED — downstream sync,
+    * the pattern L76 exists for, proven end to end: a consumer holds a
+    * mirror (initially empty) and applies the CDC stream in two waves
+    * over the same 5-snapshot DML history meta_changelog pins (wave 1
+    * through the equality delete, wave 2 the upsert + append). Apply is
+    * the multiset fold the encoding defines: mirror ∪ inserts ∖ deletes
+    * (unionByName + exceptAll — exactly inverse to how the changelog
+    * emits). After each wave the mirror must equal the SOURCE AS OF the
+    * wave's last snapshot (time travel as the independent witness,
+    * multiset-exact both ways) — a missed delete, a doubled insert, or
+    * a wave boundary that splits a snapshot all break it. Output: one
+    * row per wave with the applied counts (region is the 5-row constant
+    * table, so the oracle is a literal replay). */
+  private def metaChangelogSync: QFn = (s, d) => {
+    import s.implicits._
+    val (_, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.createNamespace("nyc")
+    val t = "chgs_" + java.util.UUID.randomUUID.toString.take(8)
+    val region = graft.Tables.region(s, d)
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "meta_chgs")
+    region.coalesce(1).write.parquet(base.resolve("r0").toString)
+    cat.createTable("nyc", t, region.schema)
+    cat.registerFiles("nyc", t, Seq(base.resolve("r0")))          // s1
+    graft.etl.Merge.deleteWherePos(s, cat, "nyc", t,
+      col("r_regionkey") === 0)                                    // s2
+    graft.etl.Merge.deleteWhereMor(s, cat, "nyc", t,
+      col("r_regionkey") === 1, Seq("r_regionkey"))                // s3
+    graft.etl.Merge.mergeIntoMor(s, cat, "nyc", t,
+      region.filter(col("r_regionkey") === 2)
+        .withColumn("r_name", concat(col("r_name"), lit("-v2"))),
+      Seq("r_regionkey"))                                          // s4
+    region.limit(0).unionByName(
+        Seq((9, "NEWLAND")).toDF("r_regionkey", "r_name")
+          .select(col("r_regionkey").cast("int"), col("r_name")))
+      .coalesce(1).write.parquet(base.resolve("r5").toString)
+    cat.registerFiles("nyc", t, Seq(base.resolve("r5")))           // s5
+    val ids = cat.snapshots("nyc", t).map(_.id).sorted
+    val waves = Seq((0L, ids(2)), (ids(2), ids.last))
+    var mirror = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], region.schema)
+    val rows = waves.zipWithIndex.map { case ((from, to), i) =>
+      val chg = cat.readChangelog(s, "nyc", t, from, to)
+        .localCheckpoint() // one materialization serves counts + apply
+      val ins = chg.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_change_ordinal")
+      val del = chg.filter(col("_change_type") === "delete")
+        .drop("_change_type", "_change_ordinal")
+      mirror = mirror.unionByName(ins).exceptAll(del).localCheckpoint()
+      val expected = cat.readTable(s, "nyc", t, asOf = Some(to))
+      require(mirror.exceptAll(expected).isEmpty &&
+          expected.exceptAll(mirror).isEmpty,
+        s"wave ${i + 1}: mirror diverged from the source as of snapshot $to")
+      (i + 1, ins.count(), del.count(), mirror.count())
+    }
+    rows.toDF("wave", "n_inserts", "n_deletes", "mirror_rows")
+      .orderBy("wave")
+  }
+
   /** meta_file_skip: manifest-style file skipping observable end-to-end —
     * a table of two disjoint-range files is scanned with a predicate that
     * can only hit one; the report shows files pruned vs scanned and that
@@ -1740,6 +1801,7 @@ object Meta {
     "meta_file_skip"   -> metaFileSkip,
     "meta_bloom_skip"  -> metaBloomSkip,
     "meta_changelog"   -> metaChangelog,
+    "meta_changelog_sync" -> metaChangelogSync,
     "meta_snapshots"   -> metaSnapshots,
     "meta_files"       -> metaFiles,
     "meta_time_travel" -> metaTimeTravel,
@@ -1987,6 +2049,16 @@ object Meta {
         |    FROM region WHERE r_regionkey = 2
         |  UNION ALL SELECT 5, 'insert', CAST(9 AS INTEGER), 'NEWLAND')
         |ORDER BY change_ordinal, change_type, r_regionkey""".stripMargin,
+    // downstream-sync replay over the constant 5-row region history:
+    // wave 1 = initial insert + both deletes (mirror 3), wave 2 = the
+    // upsert pair + the append (mirror 4); the in-query time-travel
+    // equality is the correctness gate, these counts its fingerprint
+    "meta_changelog_sync" ->
+      """SELECT * FROM (VALUES
+        |  (1, CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (2, CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT)))
+        |  v(wave, n_inserts, n_deletes, mirror_rows)
+        |ORDER BY wave""".stripMargin,
     // the scattered-id layout makes range stats blind by construction
     // (16 residue-class files, each spanning the id domain); the point-
     // lookup row counts replay over raw lineitem at the max id

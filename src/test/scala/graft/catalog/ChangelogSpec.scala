@@ -82,7 +82,7 @@ class ChangelogSpec extends SparkSpec {
 
   test("one-commit position upsert: tuples into prior files emit deletes, same-snapshot adds emit inserts") {
     import spark.implicits._
-    import GraftCatalog.{PosFileCol, PosIdxCol}
+    import graft.catalog.GraftCatalog.{PosFileCol, PosIdxCol}
     val cat = freshCat()
     cat.createNamespace("c")
     val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
