@@ -58,12 +58,13 @@ object BloomIndex {
     z ^ (z >>> 31)
   }
 
-  private def eachBit(value: Long, mBits: Int)(f: Int => Unit): Unit = {
+  private def eachBit(value: Long, mBits: Int, k: Int = HashCount)(
+      f: Int => Unit): Unit = {
     val h1 = mix64(value)
     val h2 = mix64(h1) | 1L // odd stride hits every position of a pow-2 m
     var h = h1
     var i = 0
-    while (i < HashCount) {
+    while (i < k) {
       f((h & (mBits - 1L)).toInt) // m is a power of two — mask, not mod
       h += h2
       i += 1
@@ -90,10 +91,24 @@ object BloomIndex {
   private def hashExprSql(c: String): String =
     s"cast(conv(substring(md5(`$c`), 1, 15), 16, 10) as bigint)"
 
-  /** Membership test: false = DEFINITELY absent (skip the file). */
-  def mightContain(bits: Array[Byte], value: Long): Boolean = {
+  /** `input_file_name()` URI → the manifest's filesystem path (scheme
+    * dropped, percent-encoding decoded). Falls back to a scheme strip
+    * for a value that isn't a parseable URI. */
+  private val uriToPath = udf { raw: String =>
+    try new java.net.URI(raw).getPath
+    catch { case _: java.net.URISyntaxException =>
+      raw.replaceFirst("^file:(//)?", "") }
+  }
+
+  /** Membership test: false = DEFINITELY absent (skip the file). `k` is
+    * the probe count the sidecar was BUILT with — read back from the
+    * sidecar row at lookup, never assumed from the compile-time default
+    * (a HashCount bump would otherwise turn every old sidecar into a
+    * silent false-negative factory). */
+  def mightContain(bits: Array[Byte], value: Long,
+                   k: Int = HashCount): Boolean = {
     var all = true
-    eachBit(value, bits.length * 8)(p =>
+    eachBit(value, bits.length * 8, k)(p =>
       all &&= ((bits(p >>> 3) >> (p & 7)) & 1) == 1)
     all
   }
@@ -153,9 +168,12 @@ object BloomIndex {
     // below doesn't re-run the scan per union branch
     val agged = src
       .select(
-        // normalize the scan's file URI ("file:/x" or "file:///x") to
-        // the manifest's plain "/x" path
-        regexp_replace(input_file_name(), "^file:(//)?", "").as("file") +:
+        // normalize the scan's file URI ("file:/x", "file:///x",
+        // percent-encoded) to the manifest's plain filesystem path —
+        // a scheme-only strip would leave "%20" in the key and the
+        // sidecar row would never match kept()'s raw-path probe for
+        // any file whose path URI-encodes (space, %, non-ASCII)
+        uriToPath(input_file_name()).as("file") +:
           columns.map(c => hashed(c).as(s"__h_$c")): _*)
       .groupBy(col("file"))
       .agg(agg(col(s"__h_${columns.head}")).as(s"__b_${columns.head}"),
@@ -190,10 +208,20 @@ object BloomIndex {
         val bitsByFile = spark.read.parquet(sc)
           .filter(col("column") === column &&
             col("file").isInCollection(mine))
-          .select(col("file"), col("bits"))
+          .select(col("file"), col("bits"), col("m"), col("k"))
           .collect()
-          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-        fs.filter(f =>
-          bitsByFile.get(f.path).forall(mightContain(_, value)))
+          .map { r =>
+            val bits = r.getAs[Array[Byte]]("bits")
+            val m = r.getAs[Int]("m")
+            // the sidecar's persisted geometry is authoritative: a
+            // truncated/corrupt bit array must fail loud, not probe the
+            // wrong positions and skip files that hold real rows
+            require(m == bits.length * 8, s"bloom sidecar $sc: row for " +
+              s"${r.getString(0)} declares m=$m but carries " +
+              s"${bits.length * 8} bits")
+            r.getString(0) -> ((bits, r.getAs[Int]("k")))
+          }.toMap
+        fs.filter(f => bitsByFile.get(f.path).forall {
+          case (bits, k) => mightContain(bits, value, k) })
     }
 }

@@ -263,7 +263,9 @@ object Multimodal {
         val n = r.getNumImages(true)
         require(n > 0, s"doc ${a.doc_id}: empty container")
         VideoMeta(a.doc_id, n, r.getWidth(0), r.getHeight(0),
-          r.getFormatName.toLowerCase)
+          // ROOT locale: default-locale lowercasing is a dotless-i
+          // hazard ("GIF" -> "gİf"-adjacent corruption under tr_TR)
+          r.getFormatName.toLowerCase(java.util.Locale.ROOT))
       } finally r.dispose()
     } finally iis.close()
   }
@@ -287,7 +289,7 @@ object Multimodal {
         // setOutput — not one per document
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("gif").next()
-        it.map { id =>
+        val rows = it.map { id =>
           val w = (id % 13 + 1).toInt
           val h = (id % 7 + 1).toInt
           val n = (id % 4 + 1).toInt
@@ -317,6 +319,18 @@ object Multimodal {
             writer.endWriteSequence()
           } finally ios.close() // the shared writer outlives the row
           RawAsset(id, bos.toByteArray)
+        }
+        // the shared writer outlives every row but NOT the partition:
+        // dispose its native/codec state once the iterator drains,
+        // otherwise each query leaks one writer per partition
+        new Iterator[RawAsset] {
+          private var disposed = false
+          override def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h && !disposed) { disposed = true; writer.dispose() }
+            h
+          }
+          override def next(): RawAsset = rows.next()
         }
       }
       .mapPartitions(_.map(decodeVideo))

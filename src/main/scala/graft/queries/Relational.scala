@@ -82,8 +82,14 @@ object Relational {
       .agg(count(col("o_orderkey")).as("n_orders"))
       .orderBy("c_custkey")
 
+  /** Customers with no RECENT order. The orders side is date-bounded so
+    * the result is non-empty at every SF — the fixture gives every
+    * customer SOME order, so an unbounded version returns 0 rows and its
+    * oracle check degenerates to `0 ≡ 0` (a broken right join that
+    * always returns empty would pass). */
   private def qJoinRight: QFn = (s, d) =>
     Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp_ntz(lit("2001-01-01")))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
       .filter(col("o_orderkey").isNull)
       .select("c_custkey", "c_name")
@@ -108,9 +114,13 @@ object Relational {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** Anti-join against the same date-bounded orders side as
+    * [[qJoinRight]] (non-vacuous at every SF for the same reason). */
   private def qJoinAnti: QFn = (s, d) =>
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp_ntz(lit("2001-01-01"))),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
@@ -325,10 +335,18 @@ object Relational {
       .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
-  private def qExcept: QFn = (s, d) =>
-    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
-      .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
-      .orderBy("nationkey")
+  /** Customers ordering late but never early. EXCEPT over a column
+    * where the two sides genuinely diverge at every SF — the old
+    * customer-nations-minus-supplier-nations shape was empty everywhere
+    * (every nation has suppliers), making its oracle pass vacuous. */
+  private def qExcept: QFn = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderdate") >= to_timestamp_ntz(lit("2001-01-01")))
+      .select(col("o_custkey").as("custkey"))
+      .except(o.filter(col("o_orderdate") < to_timestamp_ntz(lit("1996-01-01")))
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
 
   // ------------------------------------------------------- sort / limit
   private def qSortMulti: QFn = (s, d) =>
@@ -445,7 +463,9 @@ object Relational {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q_join_right" ->
       """SELECT c_custkey, c_name
-        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |FROM (SELECT * FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey IS NULL
         |ORDER BY c_custkey""".stripMargin,
     "q_join_full" ->
@@ -464,7 +484,9 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
         |ORDER BY c_custkey""".stripMargin,
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
@@ -569,10 +591,12 @@ object Relational {
         |SELECT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
     "q_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-01-01'
         |EXCEPT
-        |SELECT s_nationkey AS nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin,
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |ORDER BY custkey""".stripMargin,
     "q_sort_multi" ->
       """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber
         |FROM lineitem

@@ -115,6 +115,65 @@ class BloomIndexSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq === Seq(37L))
   }
 
+  test("paths that URI-encode (spaces) still build matching sidecar keys — pruning engages") {
+    // input_file_name() yields a percent-encoded URI; a scheme-only
+    // strip would key the sidecar by ".../my%20dir/..." while kept()
+    // probes the manifest's raw ".../my dir/..." — the blooms would
+    // silently never prune for such files (ADVICE round 13)
+    import spark.implicits._
+    val wh = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bloom_sp")
+    val cat = new GraftCatalog(wh.resolve("wh").toString)
+    cat.createNamespace("b")
+    val df = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "payload")
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bloom sp rows")
+    assert(base.toString.contains(" "), "fixture must exercise a space")
+    (0 until 4).foreach { r =>
+      df.filter(pmod(col("id"), lit(4)) === r).coalesce(1)
+        .write.parquet(base.resolve(s"part $r").toString)
+    }
+    cat.createTable("b", "t", df.schema)
+    cat.registerFilesWithBlooms(spark, "b", "t",
+      (0 until 4).map(r => base.resolve(s"part $r")), Seq("id"))
+    val kept = cat.filesForScanEquals(spark, "b", "t", "id", 399L)
+    assert(kept.size < 4, s"bloom kept ${kept.size}/4 files under an " +
+      "encodable path — the sidecar keys never matched")
+    assert(kept.exists(_.path.contains("/part 3/")),
+      "the file actually holding the id must survive")
+    assert(cat.readTableWhereEquals(spark, "b", "t", "id", 399L)
+      .filter(col("id") === 399L).count() === 1L)
+  }
+
+  test("lookup honors the sidecar's persisted k and validates m against the bits") {
+    import spark.implicits._
+    // k flows through the probe loop: zero probes accept everything,
+    // the compile-time default rejects against all-zero bits
+    val zeros = new Array[Byte](128)
+    assert(BloomIndex.mightContain(zeros, 42L, 0))
+    assert(!BloomIndex.mightContain(zeros, 42L))
+    // a sidecar built under a DIFFERENT k must be probed with ITS k —
+    // kept() reading the row's k=0 keeps the file despite zero bits;
+    // assuming HashCount=7 would wrongly skip a file holding real rows
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "bloom_k")
+    val sc = dir.resolve("sidecar").toString
+    Seq(("/data/f1.parquet", "id", zeros.length * 8, 0, zeros))
+      .toDF("file", "column", "m", "k", "bits").coalesce(1).write.parquet(sc)
+    val f1 = DataFileMeta("/data/f1.parquet", 1L, 1L, bloomPath = Some(sc))
+    assert(BloomIndex.kept(spark, Seq(f1), "id", 42L) === Seq(f1))
+    // a geometry mismatch (declared m != carried bits) fails loudly
+    // instead of probing the wrong positions
+    val bad = dir.resolve("sidecar_bad").toString
+    Seq(("/data/f2.parquet", "id", 4096, 7, zeros))
+      .toDF("file", "column", "m", "k", "bits").coalesce(1).write.parquet(bad)
+    val f2 = DataFileMeta("/data/f2.parquet", 1L, 1L, bloomPath = Some(bad))
+    val e = intercept[IllegalArgumentException] {
+      BloomIndex.kept(spark, Seq(f2), "id", 42L)
+    }
+    assert(e.getMessage.contains("declares m=4096"))
+  }
+
   test("conservative fallbacks: bloom-less commits and un-bloomed columns stay kept") {
     val wh = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "bloom_wh2")

@@ -44,9 +44,25 @@ class RelationalSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
-  test("semi + anti partition the left side") {
+  test("semi + anti partition the left side (same bounded right side)") {
+    // q_join_anti bounds its orders side to recent dates so the result
+    // is non-empty at every SF; the partition law holds against a semi
+    // join over the SAME bounded side
     val customers = Tables.customer(spark, sfDir).count()
-    assert(run("q_join_semi").count() + run("q_join_anti").count() === customers)
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp_ntz(lit("2001-01-01")))
+    val boundedSemi = Tables.customer(spark, sfDir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
+    assert(boundedSemi + run("q_join_anti").count() === customers)
+  }
+
+  test("right/anti/except fixtures are non-vacuous: each returns rows") {
+    // a 0-row result would make the DuckDB hash oracle pass `0 ≡ 0`,
+    // unable to distinguish a working operator from a broken-empty one
+    assert(run("q_join_right").count() > 0)
+    assert(run("q_join_anti").count() > 0)
+    assert(run("q_except").count() > 0)
   }
 
   test("rollup/cube/grouping-sets cardinalities nest correctly") {
