@@ -307,13 +307,24 @@ object ScaleSmoke {
     if (targets.contains("q_text_bm25_indexed")) {
       def textIndexReport(dir: String, tag: String): Unit = {
         val cat = graft.queries.Extensions.textIndexFor(spark, dir)
-        val live = cat.loadTable("txt", "docs_postings").filesAsOf(None)
-        val kept = cat.filesForScanStringAny(live, "term",
-          graft.queries.Extensions.bm25Terms)
-        println(f"""{"query":"text_index_probe_files","tier":"$tag",""" +
-          f""""kept_files":${kept.size},"total_files":${live.size},""" +
-          f""""kept_mb":${kept.map(_.sizeBytes).sum / 1e6}%.2f,""" +
-          f""""total_mb":${live.map(_.sizeBytes).sum / 1e6}%.2f}""")
+        def layout(query: String): Unit = {
+          val live = cat.loadTable("txt", "docs_postings").filesAsOf(None)
+          val kept = cat.filesForScanStringAny(live, "term",
+            graft.queries.Extensions.bm25Terms)
+          println(f"""{"query":"$query","tier":"$tag",""" +
+            f""""kept_files":${kept.size},"total_files":${live.size},""" +
+            f""""kept_mb":${kept.map(_.sizeBytes).sum / 1e6}%.2f,""" +
+            f""""total_mb":${live.map(_.sizeBytes).sum / 1e6}%.2f,""" +
+            f""""avg_file_mb":${live.map(_.sizeBytes).sum / 1e6 /
+              math.max(1, live.size)}%.2f}""")
+        }
+        layout("text_index_probe_files")
+        // the bytes-target compaction layout (TextIndex.filesForBytes):
+        // past the MinFiles floor the emitted files are >= 16 MB while
+        // the term-range clustering keeps the pruned fraction — the
+        // file-size-at-scale policy, answer-invariant by the L77 law
+        graft.operators.TextIndex.compactIndex(spark, cat, "txt", "docs")
+        layout("text_index_compacted")
       }
       textIndexReport(sfDir, "base")
       textIndexReport(scaledDir.toString, "scaled")

@@ -1430,6 +1430,89 @@ class GraftCatalog(val warehouse: String) {
       .parquet(streamViewDir(ns, t).toString)
   }
 
+  private def changelogViewDir(ns: String, t: String): Path =
+    tableDir(ns, t).resolve("changelogview")
+
+  /** Materialize each snapshot's CHANGELOG rows under the view directory
+    * exactly once (write-once per snapshot id, atomic rename into place),
+    * so a stock file stream source turns the snapshot log into an
+    * exactly-once CDC stream — the DML-carrying twin of
+    * [[syncStreamView]]'s append-only symlinks. Unlike the stream view
+    * this needs a Spark job per snapshot (delete rows are COMPUTED, not
+    * files on disk), so it syncs here rather than at commit time; a
+    * continuously-running consumer advances the view by calling this
+    * between triggers, and the AvailableNow sync-then-drain pattern gets
+    * it for free from [[streamChangelog]].
+    *
+    * `_change_ordinal` in the materialized rows is the SNAPSHOT ID (not
+    * the range-relative ordinal of a batch [[readChangelog]] call):
+    * stable under snapshot expiration and monotonic in commit order —
+    * the properties a long-lived stream needs. */
+  def syncChangelogView(spark: SparkSession, ns: String, t: String): Path = {
+    import org.apache.spark.sql.functions.lit
+    val dir = changelogViewDir(ns, t)
+    Files.createDirectories(dir)
+    val snaps = loadTable(ns, t).snapshots.filterNot(_.isStaged).sortBy(_.id)
+    val materialized: Set[Long] = {
+      val ls = Files.list(dir)
+      try ls.iterator().asScala.map(_.getFileName.toString).collect {
+        case n if n.startsWith("sn") => n.stripPrefix("sn").toLong
+      }.toSet
+      finally ls.close()
+    }
+    snaps.zipWithIndex.foreach { case (sn, i) =>
+      if (!materialized(sn.id)) {
+        val prevId = if (i == 0) 0L else snaps(i - 1).id
+        // a from-empty replay (prevId 0) over an already-populated view
+        // means the view pre-dates a snapshot expiration (the folded
+        // boundary checkpoint re-emits rows earlier deltas already
+        // streamed) or a rollback rewrote history under the consumer —
+        // either way the stream would double-count; refuse loudly
+        require(prevId != 0L || materialized.isEmpty,
+          s"$ns.$t: changelog stream view holds snapshots no longer in " +
+            s"the log, and snapshot ${sn.id} would replay from empty " +
+            "over them (expired or rolled-back history) — reset the " +
+            "view and the consumer checkpoint, then reprocess from 0")
+        val tmp = dir.resolve(s"_tmp_sn${sn.id}")
+        readChangelog(spark, ns, t, prevId, sn.id)
+          .withColumn("_change_ordinal", lit(sn.id))
+          .write.mode("overwrite").parquet(tmp.toString)
+        // atomic publish: the file source never lists a half-written
+        // snapshot (underscore-prefixed dirs are hidden to Spark)
+        try Files.move(tmp, dir.resolve(s"sn${sn.id}"),
+          StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          // a racing sync published first — identical content by
+          // construction (same snapshot, deterministic changelog)
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        }
+      }
+    }
+    dir
+  }
+
+  /** Streaming CHANGELOG read — [[readChangelog]] as a Structured
+    * Streaming source: the view directory holds each snapshot's CDC rows
+    * write-once ([[syncChangelogView]]) and the returned frame is
+    * Spark's stock file stream over it, so new commits flow to a running
+    * (or restarted) consumer exactly once via the checkpoint's file log.
+    * This is the surface [[streamTable]] refuses for DML-carrying
+    * tables: deletes/upserts stream as explicit `_change_type` rows and
+    * a downstream sync is a RUNNING query (fold inserts∖deletes per
+    * `_change_ordinal`), not a batch loop. */
+  def streamChangelog(spark: SparkSession, ns: String, t: String): DataFrame = {
+    val meta = loadTable(ns, t)
+    val dir = syncChangelogView(spark, ns, t)
+    val schema = StructType(meta.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("_change_ordinal",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+  }
+
   /** Incremental (changelog) read: rows ADDED by snapshots in
     * `(fromExclusive, toInclusive]` — Iceberg's incremental-append scan, the
     * consumption pattern for snapshot-based downstream sync (a consumer
@@ -1488,7 +1571,7 @@ class GraftCatalog(val warehouse: String) {
     * what it rewrote, the honest CoW cost. */
   def readChangelog(spark: SparkSession, ns: String, t: String,
                     fromExclusive: Long, toInclusive: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     import graft.catalog.GraftCatalog.{PosFileCol, PosIdxCol}
     val meta = loadTable(ns, t)
     // a consumer's base snapshot must still be in the log: expiration
@@ -1531,9 +1614,34 @@ class GraftCatalog(val warehouse: String) {
         // CDC encoding)
         val ref = readKeptFiles(spark, ns, t, Some(sn.id), refPaths,
           keepPos = true)
-        val dels = tag(ref.join(broadcast(tuples),
-          ref(PosFileCol) === tuples("file_path") &&
-            ref(PosIdxCol) === tuples("pos"), "left_semi"),
+        // rows already dead under EARLIER position deletes must not
+        // re-emit: Merge.deleteWherePos never re-references a dead
+        // (file, pos), but commitPositionDeletes is a public surface —
+        // a caller committing an overlapping tuple would otherwise make
+        // the changelog emit a second delete for the same row while
+        // readTable (anti-join, idempotent) stays correct, silently
+        // breaking the multiset replay law. Anti-join the referenced
+        // scan against all earlier snapshots' tuples (filtered to the
+        // touched files, so the broadcast stays bounded by the delete
+        // history of exactly these files).
+        val earlierDeleteFiles = meta.snapshots
+          .filter(p => !p.isStaged && p.id < sn.id && p.isPositionDelete)
+          .flatMap(_.deletes.map(_.path))
+        val refAlive =
+          if (earlierDeleteFiles.isEmpty) ref
+          else {
+            val prior = spark.read.parquet(earlierDeleteFiles: _*)
+              .filter(regexp_replace(col("file_path"), "^file:(//)?", "")
+                .isInCollection(refPaths))
+              .select(col("file_path").as("__pr_file"),
+                col("pos").as("__pr_pos"))
+            ref.join(broadcast(prior),
+              ref(PosFileCol) === col("__pr_file") &&
+                ref(PosIdxCol) === col("__pr_pos"), "left_anti")
+          }
+        val dels = tag(refAlive.join(broadcast(tuples),
+          refAlive(PosFileCol) === tuples("file_path") &&
+            refAlive(PosIdxCol) === tuples("pos"), "left_semi"),
           "delete", ord)
         val added = sn.addedFiles.map(_.path).toSet
         if (added.isEmpty) Seq(dels)

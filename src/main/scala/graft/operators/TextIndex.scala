@@ -52,15 +52,52 @@ import graft.catalog.{GraftCatalog, TableMeta}
   * queries the warehouse); this family is the engine-side answer. */
 object TextIndex {
 
-  /** Target posting rows per index file. Small enough that a term's
-    * postings concentrate in few files, large enough that file count
-    * stays manifest-friendly (~1 MB files at 8 bytes/row compressed). */
-  private val RowsPerFile = 131072L
+  /** Posting rows per index file at SMALL corpora — the floor-regime
+    * granularity (~1 MB files at 8 bytes/row compressed), small enough
+    * that a term's postings concentrate in few files. */
+  private val BaseRowsPerFile = 131072L
 
   /** Layout floor: even a tiny corpus writes ≥8 range-clustered files so
     * term pruning has something to skip (mirrors IvfPq's kCells floor). */
+  private[graft] val MinFiles = 8
+
+  /** Rows-per-file ceiling (~128 MB at 8 B/row): past it, file count
+    * grows linearly — the normal parquet regime. */
+  private val MaxRowsPerFile = 16L * 1024 * 1024
+
+  /** Rows per file GROW as √(corpus) beyond the floor regime — the
+    * [[IvfPq]] √N-cells convention applied to file sizing: a fixed
+    * rows-per-file at 10^13 postings (the 100 TB regime) would put
+    * ~10^8 ~1 MB entries in the manifest; under √-scaling file count
+    * and file size both grow as √n (~6×10^5 files of ~130 MB at 10^13),
+    * and the term-range clustering that makes pruning work is
+    * unchanged — only the granularity of what a query's term span
+    * keeps. */
+  private[graft] def rowsPerFileFor(nPostings: Long): Long = {
+    val floorRegime = MinFiles * BaseRowsPerFile // ≈1M postings
+    val scaled = (BaseRowsPerFile *
+      math.sqrt(math.max(1.0, nPostings.toDouble / floorRegime))).toLong
+    math.min(MaxRowsPerFile, math.max(BaseRowsPerFile, scaled))
+  }
+
   private[graft] def filesFor(nPostings: Long): Int =
-    math.max(8L, nPostings / RowsPerFile + 1L).toInt
+    math.max(MinFiles.toLong, nPostings / rowsPerFileFor(nPostings) + 1L).toInt
+
+  /** Compaction target: ≥ this many bytes per file once the corpus
+    * outgrows the [[MinFiles]] floor. */
+  private val TargetFileBytes = 16L * 1024 * 1024
+
+  /** Compaction file count from MEASURED bytes (the manifest's
+    * sizeBytes sum — compaction, unlike a fresh build, knows the real
+    * on-disk size of what it rewrites): floor-divide by the 16 MB
+    * target so emitted files are AT LEAST target-sized, take the
+    * smaller of that and the √-scaled row policy (whichever yields
+    * BIGGER files), and never drop below the pruning floor. */
+  private[graft] def filesForBytes(totalBytes: Long, nPostings: Long): Int = {
+    val byBytes = math.max(1L, totalBytes / TargetFileBytes)
+    math.max(MinFiles.toLong,
+      math.min(byBytes, filesFor(nPostings).toLong)).toInt
+  }
 
   /** Posting rows from an already-tokenized (doc_id, toks) frame: one
     * flat map + one (term, doc_id) aggregate. */
@@ -107,11 +144,53 @@ object TextIndex {
       .persist()
     val p = postingsFromToks(toks).persist() // count + clustered write
     try {
-      val clustered = p
-        .repartitionByRange(filesFor(p.count()), col("term"), col("doc_id"))
-        .sortWithinPartitions("term", "doc_id")
-      val meta = commitDf(cat, ns, s"${table}_postings", clustered, operation)
-      commitDf(cat, ns, s"${table}_stats", statsFromToks(toks), operation)
+      // postings and stats are TWO catalog commits; a crash between them
+      // would leave N/Σlen permanently inconsistent with the postings
+      // (silently wrong BM25 scores), and a naive re-run would double
+      // the batch's postings and df. So both commits land under ONE
+      // deterministic recovery tag — a content fingerprint (doc count +
+      // doc_id xor + tokenizer hash; doc text is immutable under the
+      // dedup'd append-only corpus contract) — and a re-run detects the
+      // half-landed state from the snapshot log and commits only the
+      // missing half, exactly the [[appendDocsBatch]] replay convention.
+      val fp = toks.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(doc_id)"), lit(0L)).as("x")).head()
+      val tag = s"textidx-$operation-n${fp.getLong(0)}-" +
+        s"x${java.lang.Long.toHexString(fp.getLong(1))}-" +
+        s"e${Integer.toHexString(tokensExpr.hashCode)}"
+      def committed(t: String): Boolean = cat.tableExists(ns, t) && {
+        val sns = cat.loadTable(ns, t).snapshots
+        // appends scan the FULL log (a replayed batch must never land
+        // twice, whatever committed after it); an overwrite only counts
+        // if it is the CURRENT state — a rebuild that resets an
+        // appended-to index must re-land even though the same tag
+        // committed earlier in the log
+        val scope = if (operation == "overwrite") sns.lastOption.toSeq
+                    else sns
+        scope.exists(_.addedFiles.exists(_.path.contains(s"/$tag/")))
+      }
+      def land(t: String, df: DataFrame): TableMeta = {
+        // fresh subdir per landing attempt (keyed by the table's next
+        // snapshot id) so a rebuild that re-lands an old tag after later
+        // commits never rewrites files an earlier snapshot references —
+        // detection only needs the /tag/ path segment; a crash mid-write
+        // retries into the SAME subdir and mode(overwrite) cleans it
+        val sub =
+          if (cat.tableExists(ns, t)) s"a${cat.loadTable(ns, t).nextSnapshotId}"
+          else "a1"
+        val dir = Paths.get(cat.warehouse, ns, t, "data", tag, sub)
+        df.write.mode("overwrite").parquet(dir.toString)
+        if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
+        cat.registerFiles(ns, t, Seq(dir), operation = operation)
+      }
+      val pTab = s"${table}_postings"
+      val sTab = s"${table}_stats"
+      val meta =
+        if (committed(pTab)) cat.loadTable(ns, pTab)
+        else land(pTab, p
+          .repartitionByRange(filesFor(p.count()), col("term"), col("doc_id"))
+          .sortWithinPartitions("term", "doc_id"))
+      if (!committed(sTab)) land(sTab, statsFromToks(toks))
       meta
     } finally { p.unpersist(); toks.unpersist(); () }
   }
@@ -184,10 +263,13 @@ object TextIndex {
     * stats sums, different files. */
   def compactIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
                    table: String): TableMeta = {
+    val liveBytes = cat.loadTable(ns, s"${table}_postings")
+      .filesAsOf(None).map(_.sizeBytes).sum
     val p = cat.readTable(spark, ns, s"${table}_postings").persist()
     try {
       val meta = commitDf(cat, ns, s"${table}_postings",
-        p.repartitionByRange(filesFor(p.count()), col("term"), col("doc_id"))
+        p.repartitionByRange(filesForBytes(liveBytes, p.count()),
+            col("term"), col("doc_id"))
           .sortWithinPartitions("term", "doc_id"),
         "overwrite")
       commitDf(cat, ns, s"${table}_stats",

@@ -743,6 +743,101 @@ object Streaming {
       .orderBy("phase")
   }
 
+  /** st_changelog: the row-level CDC changelog as a STRUCTURED STREAMING
+    * source ([[graft.catalog.GraftCatalog.streamChangelog]]) — the
+    * surface that completes L76/L80 the way st_catalog_source completed
+    * the append path: a DML-carrying table (the exact 5-snapshot history
+    * meta_changelog pins — append, position delete, equality delete,
+    * upsert, append) streams as explicit insert/delete rows, and the
+    * downstream sync is a RUNNING query instead of a batch fold.
+    * Exactly-once falls out of the snapshot log: each snapshot's CDC
+    * rows materialize write-once under the changelog view and the file
+    * source's checkpoint log never re-serves them. The proof mirrors
+    * meta_changelog_sync's two waves, but across two AvailableNow drains
+    * over the SAME checkpoint with the consumer DOWN while wave 2's DML
+    * commits — and applies the fold per `_change_ordinal` inside
+    * foreachBatch. After each wave the in-query require compares the
+    * mirror to the source AS OF the wave boundary (time travel as the
+    * independent witness, multiset-exact both ways). Output: the same
+    * per-wave counts as the batch twin — a literal oracle. */
+  def stChangelog: QFn = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "st_chg")
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
+    cat.createNamespace("nyc")
+    val region = graft.Tables.region(s, d)
+    def land(df: DataFrame, dir: String) = {
+      val p = base.resolve(dir); df.coalesce(1).write.parquet(p.toString); p
+    }
+    cat.createTable("nyc", "chg", region.schema)
+    cat.registerFiles("nyc", "chg", Seq(land(region, "r0")))         // s1
+    graft.etl.Merge.deleteWherePos(s, cat, "nyc", "chg",
+      col("r_regionkey") === 0)                                      // s2
+    graft.etl.Merge.deleteWhereMor(s, cat, "nyc", "chg",
+      col("r_regionkey") === 1, Seq("r_regionkey"))                  // s3
+    var mirror = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], region.schema)
+    val waveRows =
+      collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    def drain(wave: Int): Unit = {
+      var nIns = 0L
+      var nDel = 0L
+      val q = cat.streamChangelog(s, "nyc", "chg")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint()
+          // apply snapshot by snapshot in commit order — the fold the
+          // encoding defines (mirror ∪ inserts ∖ deletes per snapshot,
+          // so a same-commit delete+insert pair sees the mirror state
+          // of ITS boundary); a drain's batch may carry several
+          // snapshots, the bounded driver fetch is their id list
+          val ords = b.select("_change_ordinal").distinct()
+            .collect().map(_.getLong(0)).sorted
+          ords.foreach { o =>
+            val sn = b.filter(col("_change_ordinal") === o)
+            val ins = sn.filter(col("_change_type") === "insert")
+              .drop("_change_type", "_change_ordinal")
+            val del = sn.filter(col("_change_type") === "delete")
+              .drop("_change_type", "_change_ordinal")
+            mirror = mirror.unionByName(ins).exceptAll(del).localCheckpoint()
+            nIns += ins.count()
+            nDel += del.count()
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // time-travel witness: the mirror must equal the source as of the
+      // wave's last snapshot, multiset-exactly
+      val boundary = cat.snapshots("nyc", "chg").map(_.id).max
+      val expected = cat.readTable(s, "nyc", "chg", asOf = Some(boundary))
+      require(mirror.exceptAll(expected).isEmpty &&
+          expected.exceptAll(mirror).isEmpty,
+        s"wave $wave: streamed mirror diverged from the source as of " +
+          s"snapshot $boundary")
+      waveRows += ((wave, nIns, nDel, mirror.count()))
+    }
+    drain(1)
+    // wave 2 commits while the consumer is DOWN: the upsert + the append
+    graft.etl.Merge.mergeIntoMor(s, cat, "nyc", "chg",
+      region.filter(col("r_regionkey") === 2)
+        .withColumn("r_name", concat(col("r_name"), lit("-v2"))),
+      Seq("r_regionkey"))                                            // s4
+    import s.implicits._
+    cat.registerFiles("nyc", "chg", Seq(land(
+      region.limit(0).unionByName(
+        Seq((9, "NEWLAND")).toDF("r_regionkey", "r_name")
+          .select(col("r_regionkey").cast("int"), col("r_name"))),
+      "r5")))                                                        // s5
+    drain(2) // same checkpoint: exactly the delta, nothing re-served
+    waveRows.toSeq.toDF("wave", "n_inserts", "n_deletes", "mirror_rows")
+      .orderBy("wave")
+  }
+
   /** st_join: watermarked STREAM-STREAM self-join — click→purchase
     * attribution (same user, purchase within 10 minutes of the click),
     * H-family's hardest shape. Both sides carry a watermark and the join
@@ -1123,6 +1218,7 @@ object Streaming {
     "st_dedup_catalog" -> stDedupCatalog,
     "st_neardup_catalog" -> stNeardupCatalog,
     "st_catalog_source" -> stCatalogSource,
+    "st_changelog"    -> stChangelog,
     "st_vec_index_maintain" -> stVecIndexMaintain,
     "st_text_index_maintain" -> stTextIndexMaintain,
     "st_vec_augment"  -> stVecAugment,
@@ -1240,6 +1336,17 @@ object Streaming {
         |  UNION ALL SELECT 'exactly_once_total', total, true FROM c
         |  UNION ALL SELECT 'dml_refused', 1, true)
         |ORDER BY phase""".stripMargin,
+    // the streamed CDC sync over the constant 5-row region history —
+    // the SAME literal replay as meta_changelog_sync's oracle (wave 1 =
+    // initial insert + both deletes, wave 2 = the upsert pair + the
+    // append); the in-query time-travel equality is the correctness
+    // gate, these counts its fingerprint
+    "st_changelog" ->
+      """SELECT * FROM (VALUES
+        |  (1, CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (2, CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT)))
+        |  v(wave, n_inserts, n_deletes, mirror_rows)
+        |ORDER BY wave""".stripMargin,
     "st_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |                  CAST(ts AS TIMESTAMP) AS ts FROM events)

@@ -112,6 +112,50 @@ class ChangelogSpec extends SparkSpec {
       === Seq((1L, "a2"), (2L, "b")))
   }
 
+  test("overlapping position-delete tuples never re-emit an already-dead row") {
+    import spark.implicits._
+    import graft.catalog.GraftCatalog.{PosFileCol, PosIdxCol}
+    val cat = freshCat()
+    cat.createNamespace("c")
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    cat.createTable("c", "t", rows.schema)
+    cat.registerFiles("c", "t", Seq(writeRows(rows)))
+    // capture RAW positions once — Merge.deleteWherePos never overlaps,
+    // but commitPositionDeletes is a public surface: a caller may stack
+    // a tuple that re-references an already-deleted (file, pos)
+    val pos = cat.readTableWithPositions(spark, "c", "t")
+      .select(col("id"), col(PosFileCol).as("file_path"),
+        col(PosIdxCol).as("pos")).persist()
+    def commitTuples(ids: Long*): Unit = {
+      val d = Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "chg_ovl")
+      pos.filter(col("id").isInCollection(ids)).select("file_path", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(d.resolve("d").toString)
+      cat.commitPositionDeletes("c", "t", Seq(d.resolve("d")))
+      ()
+    }
+    commitTuples(1L)     // s2: kills id=1
+    commitTuples(1L, 2L) // s3: overlaps the dead id=1, kills id=2
+    pos.unpersist()
+    val last = cat.snapshots("c", "t").map(_.id).max
+    val chg = cat.readChangelog(spark, "c", "t", 0L, last)
+    val dels = chg.filter(col("_change_type") === "delete")
+      .select("id", "_change_ordinal").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // id=1 dies ONCE (at its first tombstone's ordinal) — the stacked
+    // tuple must not re-emit it, or the multiset replay law breaks
+    // while readTable (idempotent anti-join) stays correct
+    assert(dels === Seq((1L, 2L), (2L, 3L)),
+      s"stacked tuples re-emitted a dead row: $dels")
+    val net = chg.groupBy("id", "v")
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("n")).filter(col("n") =!= 0L)
+    val live = cat.readTable(spark, "c", "t")
+      .groupBy("id", "v").agg(count(lit(1)).as("n"))
+    assert(net.exceptAll(live).isEmpty && live.exceptAll(net).isEmpty,
+      "replay law broken under overlapping position tuples")
+  }
+
   test("staged WAP snapshots never leak into the changelog; published ones do") {
     import spark.implicits._
     val cat = freshCat()
@@ -157,6 +201,72 @@ class ChangelogSpec extends SparkSpec {
     val live = cat.readTable(spark, "c", "t")
       .groupBy("id", "v").agg(count(lit(1)).as("n"))
     assert(net.exceptAll(live).isEmpty && live.exceptAll(net).isEmpty)
+  }
+
+  test("streaming changelog: replay law holds across drains, exactly-once, expired view refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "chg_stream")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    cat.createNamespace("c")
+    val rows = (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v")
+    cat.createTable("c", "t", rows.schema)
+    cat.registerFiles("c", "t", Seq(writeRows(rows)))
+    graft.etl.Merge.deleteWherePos(spark, cat, "c", "t", col("id") % 4 === 0)
+    var mirror = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema)
+    var served = 0L
+    def drain(): Unit = {
+      val q = cat.streamChangelog(spark, "c", "t")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bb = b.localCheckpoint()
+          served += bb.count()
+          val ords = bb.select("_change_ordinal").distinct()
+            .collect().map(_.getLong(0)).sorted
+          ords.foreach { o =>
+            val sn = bb.filter(col("_change_ordinal") === o)
+            mirror = mirror
+              .unionByName(sn.filter(col("_change_type") === "insert")
+                .drop("_change_type", "_change_ordinal"))
+              .exceptAll(sn.filter(col("_change_type") === "delete")
+                .drop("_change_type", "_change_ordinal"))
+              .localCheckpoint()
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    val afterWave1 = served
+    def liveEq(): Boolean = {
+      val live = cat.readTable(spark, "c", "t")
+      mirror.exceptAll(live).isEmpty && live.exceptAll(mirror).isEmpty
+    }
+    assert(liveEq(), "streamed mirror diverged after wave 1")
+    // DML while the consumer is down; the second drain over the SAME
+    // checkpoint serves exactly the delta (exactly-once)
+    graft.etl.Merge.mergeIntoMor(spark, cat, "c", "t",
+      Seq((2L, "v2-new"), (99L, "v99")).toDF("id", "v"), Seq("id"))
+    drain()
+    assert(liveEq(), "streamed mirror diverged after wave 2")
+    assert(served === afterWave1 + 3L, // upsert delete+insert + new insert
+      s"re-served rows: wave2 delta was ${served - afterWave1}, want 3")
+    // an idle drain re-serves nothing
+    drain()
+    assert(served === afterWave1 + 3L)
+    // a view that pre-dates expiration must refuse, never double-count:
+    // expire history under the materialized view, then demand a sync
+    graft.etl.Merge.materialize(spark, cat, "c", "t") // expire needs no debt
+    cat.expireSnapshots("c", "t", keepLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      cat.streamChangelog(spark, "c", "t")
+    }
+    assert(e.getMessage.contains("reset the view"))
   }
 
   test("empty range yields an empty frame with the changelog schema") {

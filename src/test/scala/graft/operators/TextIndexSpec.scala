@@ -98,6 +98,53 @@ class TextIndexSpec extends SparkSpec {
       .getLong(0) === 3L)
   }
 
+  test("file-size policy: √-scaled rows-per-file at build, ≥16 MB bytes target at compaction") {
+    // floor regime: tiny corpora keep the 8-file / 128k-row layout
+    assert(TextIndex.rowsPerFileFor(100000L) === 131072L)
+    assert(TextIndex.filesFor(100000L) === 8)
+    // √ regime: rows-per-file and file count BOTH grow as √n — at 10^13
+    // postings (100 TB) the manifest holds ~6×10^5 entries, not 10^8
+    val rpf10m = TextIndex.rowsPerFileFor(11500000L)
+    assert(rpf10m > 400000L && rpf10m < 500000L, s"√ scaling off: $rpf10m")
+    assert(TextIndex.filesFor(11500000L) < 30)
+    assert(TextIndex.filesFor(10000000000000L) < 700000,
+      "manifest entries must stay far below the fixed-size layout's 10^8")
+    // ceiling: rows-per-file caps (~128 MB at 8 B/row), files then linear
+    assert(TextIndex.rowsPerFileFor(10000000000000L) === 16L * 1024 * 1024)
+    // compaction sizes by MEASURED bytes: above the floor every emitted
+    // file is at least the 16 MB target (floor division)
+    val n = TextIndex.filesForBytes(300L * 1024 * 1024, 11500000L)
+    assert(n >= TextIndex.MinFiles && 300L * 1024 * 1024 / n >= 16L * 1024 * 1024,
+      s"$n files from 300 MB breaks the ≥16 MB target")
+    // tiny corpora keep the pruning floor even when bytes say fewer
+    assert(TextIndex.filesForBytes(3L * 1024 * 1024, 200000L) === 8)
+  }
+
+  test("appendDocs re-run with the same batch is detected, never doubling postings or stats") {
+    import spark.implicits._
+    // buildIndex/appendDocs land TWO catalog commits; the content-
+    // fingerprint tag makes a naive retry (the crash-recovery path) a
+    // no-op instead of doubling the batch's postings, df, and N/Σlen
+    val cat = freshCat()
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma gamma"))
+      .toDF("doc_id", "text")
+    TextIndex.buildIndex(spark, cat, "r", "d", docs, tok)
+    val more = Seq((3L, "gamma delta")).toDF("doc_id", "text")
+    TextIndex.appendDocs(spark, cat, "r", "d", more, tok)
+    val p1 = cat.readTable(spark, "r", "d_postings").collect().toSet
+    val s1 = TextIndex.statsRow(spark, cat, "r", "d").collect().toSeq
+    TextIndex.appendDocs(spark, cat, "r", "d", more, tok) // naive retry
+    assert(cat.readTable(spark, "r", "d_postings").collect().toSet === p1,
+      "a replayed appendDocs doubled its postings")
+    assert(TextIndex.statsRow(spark, cat, "r", "d").collect().toSeq === s1,
+      "a replayed appendDocs doubled its stats delta")
+    // a rebuild that RESETS an appended-to index must re-land even
+    // though the same build tag committed earlier in the log
+    TextIndex.buildIndex(spark, cat, "r", "d", docs, tok)
+    assert(TextIndex.statsRow(spark, cat, "r", "d").collect()(0)
+      .getLong(0) === 2L, "overwrite rebuild was wrongly skipped")
+  }
+
   test("compaction shrinks the per-batch file accretion and is answer-invariant") {
     val cat = freshCat()
     val docs = graft.Tables.documents(spark, sfDir)
