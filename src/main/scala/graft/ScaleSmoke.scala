@@ -494,6 +494,35 @@ object ScaleSmoke {
         probeReport(sfDir, "base")
         probeReport(scaledDir.toString, "scaled")
       }
+      // exact-re-rank read pruning (round 14): the shortlist's raw-vector
+      // fetch goes through the committed _ivfpq_raw store's vec_id bloom
+      // sidecars — kept bytes must stay ~FLAT as the corpus grows (the
+      // fetch is <=rerank point lookups, ~1 file per id), where the old
+      // emb-join read EVERY embedding file. Reports the actual files the
+      // executed search listed vs the store's total.
+      def rerankReport(dir: String, tag: String): Unit = {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import graft.operators.{IvfPq, ProductQuantizer}
+        val cat = graft.queries.Extensions.ivfPqIndexCatalog(spark, dir)
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        val (pid, pvec) = ProductQuantizer.sampleRows(emb).head
+        val res = IvfPq.search(spark, cat, "vec", "emb", emb, pid, pvec)
+        val listed = res.queryExecution.executedPlan
+          .collect { case f: FileSourceScanExec => f }
+          .flatMap(_.relation.location.inputFiles)
+          .filter(_.contains("emb_ivfpq_raw")).distinct
+        val all = cat.loadTable("vec", "emb_ivfpq_raw").filesAsOf(None)
+        val kept = all.filter(f => listed.exists(_.endsWith(f.path)))
+        println(f"""{"query":"ivfpq_rerank_files","tier":"$tag",""" +
+          f""""kept_files":${kept.size},"total_files":${all.size},""" +
+          f""""kept_mb":${kept.map(_.sizeBytes).sum / 1e6}%.2f,""" +
+          f""""total_mb":${all.map(_.sizeBytes).sum / 1e6}%.2f}""")
+      }
+      if (vecOnly.forall(_.contains("q_vec_knn_ivfpq"))) {
+        rerankReport(sfDir, "base")
+        rerankReport(scaledDir.toString, "scaled")
+      }
       // batch-AUGMENTATION probe pruning (round 13): a small batch's
       // candidate read must list only the union of its probed cells —
       // before the fix augmentation re-read the FULL index per call

@@ -196,6 +196,15 @@ object BloomIndex {
     * kept: skipping must be conservative. */
   def kept(spark: SparkSession, files: Seq[DataFileMeta], column: String,
            value: Long): Seq[DataFileMeta] =
+    keptAny(spark, files, column, Seq(value))
+
+  /** [[kept]] for a SET of point values (`column IN (values)`) — the
+    * batched point-lookup shape a shortlist re-rank fetch makes: a file
+    * survives when ANY of the values might be present. Still one
+    * sidecar read per commit group; the probe loop is
+    * |survivor files| × |values| × k driver-side bit tests. */
+  def keptAny(spark: SparkSession, files: Seq[DataFileMeta], column: String,
+              values: Seq[Long]): Seq[DataFileMeta] =
     files.groupBy(_.bloomPath).toSeq.flatMap {
       case (None, fs) => fs
       case (Some(sc), fs) =>
@@ -222,6 +231,6 @@ object BloomIndex {
             r.getString(0) -> ((bits, r.getAs[Int]("k")))
           }.toMap
         fs.filter(f => bitsByFile.get(f.path).forall {
-          case (bits, k) => mightContain(bits, value, k) })
+          case (bits, k) => values.exists(mightContain(bits, _, k)) })
     }
 }

@@ -626,6 +626,34 @@ class GraftCatalog(val warehouse: String) {
       filesForScanEquals(spark, ns, t, column, value, asOf)
         .map(_.path).toSet)
 
+  /** [[filesForScanEquals]] for `column IN (values)` — the BATCHED
+    * point lookup a shortlist re-rank fetch makes (≤ a few hundred ids
+    * at a time): range stats keep a file when ANY value falls inside
+    * its [min, max]; the survivors' blooms then drop files holding
+    * none of the values ([[BloomIndex.keptAny]] — one sidecar read per
+    * commit group, however many values probe). Both layers stay
+    * conservative: stats-less files and columns survive. */
+  def filesForScanEqualsAny(spark: SparkSession, ns: String, t: String,
+                            column: String, values: Seq[Long],
+                            asOf: Option[Long] = None): Seq[DataFileMeta] = {
+    val rangeKept = loadTable(ns, t).filesAsOf(asOf).filter { f =>
+      f.colRanges.flatMap(_.get(column)) match {
+        case Some(r) => values.exists(v => v >= r.min && v <= r.max)
+        case None    => true // no stats — conservative keep
+      }
+    }
+    BloomIndex.keptAny(spark, rangeKept, column, values)
+  }
+
+  /** Read with BATCHED point-predicate file skipping (range + bloom per
+    * value set); the caller still applies the row-level `isin`. */
+  def readTableWhereEqualsAny(spark: SparkSession, ns: String, t: String,
+                              column: String, values: Seq[Long],
+                              asOf: Option[Long] = None): DataFrame =
+    readKeptFiles(spark, ns, t, asOf,
+      filesForScanEqualsAny(spark, ns, t, column, values, asOf)
+        .map(_.path).toSet)
+
   /** [[filesForScanEquals]] for a STRING point predicate (UUID-style
     * ids): truncated string ranges first, then the survivors' blooms
     * under the canonical md5-60 hash the sidecar was built with. */

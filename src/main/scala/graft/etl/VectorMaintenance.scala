@@ -61,6 +61,28 @@ object VectorMaintenance {
     live.repartitionByRange(k, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
       .write.parquet(dir.toString)
-    cat.registerFiles(ns, t, Seq(dir), operation = "overwrite")
+    val meta = cat.registerFiles(ns, t, Seq(dir), operation = "overwrite")
+    // the raw re-rank store pays down the same two debts when present:
+    // per-batch file accretion (re-cluster to ≤k cell files, restoring
+    // augmentation's pruning parity with the codes) and — the RTBF
+    // half — raw vectors of TOMBSTONED ids, which no search can surface
+    // (the shortlist excludes them) but which a right-to-be-forgotten
+    // deployment must physically purge: the semi-join keeps only ids
+    // still live in the compacted codes. One linear pass, off the hot
+    // probe path like the codes rewrite above.
+    val rT = graft.operators.IvfPq.rawTable(table)
+    if (cat.tableExists(ns, rT)) {
+      val rawDir = Paths.get(cat.warehouse, ns, rT, "data",
+        s"compact-${System.nanoTime()}")
+      cat.readTable(spark, ns, rT)
+        .join(cat.readTable(spark, ns, t).select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        .repartitionByRange(k, col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.parquet(rawDir.toString)
+      cat.registerFilesWithBlooms(spark, ns, rT, Seq(rawDir),
+        Seq("vec_id"), operation = "overwrite")
+    }
+    meta
   }
 }

@@ -309,6 +309,45 @@ object IvfPq {
     cat.registerFiles(ns, t, Seq(dir), operation = operation)
   }
 
+  private[graft] def rawTable(table: String): String = s"${table}_ivfpq_raw"
+
+  /** Rows of the RAW-VECTOR re-rank store: (vec_id, cell, embedding),
+    * CELL-range-clustered exactly like the codes. */
+  private def rawRows(cents: Seq[Seq[Float]], emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        cellOf(emb.sparkSession, cents, col("embedding")).as("cell"),
+        col("embedding"))
+      .repartitionByRange(cents.size, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+
+  /** Commit the raw re-rank store `<t>_ivfpq_raw` — the FAISS
+    * `IndexIVFFlat` layout restated through the catalog: full vectors
+    * live NEXT TO their inverted list (cell-range-clustered files), and
+    * every commit carries a `vec_id` BLOOM sidecar (the L74 machinery).
+    * This is what removes the last corpus-sized read from the search
+    * family: the exact re-rank's raw-vector fetch was
+    * `emb.join(broadcast(shortlist))` — a scan of EVERY embedding file
+    * to retrieve ≤shortlistK rows. Against the store,
+    *  - a single search point-fetches its shortlist ids through the
+    *    blooms (~1 file per id — bytes stay ~flat as the corpus grows);
+    *  - batch augmentation reads only the probed-cell union's files
+    *    (the same manifest fraction as its candidate codes scan).
+    * Storage doubles the vectors once (the standard IVFFlat trade);
+    * committed raw-FIRST on every path so the codes can never reference
+    * an id the re-rank store lacks (the silent-drop direction). */
+  private def commitRaw(spark: SparkSession, cat: GraftCatalog, ns: String,
+                        table: String, cents: Seq[Seq[Float]],
+                        emb: DataFrame, operation: String): TableMeta = {
+    val t = rawTable(table)
+    val df = rawRows(cents, emb)
+    val dir = Paths.get(cat.warehouse, ns, t, "data",
+      s"ivfpq-${System.nanoTime()}")
+    df.write.parquet(dir.toString)
+    if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
+    cat.registerFilesWithBlooms(spark, ns, t, Seq(dir), Seq("vec_id"),
+      operation = operation)
+  }
+
   /** Train both quantizer halves on the deterministic sample and COMMIT
     * the model side tables (`_ivfpq_cells`, `_ivfpq_books`). Codebooks
     * are static once trained (the FAISS deployment contract — the index
@@ -347,9 +386,14 @@ object IvfPq {
     * snapshots uniformly, so probes stay file-level as the index grows. */
   def appendCodes(spark: SparkSession, cat: GraftCatalog, ns: String,
                   table: String, cents: Seq[Seq[Float]],
-                  model: ProductQuantizer.Model, batch: DataFrame): TableMeta =
+                  model: ProductQuantizer.Model, batch: DataFrame): TableMeta = {
+    // raw FIRST: a crash between the two commits must leave the re-rank
+    // store a superset of the codes (harmless), never behind them (a
+    // shortlist id with no raw row silently drops from every top-k)
+    commitRaw(spark, cat, ns, table, cents, batch, "append")
     commitDf(cat, ns, s"${table}_ivfpq_codes",
       encode(cents, model, batch), "append")
+  }
 
   /** [[appendCodes]] keyed to a micro-batch id — the IDEMPOTENT form a
     * streaming sink must use: `foreachBatch` is at-least-once, so a
@@ -380,11 +424,24 @@ object IvfPq {
                        model: ProductQuantizer.Model, batch: DataFrame,
                        batchId: Long): TableMeta = {
     val t = s"${table}_ivfpq_codes"
+    val rT = rawTable(table)
     val tag = s"ivfpq-batch-$batchId"
-    if (cat.tableExists(ns, t) &&
-        cat.loadTable(ns, t).snapshots.exists(_.addedFiles
-          .exists(_.path.contains(s"/$tag/"))))
-      cat.loadTable(ns, t)
+    def committed(tab: String): Boolean = cat.tableExists(ns, tab) &&
+      cat.loadTable(ns, tab).snapshots.exists(_.addedFiles
+        .exists(_.path.contains(s"/$tag/")))
+    // the raw re-rank store replays independently and lands FIRST (the
+    // appendCodes ordering rule): a crash between the two commits
+    // replays only the missing half, and the store is never behind the
+    // codes it re-ranks for
+    if (!committed(rT)) {
+      val dir = Paths.get(cat.warehouse, ns, rT, "data", tag)
+      val df = rawRows(cents, batch)
+      df.write.mode("overwrite").parquet(dir.toString)
+      if (!cat.tableExists(ns, rT)) cat.createTable(ns, rT, df.schema)
+      cat.registerFilesWithBlooms(spark, ns, rT, Seq(dir), Seq("vec_id"),
+        operation = "append")
+    }
+    if (committed(t)) cat.loadTable(ns, t)
     else {
       val dir = Paths.get(cat.warehouse, ns, t, "data", tag)
       val df = encode(cents, model, batch)
@@ -399,6 +456,9 @@ object IvfPq {
   def buildIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
                  table: String, emb: DataFrame): TableMeta = {
     val (cents, model) = initIndex(spark, cat, ns, table, emb)
+    // raw re-rank store first (the appendCodes ordering rule); a rebuild
+    // overwrites it under the NEW cells so cell pruning stays aligned
+    commitRaw(spark, cat, ns, table, cents, emb, "overwrite")
     commitDf(cat, ns, s"${table}_ivfpq_codes",
       encode(cents, model, emb), "overwrite")
   }
@@ -509,9 +569,21 @@ object IvfPq {
       .filter(col("neighbor_id") =!= col("query_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    // the exact re-rank's vector source: the committed raw store when
+    // the index carries one, pruned to the SAME probed-cell union as
+    // the candidate codes scan (every candidate's raw row lives in a
+    // probed cell — identical deterministic assignment), so the raw
+    // read tracks the batch's index slice instead of the whole corpus;
+    // the emb fallback keeps pre-raw-store indexes working
+    val vecSrc =
+      if (cat.tableExists(ns, rawTable(table)))
+        cat.readTableWhereAnyLive(s, ns, rawTable(table), "cell",
+            probedUnion.map(c => c.toDouble -> c.toDouble))
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      else emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"))
     cand
-      .join(emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ce")), Seq("neighbor_id"))
+      .join(vecSrc, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qe"), col("ce")) /
           (sqrt(dot(col("qe"), col("qe"))) *
@@ -682,6 +754,15 @@ object IvfPq {
       Some(metaFilter), cents, probeN, rerankK, filesHint = Some(files))
   }
 
+  /** The last search's SHORTLIST frame (the codes-scan → PQ-score →
+    * TakeOrdered(rerank) subtree), kept for plan inspection: the
+    * raw-store re-rank collects the shortlist eagerly, so its physical
+    * plan no longer appears inside the returned frame's plan — the
+    * [[ConnectedComponents.lastRounds]] convention for exposing
+    * intra-operator execution facts to specs and the scale smoke. */
+  private[graft] val lastShortlist =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   private def searchProbed(s: SparkSession, cat: GraftCatalog, ns: String,
                            table: String, emb: DataFrame, probeId: Long,
                            probeVec: Seq[Float], k: Int,
@@ -724,12 +805,38 @@ object IvfPq {
       .select("vec_id", "cell")
     val dot = dotCol(s) _
     val probe = typedLit(probeVec)
-    emb.join(broadcast(shortlist), "vec_id")
+    def rank(src: DataFrame): DataFrame = src
       .select(col("vec_id"), col("cell"),
         round(dot(col("embedding"), probe) /
           (sqrt(dot(col("embedding"), col("embedding"))) *
            sqrt(dot(probe, probe))), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id")).limit(k)
+    lastShortlist.set(shortlist)
+    val rT = rawTable(table)
+    if (cat.tableExists(ns, rT)) {
+      // the exact re-rank against the committed raw store: collect the
+      // shortlist ids (a BOUNDED ≤rerank driver fetch — the probed-union
+      // precedent) and point-fetch them through the vec_id bloom
+      // sidecars — ~1 file per id, so the re-rank reads ~flat bytes as
+      // the corpus grows, where the emb fallback below scans EVERY
+      // embedding file to retrieve the same ≤rerank rows. The raw row
+      // carries its cell (same deterministic assignment the codes
+      // carry), so no join back is needed.
+      val ids = shortlist.collect().map(_.getLong(0)).toSeq
+      if (ids.isEmpty) rank(emb.limit(0).select(col("vec_id"),
+        lit(0L).as("cell"), col("embedding")))
+      else {
+        val fetched = cat.readTableWhereEqualsAny(s, ns, rT, "vec_id", ids)
+          .filter(col("vec_id").isInCollection(ids))
+        // loud sync guard: every live codes id MUST resolve in the raw
+        // store (the commit order guarantees it) — a missing row would
+        // otherwise silently vanish from every top-k
+        require(fetched.count() == ids.size,
+          s"$ns.$rT: re-rank store is missing shortlist ids — the raw " +
+            "store fell behind the codes table; rebuild the index")
+        rank(fetched)
+      }
+    } else rank(emb.join(broadcast(shortlist), "vec_id"))
   }
 
   /** The probe-side inverted-list fetch: ONE manifest-pruned read of

@@ -220,6 +220,29 @@ class VectorMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("compaction purges tombstoned ids' RAW vectors (the RTBF half) and re-clusters the store") {
+    val (cat, probeId, _) = grownIndex()
+    val rawBefore = cat.readTable(spark, "vec", "emb_ivfpq_raw").count()
+    // pre-compaction the raw store still HOLDS the tombstoned vectors
+    // (no search can surface them, but the bytes exist)
+    assert(cat.readTable(spark, "vec", "emb_ivfpq_raw")
+      .filter(pmod(col("vec_id"), lit(13)) === 5 &&
+        col("vec_id") =!= probeId).count() > 0,
+      "fixture must carry doomed raw rows before compaction")
+    VectorMaintenance.compactIndex(spark, cat, "vec", "emb")
+    // post-compaction: physically purged, matching the live codes exactly
+    val raw = cat.readTable(spark, "vec", "emb_ivfpq_raw")
+    assert(raw.filter(pmod(col("vec_id"), lit(13)) === 5 &&
+      col("vec_id") =!= probeId).count() === 0,
+      "a right-to-be-forgotten raw vector survived compaction")
+    assert(raw.count() ===
+      cat.readTable(spark, "vec", "emb_ivfpq_codes").count())
+    assert(raw.count() < rawBefore)
+    // the re-clustered store keeps its blooms (point re-rank still prunes)
+    assert(cat.loadTable("vec", "emb_ivfpq_raw").filesAsOf(None)
+      .forall(_.bloomPath.nonEmpty))
+  }
+
   test("compaction purges debt, restores <= k files, keeps answers") {
     val (cat, probeId, probeVec) = grownIndex()
     def meta = cat.loadTable("vec", "emb_ivfpq_codes")

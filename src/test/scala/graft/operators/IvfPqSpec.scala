@@ -314,6 +314,51 @@ class IvfPqSpec extends SparkSpec {
     assert(rows.head.getLong(1) !== one.head().getLong(0))
   }
 
+  test("raw re-rank store: search equals the emb-join fallback; augment re-rank reads the store, cell-pruned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val cat = freshCat()
+    IvfPq.buildIndex(spark, cat, "vec", "emb", emb)
+    assert(cat.tableExists("vec", "emb_ivfpq_raw"),
+      "buildIndex must commit the raw re-rank store")
+    // the store mirrors the corpus, cell-clustered, with vec_id blooms
+    val rawFiles = cat.loadTable("vec", "emb_ivfpq_raw").filesAsOf(None)
+    assert(rawFiles.forall(_.bloomPath.nonEmpty),
+      "every raw-store commit must carry a vec_id bloom sidecar")
+    assert(cat.readTable(spark, "vec", "emb_ivfpq_raw").count() === emb.count())
+    val (pid, pvec) = ProductQuantizer.sampleRows(emb).head
+    val viaStore = IvfPq.search(spark, cat, "vec", "emb", emb, pid, pvec)
+      .collect().toSeq
+    // fallback twin: an index WITHOUT the store (built pre-round-14
+    // shape by dropping the raw table) answers byte-identically via
+    // the emb broadcast join
+    cat.dropTable("vec", "emb_ivfpq_raw")
+    val viaEmb = IvfPq.search(spark, cat, "vec", "emb", emb, pid, pvec)
+      .collect().toSeq
+    assert(viaStore === viaEmb,
+      "raw-store re-rank diverged from the emb-join fallback")
+    // augmentation's exact re-rank reads the store (never the corpus
+    // parquet), pruned like its candidate scan — rebuild the store twin
+    val cat2 = freshCat()
+    IvfPq.buildIndex(spark, cat2, "vec", "emb", emb)
+    val one = emb.orderBy("vec_id").limit(1)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val files = try {
+      IvfPq.augmentTop1(spark, cat2, "vec", "emb", emb, one)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f }
+        .flatMap(_.relation.location.inputFiles)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(files.exists(_.contains("emb_ivfpq_raw")),
+      "augment re-rank must read the raw store")
+    assert(!files.exists(_.contains("embeddings.parquet")),
+      "augment must never scan the corpus embeddings parquet")
+    val rawListed = files.filter(_.contains("emb_ivfpq_raw")).distinct
+    val rawTotal = cat2.loadTable("vec", "emb_ivfpq_raw").filesAsOf(None).size
+    assert(rawListed.size < rawTotal,
+      s"augment re-rank listed ${rawListed.size} of $rawTotal raw files — " +
+        "cell pruning did not engage")
+  }
+
   test("augmentTop1 on an empty batch returns an empty, correctly-shaped frame") {
     val cat = freshCat()
     IvfPq.buildIndex(spark, cat, "vec", "emb", emb)
