@@ -22,7 +22,8 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] = Seq("expire_snapshots", "rollback_to_snapshot",
     "create_branch", "fast_forward", "drop_branch", "create_tag", "drop_tag",
-    "rewrite_data_files", "rebuild_vector_index", "compact_text_index")
+    "rewrite_data_files", "rebuild_vector_index", "compact_text_index",
+    "search_text", "search_vec")
 
   def load(cat: GraftCatalog, pname: String): Option[UnboundProcedure] = {
     def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
@@ -152,6 +153,79 @@ private[catalog] object GraftProcedures {
         graft.operators.TextIndex.compactIndex(spark, cat, ns, t)
         Seq(new GenericInternalRow(Array[Any](before,
           cat.files(ns, s"${t}_postings").size)))
+      })
+      // retrieval through the COMMITTED indexes as SQL verbs — the
+      // reference's whole point is that a BI client speaks SQL, and
+      // until these the index searches were Scala-API-only. Both return
+      // their constant top-k as a LocalScan (a bounded driver result,
+      // like every report here); the heavy work is the same pruned
+      // index probe the Scala entry points run.
+      //
+      // search_text('ns.t', 'free text query', k): the query string
+      // tokenizes under the SAME convention as the indexed corpus
+      // (lowercase, alnum runs), probes the committed inverted index
+      // ([[graft.operators.TextIndex.bm25Candidates]] — O(df) posting
+      // reads off the term-pruned file union) and scores with the
+      // shared BM25 tree, so results are row-identical to the Scala
+      // path on the same terms.
+      case "search_text" => Some(proc(pname,
+        Seq(p("table", StringType), p("query", StringType),
+          ProcedureParameter.in("k", IntegerType).defaultValue("10").build()),
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("n_hits", IntegerType, nullable = false),
+          StructField("score", DoubleType, nullable = false)))) { in =>
+        import org.apache.spark.sql.functions.{asc, desc}
+        val (ns, t) = nsT(in)
+        val spark = SparkSession.active
+        val terms = str(in, 1).toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+        require(terms.nonEmpty, "search_text needs at least one query term")
+        graft.operators.TextIndex
+          .bm25Candidates(spark, cat, ns, t, terms)
+          .select(graft.queries.Extensions.bm25RankCols(terms.length): _*)
+          .orderBy(desc("score"), asc("doc_id"))
+          .limit(in.getInt(2))
+          .collect()
+          .map(r => new GenericInternalRow(Array[Any](
+            r.getLong(0), r.getInt(1), r.getDouble(2))): InternalRow)
+          .toSeq
+      })
+      // search_vec('ns.t', probe_id, k): more-like-this ANN over the
+      // committed IVF+PQ index — the probe vector is point-fetched from
+      // the raw re-rank store by id (a bloom-pruned read of ~1 file),
+      // then [[graft.operators.IvfPq.search]] runs the standard pruned
+      // probe → LUT shortlist → bloom-pruned exact re-rank; the probe
+      // row excludes itself like the Scala entry.
+      case "search_vec" => Some(proc(pname,
+        Seq(p("table", StringType), p("probe_id", LongType),
+          ProcedureParameter.in("k", IntegerType).defaultValue("10").build()),
+        StructType(Seq(
+          StructField("vec_id", LongType, nullable = false),
+          StructField("cell", LongType, nullable = false),
+          StructField("cos_sim", DoubleType, nullable = false)))) { in =>
+        import org.apache.spark.sql.functions.col
+        val (ns, t) = nsT(in)
+        val spark = SparkSession.active
+        val pid = in.getLong(1)
+        val rawT = graft.operators.IvfPq.rawTable(t)
+        require(cat.tableExists(ns, rawT),
+          s"$ns.$t carries no committed raw re-rank store; " +
+            "rebuild the index to serve SQL vector search")
+        val probeRows = cat.readTableWhereEquals(spark, ns, rawT,
+            "vec_id", pid)
+          .filter(col("vec_id") === pid)
+          .select("embedding").collect()
+        require(probeRows.nonEmpty, s"probe vector $pid is not indexed")
+        val pvec = probeRows.head.getSeq[Float](0)
+        val embSrc = cat.readTable(spark, ns, rawT)
+          .select(col("vec_id"), col("embedding"))
+        graft.operators.IvfPq
+          .search(spark, cat, ns, t, embSrc, pid, pvec, k = in.getInt(2))
+          .collect()
+          .map(r => new GenericInternalRow(Array[Any](
+            r.getLong(0), r.getLong(1), r.getDouble(2))): InternalRow)
+          .toSeq
       })
       case _ => None
     }

@@ -245,7 +245,7 @@ object Extensions {
     * arithmetically: same operand order, same textual-order term sum,
     * same 4-decimal rounding — identical inputs give bit-identical
     * scores. */
-  private[queries] def bm25RankCols(nTerms: Int): Seq[Column] = {
+  private[graft] def bm25RankCols(nTerms: Int): Seq[Column] = {
     val termScore = (0 until nTerms).map { i =>
       val tf = col(s"tf$i").cast("double")
       val df = col(s"df$i").cast("double")
@@ -426,6 +426,65 @@ object Extensions {
       .select(bm25RankCols(bm25ParamTerms.length): _*)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
+  }
+
+  /** q_sql_search_text (L81): committed-index retrieval through the SQL
+    * surface — `CALL <cat>.system.search_text('txt.docs', <query>, 10)`
+    * (catalog/Procedures.scala), the entry a BI client actually has.
+    * The reference's users query through SQL; until this row the index
+    * searches were Scala-API-only. The call tokenizes the free-text
+    * query under the corpus convention, probes the SAME memoized index
+    * as q_text_bm25_indexed_param with the SAME terms, and must be
+    * row-identical to it — the oracle is literally that query's DuckDB
+    * replay. In-query require pins the equality against the Scala
+    * entry, so the SQL and programmatic paths cannot drift. */
+  private def qSqlSearchText: QFn = (s, d) => {
+    val cat = textIndexFor(s, d)
+    val cname = "gst_" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    val res = try
+      s.sql(s"CALL $cname.system.search_text('txt.docs', " +
+          s"'${bm25ParamTerms.mkString(" ")}', 10)")
+        .localCheckpoint()
+    finally {
+      s.conf.unset(s"spark.sql.catalog.$cname")
+      s.conf.unset(s"spark.sql.catalog.$cname.warehouse")
+    }
+    val scalaPath = graft.operators.TextIndex
+      .bm25Candidates(s, cat, "txt", "docs", bm25ParamTerms)
+      .select(bm25RankCols(bm25ParamTerms.length): _*)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+    require(res.collect().toSeq == scalaPath.collect().toSeq,
+      "SQL search_text diverged from the Scala retrieval entry")
+    res.orderBy(desc("score"), asc("doc_id"))
+  }
+
+  /** q_sql_search_vec (L82): ANN search through the SQL surface —
+    * `CALL <cat>.system.search_vec('vec.emb', <probe_id>, 10)`: the
+    * probe vector point-fetches from the raw re-rank store by id, then
+    * the standard pruned probe runs. Same fixture index, same probe row
+    * and k as q_vec_knn_ivfpq, so the rows must be IDENTICAL — oracled
+    * by the same per-SF observed pins (the st_vec_index_maintain
+    * precedent: one pin set, every serving path must agree). */
+  private def qSqlSearchVec: QFn = (s, d) => {
+    import graft.operators.ProductQuantizer
+    val cat = ivfPqIndexFor(s, d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (probeId, _) = ProductQuantizer.sampleRows(emb).head
+    val cname = "gsv_" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    try
+      s.sql(s"CALL $cname.system.search_vec('vec.emb', $probeId, 10)")
+        .localCheckpoint()
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+    finally {
+      s.conf.unset(s"spark.sql.catalog.$cname")
+      s.conf.unset(s"spark.sql.catalog.$cname.warehouse")
+    }
   }
 
   /** q_hybrid_rrf (L58): reciprocal-rank fusion (Cormack, Clarke &
@@ -3061,6 +3120,8 @@ object Extensions {
     "q_text_bm25_param" -> qTextBm25Param,
     "q_text_bm25_indexed" -> qTextBm25Indexed,
     "q_text_bm25_indexed_param" -> qTextBm25IndexedParam,
+    "q_sql_search_text" -> qSqlSearchText,
+    "q_sql_search_vec"  -> qSqlSearchVec,
     "q_hybrid_rrf"      -> qHybridRrf,
     "q_dedup_semantic_cells" -> qDedupSemanticCells,
     "q_dedup_semantic"  -> qDedupSemantic,
@@ -3399,7 +3460,11 @@ object Extensions {
       }.mkString(",\n") +
         ")\n  t(vec_id, cell, cos_sim)\n" +
         "ORDER BY cos_sim DESC, vec_id"
-      Seq("q_vec_knn_ivfpq" -> values, "st_vec_index_maintain" -> values)
+      Seq("q_vec_knn_ivfpq" -> values, "st_vec_index_maintain" -> values,
+        // the SQL CALL serving path (q_sql_search_vec) probes the same
+        // fixture index with the same probe row — one pin set, every
+        // serving path must agree
+        "q_sql_search_vec" -> values)
     }
     val filtered = knnFilteredObserved.get(tag).map { rows =>
       "q_vec_knn_filtered" -> ("SELECT * FROM (VALUES\n" + rows.map {
@@ -3567,6 +3632,9 @@ object Extensions {
     Map("q_text_bm25" -> bm25, "q_text_bm25_param" -> bm25ParamOracle,
       "q_text_bm25_indexed" -> bm25IndexedOracleSql,
       "q_text_bm25_indexed_param" -> bm25IndexedOracleSqlFor(bm25ParamTerms),
+      // the SQL CALL surface must be row-identical to the Scala entry —
+      // same terms, same index, same oracle replay
+      "q_sql_search_text" -> bm25IndexedOracleSqlFor(bm25ParamTerms),
       "q_hybrid_rrf" -> hybrid) ++ hybridIndexed
   }
 

@@ -100,6 +100,35 @@ class ThriftSpec extends SparkSpec {
     } finally spark.sql("DROP VIEW IF EXISTS shim_wire_pv")
   }
 
+  test("committed-index retrieval over the wire: CALL search_text matches the Scala entry row-for-row") {
+    import org.apache.spark.sql.functions.{asc, desc}
+    val port = ThriftServe.ensureStarted(spark)
+    val cat = graft.queries.Extensions.textIndexFor(spark, sfDir)
+    val terms = graft.queries.Extensions.bm25ParamTerms
+    val expected = graft.operators.TextIndex
+      .bm25Candidates(spark, cat, "txt", "docs", terms)
+      .select(graft.queries.Extensions.bm25RankCols(terms.length): _*)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // the catalog registers through the WIRE (session-scoped SET), the
+    // retrieval runs as a SQL CALL — the whole path a BI client has
+    ThriftServe.withConnection(port) { c =>
+      val st = c.createStatement()
+      val cname = "gwire_" + java.util.UUID.randomUUID.toString.take(8)
+      st.execute(s"SET spark.sql.catalog.$cname=" +
+        classOf[graft.catalog.GraftSparkCatalog].getName)
+      st.execute(s"SET spark.sql.catalog.$cname.warehouse=${cat.warehouse}")
+      val rs = st.executeQuery(s"CALL $cname.system.search_text(" +
+        s"'txt.docs', '${terms.mkString(" ")}', 10)")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+      assert(got === expected,
+        "wire CALL search_text diverged from the Scala retrieval entry")
+      st.close()
+    }
+  }
+
   test("session modes: temp view crosses the wire in singleSession, not in isolated") {
     val port = ThriftServe.ensureStarted(spark)
     // serving a connection in single-session mode mutates the SHARED
