@@ -88,16 +88,33 @@ object ScaleSmoke {
     if (docTier && !Files.exists(scaledDocs)) {
       val docs = Tables.documents(spark, sfDir)
       val span = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
-      (0 until mult)
-        .map { i =>
-          val re = docs.withColumn("doc_id", col("doc_id") + lit(i * span))
-          if (fresh && i > 0)
-            re.withColumn("text",
-              regexp_replace(col("text"), "([a-z0-9]+)", s"r${i}x$$1"))
-          else re
-        }
-        .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(scaledDocs.toString)
+      if (mult <= 50)
+        (0 until mult)
+          .map { i =>
+            val re = docs.withColumn("doc_id", col("doc_id") + lit(i * span))
+            if (fresh && i > 0)
+              re.withColumn("text",
+                regexp_replace(col("text"), "([a-z0-9]+)", s"r${i}x$$1"))
+            else re
+          }
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(scaledDocs.toString)
+      else
+        // large multipliers: the replica index as a crossJoin range (the
+        // buildScaledEmbeddings >50 rule) — a mult-branch union costs
+        // minutes of plan analysis alone; the per-replica token prefix
+        // rides the COLUMN overload of regexp_replace, producing the
+        // identical row set
+        docs.crossJoin(spark.range(0, mult).toDF("rep"))
+          .withColumn("doc_id", col("doc_id") + col("rep") * lit(span))
+          .withColumn("text",
+            if (fresh)
+              when(col("rep") === 0, col("text"))
+                .otherwise(regexp_replace(col("text"), lit("([a-z0-9]+)"),
+                  concat(lit("r"), col("rep"), lit("x$1"))))
+            else col("text"))
+          .drop("rep")
+          .write.mode("overwrite").parquet(scaledDocs.toString)
     }
 
     val allTargets = Seq("q_dedup_pipeline", "q_dedup_pipeline_verified",
@@ -209,7 +226,11 @@ object ScaleSmoke {
     // (At 100 TB the sigs table is additionally bucketed on band — the
     // L31 layout — making the candidate join co-located; unbucketed here,
     // so the ratio bounds the WORST case of re-scanning the index.)
-    if (docTier) {
+    // Runs when ONLY is unset, "none", or names it — a targeted
+    // text-index run must not pay a ×MULT screen-index build it never
+    // reads.
+    if (docTier && sys.env.get("SPARK_GRAFT_ONLY").forall(o =>
+        o == "none" || o.contains("st_neardup_screen"))) {
       import graft.queries.Extensions.{docTokenSets, docBandRows}
       val isBatch = col("doc_id") % 97 === 0
       val baseDocs = Tables.documents(spark, sfDir)
