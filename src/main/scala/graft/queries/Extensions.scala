@@ -1729,7 +1729,11 @@ object Extensions {
     * scan reads `_pq_codes` (not embeddings), no full-corpus dot
     * product, constant-k TakeOrdered. Same real DuckDB oracle as
     * [[qVecKnn]] — the re-rank is exact, so full recall means the
-    * brute-force top-10 verbatim. */
+    * brute-force top-10 verbatim. (The re-rank join here still scans
+    * the raw embeddings frame — fine for this flat-PQ teaching variant,
+    * whose index is rebuilt inside the query; the DEPLOYMENT family
+    * (IVF+PQ, L84) point-fetches the shortlist through the committed
+    * raw store's vec_id blooms instead, the corpus-read-free shape.) */
   private def qVecKnnPqIndexed: QFn = (s, d) => {
     import graft.operators.ProductQuantizer
     val base = java.nio.file.Files.createTempDirectory(
