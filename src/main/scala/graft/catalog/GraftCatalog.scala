@@ -654,6 +654,33 @@ class GraftCatalog(val warehouse: String) {
       filesForScanEqualsAny(spark, ns, t, column, values, asOf)
         .map(_.path).toSet)
 
+  /** COMPOSED point fetch for a clustered layout: union-range pruning
+    * on `rangeColumn` (exact — zero false positives when the layout
+    * clusters on it) narrows the candidates FIRST, then `idColumn`'s
+    * bloom sidecars prune within the survivors. This is the shortlist
+    * re-rank shape: bloom-testing a several-hundred-id set against
+    * EVERY file compounds per-id false positives into a kept-fraction
+    * floor (per file, P[any of n ids passes] = 1-(1-p)^n — at n≈500
+    * even a 1%-FPP bloom keeps a material slice of an arbitrarily
+    * large table), while the range layer caps candidates at the ids'
+    * OWN cluster values regardless of |ids|. */
+  def readTableWhereRangesAndIds(spark: SparkSession, ns: String, t: String,
+                                 rangeColumn: String,
+                                 ranges: Seq[(Double, Double)],
+                                 idColumn: String, ids: Seq[Long],
+                                 asOf: Option[Long] = None): DataFrame = {
+    val rangeKept = loadTable(ns, t).filesAsOf(asOf).filter { f =>
+      f.colRanges.flatMap(_.get(rangeColumn)) match {
+        case Some(r) =>
+          ranges.exists { case (lo, hi) => hi >= r.min && lo <= r.max }
+        case None => true // no stats — conservative keep
+      }
+    }
+    readKeptFiles(spark, ns, t, asOf,
+      BloomIndex.keptAny(spark, rangeKept, idColumn, ids)
+        .map(_.path).toSet)
+  }
+
   /** [[filesForScanEquals]] for a STRING point predicate (UUID-style
     * ids): truncated string ranges first, then the survivors' blooms
     * under the canonical md5-60 hash the sidecar was built with. */

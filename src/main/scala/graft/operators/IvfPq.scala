@@ -815,18 +815,27 @@ object IvfPq {
     val rT = rawTable(table)
     if (cat.tableExists(ns, rT)) {
       // the exact re-rank against the committed raw store: collect the
-      // shortlist ids (a BOUNDED ≤rerank driver fetch — the probed-union
-      // precedent) and point-fetch them through the vec_id bloom
-      // sidecars — ~1 file per id, so the re-rank reads ~flat bytes as
-      // the corpus grows, where the emb fallback below scans EVERY
-      // embedding file to retrieve the same ≤rerank rows. The raw row
-      // carries its cell (same deterministic assignment the codes
+      // shortlist (a BOUNDED ≤rerank driver fetch — the probed-union
+      // precedent) and point-fetch its ids. Pruning composes BOTH
+      // layers ([[GraftCatalog.readTableWhereRangesAndIds]]): the
+      // shortlist rows' own CELLS range-prune the cell-clustered store
+      // exactly (candidates capped at the shortlist's cell span however
+      // many ids probe — bloom-testing a ~500-id set alone compounds
+      // per-id false positives into a kept-fraction floor), then the
+      // vec_id blooms prune within the survivors. Re-rank bytes track
+      // the shortlist, not the corpus; the emb fallback below scans
+      // EVERY embedding file to retrieve the same ≤rerank rows. The raw
+      // row carries its cell (same deterministic assignment the codes
       // carry), so no join back is needed.
-      val ids = shortlist.collect().map(_.getLong(0)).toSeq
+      val pairs = shortlist.collect()
+      val ids = pairs.map(_.getLong(0)).toSeq
       if (ids.isEmpty) rank(emb.limit(0).select(col("vec_id"),
         lit(0L).as("cell"), col("embedding")))
       else {
-        val fetched = cat.readTableWhereEqualsAny(s, ns, rT, "vec_id", ids)
+        val cellRanges = pairs.map(_.getLong(1)).distinct.sorted
+          .map(c => c.toDouble -> c.toDouble).toSeq
+        val fetched = cat.readTableWhereRangesAndIds(s, ns, rT,
+            "cell", cellRanges, "vec_id", ids)
           .filter(col("vec_id").isInCollection(ids))
         // loud sync guard: every live codes id MUST resolve in the raw
         // store (the commit order guarantees it) — a missing row would
