@@ -372,7 +372,9 @@ object Etl {
     "sf0.01"  -> Seq(("hilbert", 20L, 21L, 6L), ("linear", 14L, 64L, 14L),
       ("zorder", 30L, 22L, 11L)),
     "sf0.1"   -> Seq(("hilbert", 23L, 20L, 7L), ("linear", 14L, 64L, 14L),
-      ("zorder", 26L, 19L, 7L)))
+      ("zorder", 26L, 19L, 7L)),
+    "sf1"     -> Seq(("hilbert", 23L, 20L, 7L), ("linear", 14L, 64L, 14L),
+      ("zorder", 21L, 19L, 7L)))
 
   private def zorderOracle: Map[String, String] = {
     val tag = java.nio.file.Paths.get(

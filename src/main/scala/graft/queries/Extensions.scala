@@ -3211,7 +3211,40 @@ object Extensions {
       27L -> 36L, 28L -> 50L, 29L -> 52L, 30L -> 37L, 31L -> 46L,
       32L -> 50L, 33L -> 38L, 34L -> 47L, 35L -> 44L, 36L -> 43L,
       37L -> 43L, 38L -> 44L, 39L -> 48L, 40L -> 47L, 41L -> 49L,
-      42L -> 45L, 43L -> 40L, 44L -> 41L, 45L -> 41L))
+      42L -> 45L, 43L -> 40L, 44L -> 41L, 45L -> 41L),
+    // k = 142 at N = 20000 — recorded from the round-14 sf1 gate dump
+    // (n_similar = 0 in every cell, matching the builder's assumption)
+    "sf1" -> Seq(1L -> 145L, 2L -> 130L, 3L -> 141L, 4L -> 140L,
+      5L -> 134L, 6L -> 142L, 7L -> 132L, 8L -> 146L, 9L -> 136L,
+      10L -> 130L, 11L -> 154L, 12L -> 157L, 13L -> 149L, 14L -> 123L,
+      15L -> 139L, 16L -> 121L, 17L -> 141L, 18L -> 150L, 19L -> 153L,
+      20L -> 149L, 21L -> 153L, 22L -> 134L, 23L -> 130L, 24L -> 161L,
+      25L -> 139L, 26L -> 124L, 27L -> 148L, 28L -> 139L, 29L -> 150L,
+      30L -> 127L, 31L -> 146L, 32L -> 149L, 33L -> 151L, 34L -> 141L,
+      35L -> 137L, 36L -> 149L, 37L -> 144L, 38L -> 126L, 39L -> 146L,
+      40L -> 132L, 41L -> 129L, 42L -> 157L, 43L -> 134L, 44L -> 148L,
+      45L -> 147L, 46L -> 142L, 47L -> 186L, 48L -> 137L, 49L -> 137L,
+      50L -> 127L, 51L -> 146L, 52L -> 135L, 53L -> 133L, 54L -> 128L,
+      55L -> 132L, 56L -> 150L, 57L -> 128L, 58L -> 134L, 59L -> 151L,
+      60L -> 125L, 61L -> 162L, 62L -> 153L, 63L -> 140L, 64L -> 140L,
+      65L -> 135L, 66L -> 144L, 67L -> 148L, 68L -> 139L, 69L -> 133L,
+      70L -> 141L, 71L -> 149L, 72L -> 132L, 73L -> 141L, 74L -> 134L,
+      75L -> 136L, 76L -> 146L, 77L -> 132L, 78L -> 148L, 79L -> 155L,
+      80L -> 132L, 81L -> 131L, 82L -> 130L, 83L -> 133L, 84L -> 139L,
+      85L -> 153L, 86L -> 130L, 87L -> 150L, 88L -> 130L, 89L -> 148L,
+      90L -> 162L, 91L -> 112L, 92L -> 146L, 93L -> 137L, 94L -> 145L,
+      95L -> 136L, 96L -> 163L, 97L -> 142L, 98L -> 138L, 99L -> 154L,
+      100L -> 129L, 101L -> 144L, 102L -> 143L, 103L -> 146L,
+      104L -> 147L, 105L -> 141L, 106L -> 139L, 107L -> 139L,
+      108L -> 153L, 109L -> 135L, 110L -> 153L, 111L -> 163L,
+      112L -> 147L, 113L -> 150L, 114L -> 145L, 115L -> 127L,
+      116L -> 148L, 117L -> 130L, 118L -> 134L, 119L -> 141L,
+      120L -> 146L, 121L -> 146L, 122L -> 132L, 123L -> 136L,
+      124L -> 138L, 125L -> 115L, 126L -> 143L, 127L -> 121L,
+      128L -> 156L, 129L -> 149L, 130L -> 154L, 131L -> 143L,
+      132L -> 142L, 133L -> 144L, 134L -> 129L, 135L -> 129L,
+      136L -> 152L, 137L -> 135L, 138L -> 138L, 139L -> 133L,
+      140L -> 138L, 141L -> 150L, 142L -> 114L))
 
   /** Observed top-10 results of the two trained-quantizer ANN variants —
     * deterministic for the same reason as [[embedCellsObserved]]: seeds

@@ -410,7 +410,8 @@ object Relational {
   private val approxObserved: Map[String, Seq[(String, Long)]] = Map(
     "sf0.001" -> Seq("A" -> 195L, "N" -> 195L, "R" -> 195L),
     "sf0.01"  -> Seq("A" -> 1947L, "N" -> 1947L, "R" -> 1947L),
-    "sf0.1"   -> Seq("A" -> 19459L, "N" -> 19522L, "R" -> 19522L))
+    "sf0.1"   -> Seq("A" -> 19459L, "N" -> 19522L, "R" -> 19522L),
+    "sf1"     -> Seq("A" -> 192709L, "N" -> 192709L, "R" -> 192709L))
 
   private def approxOracle: Map[String, String] = {
     val tag = java.nio.file.Paths.get(
