@@ -223,11 +223,16 @@ object Analytics {
       .orderBy("decile")
 
   /** q_subquery_exists (M13): correlated EXISTS + NOT EXISTS in one
-    * predicate — customers with at least one >300k order and no
-    * fulfilled >500k order. Catalyst plans the pair as a left-semi and a
+    * predicate — customers with at least one >150k order and no
+    * fulfilled >250k order. Catalyst plans the pair as a left-semi and a
     * left-anti join on the correlation key (no null-aware complication,
     * unlike NOT IN — the three-valued-logic contrast q_subquery_notin
-    * pins); both subquery scans carry their price filters pushed down. */
+    * pins); both subquery scans carry their price filters pushed down.
+    * Thresholds sit INSIDE every fixture's price distribution so BOTH
+    * branches fire at every SF — the old 300k/500k pair made the
+    * NOT EXISTS side vacuous everywhere (no order tops 500k at any SF)
+    * and the whole result empty at sf1, the 0≡0 oracle-strength hole
+    * the round-13 verdict flagged on the join family. */
   private def qSubqueryExists: QFn = (s, d) => {
     val c = view(s, d, "customer")
     val o = view(s, d, "orders")
@@ -235,11 +240,11 @@ object Analytics {
       s"""SELECT c_custkey, c_name FROM $c c
          |WHERE EXISTS (SELECT 1 FROM $o o
          |              WHERE o.o_custkey = c.c_custkey
-         |                AND o.o_totalprice > 300000)
+         |                AND o.o_totalprice > 150000)
          |  AND NOT EXISTS (SELECT 1 FROM $o o2
          |                  WHERE o2.o_custkey = c.c_custkey
          |                    AND o2.o_orderstatus = 'F'
-         |                    AND o2.o_totalprice > 500000)
+         |                    AND o2.o_totalprice > 250000)
          |ORDER BY c_custkey""".stripMargin)
   }
 
@@ -338,11 +343,11 @@ object Analytics {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey
-        |                AND o.o_totalprice > 300000)
+        |                AND o.o_totalprice > 150000)
         |  AND NOT EXISTS (SELECT 1 FROM orders o2
         |                  WHERE o2.o_custkey = c.c_custkey
         |                    AND o2.o_orderstatus = 'F'
-        |                    AND o2.o_totalprice > 500000)
+        |                    AND o2.o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin,
     "q_win_range_interval" ->
       """SELECT event_id, user_id, ts,

@@ -58,15 +58,21 @@ class AnalyticsSpec extends SparkSpec {
   test("q_subquery_exists matches its manual semi+anti join composition") {
     val c = Tables.customer(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
-    val expected = c
-      .join(o.filter(col("o_totalprice") > 300000),
+    // thresholds live inside every fixture's price distribution so BOTH
+    // branches fire (the anti side must exclude someone, or the law is
+    // vacuous on the NOT EXISTS half)
+    val existsSide = c
+      .join(o.filter(col("o_totalprice") > 150000),
         col("c_custkey") === col("o_custkey"), "left_semi")
+    val expected = existsSide
       .join(o.filter(col("o_orderstatus") === "F" &&
-          col("o_totalprice") > 500000),
+          col("o_totalprice") > 250000),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .count()
     assert(run("q_subquery_exists").count() === expected)
     assert(expected > 0)
+    assert(existsSide.count() > expected,
+      "fixture must make the NOT EXISTS branch exclude someone")
   }
 
   test("q_win_range_interval: one row per event, frame always includes the row itself") {
