@@ -528,8 +528,11 @@ object ScaleSmoke {
         val emb = Tables.embeddings(spark, dir)
           .select(col("vec_id"), col("embedding"))
         val (pid, pvec) = ProductQuantizer.sampleRows(emb).head
-        val res = IvfPq.search(spark, cat, "vec", "emb", emb, pid, pvec)
-        val listed = res.queryExecution.executedPlan
+        IvfPq.search(spark, cat, "vec", "emb", emb, pid, pvec).collect()
+        // the fetch executes eagerly inside the search (one action
+        // fetches + sync-guards); its pruned scan is exposed via
+        // lastRerank — the returned frame ranks local rows only
+        val listed = IvfPq.lastRerank.get().queryExecution.executedPlan
           .collect { case f: FileSourceScanExec => f }
           .flatMap(_.relation.location.inputFiles)
           .filter(_.contains("emb_ivfpq_raw")).distinct

@@ -91,14 +91,28 @@ object BloomIndex {
   private def hashExprSql(c: String): String =
     s"cast(conv(substring(md5(`$c`), 1, 15), 16, 10) as bigint)"
 
-  /** `input_file_name()` URI → the manifest's filesystem path (scheme
-    * dropped, percent-encoding decoded). Falls back to a scheme strip
-    * for a value that isn't a parseable URI. */
-  private val uriToPath = udf { raw: String =>
-    try new java.net.URI(raw).getPath
-    catch { case _: java.net.URISyntaxException =>
+  /** ONE shared canonicalizer for sidecar keys: the build side (the
+    * scan's `input_file_name()` URI) and the lookup side (the manifest's
+    * recorded path) both normalize through here, so the two can never
+    * disagree. Percent-encoding decodes; an authority-LESS scheme
+    * (local `file:/x`, `file:///x`) strips to the plain path — but an
+    * AUTHORITY (`hdfs://nn1:8020/x` vs `hdfs://nn2:8020/x`) is preserved:
+    * dropping it would key every filesystem's `/x` identically
+    * (collisions across authorities) and, since manifests there record
+    * the full URI, the sidecar row would never match — blooms silently
+    * pruning nothing off the local FS. Unparseable values (a literal
+    * space in a local path) pass through raw, matching the manifest's
+    * own raw recording of the same name. */
+  private[graft] def canonicalKey(raw: String): String =
+    try {
+      val u = new java.net.URI(raw)
+      if (u.getScheme == null) raw
+      else if (u.getAuthority == null || u.getAuthority.isEmpty) u.getPath
+      else s"${u.getScheme}://${u.getAuthority}${u.getPath}"
+    } catch { case _: java.net.URISyntaxException =>
       raw.replaceFirst("^file:(//)?", "") }
-  }
+
+  private val uriToPath = udf { raw: String => canonicalKey(raw) }
 
   /** Membership test: false = DEFINITELY absent (skip the file). `k` is
     * the probe count the sidecar was BUILT with — read back from the
@@ -208,7 +222,7 @@ object BloomIndex {
     files.groupBy(_.bloomPath).toSeq.flatMap {
       case (None, fs) => fs
       case (Some(sc), fs) =>
-        val mine = fs.map(_.path).toSet
+        val mine = fs.map(f => canonicalKey(f.path)).toSet
         // push BOTH predicates into the sorted sidecar scan — without
         // the file filter, every point lookup ships every file's bit
         // array to the driver even when range pruning already narrowed
@@ -230,7 +244,7 @@ object BloomIndex {
               s"${bits.length * 8} bits")
             r.getString(0) -> ((bits, r.getAs[Int]("k")))
           }.toMap
-        fs.filter(f => bitsByFile.get(f.path).forall {
+        fs.filter(f => bitsByFile.get(canonicalKey(f.path)).forall {
           case (bits, k) => values.exists(mightContain(bits, _, k)) })
     }
 }

@@ -1536,10 +1536,16 @@ class GraftCatalog(val warehouse: String) {
         // snapshot (underscore-prefixed dirs are hidden to Spark)
         try Files.move(tmp, dir.resolve(s"sn${sn.id}"),
           StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException =>
+        catch {
           // a racing sync published first — identical content by
-          // construction (same snapshot, deterministic changelog)
-          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+          // construction (same snapshot, deterministic changelog).
+          // Linux surfaces the directory-onto-nonempty-directory rename
+          // as ENOTEMPTY (DirectoryNotEmptyException), not
+          // FileAlreadyExists — absorb both shapes of the same race.
+          case _: java.nio.file.FileAlreadyExistsException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+          case _: java.nio.file.DirectoryNotEmptyException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
         }
       }
     }

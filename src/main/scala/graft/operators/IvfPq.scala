@@ -383,16 +383,30 @@ object IvfPq {
   /** Append one batch of vectors to the codes table — ONE encode scan of
     * the batch, committed as an append snapshot whose files are
     * cell-range-clustered like every other; the manifest prunes across
-    * snapshots uniformly, so probes stay file-level as the index grows. */
+    * snapshots uniformly, so probes stay file-level as the index grows.
+    *
+    * REPLAY-SAFE like [[appendCodesBatch]], but keyed by a CONTENT
+    * fingerprint instead of a caller batch id: the append is TWO catalog
+    * commits (raw store first, then codes), and a crash between them
+    * followed by a naive re-run must commit only the missing half — a
+    * blind re-commit would duplicate the batch's raw rows, and any later
+    * search whose shortlist touches a duplicated id would trip the
+    * re-rank sync guard ("raw store fell behind") forever after. The
+    * fingerprint xors xxhash64-MIXED vec_ids (raw-id xor aliases between
+    * distinct batches — any aligned run of 4 consecutive ids xors to 0)
+    * plus the count and id range; ids never recycle by contract, so
+    * identical content IS a replay. */
   def appendCodes(spark: SparkSession, cat: GraftCatalog, ns: String,
                   table: String, cents: Seq[Seq[Float]],
                   model: ProductQuantizer.Model, batch: DataFrame): TableMeta = {
-    // raw FIRST: a crash between the two commits must leave the re-rank
-    // store a superset of the codes (harmless), never behind them (a
-    // shortlist id with no raw row silently drops from every top-k)
-    commitRaw(spark, cat, ns, table, cents, batch, "append")
-    commitDf(cat, ns, s"${table}_ivfpq_codes",
-      encode(cents, model, batch), "append")
+    val fp = batch.agg(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)).as("x"),
+      coalesce(min(col("vec_id")), lit(0L)).as("lo"),
+      coalesce(max(col("vec_id")), lit(0L)).as("hi")).head()
+    appendTagged(spark, cat, ns, table, cents, model, batch,
+      s"ivfpq-append-n${fp.getLong(0)}-" +
+        s"x${java.lang.Long.toHexString(fp.getLong(1))}-" +
+        s"r${fp.getLong(2)}-${fp.getLong(3)}")
   }
 
   /** [[appendCodes]] keyed to a micro-batch id — the IDEMPOTENT form a
@@ -422,17 +436,26 @@ object IvfPq {
   def appendCodesBatch(spark: SparkSession, cat: GraftCatalog, ns: String,
                        table: String, cents: Seq[Seq[Float]],
                        model: ProductQuantizer.Model, batch: DataFrame,
-                       batchId: Long): TableMeta = {
+                       batchId: Long): TableMeta =
+    appendTagged(spark, cat, ns, table, cents, model, batch,
+      s"ivfpq-batch-$batchId")
+
+  /** The shared tagged-append body behind [[appendCodes]] (content tag)
+    * and [[appendCodesBatch]] (micro-batch-id tag): each tag owns its
+    * directory in BOTH tables, replay detection scans each table's full
+    * snapshot log independently, and the raw store lands FIRST so a
+    * crash between the two commits replays only the missing half — the
+    * store is never behind the codes it re-ranks for. */
+  private def appendTagged(spark: SparkSession, cat: GraftCatalog,
+                           ns: String, table: String,
+                           cents: Seq[Seq[Float]],
+                           model: ProductQuantizer.Model, batch: DataFrame,
+                           tag: String): TableMeta = {
     val t = s"${table}_ivfpq_codes"
     val rT = rawTable(table)
-    val tag = s"ivfpq-batch-$batchId"
     def committed(tab: String): Boolean = cat.tableExists(ns, tab) &&
       cat.loadTable(ns, tab).snapshots.exists(_.addedFiles
         .exists(_.path.contains(s"/$tag/")))
-    // the raw re-rank store replays independently and lands FIRST (the
-    // appendCodes ordering rule): a crash between the two commits
-    // replays only the missing half, and the store is never behind the
-    // codes it re-ranks for
     if (!committed(rT)) {
       val dir = Paths.get(cat.warehouse, ns, rT, "data", tag)
       val df = rawRows(cents, batch)
@@ -759,9 +782,20 @@ object IvfPq {
     * raw-store re-rank collects the shortlist eagerly, so its physical
     * plan no longer appears inside the returned frame's plan — the
     * [[ConnectedComponents.lastRounds]] convention for exposing
-    * intra-operator execution facts to specs and the scale smoke. */
-  private[graft] val lastShortlist =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    * intra-operator execution facts to specs and the scale smoke.
+    * THREAD-local (not a shared AtomicReference): concurrent searches —
+    * the Thrift-served CALL path runs many at once — must not clobber
+    * each other's inspection handle; each caller reads back the
+    * shortlist of the search ITS thread ran. */
+  private[graft] val lastShortlist = new ThreadLocal[DataFrame]()
+
+  /** The last search's raw-store point-FETCH frame (the bloom+cell
+    * pruned `_ivfpq_raw` read), same convention as [[lastShortlist]]:
+    * the re-rank collects it eagerly in ONE action (fetch + sync guard
+    * combined) and ranks the deduped local rows, so the pruned scan no
+    * longer appears in the returned frame's plan — specs and the scale
+    * smoke read the executed pruning facts from here. */
+  private[graft] val lastRerank = new ThreadLocal[DataFrame]()
 
   private def searchProbed(s: SparkSession, cat: GraftCatalog, ns: String,
                            table: String, emb: DataFrame, probeId: Long,
@@ -837,13 +871,24 @@ object IvfPq {
         val fetched = cat.readTableWhereRangesAndIds(s, ns, rT,
             "cell", cellRanges, "vec_id", ids)
           .filter(col("vec_id").isInCollection(ids))
-        // loud sync guard: every live codes id MUST resolve in the raw
-        // store (the commit order guarantees it) — a missing row would
-        // otherwise silently vanish from every top-k
-        require(fetched.count() == ids.size,
+        // ONE action fetches AND guards: collect the point-fetch
+        // (bounded — ≤|shortlist| live ids plus any crash-replay
+        // duplicates) and validate id COVERAGE off the collected rows;
+        // a separate count() job would re-read the pruned files on
+        // EVERY search. Every live codes id MUST resolve in the raw
+        // store (the raw-first commit order guarantees it) — a missing
+        // row would otherwise silently vanish from every top-k. The
+        // rank then runs over the vec_id-DEDUPED local rows, so a
+        // superset store (a torn pre-tag append's harmless duplicate)
+        // degrades gracefully instead of tripping the guard.
+        lastRerank.set(fetched)
+        val byId = fetched.collect().groupBy(_.getLong(0))
+        require(byId.size == ids.size,
           s"$ns.$rT: re-rank store is missing shortlist ids — the raw " +
             "store fell behind the codes table; rebuild the index")
-        rank(fetched)
+        import scala.jdk.CollectionConverters._
+        rank(s.createDataFrame(
+          byId.valuesIterator.map(_.head).toList.asJava, fetched.schema))
       }
     } else rank(emb.join(broadcast(shortlist), "vec_id"))
   }

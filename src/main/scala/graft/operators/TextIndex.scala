@@ -149,14 +149,25 @@ object TextIndex {
       // (silently wrong BM25 scores), and a naive re-run would double
       // the batch's postings and df. So both commits land under ONE
       // deterministic recovery tag — a content fingerprint (doc count +
-      // doc_id xor + tokenizer hash; doc text is immutable under the
-      // dedup'd append-only corpus contract) — and a re-run detects the
-      // half-landed state from the snapshot log and commits only the
-      // missing half, exactly the [[appendDocsBatch]] replay convention.
+      // xor of MIXED doc_ids + id range + tokenizer hash; doc text is
+      // immutable under the dedup'd append-only corpus contract) — and a
+      // re-run detects the half-landed state from the snapshot log and
+      // commits only the missing half, exactly the [[appendDocsBatch]]
+      // replay convention. The xor runs over xxhash64(doc_id), NOT the
+      // raw ids: raw xor collides trivially between DISTINCT batches
+      // (any aligned run of 4 consecutive ids xors to 0, so sequential
+      // ingest in multiple-of-4 batches would skip every batch after the
+      // first as a "replay" — silent permanent index data loss); mixing
+      // each id through a 64-bit avalanche first makes the xor
+      // order-independent AND collision-resistant, and the id range
+      // pins the batch's position on top.
       val fp = toks.agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(doc_id)"), lit(0L)).as("x")).head()
+        coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("x"),
+        coalesce(min(col("doc_id")), lit(0L)).as("lo"),
+        coalesce(max(col("doc_id")), lit(0L)).as("hi")).head()
       val tag = s"textidx-$operation-n${fp.getLong(0)}-" +
         s"x${java.lang.Long.toHexString(fp.getLong(1))}-" +
+        s"r${fp.getLong(2)}-${fp.getLong(3)}-" +
         s"e${Integer.toHexString(tokensExpr.hashCode)}"
       def committed(t: String): Boolean = cat.tableExists(ns, t) && {
         val sns = cat.loadTable(ns, t).snapshots

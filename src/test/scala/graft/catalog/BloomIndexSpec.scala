@@ -12,6 +12,29 @@ import graft.SparkSpec
   * range stats are blind to. */
 class BloomIndexSpec extends SparkSpec {
 
+  test("canonicalKey: authority preserved, local scheme stripped, percent-encoding decoded, raw fallback") {
+    // local file URIs in every spelling collapse to the plain path
+    assert(BloomIndex.canonicalKey("file:/a/b.parquet") === "/a/b.parquet")
+    assert(BloomIndex.canonicalKey("file:///a/b.parquet") === "/a/b.parquet")
+    assert(BloomIndex.canonicalKey("/a/b.parquet") === "/a/b.parquet")
+    // percent-encoding decodes (the build side sees input_file_name's
+    // encoded URI, the manifest records the raw name)
+    assert(BloomIndex.canonicalKey("file:/a/x%20y.parquet") === "/a/x y.parquet")
+    // an AUTHORITY must survive: dropping it keys hdfs://nn1:8020/x and
+    // hdfs://nn2:8020/x both as /x — cross-filesystem collisions, and a
+    // manifest recording the full URI would never match its sidecar
+    assert(BloomIndex.canonicalKey("hdfs://nn1:8020/wh/t/f.parquet") ===
+      "hdfs://nn1:8020/wh/t/f.parquet")
+    assert(BloomIndex.canonicalKey("hdfs://nn2:8020/wh/t/f%20g.parquet") ===
+      "hdfs://nn2:8020/wh/t/f g.parquet")
+    // both sides of the SAME authority-ful file agree
+    assert(BloomIndex.canonicalKey("hdfs://nn:8020/a/x%20y") ===
+      BloomIndex.canonicalKey("hdfs://nn:8020/a/x y"))
+    // unparseable (literal space) passes through raw — matching the
+    // manifest's own raw recording
+    assert(BloomIndex.canonicalKey("/a/x y.parquet") === "/a/x y.parquet")
+  }
+
   test("no false negatives, bounded false positives, order-independent bits") {
     val m = BloomIndex.bitsFor(1000) // 16384 bits for 1000 values
     val values = (0L until 1000L).map(_ * 977L + 13L)

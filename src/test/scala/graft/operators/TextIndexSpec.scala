@@ -145,6 +145,32 @@ class TextIndexSpec extends SparkSpec {
       .getLong(0) === 2L, "overwrite rebuild was wrongly skipped")
   }
 
+  test("DISTINCT batches with colliding raw-xor fingerprints both land (the replay tag must not confuse them)") {
+    import spark.implicits._
+    // {4..7} and {8..11} are the classic raw-xor collision: same count
+    // (4) and both id-sets xor to 0 — a fingerprint of (n, xor(doc_id))
+    // would silently skip the second batch as a "replay" of the first,
+    // permanently losing its postings. The tag must mix each id through
+    // a 64-bit avalanche (and pin the id range) so distinct batches
+    // never alias.
+    val cat = freshCat()
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, s"token$i common")).toDF("doc_id", "text")
+    TextIndex.buildIndex(spark, cat, "x", "d", batch(0 until 4), tok)
+    TextIndex.appendDocs(spark, cat, "x", "d", batch(4 until 8), tok)
+    TextIndex.appendDocs(spark, cat, "x", "d", batch(8 until 12), tok)
+    val docsSeen = cat.readTable(spark, "x", "d_postings")
+      .select("doc_id").distinct().count()
+    assert(docsSeen === 12L,
+      s"a distinct batch was skipped as a replay: $docsSeen/12 docs indexed")
+    assert(TextIndex.statsRow(spark, cat, "x", "d").collect()(0)
+      .getLong(0) === 12L, "stats lost a distinct batch's delta")
+    // and the SAME batch re-run is still detected
+    TextIndex.appendDocs(spark, cat, "x", "d", batch(8 until 12), tok)
+    assert(TextIndex.statsRow(spark, cat, "x", "d").collect()(0)
+      .getLong(0) === 12L, "a true replay doubled the stats delta")
+  }
+
   test("compaction shrinks the per-batch file accretion and is answer-invariant") {
     val cat = freshCat()
     val docs = graft.Tables.documents(spark, sfDir)

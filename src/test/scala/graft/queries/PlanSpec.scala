@@ -627,8 +627,16 @@ class PlanSpec extends SparkSpec {
     assert(topks.map(_.limit).toSet === Set(10))
     // (a) the re-rank reads ONLY the committed raw store — never the
     // corpus embeddings parquet (the round-14 fix: the old plan scanned
-    // EVERY embedding file to fetch <=rerank rows)
-    val rawScans = p.collect { case f: FileSourceScanExec => f }
+    // EVERY embedding file to fetch <=rerank rows). The fetch executes
+    // eagerly (round 15: ONE action fetches and sync-guards; the final
+    // rank runs over the collected local rows), so its pruned scan is
+    // inspected via IvfPq.lastRerank — and the FINAL plan must carry NO
+    // file scan at all (zero re-reads at rank time).
+    assert(p.collect { case f: FileSourceScanExec => f }.isEmpty,
+      "the final rank must run over the collected rows — no file re-read")
+    val rawScans = graft.operators.IvfPq.lastRerank.get()
+      .queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }
     assert(rawScans.nonEmpty)
     val rawFiles = rawScans.flatMap(_.relation.location.inputFiles).distinct
     assert(rawFiles.forall(_.contains("emb_ivfpq_raw")),
