@@ -259,6 +259,17 @@ case class TableMeta(namespace: String, name: String, schemaDdl: String,
   * snapshot (see [[GraftCatalog.withCommitRetry]]). */
 class CommitConflictException(msg: String) extends IllegalStateException(msg)
 
+/** An OVERWRITE commit's derivation base was invalidated by a racing
+  * non-append commit (another overwrite/delete/merge, or history
+  * expiration) — NOT retryable: the overwrite's file list was computed
+  * from rows read at the base snapshot, so blind-retrying it on top of
+  * the moved log would silently erase the racing commit's effect
+  * (Iceberg's RewriteFiles validation failure). The caller must
+  * re-derive from fresh state or defer. Racing APPENDS never raise
+  * this — their files fold into the overwrite unchanged (the rewrite
+  * never read them, so keeping them loses nothing). */
+class ConcurrentOverwriteException(msg: String) extends IllegalStateException(msg)
+
 /** Import result row, mirroring the reference's per-table summary
   * (`ImportParquetFolders.java:118-119`). */
 case class ImportSummary(namespace: String, table: String, files: Long, rows: Long)
@@ -564,18 +575,29 @@ class GraftCatalog(val warehouse: String) {
     * (earlier snapshots stay readable via time travel). This is the
     * snapshot kind Iceberg's MERGE/UPDATE/DELETE extensions produce — the
     * DML surface the reference enables via its session extensions
-    * (`/root/reference/conf/spark-defaults.conf:1`). */
-  def overwrite(ns: String, t: String, files: Seq[DataFileMeta]): TableMeta =
-    commitSnapshot(ns, t, "overwrite", files)
+    * (`/root/reference/conf/spark-defaults.conf:1`).
+    *
+    * `baseSnapshotId`: the snapshot the file list was DERIVED from (the
+    * state the rewrite read). When passed, a racing append's files fold
+    * into the overwrite (no row lost whichever side wins the commit
+    * race) and a racing non-append raises [[ConcurrentOverwriteException]]
+    * instead of silently erasing it — every rewrite-shaped caller
+    * (compaction, maintenance, rollback, DML) should pass it. */
+  def overwrite(ns: String, t: String, files: Seq[DataFileMeta],
+                baseSnapshotId: Option[Long] = None): TableMeta =
+    commitSnapshot(ns, t, "overwrite", files, baseSnapshotId)
 
   /** Stat the given parquet paths (size + exact footer row count, like the
     * importer does per file) and commit them in one snapshot. Directories
-    * (e.g. a Spark `.write.parquet` output) expand to their part files. */
+    * (e.g. a Spark `.write.parquet` output) expand to their part files.
+    * `baseSnapshotId`: see [[overwrite]] — overwrite-operation callers
+    * pass the snapshot their rewrite read. */
   def registerFiles(ns: String, t: String, paths: Seq[Path],
-                    operation: String = "append"): TableMeta = {
+                    operation: String = "append",
+                    baseSnapshotId: Option[Long] = None): TableMeta = {
     val expanded = paths.flatMap(p =>
       if (Files.isDirectory(p)) findParquet(p) else Seq(p))
-    commitSnapshot(ns, t, operation, statFiles(expanded))
+    commitSnapshot(ns, t, operation, statFiles(expanded), baseSnapshotId)
   }
 
   /** [[registerFiles]] + a per-commit bloom sidecar over `bloomColumns`
@@ -586,20 +608,21 @@ class GraftCatalog(val warehouse: String) {
     * across the write layout (where [min,max] prunes nothing). */
   def registerFilesWithBlooms(spark: SparkSession, ns: String, t: String,
                               paths: Seq[Path], bloomColumns: Seq[String],
-                              operation: String = "append"): TableMeta = {
+                              operation: String = "append",
+                              baseSnapshotId: Option[Long] = None): TableMeta = {
     val expanded = paths.flatMap(p =>
       if (Files.isDirectory(p)) findParquet(p) else Seq(p))
     val stated = statFiles(expanded)
     // zero files = an empty commit, same as registerFiles — there is
     // nothing to sketch (buildSidecar would otherwise crash on an
     // unrelated empty.max)
-    if (stated.isEmpty) commitSnapshot(ns, t, operation, stated)
+    if (stated.isEmpty) commitSnapshot(ns, t, operation, stated, baseSnapshotId)
     else {
       val dir = tableDir(ns, t).resolve("bloom")
-        .resolve(s"bloom-${System.nanoTime()}")
+        .resolve(s"bloom-${Stamp.next()}")
       BloomIndex.buildSidecar(spark, stated, bloomColumns, dir)
       commitSnapshot(ns, t, operation,
-        stated.map(_.copy(bloomPath = Some(dir.toString))))
+        stated.map(_.copy(bloomPath = Some(dir.toString))), baseSnapshotId)
     }
   }
 
@@ -713,7 +736,8 @@ class GraftCatalog(val warehouse: String) {
     * caller's layout. */
   def writePartitioned(spark: SparkSession, ns: String, t: String,
                        df: DataFrame, operation: String = "append",
-                       cluster: Boolean = true): TableMeta = {
+                       cluster: Boolean = true,
+                       baseSnapshotId: Option[Long] = None): TableMeta = {
     import org.apache.spark.sql.functions.col
     val meta = loadTable(ns, t)
     require(meta.spec.nonEmpty, s"$ns.$t has no partition spec; use registerFiles")
@@ -733,7 +757,7 @@ class GraftCatalog(val warehouse: String) {
       Partitioning.valueColumn(pf.transform, src.name, src.dataType).as(gp + pf.name)
     }
     val staging = tableDir(ns, t).resolve("data")
-      .resolve(s"part-write-${System.currentTimeMillis()}")
+      .resolve(s"part-write-${Stamp.next()}")
     // Write timestamps as INT64 micros for this write (scoped, restored):
     // Spark's default INT96 is deprecated AND carries no parquet min/max
     // statistics, which would blind timestamp file-skipping — Iceberg
@@ -764,7 +788,7 @@ class GraftCatalog(val warehouse: String) {
       // spec evolution, scans still prune THIS file through THIS spec
       fm.copy(partition = Some(tuple), specId = Some(meta.specs.last.specId))
     }
-    commitSnapshot(ns, t, operation, withTuples)
+    commitSnapshot(ns, t, operation, withTuples, baseSnapshotId)
   }
 
   /** Scan-planning file pruning: partition-tuple projection (hidden
@@ -807,10 +831,47 @@ class GraftCatalog(val warehouse: String) {
   }
 
   private def commitSnapshot(ns: String, t: String, operation: String,
-                             files: Seq[DataFileMeta]): TableMeta = withCommitRetry {
+                             files: Seq[DataFileMeta],
+                             baseSnapshotId: Option[Long] = None): TableMeta = withCommitRetry {
     val (meta, observedVersion) = loadTableAt(ns, t)
+    // Overwrite-base validation (Iceberg's RewriteFiles rule): an
+    // overwrite's file list is a function of rows READ AT ITS BASE
+    // snapshot, computed BEFORE this retry loop — so when the log has
+    // advanced past the base, blind-landing the pre-computed list would
+    // silently erase every racing commit's rows (compaction racing a
+    // streaming append: the append's batch vanishes from the live
+    // state). Racing APPENDS are safe to fold in — the rewrite never
+    // read their rows, so their files join the overwrite's list
+    // unchanged, and the result equals "append then overwrite-without-
+    // race" either way the race lands. Any racing NON-append
+    // (overwrite/delete/merge, or a base expired out of the log) is a
+    // real write-write conflict: refuse loudly, the caller re-derives.
+    // Callers that pass no base keep the old semantics (overwrite-wins).
+    val effective = baseSnapshotId match {
+      case Some(base) if operation == "overwrite" &&
+          meta.currentSnapshotId != base =>
+        val raced =
+          if (base == 0L) meta.snapshots
+          else {
+            val idx = meta.snapshots.indexWhere(_.id == base)
+            if (idx < 0) throw new ConcurrentOverwriteException(
+              s"$ns.$t: overwrite derived at snapshot $base, but that " +
+                "snapshot is no longer in the log (expired or rolled " +
+                "back) — re-derive from the current state")
+            meta.snapshots.drop(idx + 1)
+          }
+        raced.find(sn => sn.operation != "append" || sn.isStaged)
+          .foreach { sn =>
+            throw new ConcurrentOverwriteException(
+              s"$ns.$t: overwrite derived at snapshot $base conflicts " +
+                s"with racing ${sn.operation} snapshot ${sn.id} — " +
+                "re-derive from the current state")
+          }
+        files ++ raced.flatMap(_.addedFiles)
+      case _ => files
+    }
     val snap = SnapshotMeta(meta.nextSnapshotId, System.currentTimeMillis(),
-      operation, files.toList,
+      operation, effective.toList,
       schemaVersion = Some(meta.currentSchemaVersion.version))
     val next = meta.copy(currentSnapshotId = snap.id,
       snapshots = meta.snapshots :+ snap, lastSnapshotId = Some(snap.id))

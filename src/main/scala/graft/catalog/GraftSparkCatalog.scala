@@ -162,7 +162,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(cat, catName, ns, ident.name, served,
       meta.filesAsOf(asOf), morDml, identityCols,
       meta.spec, meta.currentSchemaVersion.fields, refuseScan,
-      specForFile = meta.specForFile)
+      specForFile = meta.specForFile,
+      baseSnapshotId = asOf.getOrElse(meta.currentSnapshotId))
   }
 
   /** CREATE TABLE, optionally `PARTITIONED BY` Iceberg-style hidden
@@ -244,7 +245,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(cat, catName, ns2, ident.name, meta.schema,
       meta.filesAsOf(None), morDml, identityCols,
       meta.spec, meta.currentSchemaVersion.fields,
-      specForFile = meta.specForFile)
+      specForFile = meta.specForFile,
+      baseSnapshotId = meta.currentSnapshotId)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -338,7 +340,12 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
                                      refuseScan: Option[String] = None,
                                      // spec the file was WRITTEN under (spec
                                      // evolution: prune per-file, not per-table)
-                                     specForFile: DataFileMeta => Seq[PartitionField] = _ => Nil)
+                                     specForFile: DataFileMeta => Seq[PartitionField] = _ => Nil,
+                                     // snapshot `files` was resolved at — the
+                                     // DERIVATION BASE every copy-on-write
+                                     // rewrite below commits with, so a racing
+                                     // append folds in instead of being erased
+                                     baseSnapshotId: Long = 0L)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with TruncatableTable {
 
@@ -420,7 +427,7 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
 
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
           val staging = Paths.get(cat.warehouse, ns, tbl, "data",
-            s"rowlevel-${System.currentTimeMillis()}")
+            s"rowlevel-${Stamp.next()}")
           val delegate = ParquetTable(s"$catName.$ns.$tbl-rowlevel",
             SparkSession.active, CaseInsensitiveStringMap.empty(),
             Seq(staging.toString), Some(tableSchema), classOf[ParquetFileFormat])
@@ -439,7 +446,8 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
                 // parquet job commit first (files become final in staging),
                 // then one atomic catalog snapshot replacing the table
                 inner.commit(messages)
-                cat.registerFiles(ns, tbl, Seq(staging), operation = "overwrite")
+                cat.registerFiles(ns, tbl, Seq(staging), operation = "overwrite",
+                  baseSnapshotId = Some(baseSnapshotId))
               }
               override def abort(messages: Array[WriterCommitMessage]): Unit =
                 inner.abort(messages)
@@ -517,12 +525,14 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
       not(org.apache.spark.sql.functions.coalesce(cond, lit(false))))
     if (spec.nonEmpty)
       // keep the surviving rows partition-clustered (tuples re-recorded)
-      cat.writePartitioned(spark, ns, tbl, kept, operation = "overwrite")
+      cat.writePartitioned(spark, ns, tbl, kept, operation = "overwrite",
+        baseSnapshotId = Some(baseSnapshotId))
     else {
       val dir = Paths.get(cat.warehouse, ns, tbl, "data",
-        s"delete-${System.currentTimeMillis()}")
+        s"delete-${Stamp.next()}")
       kept.write.parquet(dir.toString)
-      cat.registerFiles(ns, tbl, Seq(dir), operation = "overwrite")
+      cat.registerFiles(ns, tbl, Seq(dir), operation = "overwrite",
+        baseSnapshotId = Some(baseSnapshotId))
     }
   }
 
@@ -553,7 +563,7 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
             org.apache.spark.sql.connector.expressions.Expressions.column)
 
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): DeltaWriteBuilder = {
-          val ts = System.currentTimeMillis()
+          val ts = Stamp.next()
           val dataDir = Paths.get(cat.warehouse, ns, tbl, "data", s"mor-data-$ts")
           val delDir = Paths.get(cat.warehouse, ns, tbl, "data", s"mor-delete-$ts")
           val idSchema = writeInfo.rowIdSchema().orElse(
@@ -651,7 +661,7 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
                 cat.writePartitioned(SparkSession.active, ns, tbl, data, op)
               else {
                 val dir = Paths.get(cat.warehouse, ns, tbl, "data",
-                  s"insert-${System.currentTimeMillis()}")
+                  s"insert-${Stamp.next()}")
                 data.write.parquet(dir.toString)
                 cat.registerFiles(ns, tbl, Seq(dir), operation = op)
               }

@@ -35,9 +35,14 @@ object Maintenance {
     require(curve == "zorder" || curve == "hilbert",
       s"curve must be zorder or hilbert, got $curve")
     val meta = cat.loadTable(ns, table)
+    // the rewrite derives from THIS snapshot; the overwrite commit
+    // carries it so a racing append folds in instead of being erased
+    // (GraftCatalog.commitSnapshot's base validation)
+    val base = meta.currentSnapshotId
     val currentBytes = meta.filesAsOf(None).map(_.sizeBytes).sum
     val nFiles = math.max(1, math.ceil(currentBytes.toDouble / targetFileBytes).toInt)
-    val df = cat.readTable(spark, ns, table) // folds MoR deletes if present
+    // folds MoR deletes if present, pinned AS OF the claimed base
+    val df = cat.readTable(spark, ns, table, asOf = Some(base))
     val clustered = clusterBy match {
       case Nil => df.repartition(nFiles)
       case Seq(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
@@ -59,13 +64,14 @@ object Maintenance {
     // to stats-only until the next partitioned append)
     if (meta.spec.nonEmpty && clusterBy.isEmpty)
       return cat.writePartitioned(spark, ns, table, clustered,
-        operation = "overwrite")
+        operation = "overwrite", baseSnapshotId = Some(base))
     val outDir = Paths.get(cat.warehouse, ns, table, "data",
-      s"optimize-${System.currentTimeMillis()}")
+      s"optimize-${graft.catalog.Stamp.next()}")
     clustered.write.parquet(outDir.toString)
     val parts = graft.catalog.Fs.list(outDir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
-    cat.registerFiles(ns, table, parts, operation = "overwrite")
+    cat.registerFiles(ns, table, parts, operation = "overwrite",
+      baseSnapshotId = Some(base))
   }
 
   /** Collapse near-duplicates that LANDED in the committed table — the
@@ -90,18 +96,27 @@ object Maintenance {
                       table: String, sigsTable: Option[String] = None,
                       toksTable: Option[String] = None): TableMeta = {
     import graft.queries.Extensions.{dedupPipelineFrame, docTokenSets, docBandRows}
-    val docs = cat.readTable(spark, ns, table)
+    // the data rewrite derives from THIS snapshot (pinned read below);
+    // each index table claims its own base at its rewrite — a streaming
+    // ingester's racing append folds into whichever commit it races
+    // (data batch + its sigs/toks rows land or fold consistently), and
+    // any racing overwrite refuses loudly
+    val base = cat.loadTable(ns, table).currentSnapshotId
+    val docs = cat.readTable(spark, ns, table, asOf = Some(base))
     val verdict = dedupPipelineFrame(docs.select("doc_id", "text"),
       verify = Some((7, 10)))
     // one keeper compute feeds the data rewrite and both index rebuilds
     val keepers = docs.join(
       verdict.filter(col("keep")).select("doc_id"), Seq("doc_id"))
       .localCheckpoint()
-    val stamp = System.currentTimeMillis()
+    val stamp = graft.catalog.Stamp.next()
     def rewrite(t: String, df: org.apache.spark.sql.DataFrame): TableMeta = {
+      val tBase = if (t == table) base
+                  else cat.loadTable(ns, t).currentSnapshotId
       val dir = Paths.get(cat.warehouse, ns, t, "data", s"maintain-$stamp")
       df.write.parquet(dir.toString)
-      cat.registerFiles(ns, t, Seq(dir), operation = "overwrite")
+      cat.registerFiles(ns, t, Seq(dir), operation = "overwrite",
+        baseSnapshotId = Some(tBase))
     }
     val meta = rewrite(table, keepers)
     val keeperSets = if (sigsTable.isDefined || toksTable.isDefined)

@@ -27,22 +27,28 @@ import graft.catalog.{GraftCatalog, TableMeta}
 object Merge {
 
   private def rewrite(spark: SparkSession, cat: GraftCatalog, ns: String,
-                      table: String, next: DataFrame): TableMeta = {
+                      table: String, next: DataFrame,
+                      base: Long): TableMeta = {
     val outDir = Paths.get(cat.warehouse, ns, table, "data",
-      s"rewrite-${System.currentTimeMillis()}")
+      s"rewrite-${graft.catalog.Stamp.next()}")
     next.write.parquet(outDir.toString)
     val parts = graft.catalog.Fs.list(outDir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
-    cat.registerFiles(ns, table, parts, operation = "overwrite")
+    // the overwrite carries its derivation base: a racing append folds
+    // in (no row lost), a racing non-append refuses loudly instead of
+    // being silently erased by this pre-computed file list
+    cat.registerFiles(ns, table, parts, operation = "overwrite",
+      baseSnapshotId = Some(base))
   }
 
   /** Upsert: source rows replace matched target rows and add unmatched. */
   def mergeInto(spark: SparkSession, cat: GraftCatalog, ns: String,
                 table: String, source: DataFrame, keys: Seq[String]): TableMeta = {
-    val target = cat.readTable(spark, ns, table)
+    val base = cat.loadTable(ns, table).currentSnapshotId
+    val target = cat.readTable(spark, ns, table, asOf = Some(base))
     val merged = target.join(source, keys, "left_anti")
       .unionByName(source.select(target.columns.map(col).toSeq: _*))
-    rewrite(spark, cat, ns, table, merged)
+    rewrite(spark, cat, ns, table, merged, base)
   }
 
   /** DELETE WHERE cond — removes only rows where `cond` is TRUE. Rows where
@@ -51,9 +57,11 @@ object Merge {
     * whose positive `filter(cond)` already keeps NULL rows). */
   def deleteWhere(spark: SparkSession, cat: GraftCatalog, ns: String,
                   table: String, cond: org.apache.spark.sql.Column): TableMeta = {
-    val target = cat.readTable(spark, ns, table)
+    val base = cat.loadTable(ns, table).currentSnapshotId
+    val target = cat.readTable(spark, ns, table, asOf = Some(base))
     rewrite(spark, cat, ns, table,
-      target.filter(!org.apache.spark.sql.functions.coalesce(cond, org.apache.spark.sql.functions.lit(false))))
+      target.filter(!org.apache.spark.sql.functions.coalesce(cond, org.apache.spark.sql.functions.lit(false))),
+      base)
   }
 
   // ---------------------------------------------------------- merge-on-read
@@ -61,7 +69,7 @@ object Merge {
   private def writeAux(cat: GraftCatalog, ns: String, table: String,
                        kind: String, df: DataFrame): java.nio.file.Path = {
     val dir = Paths.get(cat.warehouse, ns, table, "data",
-      s"$kind-${System.currentTimeMillis()}")
+      s"$kind-${graft.catalog.Stamp.next()}")
     df.write.parquet(dir.toString)
     dir
   }
@@ -118,6 +126,9 @@ object Merge {
     * parquet and commit one overwrite snapshot. Subsequent reads take the
     * single-scan fast path again; earlier snapshots stay time-travelable. */
   def materialize(spark: SparkSession, cat: GraftCatalog, ns: String,
-                  table: String): TableMeta =
-    rewrite(spark, cat, ns, table, cat.readTable(spark, ns, table))
+                  table: String): TableMeta = {
+    val base = cat.loadTable(ns, table).currentSnapshotId
+    rewrite(spark, cat, ns, table,
+      cat.readTable(spark, ns, table, asOf = Some(base)), base)
+  }
 }

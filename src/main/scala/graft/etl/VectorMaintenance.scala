@@ -47,21 +47,33 @@ object VectorMaintenance {
     * probes back to ~1 file per probed cell. k is the index's OWN cell
     * count, read back from the committed `_ivfpq_cells` table (the
     * √N-sized layout [[IvfPq.cellsFor]] chose at build time — never a
-    * constant). One overwrite snapshot, stamped with `nanoTime` like
-    * every other index commit path (a millisecond stamp collides when
-    * two compactions land inside 1 ms); returns the new codes-table
-    * meta. */
+    * constant). One overwrite snapshot, stamped through the shared
+    * collision-safe [[graft.catalog.Stamp]] like every other index
+    * commit path; returns the new codes-table meta. */
   def compactIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
                    table: String): TableMeta = {
     val t = s"${table}_ivfpq_codes"
     val k = cat.readTable(spark, ns, s"${table}_ivfpq_cells").count().toInt
-    val live = cat.readTable(spark, ns, t)
+    // pin the DERIVATION BASE and read AS OF it: the overwrite commit
+    // carries the base snapshot id, so a streaming append racing this
+    // compaction folds its files into the commit (no row lost whichever
+    // side wins) instead of being silently erased by a pre-computed
+    // file list landing on a moved log — and a racing non-append
+    // refuses loudly (ConcurrentOverwriteException) for the caller to
+    // re-derive. Reading AS OF the base (not "current") makes the
+    // rewritten rows and the claimed base the same state by
+    // construction, however long the rewrite job runs.
+    val base = cat.loadTable(ns, t).currentSnapshotId
+    // pre-compaction code files (for the raw purge's tombstone diff below)
+    val codeFiles = cat.loadTable(ns, t).filesAsOf(Some(base))
+    val live = cat.readTable(spark, ns, t, asOf = Some(base))
     val dir = Paths.get(cat.warehouse, ns, t, "data",
-      s"compact-${System.nanoTime()}")
+      s"compact-${graft.catalog.Stamp.next()}")
     live.repartitionByRange(k, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
       .write.parquet(dir.toString)
-    val meta = cat.registerFiles(ns, t, Seq(dir), operation = "overwrite")
+    val meta = cat.registerFiles(ns, t, Seq(dir), operation = "overwrite",
+      baseSnapshotId = Some(base))
     // the raw re-rank store pays down the same two debts when present:
     // per-batch file accretion (re-cluster to ≤k cell files, restoring
     // augmentation's pruning parity with the codes) and — the RTBF
@@ -72,16 +84,36 @@ object VectorMaintenance {
     // probe path like the codes rewrite above.
     val rT = graft.operators.IvfPq.rawTable(table)
     if (cat.tableExists(ns, rT)) {
+      // the raw rewrite pins ITS OWN base the same way. The RTBF purge
+      // removes exactly the ids the codes table TOMBSTONED — physical
+      // rows in the pre-compaction code files minus the live (debt-
+      // applied) rows — via an anti-join, NEVER "ids not currently in
+      // codes": a concurrent appendCodes that has landed its raw half
+      // but not yet its codes half would look exactly like a tombstone
+      // to a keep-only-codes-live semi-join, and purging it would trip
+      // every later search's sync guard ("raw store fell behind")
+      // permanently. Orphan raw rows (a crashed append that never
+      // re-ran) survive as the documented harmless superset.
+      val doomed = {
+        val files = codeFiles.map(_.path)
+        if (files.isEmpty) live.select("vec_id").limit(0)
+        // SET difference (except, not exceptAll): an id is doomed only
+        // if NO live row carries it — a historical duplicate code row
+        // must not mark a live id as tombstoned
+        else spark.read.parquet(files: _*).select("vec_id")
+          .except(live.select("vec_id"))
+      }
+      val rawBase = cat.loadTable(ns, rT).currentSnapshotId
       val rawDir = Paths.get(cat.warehouse, ns, rT, "data",
-        s"compact-${System.nanoTime()}")
-      cat.readTable(spark, ns, rT)
-        .join(cat.readTable(spark, ns, t).select("vec_id"),
-          Seq("vec_id"), "left_semi")
+        s"compact-${graft.catalog.Stamp.next()}")
+      cat.readTable(spark, ns, rT, asOf = Some(rawBase))
+        .join(doomed, Seq("vec_id"), "left_anti")
         .repartitionByRange(k, col("cell"))
         .sortWithinPartitions("cell", "vec_id")
         .write.parquet(rawDir.toString)
       cat.registerFilesWithBlooms(spark, ns, rT, Seq(rawDir),
-        Seq("vec_id"), operation = "overwrite")
+        Seq("vec_id"), operation = "overwrite",
+        baseSnapshotId = Some(rawBase))
     }
     meta
   }

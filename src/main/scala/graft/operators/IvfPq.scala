@@ -303,7 +303,7 @@ object IvfPq {
   private def commitDf(cat: GraftCatalog, ns: String, t: String,
                        df: DataFrame, operation: String): TableMeta = {
     val dir = Paths.get(cat.warehouse, ns, t, "data",
-      s"ivfpq-${System.nanoTime()}")
+      s"ivfpq-${graft.catalog.Stamp.next()}")
     df.write.parquet(dir.toString)
     if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
     cat.registerFiles(ns, t, Seq(dir), operation = operation)
@@ -341,7 +341,7 @@ object IvfPq {
     val t = rawTable(table)
     val df = rawRows(cents, emb)
     val dir = Paths.get(cat.warehouse, ns, t, "data",
-      s"ivfpq-${System.nanoTime()}")
+      s"ivfpq-${graft.catalog.Stamp.next()}")
     df.write.parquet(dir.toString)
     if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
     cat.registerFilesWithBlooms(spark, ns, t, Seq(dir), Seq("vec_id"),

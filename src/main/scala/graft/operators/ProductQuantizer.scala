@@ -195,7 +195,7 @@ object ProductQuantizer {
     val model = train(sampleRows(emb).map(_._2).toSeq)
     val codes = emb.select(col("vec_id"),
       packedCodes(emb.sparkSession, model, col("embedding")).as("codes"))
-    val stamp = System.currentTimeMillis()
+    val stamp = graft.catalog.Stamp.next()
     def commit(t: String, df: DataFrame): TableMeta = {
       val dir = Paths.get(cat.warehouse, ns, t, "data", s"pq-$stamp")
       df.write.parquet(dir.toString)

@@ -125,12 +125,14 @@ object TextIndex {
       sum(size(col("toks"))).as("sum_len"))
 
   private def commitDf(cat: GraftCatalog, ns: String, t: String,
-                       df: DataFrame, operation: String): TableMeta = {
+                       df: DataFrame, operation: String,
+                       baseSnapshotId: Option[Long] = None): TableMeta = {
     val dir = Paths.get(cat.warehouse, ns, t, "data",
-      s"textidx-${System.nanoTime()}")
+      s"textidx-${graft.catalog.Stamp.next()}")
     df.write.parquet(dir.toString)
     if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
-    cat.registerFiles(ns, t, Seq(dir), operation = operation)
+    cat.registerFiles(ns, t, Seq(dir), operation = operation,
+      baseSnapshotId = baseSnapshotId)
   }
 
   private def commitPostings(spark: SparkSession, cat: GraftCatalog,
@@ -274,17 +276,27 @@ object TextIndex {
     * stats sums, different files. */
   def compactIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
                    table: String): TableMeta = {
-    val liveBytes = cat.loadTable(ns, s"${table}_postings")
-      .filesAsOf(None).map(_.sizeBytes).sum
-    val p = cat.readTable(spark, ns, s"${table}_postings").persist()
+    // pin each table's derivation base and read AS OF it: a maintaining
+    // stream's append racing this compaction folds into the overwrite
+    // (postings kept, its stats delta kept) instead of being silently
+    // erased by the pre-computed rewrite landing on a moved log
+    val pMeta = cat.loadTable(ns, s"${table}_postings")
+    val pBase = pMeta.currentSnapshotId
+    val liveBytes = pMeta.filesAsOf(None).map(_.sizeBytes).sum
+    val p = cat.readTable(spark, ns, s"${table}_postings",
+      asOf = Some(pBase)).persist()
     try {
       val meta = commitDf(cat, ns, s"${table}_postings",
         p.repartitionByRange(filesForBytes(liveBytes, p.count()),
             col("term"), col("doc_id"))
           .sortWithinPartitions("term", "doc_id"),
-        "overwrite")
+        "overwrite", baseSnapshotId = Some(pBase))
+      val sBase = cat.loadTable(ns, s"${table}_stats").currentSnapshotId
       commitDf(cat, ns, s"${table}_stats",
-        statsRow(spark, cat, ns, table), "overwrite")
+        cat.readTable(spark, ns, s"${table}_stats", asOf = Some(sBase))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_len")).as("sum_len")),
+        "overwrite", baseSnapshotId = Some(sBase))
       meta
     } finally { p.unpersist(); () }
   }

@@ -49,6 +49,45 @@ class ChangelogSpec extends SparkSpec {
       "a copy-on-write-deleted row resurfaced as an insert")
   }
 
+  test("replay law holds across an overwrite-vs-append race (base-folded overwrite)") {
+    import spark.implicits._
+    // a compaction derives its rewrite at snapshot B, an append races in,
+    // the overwrite lands base-folded (GraftCatalog.commitSnapshot's
+    // validation). The CDC fold must STILL replay to the live table —
+    // the folded overwrite's file-set diff sees the raced-in file on
+    // both sides (pre-image delete set excludes it, insert set includes
+    // it untouched), so no row double-counts or vanishes.
+    val cat = freshCat()
+    cat.createNamespace("c")
+    val rows = (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v")
+    cat.createTable("c", "t", rows.schema)
+    cat.registerFiles("c", "t", Seq(writeRows(rows)))
+    val base = cat.loadTable("c", "t").currentSnapshotId
+    // the rewrite a compaction would produce from the state at `base`
+    val compacted = writeRows(cat.readTable(spark, "c", "t")
+      .filter(col("id") <= 8L))
+    // the racing append lands first...
+    val racedRows = Seq((100L, "raced")).toDF("id", "v")
+    cat.registerFiles("c", "t", Seq(writeRows(racedRows)))
+    // ...then the overwrite commits against its stale base and folds
+    cat.registerFiles("c", "t", Seq(compacted), operation = "overwrite",
+      baseSnapshotId = Some(base))
+    val live = cat.readTable(spark, "c", "t")
+    assert(live.filter(col("id") === 100L).count() === 1L,
+      "the raced-in append's row is missing from the live state")
+    assert(live.count() === 9L)
+    val last = cat.snapshots("c", "t").map(_.id).max
+    val net = cat.readChangelog(spark, "c", "t", 0L, last)
+      .groupBy("id", "v")
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("n"))
+      .filter(col("n") =!= 0L)
+    val liveCounts = live.groupBy("id", "v").agg(count(lit(1)).as("n"))
+    assert(net.exceptAll(liveCounts).isEmpty &&
+      liveCounts.exceptAll(net).isEmpty,
+      "changelog does not replay to the live table across the folded race")
+  }
+
   test("replay law: inserts minus deletes over the full history == the live table, multiset-exactly") {
     import spark.implicits._
     val cat = freshCat()

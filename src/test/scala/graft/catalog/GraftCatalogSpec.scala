@@ -301,6 +301,79 @@ class GraftCatalogSpec extends SparkSpec {
       (1 to 6).map(i => s"/f$i.parquet"))
   }
 
+  test("overwrite with a base folds racing appends in; racing non-append conflicts loudly") {
+    val (_, wh) = freshDirs()
+    val cat = new GraftCatalog(wh.toString)
+    cat.createTable("ns", "t", StructType(Seq(StructField("id", LongType))))
+    cat.append("ns", "t", Seq(DataFileMeta("/a.parquet", 1L, 1L))) // snap 1
+    // a compaction derives its rewrite HERE...
+    val base = cat.loadTable("ns", "t").currentSnapshotId
+    // ...then a streaming append races in before the overwrite commits
+    cat.append("ns", "t", Seq(DataFileMeta("/b.parquet", 2L, 2L))) // snap 2
+    cat.overwrite("ns", "t", Seq(DataFileMeta("/compact.parquet", 1L, 1L)),
+      baseSnapshotId = Some(base))
+    // NO ROW LOST: the racing append's file folds into the overwrite
+    assert(cat.files("ns", "t").map(_.path).sorted ===
+      Seq("/b.parquet", "/compact.parquet"),
+      "the racing append's file was erased by the overwrite")
+    // un-raced base → plain replacement, exactly the old semantics
+    val base2 = cat.loadTable("ns", "t").currentSnapshotId
+    cat.overwrite("ns", "t", Seq(DataFileMeta("/c.parquet", 3L, 3L)),
+      baseSnapshotId = Some(base2))
+    assert(cat.files("ns", "t").map(_.path) === Seq("/c.parquet"))
+    // racing NON-append (a blind overwrite) → loud write-write conflict;
+    // the winner's state stays intact
+    val base3 = cat.loadTable("ns", "t").currentSnapshotId
+    cat.overwrite("ns", "t", Seq(DataFileMeta("/d.parquet", 4L, 4L)))
+    intercept[ConcurrentOverwriteException] {
+      cat.overwrite("ns", "t", Seq(DataFileMeta("/stale.parquet", 5L, 5L)),
+        baseSnapshotId = Some(base3))
+    }
+    assert(cat.files("ns", "t").map(_.path) === Seq("/d.parquet"))
+    // a base that is no longer in the log (expired/never existed) → conflict
+    intercept[ConcurrentOverwriteException] {
+      cat.overwrite("ns", "t", Seq(DataFileMeta("/x.parquet", 6L, 6L)),
+        baseSnapshotId = Some(999L))
+    }
+  }
+
+  test("threaded: a compaction-shaped overwrite racing live appends loses no row") {
+    val (_, wh) = freshDirs()
+    val cat = new GraftCatalog(wh.toString)
+    cat.createTable("ns", "t", StructType(Seq(StructField("id", LongType))))
+    cat.append("ns", "t", Seq(DataFileMeta("/seed.parquet", 1L, 1L)))
+    val base = cat.loadTable("ns", "t").currentSnapshotId
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val compactor = new Thread(() => {
+      try { gate.await()
+        cat.overwrite("ns", "t",
+          Seq(DataFileMeta("/compact.parquet", 1L, 1L)),
+          baseSnapshotId = Some(base))
+        ()
+      } catch { case t: Throwable => errs.add(t); () }
+    })
+    val appenders = (1 to 4).map { i =>
+      new Thread(() => {
+        try { gate.await()
+          cat.append("ns", "t", Seq(DataFileMeta(s"/f$i.parquet", i.toLong, i.toLong)))
+          ()
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    (compactor +: appenders).foreach(_.start())
+    gate.countDown()
+    (compactor +: appenders).foreach(_.join(30000))
+    assert(errs.isEmpty, s"racing commits failed: ${errs.toArray.mkString(", ")}")
+    // whichever interleaving won each claim: the compacted file replaced
+    // ONLY the seed it derived from, and every appended file survives —
+    // folded into the overwrite if it landed first, stacked on top if
+    // it landed after
+    assert(cat.files("ns", "t").map(_.path).sorted ===
+      ("/compact.parquet" +: (1 to 4).map(i => s"/f$i.parquet")).sorted,
+      "a racing append's file vanished from the live state")
+  }
+
   test("completed racing commit is recovered from; in-flight claim is rejected") {
     val (_, wh) = freshDirs()
     val cat = new GraftCatalog(wh.toString)

@@ -243,6 +243,76 @@ class VectorMaintenanceSpec extends SparkSpec {
       .forall(_.bloomPath.nonEmpty))
   }
 
+  test("a half-landed append's raw rows survive compaction (never purged as tombstones)") {
+    // the crash window appendCodes documents: raw committed, codes not
+    // yet. A compaction running INSIDE that window must not purge the
+    // batch's raw vectors — to a keep-only-codes-live purge they look
+    // exactly like tombstones, and once the codes half lands every
+    // search touching those ids would die on the sync guard forever.
+    val cat = freshCat()
+    val half = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    IvfPq.buildIndex(spark, cat, "vec", "emb", half)
+    // simulate the half-landed append: raw rows for NEW ids registered
+    // through the public commit surface, codes absent
+    val cells = IvfPq.loadCells(spark, cat, "vec", "emb")
+    val orphanIds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .limit(5).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val orphan = emb.filter(col("vec_id").isInCollection(orphanIds))
+      .withColumn("cell", lit(1L))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val dir = java.nio.file.Paths.get(cat.warehouse, "vec",
+      "emb_ivfpq_raw", "data", "halflanded-test")
+    orphan.write.parquet(dir.toString)
+    cat.registerFilesWithBlooms(spark, "vec", "emb_ivfpq_raw", Seq(dir),
+      Seq("vec_id"), operation = "append")
+    VectorMaintenance.compactIndex(spark, cat, "vec", "emb")
+    val survivors = cat.readTable(spark, "vec", "emb_ivfpq_raw")
+      .filter(col("vec_id").isInCollection(orphanIds)).count()
+    assert(survivors === orphanIds.size,
+      s"compaction purged $survivors/${orphanIds.size} half-landed raw rows")
+    assert(cells.nonEmpty) // fixture sanity
+  }
+
+  test("compactIndex racing a live appendCodes loses no vector; search stays consistent") {
+    val cat = freshCat()
+    val half = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val (cents, model) = IvfPq.initIndex(spark, cat, "vec", "emb", half)
+    IvfPq.appendCodes(spark, cat, "vec", "emb", cents, model, half)
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val compactor = new Thread(() => {
+      try { gate.await()
+        VectorMaintenance.compactIndex(spark, cat, "vec", "emb"); ()
+      } catch { case t: Throwable => errs.add(t); () }
+    })
+    val appender = new Thread(() => {
+      try { gate.await()
+        IvfPq.appendCodes(spark, cat, "vec", "emb", cents, model, batch); ()
+      } catch { case t: Throwable => errs.add(t); () }
+    })
+    Seq(compactor, appender).foreach(_.start())
+    gate.countDown()
+    Seq(compactor, appender).foreach(_.join(120000))
+    assert(errs.isEmpty, s"racing index ops failed: ${errs.toArray.mkString(", ")}")
+    // NO VECTOR LOST whichever side won each commit race: every id is in
+    // the codes exactly once, and the raw store covers every code id
+    val codeIds = cat.readTable(spark, "vec", "emb_ivfpq_codes")
+      .select("vec_id")
+    assert(codeIds.count() === emb.count(),
+      "the racing append's vectors vanished from the compacted codes")
+    assert(codeIds.distinct().count() === emb.count())
+    assert(codeIds.join(
+        cat.readTable(spark, "vec", "emb_ivfpq_raw").select("vec_id"),
+        Seq("vec_id"), "left_anti").count() === 0,
+      "a code id has no raw re-rank row after the race")
+    // the serve path works end to end on a RACED-IN vector
+    val (pid, pvec) = ProductQuantizer.sampleRows(batch).head
+    val top = IvfPq.search(spark, cat, "vec", "emb", emb, pid, pvec, k = 5)
+      .collect()
+    assert(top.length === 5, "post-race search broke")
+  }
+
   test("compaction purges debt, restores <= k files, keeps answers") {
     val (cat, probeId, probeVec) = grownIndex()
     def meta = cat.loadTable("vec", "emb_ivfpq_codes")
