@@ -1936,6 +1936,35 @@ class GraftCatalog(val warehouse: String) {
     val orphans = expired.flatMap(sn => sn.addedFiles ++ sn.deletes).map(_.path)
       .distinct.filterNot(live).filter(_.startsWith(whPrefix))
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // Changelog-view retention: the view materializes every snapshot's
+    // CDC rows write-once and nothing else ever deletes them, so a
+    // long-lived stream on a high-commit-rate table doubles the table's
+    // storage. Expiration prunes the CONTENT of view dirs at or below
+    // the boundary (the storage), while the `sn<id>` dir NAMES remain
+    // as materialization evidence — syncChangelogView's stale-view
+    // refusal keys on them, so a view that pre-dates the boundary still
+    // refuses a from-empty re-materialization instead of double-
+    // counting. Contract: consumers are caught up to the boundary
+    // before expiring (the same quiescence rule as expiring under a
+    // mid-replay stream); a caught-up consumer's file-stream checkpoint
+    // has already consumed the deleted files, so its next drain is
+    // unaffected. A FRESH consumer over a pruned view must reset it
+    // (delete the view dir): the sync then re-materializes the boundary
+    // checkpoint's full-state fold from empty, which is complete.
+    val clv = changelogViewDir(ns, t)
+    if (Files.exists(clv)) {
+      val ls = Files.list(clv)
+      val pruned = try ls.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("sn") && n.stripPrefix("sn").forall(_.isDigit) &&
+          n.stripPrefix("sn").toLong <= boundary.id
+      }.toList finally ls.close()
+      pruned.foreach { d =>
+        val fs = Files.list(d)
+        val inner = try fs.iterator().asScala.toList finally fs.close()
+        inner.foreach(Fs.deleteRecursively)
+      }
+    }
     ExpireResult(expired.size, orphans.size, next.snapshots.size)
   }
 

@@ -178,8 +178,12 @@ private[catalog] object GraftProcedures {
         import org.apache.spark.sql.functions.{asc, desc}
         val (ns, t) = nsT(in)
         val spark = SparkSession.active
-        val terms = str(in, 1).toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+        // ONE tokenizer definition: the query string evaluates the same
+        // tokensExpr the corpus was indexed under (a driver-side Scala
+        // re-implementation here drifted-by-construction — unicode
+        // lowercasing and regex semantics would be pinned only on the
+        // fixture terms)
+        val terms = graft.queries.Extensions.tokenizeQuery(spark, str(in, 1))
         require(terms.nonEmpty, "search_text needs at least one query term")
         graft.operators.TextIndex
           .bm25Candidates(spark, cat, ns, t, terms)

@@ -29,6 +29,20 @@ object Extensions {
     * the same expression text documents the DuckDB twin). */
   private[graft] val tokensExpr = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
 
+  /** Driver-side tokenization of a QUERY string under the exact corpus
+    * convention: evaluates [[tokensExpr]] ITSELF over the string (one
+    * local-relation projection — constant-folded, no distributed job),
+    * so the query side and the indexed side can never drift — there is
+    * ONE tokenizer definition, not a Scala re-implementation whose
+    * lowercase/regex semantics could diverge on unicode or edge inputs.
+    * Distinct (first-occurrence order), like every retrieval entry. */
+  private[graft] def tokenizeQuery(spark: SparkSession, query: String): Seq[String] = {
+    import spark.implicits._
+    Seq(query).toDF("text")
+      .select(expr(tokensExpr).as("toks"))
+      .head().getSeq[String](0).distinct.toSeq
+  }
+
   /** 60-bit token hash (SQL text over the given operand): the first 15
     * hex digits of md5, as a BIGINT. This is the SAME base value the
     * MinHash family reduces mod p ([[minhashBandRows]]) and that DuckDB

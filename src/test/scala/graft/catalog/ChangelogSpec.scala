@@ -2,6 +2,8 @@ package graft.catalog
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -304,6 +306,93 @@ class ChangelogSpec extends SparkSpec {
     cat.expireSnapshots("c", "t", keepLast = 1)
     val e = intercept[IllegalArgumentException] {
       cat.streamChangelog(spark, "c", "t")
+    }
+    assert(e.getMessage.contains("reset the view"))
+  }
+
+  test("expiration prunes the changelog view's storage; a caught-up drain is unaffected; stale view still refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "chg_retain")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    cat.createNamespace("c")
+    val rows = (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v")
+    cat.createTable("c", "t", rows.schema)
+    cat.registerFiles("c", "t", Seq(writeRows(rows)))                  // s1
+    graft.etl.Merge.deleteWherePos(spark, cat, "c", "t", col("id") % 4 === 0) // s2
+    var mirror = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema)
+    def drain(): Long = {
+      var served = 0L
+      val q = cat.streamChangelog(spark, "c", "t")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bb = b.localCheckpoint()
+          served += bb.count()
+          val ords = bb.select("_change_ordinal").distinct()
+            .collect().map(_.getLong(0)).sorted
+          ords.foreach { o =>
+            val sn = bb.filter(col("_change_ordinal") === o)
+            mirror = mirror
+              .unionByName(sn.filter(col("_change_type") === "insert")
+                .drop("_change_type", "_change_ordinal"))
+              .exceptAll(sn.filter(col("_change_type") === "delete")
+                .drop("_change_type", "_change_ordinal"))
+              .localCheckpoint()
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .start()
+      try q.awaitTermination() finally q.stop()
+      served
+    }
+    drain()
+    graft.etl.Merge.materialize(spark, cat, "c", "t")                  // s3
+    drain() // consumer is CAUGHT UP through the retained head
+    def liveEq(): Boolean = {
+      val live = cat.readTable(spark, "c", "t")
+      mirror.exceptAll(live).isEmpty && live.exceptAll(mirror).isEmpty
+    }
+    assert(liveEq())
+    val viewDir = java.nio.file.Paths.get(cat.warehouse, "c", "t", "changelogview")
+    def viewParquets(prefix: String): Long = {
+      val s = Files.walk(viewDir)
+      try s.iterator().asScala.count(p =>
+        p.toString.contains(s"/$prefix") && p.toString.endsWith(".parquet")).toLong
+      finally s.close()
+    }
+    assert(viewParquets("sn1") > 0 && viewParquets("sn2") > 0)
+    cat.expireSnapshots("c", "t", keepLast = 1) // boundary = s2
+    // the expired snapshots' view CONTENT is gone (storage pruned)...
+    assert(viewParquets("sn1") === 0 && viewParquets("sn2") === 0,
+      "expired view dirs kept their parquet content")
+    // ...their dir NAMES remain as materialization evidence...
+    assert(Files.exists(viewDir.resolve("sn1")) &&
+      Files.exists(viewDir.resolve("sn2")))
+    // ...the retained snapshot's view rows survive...
+    assert(viewParquets("sn3") > 0)
+    // ...and the caught-up consumer's next drain serves nothing new and
+    // stays live-equal
+    assert(drain() === 0L, "a caught-up drain re-served rows after pruning")
+    assert(liveEq(), "mirror diverged after view pruning")
+    // new commits keep flowing to the same consumer
+    graft.etl.Merge.mergeIntoMor(spark, cat, "c", "t",
+      Seq((99L, "v99")).toDF("id", "v"), Seq("id"))
+    assert(drain() > 0L)
+    assert(liveEq())
+    // a STALE view still refuses from-empty re-materialization AFTER
+    // pruning — the evidence dirs (names) are what the refusal keys on,
+    // so deleting only their content must not lose that protection:
+    // materialize (never synced into the view) + expire everything else,
+    // then demand a sync — the retained head would materialize from
+    // empty over a populated (pruned) view
+    graft.etl.Merge.materialize(spark, cat, "c", "t")
+    cat.expireSnapshots("c", "t", keepLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      cat.syncChangelogView(spark, "c", "t")
     }
     assert(e.getMessage.contains("reset the view"))
   }

@@ -73,6 +73,55 @@ class ProcedureSpec extends SparkSpec {
     assert(rows.forall(_._3), s"invariant failed: ${rows.mkString(", ")}")
   }
 
+  test("CALL search_text tokenizes under the ONE corpus convention — adversarial queries match the Scala entry") {
+    import org.apache.spark.sql.functions.{asc, desc}
+    import graft.queries.Extensions
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "proctok")
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    val docs = Seq(
+      (1L, "spark shuffles data wins"),
+      (2L, "rger 42 data spark"),
+      (3L, "data data 007 bond"),
+      (4L, "x9 spark42data tail")).toDF("doc_id", "text")
+    graft.operators.TextIndex.buildIndex(spark, cat, "txt", "d", docs,
+      Extensions.tokensExpr)
+    val cname = "gtok" + base.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")
+    spark.conf.set(s"spark.sql.catalog.$cname", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    // beyond the fixture terms: punctuation runs, case, digits-in-words,
+    // unicode (ÄRGER lowercases then splits on the non-[a-z0-9] ä —
+    // whatever the convention yields, BOTH sides must yield it),
+    // duplicate terms
+    val adversarial = Seq(
+      "Spark!!! SHUFFLES??? spark",
+      "ÄRGER 42",
+      "007 spark42data",
+      "data—DATA…data",
+      "x9   wins\t\nbond")
+    for (q <- adversarial) {
+      val viaCall = spark.sql(
+          s"CALL $cname.system.search_text('txt.d', '$q', 10)")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val terms = Extensions.tokenizeQuery(spark, q)
+      assert(terms.nonEmpty, s"fixture query tokenized to nothing: $q")
+      val viaScala = graft.operators.TextIndex
+        .bm25Candidates(spark, cat, "txt", "d", terms)
+        .select(Extensions.bm25RankCols(terms.length): _*)
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(viaCall === viaScala,
+        s"CALL search_text diverged from the Scala entry on: $q")
+      assert(viaCall.nonEmpty, s"adversarial query matched nothing: $q")
+    }
+    // empty-after-strip refuses loudly instead of probing a vacuous union
+    intercept[Exception] {
+      spark.sql(s"CALL $cname.system.search_text('txt.d', '!!! ???', 10)")
+        .collect()
+    }
+    spark.conf.unset(s"spark.sql.catalog.$cname")
+    spark.conf.unset(s"spark.sql.catalog.$cname.warehouse")
+  }
+
   test("CALL rollback_to_snapshot restores state; unknown procedure errors") {
     val (c, cat, _) = setup()
     val d2 = Paths.get(cat.warehouse, "nyc", "t", "data", "r2")

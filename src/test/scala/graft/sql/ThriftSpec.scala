@@ -129,6 +129,37 @@ class ThriftSpec extends SparkSpec {
     }
   }
 
+  test("ANN retrieval over the wire: CALL search_vec matches the Scala entry row-for-row") {
+    import org.apache.spark.sql.functions.col
+    val port = ThriftServe.ensureStarted(spark)
+    val cat = graft.queries.Extensions.ivfPqIndexCatalog(spark, sfDir)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val (probeId, probeVec) =
+      graft.operators.ProductQuantizer.sampleRows(emb).head
+    val expected = graft.operators.IvfPq
+      .search(spark, cat, "vec", "emb", emb, probeId, probeVec, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(expected.size === 10)
+    // the same registration-over-SET + CALL path a BI client has — the
+    // vector twin of the search_text wire test above
+    ThriftServe.withConnection(port) { c =>
+      val st = c.createStatement()
+      val cname = "gwirev_" + java.util.UUID.randomUUID.toString.take(8)
+      st.execute(s"SET spark.sql.catalog.$cname=" +
+        classOf[graft.catalog.GraftSparkCatalog].getName)
+      st.execute(s"SET spark.sql.catalog.$cname.warehouse=${cat.warehouse}")
+      val rs = st.executeQuery(s"CALL $cname.system.search_vec(" +
+        s"'vec.emb', $probeId, 10)")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got === expected,
+        "wire CALL search_vec diverged from the Scala ANN entry")
+      st.close()
+    }
+  }
+
   test("session modes: temp view crosses the wire in singleSession, not in isolated") {
     val port = ThriftServe.ensureStarted(spark)
     // serving a connection in single-session mode mutates the SHARED
