@@ -559,6 +559,14 @@ object ScaleSmoke {
       // the files, a 10-row batch degrades gracefully toward the full
       // read — the win is for small/clustered micro-batches, which is
       // what streaming augmentation triggers actually carry.
+      // round 15: augmentation is two-stage like search — the codes
+      // scan (cheap 8-byte side) still reads the probed-cell union and
+      // saturates for wide batches, but the RAW fetch now tracks the
+      // per-query SHORTLIST span (composed cell+bloom pruning), so
+      // per-batch raw bytes grow with the batch's own shortlist, never
+      // the union. The gradient over batch sizes 1/10/100 is the pin:
+      // raw kept-bytes must stay far below the store total at the
+      // scaled tier even where the codes union has saturated.
       def augmentReport(dir: String, tag: String, batchRows: Int): Unit = {
         import org.apache.spark.sql.execution.FileSourceScanExec
         import graft.operators.IvfPq
@@ -567,24 +575,40 @@ object ScaleSmoke {
           .select(col("vec_id"), col("embedding"))
         val batch = emb.orderBy("vec_id").limit(batchRows)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        val (listed, total) = try {
-          val scans = IvfPq.augmentTop1(spark, cat, "vec", "emb", emb, batch)
-            .queryExecution.executedPlan.collect {
-              case f: FileSourceScanExec => f }
-          val codeFiles = scans.flatMap(_.relation.location.inputFiles)
+        // plan facts must be read while AQE is OFF — an adaptive wrapper
+        // hides the leaf scans from a plain collect
+        val (n, sec, codeFiles, rawListed) = try {
+          val start = System.nanoTime()
+          val frame = IvfPq.augmentTop1(spark, cat, "vec", "emb", emb, batch)
+          val count = frame.count()
+          val elapsed = (System.nanoTime() - start) / 1e9
+          // stage-1 codes scan facts (eager — via the shortlist handle)
+          val cf = IvfPq.lastAugmentShortlist.get()
+            .queryExecution.executedPlan
+            .collect { case f: FileSourceScanExec => f }
+            .flatMap(_.relation.location.inputFiles)
             .filter(_.contains("emb_ivfpq_codes")).distinct
-          (codeFiles.length,
-            cat.loadTable("vec", "emb_ivfpq_codes").filesAsOf(None).size)
+          // stage-2 raw fetch facts (lazy — in the returned frame's plan)
+          val rl = frame.queryExecution.executedPlan
+            .collect { case f: FileSourceScanExec => f }
+            .flatMap(_.relation.location.inputFiles)
+            .filter(_.contains("emb_ivfpq_raw")).distinct
+          (count, elapsed, cf, rl)
         } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-        val t0 = System.nanoTime()
-        val n = IvfPq.augmentTop1(spark, cat, "vec", "emb", emb, batch).count()
-        val sec = (System.nanoTime() - t0) / 1e9
+        val codesTotal =
+          cat.loadTable("vec", "emb_ivfpq_codes").filesAsOf(None).size
+        val rawAll = cat.loadTable("vec", "emb_ivfpq_raw").filesAsOf(None)
+        val rawKept = rawAll.filter(f => rawListed.exists(_.endsWith(f.path)))
         println(f"""{"query":"augment_probe_files","tier":"$tag",""" +
           f""""batch_rows":$batchRows,"augmented":$n,""" +
-          f""""listed_files":$listed,"total_files":$total,"sec":$sec%.2f}""")
+          f""""listed_files":${codeFiles.length},"total_files":$codesTotal,""" +
+          f""""raw_kept_files":${rawKept.size},"raw_total_files":${rawAll.size},""" +
+          f""""raw_kept_mb":${rawKept.map(_.sizeBytes).sum / 1e6}%.2f,""" +
+          f""""raw_total_mb":${rawAll.map(_.sizeBytes).sum / 1e6}%.2f,""" +
+          f""""sec":$sec%.2f}""")
       }
       if (vecOnly.forall(_.contains("q_vec_knn_ivfpq"))) {
-        for (b <- Seq(1, 10)) {
+        for (b <- Seq(1, 10, 100)) {
           augmentReport(sfDir, "base", b)
           augmentReport(scaledDir.toString, "scaled", b)
         }

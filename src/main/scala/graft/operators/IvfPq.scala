@@ -520,18 +520,35 @@ object IvfPq {
     * per-ROW cell ranking as a Spark expression, since collecting the
     * batch to the driver would not scale).
     *
-    * Plan: each batch row ranks the k centroid literals with the same
-    * (cosine DESC, cell ASC) rule as [[probeCells]] ([[rankedCells]] —
-    * the native per-row expression) and explodes its nProbe probed
-    * cells; candidates come from the EQUI-join on `cell` against the
-    * committed codes, manifest-PRUNED to the union of cells any batch
-    * row probes (a small batch reads only its slice of the index; a
-    * batch spanning most cells degrades to the full cell-keyed join —
-    * candidates ∝ batch × occupancy × nProbe either way, never
-    * batch × corpus); the exact re-rank joins candidates back to the
-    * raw vectors BY ID and takes top-1 per query via a
-    * query-PARTITIONED window. Returns (query_id, neighbor_id,
-    * cos_sim). */
+    * Two-stage, exactly like [[search]] (round 15 — before this the
+    * exact re-rank ran over EVERY candidate, so the raw-vector read
+    * spanned the batch's whole probed-cell union: a 10-row batch
+    * already read 203/222 raw files, and production batches saturate
+    * to a full corpus-width read per micro-batch):
+    *
+    *  1. APPROX SHORTLIST over the codes: each batch row ranks the k
+    *     centroid literals with the same (cosine DESC, cell ASC) rule
+    *     as [[probeCells]] ([[rankedCells]]) and explodes its nProbe
+    *     probed cells; candidates come from the EQUI-join on `cell`
+    *     against the committed codes, manifest-PRUNED to the union of
+    *     cells any batch row probes, and score against a PER-QUERY
+    *     asymmetric LUT column (the FAISS ADC table as a Spark
+    *     expression — same math, same fold order, as
+    *     [[ProductQuantizer.approxCosine]]'s driver-side LUT); a
+    *     query-partitioned window keeps the top
+    *     [[ProductQuantizer.shortlistK]] per query. Codes are 8-byte
+    *     words — this stage's I/O is the cheap side of the index.
+    *  2. EXACT RE-RANK over the shortlist only: the ≤ batch×shortlistK
+    *     surviving (neighbor, cell) pairs point-fetch their raw vectors
+    *     through the SAME composed cell-range + vec_id-bloom pruning as
+    *     the single-query path, so raw bytes track the SHORTLIST's file
+    *     span (~1 clustered file per id), not the probed-cell union;
+    *     exact cosine + a query-partitioned top-1 window finish.
+    *
+    * Returns (query_id, neighbor_id, cos_sim). The shortlist ids
+    * collect to the driver for the bloom probe — bounded by
+    * batch × shortlistK distinct ids (the same order as the result
+    * itself); the emb fallback keeps pre-raw-store indexes working. */
   def augmentTop1(s: SparkSession, cat: GraftCatalog, ns: String,
                   table: String, emb: DataFrame, batch: DataFrame,
                   widen: Double = 1.0): DataFrame = {
@@ -543,6 +560,7 @@ object IvfPq {
     // session `s` and the micro-batch's session can differ
     val dot = dotCol(batch.sparkSession) _
     val cents = loadCells(s, cat, ns, table)
+    val model = loadModel(s, cat, ns, table)
     // probe breadth: the index's own policy fraction, widened
     // multiplicatively where the caller's task is stricter than top-k
     // overlap (top-1 retrieval needs ONE specific vector probed)
@@ -560,53 +578,126 @@ object IvfPq {
       // outside the collected union, and the pruned read would silently
       // lose those candidates. Blocks free when the frame is GC'd.
       .localCheckpoint()
-    val byCell = ranked.select(col("query_id"), col("qe"),
+    // per-QUERY asymmetric LUT as a column (the FAISS ADC table):
+    // lut[m][k] = dot(qe[m·sub .. (m+1)·sub), cbook[m][k]) with the
+    // SAME double arithmetic in the SAME index-ordered fold as
+    // [[ProductQuantizer.approxCosine]]'s driver-side table, so batch
+    // scoring is bit-identical to what the single-query path computes
+    // for the same (query, code) pair
+    val sub = model.sub
+    val booksLit = typedLit(model.cbooks.map(_.map(_.map(_.toDouble))))
+    val cn2Lit = typedLit(model.cbooks.map(_.map(c =>
+      c.zip(c).map { case (x, y) => x.toDouble * y.toDouble }.sum)))
+    val lutCol = transform(booksLit, (bm, m) =>
+      transform(bm, ck =>
+        aggregate(
+          zip_with(slice(col("qe"), m * lit(sub) + lit(1), lit(sub)), ck,
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, x) => acc + x)))
+    val queries = ranked.select(col("query_id"),
+      lutCol.as("lut"), sqrt(dot(col("qe"), col("qe"))).as("qnorm"))
+    val byCell = ranked.select(col("query_id"),
       explode(col("cells")).as("cell"))
     // manifest-prune the index read to the UNION of cells any batch row
     // probes — without this the join scanned the FULL cell range, i.e.
     // O(index) per call: for a streaming micro-batch against a 100 TB
     // index that is the whole index re-read every trigger, where the
     // union is ~batch × nProbe distinct cells (bounded by k either way,
-    // so the collect is a ≤k-long driver fetch). Large batches degrade
-    // gracefully — the union saturates at all k cells, exactly the old
-    // full read.
+    // so the collect is a ≤k-long driver fetch). The CODES are the
+    // cheap 8-byte side — a wide batch saturating the union reads the
+    // full code width, never the raw vectors (stage 2 below).
     val probedUnion = byCell.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
+    def emptyResult() =
+      ranked.select(col("query_id"), col("query_id").as("neighbor_id"),
+        lit(0.0).as("cos_sim")).limit(0)
     if (probedUnion.isEmpty)
       // empty batch: no cells to probe — return the empty result frame
       // rather than handing readTableWhereAnyLive a vacuous range set
-      return byCell.select(col("query_id"), col("query_id").as("neighbor_id"),
-        lit(0.0).as("cos_sim")).limit(0)
-    // the LIVE read (pruned to the probed union): position-delete
-    // tombstones apply exactly as in [[probedCodes]] — a vector deleted
-    // from the corpus must not surface as anyone's neighbor, even
-    // before compaction
-    val cand = byCell
+      return emptyResult()
+    // STAGE 1 — approximate shortlist per query. The LIVE read (pruned
+    // to the probed union): position-delete tombstones apply exactly as
+    // in [[probedCodes]] — a vector deleted from the corpus must not
+    // surface as anyone's neighbor, even before compaction.
+    def codeSum(tbl: Column): Column = (0 until ProductQuantizer.M).map { m =>
+      val code = shiftright(col("codes"), 4 * m).bitwiseAND(lit(15L)).cast("int")
+      element_at(element_at(tbl, m + 1), code + lit(1))
+    }.reduce(_ + _)
+    val scored = byCell
       .join(cat.readTableWhereAnyLive(s, ns, s"${table}_ivfpq_codes",
           "cell", probedUnion.map(c => c.toDouble -> c.toDouble),
           appendOnlyKey = Some("vec_id"))
-        .select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+        .select(col("vec_id").as("neighbor_id"), col("cell"),
+          col("codes")), Seq("cell"))
       // self-exclusion: when the batch overlaps the indexed corpus (the
       // NN-graph growth case), a query's own code row would win rk=1 at
       // cos_sim 1.0 — the per-row analog of search's probeId filter
       .filter(col("neighbor_id") =!= col("query_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos_sim"), asc("neighbor_id"))
-    // the exact re-rank's vector source: the committed raw store when
-    // the index carries one, pruned to the SAME probed-cell union as
-    // the candidate codes scan (every candidate's raw row lives in a
-    // probed cell — identical deterministic assignment), so the raw
-    // read tracks the batch's index slice instead of the whole corpus;
-    // the emb fallback keeps pre-raw-store indexes working
+      // the fat LUT rides a BROADCAST of the (tiny) query side into a
+      // pipelined projection — candidate rows shuffle slim
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        (codeSum(col("lut")) / (col("qnorm") * sqrt(codeSum(cn2Lit))))
+          .as("approx"))
+    // the per-query shortlist CAP engages only when it saves real I/O:
+    // the manifest's probed-row estimate (same metadata the single-
+    // query path reads) against a small-corpus threshold — below it the
+    // whole candidate set re-ranks exactly (FAISS's brute-force-small-
+    // collections convention; the raw fetch is tiny there anyway, and
+    // results stay bit-identical to the pre-shortlist plan the per-SF
+    // pins were captured on). Above it, top-shortlistK per query.
+    val probedRowsEst = cat.loadTable(ns, s"${table}_ivfpq_codes")
+      .filesAsOf(None).filter { f =>
+        f.colRanges.flatMap(_.get("cell")) match {
+          case Some(rg) => probedUnion.exists(c => rg.max >= c && rg.min <= c)
+          case None     => true
+        }
+      }.map(_.rowCount).sum
+    val capEngaged = probedRowsEst > 16L * ProductQuantizer.shortlistK
+    val wA = Window.partitionBy("query_id")
+      .orderBy(desc("approx"), asc("neighbor_id"))
+    val slimLazy =
+      if (capEngaged)
+        scored.withColumn("ark", row_number().over(wA))
+          .filter(col("ark") <= ProductQuantizer.shortlistK)
+          .select("query_id", "neighbor_id", "cell")
+      // uncapped: every candidate re-ranks exactly — no window, and
+      // Catalyst prunes the unused approx/LUT columns away entirely
+      else scored.select("query_id", "neighbor_id", "cell")
+    // plan-inspection handle (the [[lastShortlist]] convention): the
+    // codes scan executes eagerly below, so specs and the scale smoke
+    // read the stage-1 pruning facts from here
+    lastAugmentShortlist.set(slimLazy)
+    // deterministic (total order per query), materialized once: the
+    // driver id fetch below and the re-rank join must see the SAME rows
+    val slim = slimLazy.localCheckpoint()
+    // STAGE 2 — exact re-rank over the shortlist only. The surviving
+    // (neighbor, cell) pairs are a bounded driver fetch
+    // (≤ batch × shortlistK, deduped across queries — the same order
+    // as the result the caller collects anyway); their raw vectors
+    // point-fetch through the composed cell-range + vec_id-bloom
+    // pruning ([[GraftCatalog.readTableWhereRangesAndIds]]), so the
+    // raw read tracks the shortlist's file span, never the probed-cell
+    // union. Row selection is the JOIN itself — no O(ids) In-filter in
+    // the plan.
+    val pairs = slim.select("neighbor_id", "cell").distinct().collect()
+    if (pairs.isEmpty) return emptyResult()
+    val ids = pairs.map(_.getLong(0)).toSeq
+    val cellRanges = pairs.map(_.getLong(1)).distinct.sorted
+      .map(c => c.toDouble -> c.toDouble).toSeq
     val vecSrc =
       if (cat.tableExists(ns, rawTable(table)))
-        cat.readTableWhereAnyLive(s, ns, rawTable(table), "cell",
-            probedUnion.map(c => c.toDouble -> c.toDouble))
+        cat.readTableWhereRangesAndIds(s, ns, rawTable(table),
+            "cell", cellRanges, "vec_id", ids)
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       else emb.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce"))
-    cand
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    slim
       .join(vecSrc, Seq("neighbor_id"))
+      .join(broadcast(ranked.select(col("query_id"), col("qe"))),
+        Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qe"), col("ce")) /
           (sqrt(dot(col("qe"), col("qe"))) *
@@ -796,6 +887,12 @@ object IvfPq {
     * longer appears in the returned frame's plan — specs and the scale
     * smoke read the executed pruning facts from here. */
   private[graft] val lastRerank = new ThreadLocal[DataFrame]()
+
+  /** The last [[augmentTop1]] call's stage-1 SHORTLIST frame (pre-
+    * materialization) — carries the pruned codes scan + per-query LUT
+    * scoring + top-shortlistK window for plan inspection, since the
+    * returned frame's plan starts at the checkpointed shortlist. */
+  private[graft] val lastAugmentShortlist = new ThreadLocal[DataFrame]()
 
   private def searchProbed(s: SparkSession, cat: GraftCatalog, ns: String,
                            table: String, emb: DataFrame, probeId: Long,

@@ -291,10 +291,13 @@ class IvfPqSpec extends SparkSpec {
     // table holds (before this pin, augmentation scanned the FULL cell
     // range: O(index) per streaming micro-batch)
     val one = emb.orderBy("vec_id").limit(1)
-    // AQE wraps the plan — disable it so collect sees the raw scans
+    // AQE wraps the plan — disable it so collect sees the raw scans.
+    // The codes scan executes eagerly inside the stage-1 shortlist
+    // (round 15) — inspect it via the lastAugmentShortlist handle.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val scans = try {
-      IvfPq.augmentTop1(spark, cat, "vec", "emb", emb, one)
+      IvfPq.augmentTop1(spark, cat, "vec", "emb", emb, one).collect()
+      IvfPq.lastAugmentShortlist.get()
         .queryExecution.executedPlan.collect {
           case f: FileSourceScanExec => f }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")

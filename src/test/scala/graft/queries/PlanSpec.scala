@@ -678,9 +678,13 @@ class PlanSpec extends SparkSpec {
   test("composite-filter ANN: both conjuncts pre-apply on the codes scan — no join back to the corpus") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
     val p = plan("q_vec_knn_filtered_multi")
-    // final plan = the bloom-pruned raw re-rank (shortlist ran eagerly)
-    assert(p.collect { case t: TakeOrderedAndProjectExec => t }
-      .map(_.limit).toSet === Set(10))
+    // final plan ranks the COLLECTED point-fetch locally (round 15: one
+    // action fetches and sync-guards) — no file scan may remain in it;
+    // the optimizer is free to fold the local top-k (TakeOrdered vs an
+    // evaluated LocalTableScan), so pin the absence of re-reads, not
+    // the node shape
+    assert(p.collect { case f: FileSourceScanExec => f }.isEmpty,
+      "the final rank must run over the collected rows — no file re-read")
     val shortlist = graft.operators.IvfPq.lastShortlist.get()
       .queryExecution.executedPlan
     assert(shortlist.collect { case t: TakeOrderedAndProjectExec => t }
