@@ -640,20 +640,22 @@ object IvfPq {
         (codeSum(col("lut")) / (col("qnorm") * sqrt(codeSum(cn2Lit))))
           .as("approx"))
     // the per-query shortlist CAP engages only when it saves real I/O:
-    // the manifest's probed-row estimate (same metadata the single-
-    // query path reads) against a small-corpus threshold — below it the
-    // whole candidate set re-ranks exactly (FAISS's brute-force-small-
-    // collections convention; the raw fetch is tiny there anyway, and
-    // results stay bit-identical to the pre-shortlist plan the per-SF
-    // pins were captured on). Above it, top-shortlistK per query.
-    val probedRowsEst = cat.loadTable(ns, s"${table}_ivfpq_codes")
-      .filesAsOf(None).filter { f =>
-        f.colRanges.flatMap(_.get("cell")) match {
-          case Some(rg) => probedUnion.exists(c => rg.max >= c && rg.min <= c)
-          case None     => true
-        }
-      }.map(_.rowCount).sum
-    val capEngaged = probedRowsEst > 16L * ProductQuantizer.shortlistK
+    // the manifest's PER-QUERY candidate estimate — nProbe × average
+    // cell occupancy (total live rows / k, the same metadata the
+    // single-query path reads) — against a small-corpus threshold.
+    // Below it the whole candidate set re-ranks exactly (FAISS's
+    // brute-force-small-collections convention; the raw fetch is tiny
+    // there anyway, and results stay bit-identical to the
+    // pre-shortlist plan the per-SF pins were captured on). The
+    // estimate is deliberately per-QUERY, not the batch union's row
+    // count: the cap bounds each query's shortlist, and a wide batch
+    // saturating the union says nothing about how many candidates any
+    // single query faces.
+    val totalRowsEst = cat.loadTable(ns, s"${table}_ivfpq_codes")
+      .filesAsOf(None).map(_.rowCount).sum
+    val perQueryRowsEst =
+      probeN.toDouble * totalRowsEst / math.max(1, cents.size)
+    val capEngaged = perQueryRowsEst > 16.0 * ProductQuantizer.shortlistK
     val wA = Window.partitionBy("query_id")
       .orderBy(desc("approx"), asc("neighbor_id"))
     val slimLazy =
