@@ -584,8 +584,9 @@ class GraftCatalog(val warehouse: String) {
     * instead of silently erasing it — every rewrite-shaped caller
     * (compaction, maintenance, rollback, DML) should pass it. */
   def overwrite(ns: String, t: String, files: Seq[DataFileMeta],
-                baseSnapshotId: Option[Long] = None): TableMeta =
-    commitSnapshot(ns, t, "overwrite", files, baseSnapshotId)
+                baseSnapshotId: Option[Long] = None,
+                foldAppends: Boolean = true): TableMeta =
+    commitSnapshot(ns, t, "overwrite", files, baseSnapshotId, foldAppends)
 
   /** Stat the given parquet paths (size + exact footer row count, like the
     * importer does per file) and commit them in one snapshot. Directories
@@ -594,10 +595,12 @@ class GraftCatalog(val warehouse: String) {
     * pass the snapshot their rewrite read. */
   def registerFiles(ns: String, t: String, paths: Seq[Path],
                     operation: String = "append",
-                    baseSnapshotId: Option[Long] = None): TableMeta = {
+                    baseSnapshotId: Option[Long] = None,
+                    foldAppends: Boolean = true): TableMeta = {
     val expanded = paths.flatMap(p =>
       if (Files.isDirectory(p)) findParquet(p) else Seq(p))
-    commitSnapshot(ns, t, operation, statFiles(expanded), baseSnapshotId)
+    commitSnapshot(ns, t, operation, statFiles(expanded), baseSnapshotId,
+      foldAppends)
   }
 
   /** [[registerFiles]] + a per-commit bloom sidecar over `bloomColumns`
@@ -609,20 +612,23 @@ class GraftCatalog(val warehouse: String) {
   def registerFilesWithBlooms(spark: SparkSession, ns: String, t: String,
                               paths: Seq[Path], bloomColumns: Seq[String],
                               operation: String = "append",
-                              baseSnapshotId: Option[Long] = None): TableMeta = {
+                              baseSnapshotId: Option[Long] = None,
+                              foldAppends: Boolean = true): TableMeta = {
     val expanded = paths.flatMap(p =>
       if (Files.isDirectory(p)) findParquet(p) else Seq(p))
     val stated = statFiles(expanded)
     // zero files = an empty commit, same as registerFiles — there is
     // nothing to sketch (buildSidecar would otherwise crash on an
     // unrelated empty.max)
-    if (stated.isEmpty) commitSnapshot(ns, t, operation, stated, baseSnapshotId)
+    if (stated.isEmpty) commitSnapshot(ns, t, operation, stated,
+      baseSnapshotId, foldAppends)
     else {
       val dir = tableDir(ns, t).resolve("bloom")
         .resolve(s"bloom-${Stamp.next()}")
       BloomIndex.buildSidecar(spark, stated, bloomColumns, dir)
       commitSnapshot(ns, t, operation,
-        stated.map(_.copy(bloomPath = Some(dir.toString))), baseSnapshotId)
+        stated.map(_.copy(bloomPath = Some(dir.toString))),
+        baseSnapshotId, foldAppends)
     }
   }
 
@@ -832,7 +838,8 @@ class GraftCatalog(val warehouse: String) {
 
   private def commitSnapshot(ns: String, t: String, operation: String,
                              files: Seq[DataFileMeta],
-                             baseSnapshotId: Option[Long] = None): TableMeta = withCommitRetry {
+                             baseSnapshotId: Option[Long] = None,
+                             foldAppends: Boolean = true): TableMeta = withCommitRetry {
     val (meta, observedVersion) = loadTableAt(ns, t)
     // Overwrite-base validation (Iceberg's RewriteFiles rule): an
     // overwrite's file list is a function of rows READ AT ITS BASE
@@ -860,7 +867,13 @@ class GraftCatalog(val warehouse: String) {
                 "back) — re-derive from the current state")
             meta.snapshots.drop(idx + 1)
           }
-        raced.find(sn => sn.operation != "append" || sn.isStaged)
+        // foldAppends = false is the MODEL-CHANGING rebuild contract
+        // (new quantizer cells, new tokenizer): a racing append's rows
+        // were encoded under the OLD model, so folding them into the
+        // rebuilt state would corrupt it — refuse ANY racing commit
+        // and let the caller re-derive under the new model instead.
+        raced.find(sn => sn.operation != "append" || sn.isStaged ||
+            !foldAppends)
           .foreach { sn =>
             throw new ConcurrentOverwriteException(
               s"$ns.$t: overwrite derived at snapshot $base conflicts " +

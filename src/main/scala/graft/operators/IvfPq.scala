@@ -301,12 +301,15 @@ object IvfPq {
   }
 
   private def commitDf(cat: GraftCatalog, ns: String, t: String,
-                       df: DataFrame, operation: String): TableMeta = {
+                       df: DataFrame, operation: String,
+                       baseSnapshotId: Option[Long] = None): TableMeta = {
     val dir = Paths.get(cat.warehouse, ns, t, "data",
       s"ivfpq-${graft.catalog.Stamp.next()}")
     df.write.parquet(dir.toString)
     if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
-    cat.registerFiles(ns, t, Seq(dir), operation = operation)
+    // model-changing rebuilds carry a STRICT base (see [[buildIndex]])
+    cat.registerFiles(ns, t, Seq(dir), operation = operation,
+      baseSnapshotId = baseSnapshotId, foldAppends = baseSnapshotId.isEmpty)
   }
 
   private[graft] def rawTable(table: String): String = s"${table}_ivfpq_raw"
@@ -337,15 +340,18 @@ object IvfPq {
     * an id the re-rank store lacks (the silent-drop direction). */
   private def commitRaw(spark: SparkSession, cat: GraftCatalog, ns: String,
                         table: String, cents: Seq[Seq[Float]],
-                        emb: DataFrame, operation: String): TableMeta = {
+                        emb: DataFrame, operation: String,
+                        baseSnapshotId: Option[Long] = None): TableMeta = {
     val t = rawTable(table)
     val df = rawRows(cents, emb)
     val dir = Paths.get(cat.warehouse, ns, t, "data",
       s"ivfpq-${graft.catalog.Stamp.next()}")
     df.write.parquet(dir.toString)
     if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
+    // model-changing rebuilds carry a STRICT base (see [[buildIndex]])
     cat.registerFilesWithBlooms(spark, ns, t, Seq(dir), Seq("vec_id"),
-      operation = operation)
+      operation = operation,
+      baseSnapshotId = baseSnapshotId, foldAppends = baseSnapshotId.isEmpty)
   }
 
   /** Train both quantizer halves on the deterministic sample and COMMIT
@@ -475,15 +481,37 @@ object IvfPq {
   }
 
   /** Build and COMMIT the whole index in one shot: train ([[initIndex]])
-    * + ONE corpus encode scan. Returns the codes-table meta. */
+    * + ONE corpus encode scan. Returns the codes-table meta.
+    *
+    * A REBUILD (codes table already exists) is MODEL-CHANGING — new
+    * cells, new codebooks — so its overwrites carry a STRICT base
+    * (foldAppends = false): a maintaining stream's append racing the
+    * rebuild encoded its rows under the OLD model, and folding them in
+    * would mix two quantizers in one committed state (silently wrong
+    * scores AND wrong cell pruning). The racing side — whichever loses —
+    * gets a loud ConcurrentOverwriteException; re-running the rebuild
+    * re-reads the corpus, which includes the batch's vectors. A refusal
+    * BETWEEN the raw and codes commits leaves the two stores on
+    * different models; that window is loud, not silent — cell-range
+    * pruning against mismatched cell numbering starves the fetch and
+    * trips the re-rank sync guard until the rebuild is re-run. */
   def buildIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
                  table: String, emb: DataFrame): TableMeta = {
+    val t = s"${table}_ivfpq_codes"
+    val rT = rawTable(table)
+    val codesBase =
+      if (cat.tableExists(ns, t)) Some(cat.loadTable(ns, t).currentSnapshotId)
+      else None
+    val rawBase =
+      if (cat.tableExists(ns, rT)) Some(cat.loadTable(ns, rT).currentSnapshotId)
+      else None
     val (cents, model) = initIndex(spark, cat, ns, table, emb)
     // raw re-rank store first (the appendCodes ordering rule); a rebuild
     // overwrites it under the NEW cells so cell pruning stays aligned
-    commitRaw(spark, cat, ns, table, cents, emb, "overwrite")
-    commitDf(cat, ns, s"${table}_ivfpq_codes",
-      encode(cents, model, emb), "overwrite")
+    commitRaw(spark, cat, ns, table, cents, emb, "overwrite",
+      baseSnapshotId = rawBase)
+    commitDf(cat, ns, t, encode(cents, model, emb), "overwrite",
+      baseSnapshotId = codesBase)
   }
 
   /** Rehydrate the coarse centroids from the committed cells table —

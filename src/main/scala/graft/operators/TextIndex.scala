@@ -138,7 +138,8 @@ object TextIndex {
   private def commitPostings(spark: SparkSession, cat: GraftCatalog,
                              ns: String, table: String, docs: DataFrame,
                              tokensExpr: String,
-                             operation: String): TableMeta = {
+                             operation: String,
+                             strictBases: Map[String, Long] = Map.empty): TableMeta = {
     // tokenize ONCE: postings and the stats delta both derive from the
     // persisted token arrays (re-running the tokenizer for the stats
     // row would double the dominant build cost)
@@ -194,7 +195,13 @@ object TextIndex {
         val dir = Paths.get(cat.warehouse, ns, t, "data", tag, sub)
         df.write.mode("overwrite").parquet(dir.toString)
         if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
-        cat.registerFiles(ns, t, Seq(dir), operation = operation)
+        // a REBUILD may change the tokenizer, so its overwrites carry a
+        // STRICT base (foldAppends=false): a racing appendDocs tokenized
+        // under the old convention must refuse loudly, never fold into
+        // a mixed-convention index (the IvfPq.buildIndex contract)
+        cat.registerFiles(ns, t, Seq(dir), operation = operation,
+          baseSnapshotId = strictBases.get(t),
+          foldAppends = !strictBases.contains(t))
       }
       val pTab = s"${table}_postings"
       val sTab = s"${table}_stats"
@@ -212,8 +219,14 @@ object TextIndex {
     * range-clustered postings commit, one stats row. */
   def buildIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
                  table: String, docs: DataFrame,
-                 tokensExpr: String): TableMeta =
-    commitPostings(spark, cat, ns, table, docs, tokensExpr, "overwrite")
+                 tokensExpr: String): TableMeta = {
+    // pin STRICT bases for a rebuild over existing tables — see land()
+    val bases = Seq(s"${table}_postings", s"${table}_stats")
+      .filter(cat.tableExists(ns, _))
+      .map(t => t -> cat.loadTable(ns, t).currentSnapshotId).toMap
+    commitPostings(spark, cat, ns, table, docs, tokensExpr, "overwrite",
+      strictBases = bases)
+  }
 
   /** Incrementally index NEW documents (caller guarantees unseen
     * doc_ids — the corpus is append-only under dedup upstream): appends

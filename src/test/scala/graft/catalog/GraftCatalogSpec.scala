@@ -337,6 +337,29 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("strict overwrite (foldAppends=false) refuses even racing appends — the model-changing rebuild contract") {
+    val (_, wh) = freshDirs()
+    val cat = new GraftCatalog(wh.toString)
+    cat.createTable("ns", "t", StructType(Seq(StructField("id", LongType))))
+    cat.append("ns", "t", Seq(DataFileMeta("/a.parquet", 1L, 1L)))
+    val base = cat.loadTable("ns", "t").currentSnapshotId
+    // a racing append encoded under the OLD model must not fold into a
+    // rebuilt state — strict mode refuses it loudly
+    cat.append("ns", "t", Seq(DataFileMeta("/old-model.parquet", 2L, 2L)))
+    intercept[ConcurrentOverwriteException] {
+      cat.overwrite("ns", "t", Seq(DataFileMeta("/rebuilt.parquet", 1L, 1L)),
+        baseSnapshotId = Some(base), foldAppends = false)
+    }
+    // nothing was lost: both pre-race files remain live
+    assert(cat.files("ns", "t").map(_.path).sorted ===
+      Seq("/a.parquet", "/old-model.parquet"))
+    // un-raced strict overwrite goes through (the common rebuild case)
+    val base2 = cat.loadTable("ns", "t").currentSnapshotId
+    cat.overwrite("ns", "t", Seq(DataFileMeta("/rebuilt.parquet", 1L, 1L)),
+      baseSnapshotId = Some(base2), foldAppends = false)
+    assert(cat.files("ns", "t").map(_.path) === Seq("/rebuilt.parquet"))
+  }
+
   test("threaded: a compaction-shaped overwrite racing live appends loses no row") {
     val (_, wh) = freshDirs()
     val cat = new GraftCatalog(wh.toString)

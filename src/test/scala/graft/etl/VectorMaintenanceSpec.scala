@@ -313,6 +313,51 @@ class VectorMaintenanceSpec extends SparkSpec {
     assert(top.length === 5, "post-race search broke")
   }
 
+  test("rebuild racing a live appendCodes never mixes models: refused loudly or serialized cleanly") {
+    val cat = freshCat()
+    val corpus = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val (cents, model) = IvfPq.initIndex(spark, cat, "vec", "emb", corpus)
+    IvfPq.appendCodes(spark, cat, "vec", "emb", cents, model, corpus)
+    val rebuildErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val otherErrs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val rebuilder = new Thread(() => {
+      try { gate.await()
+        IvfPq.buildIndex(spark, cat, "vec", "emb", corpus); ()
+      } catch { case t: Throwable => rebuildErr.set(t); () }
+    })
+    val appender = new Thread(() => {
+      try { gate.await()
+        IvfPq.appendCodes(spark, cat, "vec", "emb", cents, model, batch); ()
+      } catch { case t: Throwable => otherErrs.add(t); () }
+    })
+    Seq(rebuilder, appender).foreach(_.start())
+    gate.countDown()
+    Seq(rebuilder, appender).foreach(_.join(120000))
+    assert(otherErrs.isEmpty,
+      s"the appending side must never fail: ${otherErrs.toArray.mkString(", ")}")
+    rebuildErr.get() match {
+      case null =>
+        // rebuild won cleanly (no interleaved commit): the index is on
+        // ONE model; if the batch stacked after, its ids are in BOTH
+        // stores (raw-first ordering), never codes-only
+        val codeIds = cat.readTable(spark, "vec", "emb_ivfpq_codes")
+          .select("vec_id").distinct()
+        assert(codeIds.join(
+            cat.readTable(spark, "vec", "emb_ivfpq_raw").select("vec_id"),
+            Seq("vec_id"), "left_anti").count() === 0,
+          "a code id has no raw row after the rebuild race")
+      case e: graft.catalog.ConcurrentOverwriteException =>
+        // rebuild REFUSED the interleaved old-model append — nothing
+        // was lost and nothing mixed: every appended id is still live
+        assert(cat.readTable(spark, "vec", "emb_ivfpq_codes")
+          .select("vec_id").distinct().count() === emb.count(),
+          s"refused rebuild lost rows: ${e.getMessage}")
+      case other => fail(s"unexpected rebuild failure: $other")
+    }
+  }
+
   test("compaction purges debt, restores <= k files, keeps answers") {
     val (cat, probeId, probeVec) = grownIndex()
     def meta = cat.loadTable("vec", "emb_ivfpq_codes")
