@@ -50,8 +50,16 @@ object VectorMaintenance {
     * constant). One overwrite snapshot, stamped through the shared
     * collision-safe [[graft.catalog.Stamp]] like every other index
     * commit path; returns the new codes-table meta. */
+  /** `interleave`: a DETERMINISTIC race seam for specs — runs after the
+    * rewrite derived and wrote its files, immediately before the
+    * overwrite commit (the exact window a streaming append races into).
+    * Production callers leave the default no-op; the spec lands a real
+    * append inside it and proves the base-folded commit keeps every
+    * row — the threaded race spec then covers the nondeterministic
+    * schedules on top. */
   def compactIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
-                   table: String): TableMeta = {
+                   table: String,
+                   interleave: () => Unit = () => ()): TableMeta = {
     val t = s"${table}_ivfpq_codes"
     val k = cat.readTable(spark, ns, s"${table}_ivfpq_cells").count().toInt
     // pin the DERIVATION BASE and read AS OF it: the overwrite commit
@@ -72,6 +80,7 @@ object VectorMaintenance {
     live.repartitionByRange(k, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
       .write.parquet(dir.toString)
+    interleave()
     val meta = cat.registerFiles(ns, t, Seq(dir), operation = "overwrite",
       baseSnapshotId = Some(base))
     // the raw re-rank store pays down the same two debts when present:

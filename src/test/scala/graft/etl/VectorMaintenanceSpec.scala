@@ -273,6 +273,38 @@ class VectorMaintenanceSpec extends SparkSpec {
     assert(cells.nonEmpty) // fixture sanity
   }
 
+  test("DETERMINISTIC interleave: an append landing inside compaction's commit window folds in, no row lost") {
+    val cat = freshCat()
+    val corpus = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val (cents, model) = IvfPq.initIndex(spark, cat, "vec", "emb", corpus)
+    IvfPq.appendCodes(spark, cat, "vec", "emb", cents, model, corpus)
+    // the interleave seam lands a REAL append exactly between the
+    // compaction's rewrite (derived at its pinned base) and its
+    // overwrite commit — before the round-15 base validation this was
+    // the window that silently erased the batch
+    VectorMaintenance.compactIndex(spark, cat, "vec", "emb",
+      interleave = () => {
+        IvfPq.appendCodes(spark, cat, "vec", "emb", cents, model, batch)
+        ()
+      })
+    val codeIds = cat.readTable(spark, "vec", "emb_ivfpq_codes")
+      .select("vec_id")
+    assert(codeIds.count() === emb.count(),
+      "the interleaved append's vectors were erased by the compaction")
+    assert(codeIds.distinct().count() === emb.count())
+    // raw store consistent: every code id resolves (raw-first ordering
+    // + the tombstone-diff purge that spares non-tombstoned ids)
+    assert(codeIds.join(
+        cat.readTable(spark, "vec", "emb_ivfpq_raw").select("vec_id"),
+        Seq("vec_id"), "left_anti").count() === 0,
+      "a folded-in vector lost its raw re-rank row")
+    // the serve path answers on a folded-in vector
+    val (pid, pvec) = ProductQuantizer.sampleRows(batch).head
+    assert(IvfPq.search(spark, cat, "vec", "emb", emb, pid, pvec, k = 5)
+      .collect().length === 5)
+  }
+
   test("compactIndex racing a live appendCodes loses no vector; search stays consistent") {
     val cat = freshCat()
     val half = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
