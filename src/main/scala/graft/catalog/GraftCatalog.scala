@@ -1968,9 +1968,12 @@ class GraftCatalog(val warehouse: String) {
     if (Files.exists(clv)) {
       val ls = Files.list(clv)
       val pruned = try ls.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("sn") && n.stripPrefix("sn").forall(_.isDigit) &&
-          n.stripPrefix("sn").toLong <= boundary.id
+        val digits = p.getFileName.toString match {
+          case n if n.startsWith("sn") => n.stripPrefix("sn")
+          case _ => ""
+        }
+        digits.nonEmpty && digits.forall(_.isDigit) &&
+          digits.toLong <= boundary.id
       }.toList finally ls.close()
       pruned.foreach { d =>
         val fs = Files.list(d)
