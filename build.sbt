@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output inherits this process's stdout/stderr directly
+// instead of going through sbt's logger: the bench/verify contract is ONE
+// machine-parseable JSON line on stdout, and the logger's `[info] ` prefix
+// broke the driver's parse in rounds 14-15 (`"parsed": null`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -174,11 +174,23 @@ object Sf1Gen {
     // measures avg 54.1 tokens/doc; a first cut at 20..149 made the sf1
     // token volume 15.5× instead of 10×, inflating every text-family
     // bench ratio by 1.55×)
-    val text = array_join(transform(
+    val text0 = array_join(transform(
       sequence(lit(1), (hmod(71, col("id"), 70) + 20).cast("int")),
       i => element_at(typedLit(dict),
         pmod(xxhash64(lit(72), col("id"), i), lit(dict.size.toLong))
           .cast("int") + 1)), " ")
+    // CROSS-DOC BOILERPLATE: ~1% of docs carry this fixed 26-token legal
+    // footer, the template-duplication shape q_dedup_substring (L45)
+    // exists to find. The sf0.1 driver fixture has such runs by chance;
+    // a first sf1 draw had none (round-15 W4: the operator was 0-row at
+    // sf1 only) — planting them deterministically keeps the operator
+    // non-vacuous at every SF. Token volume impact: +26 tokens on 1/97
+    // of docs ≈ +0.5%, below bench-ratio noise.
+    val boiler = "this document is provided as is without warranty of " +
+      "any kind express or implied including but not limited to " +
+      "merchantability fitness and noninfringement of the content"
+    val text = when(pmod(col("id"), lit(97L)) === 0L,
+      concat(text0, lit(" " + boiler))).otherwise(text0)
     write("documents", spark.range(nDocs).select(
       col("id").as("doc_id"),
       text.as("text"),

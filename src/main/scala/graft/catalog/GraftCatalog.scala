@@ -278,6 +278,16 @@ case class ImportSummary(namespace: String, table: String, files: Long, rows: Lo
 case class ExpireResult(expiredSnapshots: Int, deletedFiles: Int,
                         remainingSnapshots: Int)
 
+/** [[GraftCatalog.changelogViewStats]] report: the changelog stream
+  * view's on-disk footprint. `prunedDirs` are `sn<id>` dirs whose
+  * CONTENT retention already reclaimed (names kept as stale-view
+  * refusal evidence); `prunedThroughSnapshot` is the highest such id
+  * (0 = nothing pruned); `maxSnapshot` the highest materialized id. */
+case class ChangelogViewStats(materializedDirs: Int, prunedDirs: Int,
+                              liveFiles: Long, liveBytes: Long,
+                              prunedThroughSnapshot: Long,
+                              maxSnapshot: Long)
+
 /** One Iceberg-style BRANCH: a mutable named ref carrying its own linear
   * delta log on top of the main-history snapshot it forked from
   * (`forkId`; 0 = forked from the empty table). Branch snapshots use the
@@ -894,6 +904,44 @@ class GraftCatalog(val warehouse: String) {
     next
   }
 
+  /** Delta-commit base validation — the mirror of the overwrite's rule
+    * (Iceberg's `RowDelta.validateDataFilesExist`): a delete/merge
+    * snapshot's tuples were DERIVED from rows read at the base snapshot.
+    * A racing live OVERWRITE (compaction, copy-on-write DML, rollback,
+    * materialize) replaced the file set the tuples reference — a
+    * position delete's `(file_path, pos)` rows now name files outside
+    * the live state fold and silently no-op (the "deleted" rows
+    * resurrect — the RTBF-relevant silent-erasure class), and an
+    * equality delete's key set was computed from row values the
+    * overwrite may have changed (a write-write conflict under
+    * serializable isolation). Racing APPENDS are compatible: position
+    * tuples never reference the new files, and equality deletes apply
+    * key-wise to every earlier file including appended ones — Iceberg's
+    * snapshot-isolation default for row deltas. Racing DELTA commits
+    * also commute (they only add delete debt; no file is removed).
+    * Callers passing no base keep the old blind-commit semantics. */
+  private def validateDeltaBase(meta: TableMeta, ns: String, t: String,
+                                base: Long, what: String): Unit = {
+    if (meta.currentSnapshotId == base) return
+    val raced =
+      if (base == 0L) meta.snapshots
+      else {
+        val idx = meta.snapshots.indexWhere(_.id == base)
+        if (idx < 0) throw new ConcurrentOverwriteException(
+          s"$ns.$t: $what derived at snapshot $base, but that snapshot " +
+            "is no longer in the log (expired or rolled back) — " +
+            "re-derive from the current state")
+        meta.snapshots.drop(idx + 1)
+      }
+    raced.find(sn => sn.operation == "overwrite" && !sn.isStaged)
+      .foreach { sn =>
+        throw new ConcurrentOverwriteException(
+          s"$ns.$t: $what derived at snapshot $base conflicts with " +
+            s"racing overwrite snapshot ${sn.id} — the files its tuples " +
+            "reference were replaced; re-derive from the current state")
+      }
+  }
+
   /** Merge-on-read commit: ONE atomic snapshot carrying equality-delete
     * files (rows whose `keys` values match any delete-file row vanish from
     * all EARLIER data files) and optionally new data files (an upsert's
@@ -901,16 +949,21 @@ class GraftCatalog(val warehouse: String) {
     * cost is O(changed rows), not O(table), which is the whole point of
     * merge-on-read at 100 TB. Read-side cost accrues instead (an anti-join
     * per delete commit) until [[registerFiles]] with operation="overwrite"
-    * materializes the state and clears the debt. */
+    * materializes the state and clears the debt.
+    * `baseSnapshotId`: the snapshot the delete/upsert tuples were derived
+    * from — see [[validateDeltaBase]]. */
   def commitMergeOnRead(ns: String, t: String, keys: Seq[String],
                         deleteFiles: Seq[Path],
-                        addedFiles: Seq[Path] = Nil): TableMeta = {
+                        addedFiles: Seq[Path] = Nil,
+                        baseSnapshotId: Option[Long] = None): TableMeta = {
     require(keys.nonEmpty && deleteFiles.nonEmpty,
       "merge-on-read commit needs equality keys and at least one delete file")
     val expand = (ps: Seq[Path]) => ps.flatMap(p =>
       if (Files.isDirectory(p)) findParquet(p) else Seq(p))
     withCommitRetry {
     val (meta, observedVersion) = loadTableAt(ns, t)
+    baseSnapshotId.foreach(validateDeltaBase(meta, ns, t, _,
+      "merge-on-read delta"))
     val op = if (addedFiles.nonEmpty) "merge" else "delete"
     val snap = SnapshotMeta(meta.nextSnapshotId, System.currentTimeMillis(),
       op, statFiles(expand(addedFiles)).toList,
@@ -931,15 +984,22 @@ class GraftCatalog(val warehouse: String) {
     * regardless of table width, no key values copied) and immune to value
     * collisions: bit-identical rows in different files die independently.
     * Like equality deletes, no data file is rewritten — cost is O(deleted
-    * rows); read-side debt is an anti-join until materialization. */
+    * rows); read-side debt is an anti-join until materialization.
+    * `baseSnapshotId`: the snapshot the `(file_path, pos)` tuples were
+    * derived from — see [[validateDeltaBase]]; position deletes are the
+    * shape MOST exposed to the racing-overwrite silent no-op, since
+    * their tuples name physical files by path. */
   def commitPositionDeletes(ns: String, t: String, deleteFiles: Seq[Path],
-                            addedFiles: Seq[Path] = Nil): TableMeta = {
+                            addedFiles: Seq[Path] = Nil,
+                            baseSnapshotId: Option[Long] = None): TableMeta = {
     require(deleteFiles.nonEmpty,
       "position-delete commit needs at least one delete file")
     val expand = (ps: Seq[Path]) => ps.flatMap(p =>
       if (Files.isDirectory(p)) findParquet(p) else Seq(p))
     withCommitRetry {
       val (meta, observedVersion) = loadTableAt(ns, t)
+      baseSnapshotId.foreach(validateDeltaBase(meta, ns, t, _,
+        "position-delete delta"))
       val op = if (addedFiles.nonEmpty) "merge" else "delete"
       val snap = SnapshotMeta(meta.nextSnapshotId, System.currentTimeMillis(),
         op, statFiles(expand(addedFiles)).toList,
@@ -1402,8 +1462,9 @@ class GraftCatalog(val warehouse: String) {
     * columns, and the result IS the delete file content. Existing delete
     * debt (either kind) is applied first, so positions of already-deleted
     * rows are never re-emitted. */
-  def readTableWithPositions(spark: SparkSession, ns: String, t: String): DataFrame =
-    readInternal(spark, ns, t, None, withPos = true)
+  def readTableWithPositions(spark: SparkSession, ns: String, t: String,
+                             asOf: Option[Long] = None): DataFrame =
+    readInternal(spark, ns, t, asOf, withPos = true)
 
   private def readInternal(spark: SparkSession, ns: String, t: String,
                            asOf: Option[Long], withPos: Boolean): DataFrame = {
@@ -1624,6 +1685,39 @@ class GraftCatalog(val warehouse: String) {
       }
     }
     dir
+  }
+
+  /** On-disk footprint of the changelog stream view — the observability
+    * counterpart to [[syncChangelogView]]'s write-once growth and
+    * [[expireSnapshots]]'s retention prune: the view materializes every
+    * snapshot's CDC rows and nothing else deletes them, so a
+    * high-commit-rate table's operator needs to SEE the growth before it
+    * doubles the table's storage. Reports materialized `sn<id>` dir
+    * count, how many are content-pruned (names kept as refusal
+    * evidence, bytes reclaimed), total live bytes/files, and the
+    * highest pruned-through snapshot id. Pure driver-side directory
+    * walk — no job, O(view dirs). */
+  def changelogViewStats(ns: String, t: String): ChangelogViewStats = {
+    val dir = changelogViewDir(ns, t)
+    if (!Files.exists(dir)) return ChangelogViewStats(0, 0, 0L, 0L, 0L, 0L)
+    val ls = Files.list(dir)
+    val snDirs = try ls.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("sn") && {
+        val d = n.stripPrefix("sn")
+        d.nonEmpty && d.length <= 18 && d.forall(_.isDigit)
+      } && Files.isDirectory(p)
+    }.toList finally ls.close()
+    var bytes = 0L; var files = 0L
+    var pruned = 0; var prunedThrough = 0L; var maxSn = 0L
+    snDirs.foreach { d =>
+      val id = d.getFileName.toString.stripPrefix("sn").toLong
+      maxSn = math.max(maxSn, id)
+      val inner = Fs.regularFiles(d, Seq(""))
+      if (inner.isEmpty) { pruned += 1; prunedThrough = math.max(prunedThrough, id) }
+      else { files += inner.size; bytes += inner.map(Files.size(_)).sum }
+    }
+    ChangelogViewStats(snDirs.size, pruned, files, bytes, prunedThrough, maxSn)
   }
 
   /** Streaming CHANGELOG read — [[readChangelog]] as a Structured
@@ -1966,14 +2060,21 @@ class GraftCatalog(val warehouse: String) {
     // checkpoint's full-state fold from empty, which is complete.
     val clv = changelogViewDir(ns, t)
     if (Files.exists(clv)) {
+      // Strictly best-effort: the expire commit already landed, so this
+      // prune must never surface a failure. Guard the two post-commit
+      // throws: `digits.toLong` overflows on a >18-digit all-digit name
+      // (snapshot ids are nanoTime-based, always <= 18 digits), and
+      // Files.list throws NotDirectoryException on a regular FILE named
+      // sn<digits>.
       val ls = Files.list(clv)
       val pruned = try ls.iterator().asScala.filter { p =>
         val digits = p.getFileName.toString match {
           case n if n.startsWith("sn") => n.stripPrefix("sn")
           case _ => ""
         }
-        digits.nonEmpty && digits.forall(_.isDigit) &&
-          digits.toLong <= boundary.id
+        digits.nonEmpty && digits.length <= 18 &&
+          digits.forall(_.isDigit) && digits.toLong <= boundary.id &&
+          Files.isDirectory(p)
       }.toList finally ls.close()
       pruned.foreach { d =>
         val fs = Files.list(d)

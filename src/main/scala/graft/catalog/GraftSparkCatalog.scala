@@ -563,6 +563,13 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
             org.apache.spark.sql.connector.expressions.Expressions.column)
 
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): DeltaWriteBuilder = {
+          // the delta's derivation base: the rewrite scan and this write
+          // builder are created by the same plan, so the state observed
+          // HERE is the state the changed-row tuples are derived from —
+          // the commit carries it so a racing overwrite (compaction,
+          // CoW DML) refuses loudly instead of landing a delete whose
+          // tuples reference replaced files (GraftCatalog.validateDeltaBase)
+          val deriveBase = cat.loadTable(ns, tbl).currentSnapshotId
           val ts = Stamp.next()
           val dataDir = Paths.get(cat.warehouse, ns, tbl, "data", s"mor-data-$ts")
           val delDir = Paths.get(cat.warehouse, ns, tbl, "data", s"mor-delete-$ts")
@@ -632,7 +639,7 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
                   val (delFs, dataFs) = (live(delDir), live(dataDir))
                   if (delFs.nonEmpty)
                     cat.commitMergeOnRead(ns, tbl, idSchema.fieldNames.toSeq,
-                      delFs, dataFs)
+                      delFs, dataFs, baseSnapshotId = Some(deriveBase))
                   else if (dataFs.nonEmpty)
                     cat.registerFiles(ns, tbl, dataFs, operation = "append")
                 }

@@ -46,6 +46,27 @@ private[catalog] object GraftProcedures {
         Seq(new GenericInternalRow(Array[Any](
           r.expiredSnapshots, r.deletedFiles, r.remainingSnapshots)))
       })
+      // changelog-view observability: the view grows write-once with
+      // every commit and only retention prunes it, so operators need its
+      // footprint (dirs/files/bytes, pruned-through boundary) BEFORE a
+      // high-commit-rate table doubles its own storage. Driver-side
+      // directory walk, no job — same report shape as the Scala entry
+      // (GraftCatalog.changelogViewStats).
+      case "changelog_stats" => Some(proc(pname,
+        Seq(p("table", StringType)),
+        StructType(Seq(
+          StructField("materialized_dirs", IntegerType, nullable = false),
+          StructField("pruned_dirs", IntegerType, nullable = false),
+          StructField("live_files", LongType, nullable = false),
+          StructField("live_bytes", LongType, nullable = false),
+          StructField("pruned_through_snapshot", LongType, nullable = false),
+          StructField("max_snapshot", LongType, nullable = false)))) { in =>
+        val (ns, t) = nsT(in)
+        val r = cat.changelogViewStats(ns, t)
+        Seq(new GenericInternalRow(Array[Any](
+          r.materializedDirs, r.prunedDirs, r.liveFiles, r.liveBytes,
+          r.prunedThroughSnapshot, r.maxSnapshot)))
+      })
       case "rollback_to_snapshot" => Some(proc(pname,
         Seq(p("table", StringType), p("snapshot_id", LongType)),
         StructType(Seq(
@@ -224,12 +245,16 @@ private[catalog] object GraftProcedures {
         val pvec = probeRows.head.getSeq[Float](0)
         val embSrc = cat.readTable(spark, ns, rawT)
           .select(col("vec_id"), col("embedding"))
-        graft.operators.IvfPq
+        // served path: the pooled Thrift thread must not pin the
+        // search's inspection handles past this call (see
+        // IvfPq.clearInspection)
+        try graft.operators.IvfPq
           .search(spark, cat, ns, t, embSrc, pid, pvec, k = in.getInt(2))
           .collect()
           .map(r => new GenericInternalRow(Array[Any](
             r.getLong(0), r.getLong(1), r.getDouble(2))): InternalRow)
           .toSeq
+        finally graft.operators.IvfPq.clearInspection()
       })
       case _ => None
     }

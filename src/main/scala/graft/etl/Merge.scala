@@ -83,16 +83,31 @@ object Merge {
   def deleteWhereMor(spark: SparkSession, cat: GraftCatalog, ns: String,
                      table: String, cond: org.apache.spark.sql.Column,
                      keys: Seq[String]): TableMeta = {
-    val doomed = cat.readTable(spark, ns, table).filter(cond)
-      .select(keys.map(col): _*).distinct()
+    // derive AND commit against one pinned snapshot: the key set is a
+    // function of rows read at `base`, so the commit carries it — a
+    // racing overwrite (whose rewrite may have changed the rows `cond`
+    // selected) refuses instead of landing a stale-value delete
+    val base = cat.loadTable(ns, table).currentSnapshotId
+    val doomed = cat.readTable(spark, ns, table, asOf = Some(base))
+      .filter(cond).select(keys.map(col): _*).distinct()
     val delDir = writeAux(cat, ns, table, "delete", doomed)
-    cat.commitMergeOnRead(ns, table, keys, Seq(delDir))
+    cat.commitMergeOnRead(ns, table, keys, Seq(delDir),
+      baseSnapshotId = Some(base))
   }
 
   /** Merge-on-read upsert: ONE atomic snapshot carrying (a) an equality
     * delete of every source key — wiping stale versions of matched rows
     * from earlier files — and (b) the full source as a new data file. Cost
-    * is O(source), never O(table). */
+    * is O(source), never O(table).
+    *
+    * Deliberately commits WITHOUT a derivation base: unlike
+    * [[deleteWhereMor]]/[[deleteWherePos]], no tuple here is derived from
+    * target ROWS (the delete keys and data come from the source; only the
+    * column list comes from the target's schema), so a racing overwrite
+    * invalidates nothing — the equality delete still kills every earlier
+    * version of each key, compacted files included, and the upsert's
+    * last-writer-wins is the contract. Refusing on a racing compaction
+    * would cost availability for no correctness. */
   def mergeIntoMor(spark: SparkSession, cat: GraftCatalog, ns: String,
                    table: String, source: DataFrame, keys: Seq[String]): TableMeta = {
     val target = cat.readTable(spark, ns, table)
@@ -116,10 +131,17 @@ object Merge {
   def deleteWherePos(spark: SparkSession, cat: GraftCatalog, ns: String,
                      table: String, cond: org.apache.spark.sql.Column): TableMeta = {
     import graft.catalog.GraftCatalog.{PosFileCol, PosIdxCol}
-    val doomed = cat.readTableWithPositions(spark, ns, table).filter(cond)
+    // the tuples name PHYSICAL files read at `base` — a racing overwrite
+    // (compaction/materialize/CoW DML) would orphan every tuple and the
+    // delete would silently no-op (row resurrection); the commit carries
+    // the base so that race refuses loudly instead
+    val base = cat.loadTable(ns, table).currentSnapshotId
+    val doomed = cat.readTableWithPositions(spark, ns, table,
+        asOf = Some(base)).filter(cond)
       .select(col(PosFileCol).as("file_path"), col(PosIdxCol).as("pos"))
     val delDir = writeAux(cat, ns, table, "posdelete", doomed)
-    cat.commitPositionDeletes(ns, table, Seq(delDir))
+    cat.commitPositionDeletes(ns, table, Seq(delDir),
+      baseSnapshotId = Some(base))
   }
 
   /** Pay down merge-on-read debt: materialize the current state into fresh

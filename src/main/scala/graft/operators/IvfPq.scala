@@ -405,11 +405,19 @@ object IvfPq {
   def appendCodes(spark: SparkSession, cat: GraftCatalog, ns: String,
                   table: String, cents: Seq[Seq[Float]],
                   model: ProductQuantizer.Model, batch: DataFrame): TableMeta = {
-    val fp = batch.agg(count(lit(1)).as("n"),
+    // Pin the batch ONCE before fingerprinting: the frame is evaluated
+    // again for the raw rows and the encode scan, and a
+    // non-deterministic input (limit/sample without ordering, a
+    // re-executed shuffle) would otherwise fingerprint one row set and
+    // commit another — a crash re-run then computes a DIFFERENT tag and
+    // double-commits, defeating the replay key. localCheckpoint
+    // materializes the rows so all three evaluations see the same set.
+    val pinned = batch.localCheckpoint(true)
+    val fp = pinned.agg(count(lit(1)).as("n"),
       coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L)).as("x"),
       coalesce(min(col("vec_id")), lit(0L)).as("lo"),
       coalesce(max(col("vec_id")), lit(0L)).as("hi")).head()
-    appendTagged(spark, cat, ns, table, cents, model, batch,
+    appendTagged(spark, cat, ns, table, cents, model, pinned,
       s"ivfpq-append-n${fp.getLong(0)}-" +
         s"x${java.lang.Long.toHexString(fp.getLong(1))}-" +
         s"r${fp.getLong(2)}-${fp.getLong(3)}")
@@ -923,6 +931,19 @@ object IvfPq {
     * scoring + top-shortlistK window for plan inspection, since the
     * returned frame's plan starts at the checkpointed shortlist. */
   private[graft] val lastAugmentShortlist = new ThreadLocal[DataFrame]()
+
+  /** Drop this thread's inspection handles. The handles exist so specs
+    * and the scale smoke can read back executed pruning facts right
+    * after a direct Scala call — but a POOLED server thread (the
+    * Thrift CALL path) otherwise pins its last search's DataFrame
+    * (plan lineage + any localCheckpoint blocks) for the thread's
+    * lifetime, an unbounded-session leak. Serving paths call this in a
+    * `finally` once the result rows are collected. */
+  private[graft] def clearInspection(): Unit = {
+    lastShortlist.remove()
+    lastRerank.remove()
+    lastAugmentShortlist.remove()
+  }
 
   private def searchProbed(s: SparkSession, cat: GraftCatalog, ns: String,
                            table: String, emb: DataFrame, probeId: Long,

@@ -365,10 +365,22 @@ class ChangelogSpec extends SparkSpec {
       finally s.close()
     }
     assert(viewParquets("sn1") > 0 && viewParquets("sn2") > 0)
+    // observability BEFORE the prune: all materialized dirs live, none
+    // pruned, bytes > 0
+    val pre = cat.changelogViewStats("c", "t")
+    assert(pre.materializedDirs === 3 && pre.prunedDirs === 0)
+    assert(pre.liveBytes > 0L && pre.liveFiles > 0L)
+    assert(pre.prunedThroughSnapshot === 0L && pre.maxSnapshot === 3L)
     cat.expireSnapshots("c", "t", keepLast = 1) // boundary = s2
     // the expired snapshots' view CONTENT is gone (storage pruned)...
     assert(viewParquets("sn1") === 0 && viewParquets("sn2") === 0,
       "expired view dirs kept their parquet content")
+    // ...and the stats report the reclaim: 2 pruned dirs, boundary id 2,
+    // fewer live bytes than before, the retained head still counted
+    val post = cat.changelogViewStats("c", "t")
+    assert(post.materializedDirs === 3 && post.prunedDirs === 2)
+    assert(post.prunedThroughSnapshot === 2L && post.maxSnapshot === 3L)
+    assert(post.liveBytes < pre.liveBytes && post.liveBytes > 0L)
     // ...their dir NAMES remain as materialization evidence...
     assert(Files.exists(viewDir.resolve("sn1")) &&
       Files.exists(viewDir.resolve("sn2")))

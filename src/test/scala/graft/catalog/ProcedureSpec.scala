@@ -64,6 +64,35 @@ class ProcedureSpec extends SparkSpec {
     assert(cat.readTable(spark, "nyc", "t").count() === 9) // 3 + 3×2
   }
 
+  test("CALL changelog_stats reports view footprint, before and after a prune") {
+    val (c, cat, _) = setup()
+    // no view yet: an all-zero report, not an error
+    val zero = spark.sql(s"CALL $c.system.changelog_stats('nyc.t')")
+      .collect().head
+    assert((0 until 6).forall(i => zero.get(i).toString == "0"))
+    // two more commits, materialize the changelog view
+    (2 to 3).foreach { i =>
+      val d = Paths.get(cat.warehouse, "nyc", "t", "data", s"d$i")
+      spark.range(2).toDF("id").selectExpr("id", "'y' AS v")
+        .coalesce(1).write.parquet(d.toString)
+      cat.registerFiles("nyc", "t", Seq(d))
+    }
+    cat.syncChangelogView(spark, "nyc", "t")
+    val pre = spark.sql(s"CALL $c.system.changelog_stats('nyc.t')")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(pre._1 === 3 && pre._2 === 0 && pre._3 > 0L && pre._4 > 0L)
+    assert(pre._5 === 0L && pre._6 === 3L)
+    // retention prunes snapshots 1-2's view content; the report shows it
+    spark.sql(s"CALL $c.system.expire_snapshots('nyc.t', 1)").collect()
+    val post = spark.sql(s"CALL $c.system.changelog_stats('nyc.t')")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(post._1 === 3 && post._2 === 2, "2 of 3 dirs content-pruned")
+    assert(post._5 === 2L && post._6 === 3L)
+    assert(post._4 < pre._4 && post._4 > 0L, "bytes reclaimed, head kept")
+  }
+
   test("meta_procedures declared query: all invariants hold") {
     val rows = graft.queries.Meta.queries("meta_procedures")(
       spark, "/root/testdata/sf0.001")

@@ -138,6 +138,83 @@ class MergeSpec extends SparkSpec {
     assert(cat.readTable(spark, "nyc", "t", asOf = Some(1L)).count() === 3)
   }
 
+  test("delta commits refuse a racing overwrite (no silent row resurrection)") {
+    // the RTBF-relevant race: a position delete's (file_path, pos) tuples
+    // derived at base B reference files a racing compaction/overwrite
+    // replaced — blindly landing them would silently no-op and the
+    // "deleted" rows survive. The commit carries its base and refuses.
+    val cat = setup()
+    import graft.catalog.GraftCatalog.{PosFileCol, PosIdxCol}
+    val base = cat.loadTable("nyc", "t").currentSnapshotId
+    val tmp = Files.createTempDirectory(Paths.get("/root/repo/target"), "race_pos")
+    cat.readTableWithPositions(spark, "nyc", "t", asOf = Some(base))
+      .filter(col("id") === 2L)
+      .select(col(PosFileCol).as("file_path"), col(PosIdxCol).as("pos"))
+      .coalesce(1).write.parquet(tmp.resolve("del").toString)
+    // racing overwrite lands first (a compaction / CoW DML)
+    Merge.materialize(spark, cat, "nyc", "t")
+    intercept[graft.catalog.ConcurrentOverwriteException] {
+      cat.commitPositionDeletes("nyc", "t", Seq(tmp.resolve("del")),
+        baseSnapshotId = Some(base))
+    }
+    // nothing landed: table state is the materialized 3 rows, no debt
+    assert(cat.readTable(spark, "nyc", "t").count() === 3)
+    assert(cat.loadTable("nyc", "t").deleteFilesAsOf(None).isEmpty)
+
+    // equality deletes carry the same guard (stale-value write-write
+    // conflict under serializable isolation)
+    val eqBase = cat.loadTable("nyc", "t").currentSnapshotId
+    Seq(2L).toDF("id").coalesce(1).write.parquet(tmp.resolve("eq").toString)
+    Merge.deleteWhere(spark, cat, "nyc", "t", col("id") === 999L) // racing CoW
+    intercept[graft.catalog.ConcurrentOverwriteException] {
+      cat.commitMergeOnRead("nyc", "t", Seq("id"), Seq(tmp.resolve("eq")),
+        baseSnapshotId = Some(eqBase))
+    }
+  }
+
+  test("delta commits fold cleanly over racing appends and racing deltas") {
+    // compatible races must NOT refuse: a racing append's files are never
+    // referenced by position tuples, and racing delta commits only add
+    // debt — both commute with this delete.
+    val cat = setup()
+    import graft.catalog.GraftCatalog.{PosFileCol, PosIdxCol}
+    val base = cat.loadTable("nyc", "t").currentSnapshotId
+    val tmp = Files.createTempDirectory(Paths.get("/root/repo/target"), "race_ok")
+    cat.readTableWithPositions(spark, "nyc", "t", asOf = Some(base))
+      .filter(col("id") === 2L)
+      .select(col(PosFileCol).as("file_path"), col(PosIdxCol).as("pos"))
+      .coalesce(1).write.parquet(tmp.resolve("del").toString)
+    // racing APPEND (new file, never referenced by the tuples)
+    Seq((9L, "z", 90.0)).toDF("id", "name", "score")
+      .coalesce(1).write.parquet(tmp.resolve("add").toString)
+    cat.registerFiles("nyc", "t", Seq(tmp.resolve("add")))
+    // racing DELTA (equality delete of an unrelated key)
+    Merge.deleteWhereMor(spark, cat, "nyc", "t", col("id") === 3L, Seq("id"))
+    // the stale-base position delete still lands — its tuples are valid
+    cat.commitPositionDeletes("nyc", "t", Seq(tmp.resolve("del")),
+      baseSnapshotId = Some(base))
+    assert(cat.readTable(spark, "nyc", "t").select("id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 9L))
+  }
+
+  test("SQL MoR DML carries its derivation base (still commits cleanly)") {
+    // the served surface: the DeltaWrite observes the snapshot at plan
+    // time and threads it into commitMergeOnRead — the no-race path must
+    // be unchanged (base == current at commit), and the snapshot shape
+    // stays the O(changed rows) delta
+    val cat = setup()
+    val cname = "gmrace" + System.nanoTime()
+    spark.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    spark.conf.set(s"spark.sql.catalog.$cname.rowlevel.mode", "merge-on-read")
+    spark.conf.set(s"spark.sql.catalog.$cname.rowlevel.identity", "id")
+    spark.sql(s"DELETE FROM $cname.nyc.t WHERE id = 2")
+    assert(cat.readTable(spark, "nyc", "t").select("id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L))
+    assert(cat.snapshots("nyc", "t").last.operation === "delete")
+  }
+
   test("meta_merge_pos declared query: all position-delete invariants hold") {
     val rows = graft.queries.Meta.queries("meta_merge_pos")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
