@@ -614,6 +614,53 @@ object ScaleSmoke {
         }
       }
     }
+    // COARSE-TRAINING WALL (round-16 W2): the Lloyd loop's assignment
+    // step is n·k·dim per iteration with n = 32k (sample policy), so the
+    // driver-side loop grows as k²·dim — the one surviving driver-bound
+    // stage of the index lifecycle. The distributed path (IvfPq
+    // .trainCoarse(spark, ...)) moves assignment onto executors through
+    // the codegen'd cellOf scan, BYTE-identical centroids
+    // (IvfPqSpec pin). Samples here are synthesized at the policy size
+    // for each simulated corpus N — training reads ONLY the sample, so
+    // the wall rows don't need (and must not pay) a ×1000 corpus build.
+    // Emits driver vs distributed seconds per simulated tier; the claim
+    // is the RATIO's trend: ~1 at base (below the dispatch threshold the
+    // driver loop is the right choice) and falling as k² grows.
+    if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("train"))) {
+      import graft.operators.IvfPq
+      val baseN = Tables.embeddings(spark, sfDir).count()
+      val dim = 64
+      for ((tag, simN) <- Seq("base" -> baseN, "x100" -> baseN * 100,
+                              "x1000" -> baseN * 1000)) {
+        val k = IvfPq.cellsFor(simN)
+        val n = IvfPq.coarseSampleSize(k)
+        val sample: Seq[Seq[Float]] = (0 until n).map { i =>
+          (0 until dim).map { j =>
+            (((i.toLong * 1315423911L + j * 2654435761L) % 2001L) - 1000L) /
+              1000.0f
+          }
+        }
+        def time[T](body: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = body
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (driverCents, driverSec) = time(IvfPq.trainCoarse(sample, k))
+        val prev = sys.props.get("graft.ivf.distributeAssignAbove")
+        sys.props("graft.ivf.distributeAssignAbove") = "1"
+        val (distCents, distSec) =
+          try time(IvfPq.trainCoarse(spark, sample, k))
+          finally prev match {
+            case Some(v) => sys.props("graft.ivf.distributeAssignAbove") = v
+            case None => sys.props.remove("graft.ivf.distributeAssignAbove")
+          }
+        require(driverCents == distCents,
+          s"train-wall $tag: distributed centroids diverged from driver")
+        println(f"""{"query":"ivfpq_train_wall","tier":"$tag",""" +
+          f""""sim_n":$simN,"k":$k,"sample":$n,""" +
+          f""""driver_sec":$driverSec%.2f,"distributed_sec":$distSec%.2f}""")
+      }
+    }
     spark.stop()
   }
 }

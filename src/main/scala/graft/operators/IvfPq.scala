@@ -99,6 +99,92 @@ object IvfPq {
     * n-loop: each is the identical index-ordered sum computed once
     * instead of n×k times, which changes no bits of
     * `dt / (sqrt(na) * sqrt(nb))`. */
+  /** The Lloyd MEAN step, shared verbatim by the driver and distributed
+    * assignment paths: per cell, sum members in SAMPLE ORDER with double
+    * accumulation, divide by count, empty cells keep their centroid.
+    * Both paths feeding the same `assign` array through this produce
+    * bit-identical next centroids by construction. */
+  private def meanStep(sv: Array[Array[Float]], assign: Array[Int],
+                       cents: Array[Array[Float]], k: Int,
+                       dim: Int): Array[Array[Float]] = {
+    val n = sv.length
+    val next = new Array[Array[Float]](k)
+    var j = 0
+    while (j < k) {
+      val sums = new Array[Double](dim)
+      var cnt = 0
+      var i = 0
+      while (i < n) { // sample order — the mean's fold order
+        if (assign(i) == j) {
+          var p = 0
+          while (p < dim) { sums(p) += sv(i)(p).toDouble; p += 1 }
+          cnt += 1
+        }
+        i += 1
+      }
+      next(j) =
+        if (cnt == 0) cents(j)
+        else Array.tabulate(dim)(p => (sums(p) / cnt).toFloat)
+      j += 1
+    }
+    next
+  }
+
+  /** Per-iteration assignment work above which the Lloyd loop leaves the
+    * driver: n·k·dim multiply-adds. 2×10⁸ ≈ a few hundred ms single-
+    * threaded — below it the driver loop beats a Spark job's fixed
+    * costs; above it the driver is the k²-bound bottleneck W2 names
+    * (sample = 32k, so work grows as k²·dim: ~2×10¹² per iteration at
+    * N=10⁹). Every fixture SF sits far below the threshold, so pinned
+    * centroids keep taking the identical driver loop — and the
+    * distributed path is bit-identical anyway (spec-asserted). */
+  private[graft] def distributeAssignAbove: Long =
+    sys.props.get("graft.ivf.distributeAssignAbove").map(_.toLong)
+      .getOrElse(200000000L)
+
+  /** [[trainCoarse]] with the ASSIGNMENT step on executors when the
+    * sample×k×dim work is driver-bound: per iteration, one codegen'd
+    * [[cellOf]] scan assigns every sample row its nearest cell
+    * (bit-identical arithmetic to the driver loop — same index-ordered
+    * double dot, same `1 - dt/(|c||v|)`, strict-< lowest-cell ties),
+    * the (idx, cell) ints collect back (bounded: 8 bytes × sample), and
+    * the mean folds through the SHARED [[meanStep]] in sample order —
+    * so centroids are byte-identical whichever path ran, and the
+    * protocol (seeds, 5 iterations, empty-cell carry) is unchanged.
+    * At N=10⁹ (k≈31.6k, 1M-row sample) this turns the driver-hours
+    * Lloyd loop into 5 map-only jobs of ~2×10¹² fused multiply-adds
+    * spread over the cluster. */
+  def trainCoarse(spark: SparkSession, sample: Seq[Seq[Float]],
+                  k: Int): Seq[Seq[Float]] = {
+    require(sample.nonEmpty, "IVFPQ coarse-training sample is empty")
+    val n = sample.size
+    val dim = sample.head.size
+    if (n.toLong * k * dim <= distributeAssignAbove) trainCoarse(sample, k)
+    else {
+      import spark.implicits._
+      val sv: Array[Array[Float]] = sample.iterator.map(_.toArray).toArray
+      // one pinned frame, re-scanned by all 5 assignment jobs
+      val df = sample.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("idx", "vec")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      var cents: Array[Array[Float]] = Array.tabulate(k)(j => sv(j % n).clone())
+      var iter = 0
+      while (iter < 5) {
+        val centSeq: Seq[Seq[Float]] = cents.iterator.map(_.toSeq).toSeq
+        val assign = new Array[Int](n)
+        df.select(col("idx"),
+            (cellOf(spark, centSeq, col("vec")) - 1L).cast("int").as("cell"))
+          .collect()
+          .foreach(r => assign(r.getInt(0)) = r.getInt(1))
+        cents = meanStep(sv, assign, cents, k, dim)
+        iter += 1
+      }
+      df.unpersist()
+      cents.iterator.map(_.toSeq).toSeq
+    }
+  }
+
   def trainCoarse(sample: Seq[Seq[Float]], k: Int): Seq[Seq[Float]] = {
     require(sample.nonEmpty, "IVFPQ coarse-training sample is empty")
     val n = sample.size
@@ -139,26 +225,7 @@ object IvfPq {
         }
         assign(i) = best; i += 1
       }
-      val next = new Array[Array[Float]](k)
-      j = 0
-      while (j < k) {
-        val sums = new Array[Double](dim)
-        var cnt = 0
-        i = 0
-        while (i < n) { // sample order — the mean's fold order
-          if (assign(i) == j) {
-            var p = 0
-            while (p < dim) { sums(p) += sv(i)(p).toDouble; p += 1 }
-            cnt += 1
-          }
-          i += 1
-        }
-        next(j) =
-          if (cnt == 0) cents(j)
-          else Array.tabulate(dim)(p => (sums(p) / cnt).toFloat)
-        j += 1
-      }
-      cents = next; iter += 1
+      cents = meanStep(sv, assign, cents, k, dim); iter += 1
     }
     cents.iterator.map(_.toSeq).toSeq
   }
@@ -374,7 +441,7 @@ object IvfPq {
     val k = cellsFor(emb.count())
     val sample = ProductQuantizer.sampleRows(emb, coarseSampleSize(k))
       .map(_._2).toSeq
-    val cents = trainCoarse(sample, k)
+    val cents = trainCoarse(spark, sample, k)
     val model = ProductQuantizer.train(sample.take(100))
     val cells = cents.zipWithIndex
       .map { case (c, i) => (i + 1L, c) }.toDF("cell", "centroid")
@@ -503,8 +570,17 @@ object IvfPq {
     * different models; that window is loud, not silent — cell-range
     * pruning against mismatched cell numbering starves the fetch and
     * trips the re-rank sync guard until the rebuild is re-run. */
+  /** `interleave`: the same deterministic race seam as
+    * [[graft.etl.VectorMaintenance.compactIndex]] — runs after both
+    * model tables and the raw store committed under the NEW model,
+    * immediately before the codes overwrite (the STRICT-base window a
+    * maintaining stream's append races into). Production callers leave
+    * the no-op; the cross-JVM race spec lands a real append from a
+    * second process inside it and proves the rebuild refuses loudly
+    * instead of folding old-model codes into the new quantizer. */
   def buildIndex(spark: SparkSession, cat: GraftCatalog, ns: String,
-                 table: String, emb: DataFrame): TableMeta = {
+                 table: String, emb: DataFrame,
+                 interleave: () => Unit = () => ()): TableMeta = {
     val t = s"${table}_ivfpq_codes"
     val rT = rawTable(table)
     val codesBase =
@@ -518,6 +594,7 @@ object IvfPq {
     // overwrites it under the NEW cells so cell pruning stays aligned
     commitRaw(spark, cat, ns, table, cents, emb, "overwrite",
       baseSnapshotId = rawBase)
+    interleave()
     commitDf(cat, ns, t, encode(cents, model, emb), "overwrite",
       baseSnapshotId = codesBase)
   }
@@ -614,6 +691,24 @@ object IvfPq {
       // outside the collected union, and the pruned read would silently
       // lose those candidates. Blocks free when the frame is GC'd.
       .localCheckpoint()
+    // DRIVER-CEILING GATE (W1): stage 2's shortlist fetch collects
+    // ≤ batch × shortlistK (neighbor, cell) pairs and the re-rank
+    // broadcasts the ranked batch — O(batch) driver memory, the right
+    // shape for the streaming micro-batches this serves (the result IS
+    // a driver-bounded per-row top-1 the caller collects anyway). A
+    // corpus-wide NN-graph build routed through here would bottleneck
+    // on that collect: that shape is q_vec_knn_join / q_vec_knn_join_cells
+    // (graft.queries.Extensions, L62/L67), whose per-query windows carry
+    // NO driver fetch. Refuse loudly instead of degrading silently.
+    val batchRows = ranked.count()
+    val maxBatch = sys.props.get("graft.augment.maxBatch")
+      .map(_.toLong).getOrElse(65536L)
+    require(batchRows <= maxBatch,
+      s"augmentTop1 batch has $batchRows rows > graft.augment.maxBatch=" +
+        s"$maxBatch — this entry point is O(batch) on the driver by " +
+        "design (micro-batch augmentation); route corpus-scale batches " +
+        "through the kNN join (q_vec_knn_join / q_vec_knn_join_cells), " +
+        "which has no driver fetch")
     // per-QUERY asymmetric LUT as a column (the FAISS ADC table):
     // lut[m][k] = dot(qe[m·sub .. (m+1)·sub), cbook[m][k]) with the
     // SAME double arithmetic in the SAME index-ordered fold as

@@ -41,6 +41,29 @@ class IvfPqSpec extends SparkSpec {
     assert(a.forall(_.size === sample.head.size))
   }
 
+  test("distributed Lloyd assignment is BYTE-identical to the driver loop") {
+    // W2: at N=10⁹ the driver-side assignment is k²-bound (driver-hours);
+    // the distributed path moves it onto executors via the codegen'd
+    // cellOf scan — same index-ordered double dot, strict-< lowest-cell
+    // ties, shared meanStep fold — so the committed centroids (and every
+    // per-SF pin derived from them) are unchanged whichever path ran.
+    val k = IvfPq.cellsFor(emb.count())
+    val sample = ProductQuantizer
+      .sampleRows(emb, IvfPq.coarseSampleSize(k)).map(_._2).toSeq
+    val driver = IvfPq.trainCoarse(sample, k)
+    val prev = sys.props.get("graft.ivf.distributeAssignAbove")
+    sys.props("graft.ivf.distributeAssignAbove") = "1" // force executors
+    try {
+      val dist = IvfPq.trainCoarse(spark, sample, k)
+      assert(dist === driver, "distributed assignment diverged from driver loop")
+    } finally prev match {
+      case Some(v) => sys.props("graft.ivf.distributeAssignAbove") = v
+      case None => sys.props.remove("graft.ivf.distributeAssignAbove")
+    }
+    // and the dispatching variant takes the driver loop below threshold
+    assert(IvfPq.trainCoarse(spark, sample, k) === driver)
+  }
+
   test("buildIndex commits cells+books+codes; rehydration is exact") {
     val cat = freshCat()
     val k = IvfPq.cellsFor(emb.count())
@@ -315,6 +338,30 @@ class IvfPqSpec extends SparkSpec {
     val rows = IvfPq.augmentTop1(spark, cat, "vec", "emb", emb, one).collect()
     assert(rows.length === 1)
     assert(rows.head.getLong(1) !== one.head().getLong(0))
+  }
+
+  test("augmentTop1 refuses corpus-scale batches with a pointer to the kNN join") {
+    // W1: the entry point is O(batch) on the driver by design (shortlist
+    // pair-collect + ranked-batch broadcast) — a corpus-wide NN-graph
+    // build must route through the window-based kNN join instead of
+    // silently bottlenecking here
+    val cat = freshCat()
+    IvfPq.buildIndex(spark, cat, "vec", "emb", emb)
+    val prev = sys.props.get("graft.augment.maxBatch")
+    sys.props("graft.augment.maxBatch") = "3"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IvfPq.augmentTop1(spark, cat, "vec", "emb", emb,
+          emb.orderBy("vec_id").limit(10))
+      }
+      assert(e.getMessage.contains("q_vec_knn_join"))
+      // at or under the gate the same call serves normally
+      assert(IvfPq.augmentTop1(spark, cat, "vec", "emb", emb,
+        emb.orderBy("vec_id").limit(3)).count() === 3)
+    } finally prev match {
+      case Some(v) => sys.props("graft.augment.maxBatch") = v
+      case None => sys.props.remove("graft.augment.maxBatch")
+    }
   }
 
   test("raw re-rank store: search equals the emb-join fallback; augment re-rank reads the store, cell-pruned") {

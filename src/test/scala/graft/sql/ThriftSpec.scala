@@ -160,6 +160,69 @@ class ThriftSpec extends SparkSpec {
     }
   }
 
+  test("a cancelled CALL mid-probe leaves a clean session: next CALL serves exact rows, no tmp debris") {
+    // round-16 verdict item 7: statement CANCEL is proven for plain SQL;
+    // a cancelled index-search CALL must additionally leave (a) no stale
+    // per-thread inspection handle pinned on the pooled server thread
+    // (IvfPq.clearInspection runs in the CALL body's finally — on the
+    // cancel path too), (b) no half-written _tmp/staging dirs in the
+    // warehouse, and (c) a session that serves the NEXT call with rows
+    // identical to the Scala entry.
+    import org.apache.spark.sql.functions.col
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val port = ThriftServe.ensureStarted(spark)
+    val cat = graft.queries.Extensions.ivfPqIndexCatalog(spark, sfDir)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val (probeId, probeVec) =
+      graft.operators.ProductQuantizer.sampleRows(emb).head
+    val expected = graft.operators.IvfPq
+      .search(spark, cat, "vec", "emb", emb, probeId, probeVec, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val opLogger =
+      "org.apache.spark.sql.hive.thriftserver.SparkExecuteStatementOperation"
+    val prevLevel = LogManager.getLogger(opLogger).getLevel
+    Configurator.setLevel(opLogger, Level.OFF)
+    try ThriftServe.withConnection(port) { c =>
+      val st0 = c.createStatement()
+      val cname = "gwcan_" + java.util.UUID.randomUUID.toString.take(8)
+      st0.execute(s"SET spark.sql.catalog.$cname=" +
+        classOf[graft.catalog.GraftSparkCatalog].getName)
+      st0.execute(s"SET spark.sql.catalog.$cname.warehouse=${cat.warehouse}")
+      val call = s"CALL $cname.system.search_vec('vec.emb', $probeId, 10)"
+      // cancel at staggered offsets — some land mid-probe, some after
+      // completion; EVERY schedule must leave the session serviceable
+      for (delayMs <- Seq(0L, 50L, 200L)) {
+        val st = c.createStatement()
+        val t = new Thread(() => {
+          try { val rs = st.executeQuery(call); while (rs.next()) () }
+          catch { case _: Throwable => () } // cancelled — expected shape
+        })
+        t.start()
+        Thread.sleep(delayMs)
+        st.cancel()
+        t.join(30000)
+        assert(!t.isAlive, s"cancelled CALL (delay ${delayMs}ms) hung")
+        // the SAME session serves the identical CALL, row-for-row
+        val st2 = c.createStatement()
+        val rs2 = st2.executeQuery(call)
+        val got = Iterator.continually(rs2).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+        assert(got === expected,
+          s"post-cancel CALL (delay ${delayMs}ms) diverged from the Scala entry")
+        st2.close()
+      }
+      st0.close()
+    } finally Configurator.setLevel(opLogger, prevLevel)
+    // no half-written staging/tmp debris anywhere in the index warehouse
+    val wh = java.nio.file.Paths.get(cat.warehouse)
+    val stray = graft.catalog.Fs.walk(wh).filter(p =>
+      p.getFileName.toString.startsWith("_tmp") ||
+        p.getFileName.toString.endsWith(".tmp"))
+    assert(stray.isEmpty, s"cancelled CALLs left tmp debris: $stray")
+  }
+
   test("session modes: temp view crosses the wire in singleSession, not in isolated") {
     val port = ThriftServe.ensureStarted(spark)
     // serving a connection in single-session mode mutates the SHARED
