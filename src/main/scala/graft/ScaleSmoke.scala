@@ -608,7 +608,12 @@ object ScaleSmoke {
           f""""sec":$sec%.2f}""")
       }
       if (vecOnly.forall(_.contains("q_vec_knn_ivfpq"))) {
-        for (b <- Seq(1, 10, 100)) {
+        // batch 1000 (round-16 W1): inside the O(batch) driver gate
+        // (graft.augment.maxBatch default 64k) — the widest batch the
+        // micro-batch entry point should serve; beyond it the gate
+        // refuses toward the kNN join. The raw-kept gradient must keep
+        // tracking the batch's own shortlist span at this width too.
+        for (b <- Seq(1, 10, 100, 1000)) {
           augmentReport(sfDir, "base", b)
           augmentReport(scaledDir.toString, "scaled", b)
         }

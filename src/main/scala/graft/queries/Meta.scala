@@ -1382,6 +1382,66 @@ object Meta {
       .orderBy("wave")
   }
 
+  /** meta_changelog_stats (L85): changelog-view OBSERVABILITY — the
+    * stream view materializes every snapshot's CDC rows write-once and
+    * only retention prunes it, so a high-commit-rate table's operator
+    * must SEE the growth before it doubles the table's storage
+    * ([[GraftCatalog.changelogViewStats]] + `CALL system
+    * .changelog_stats`). Probe: 3 append commits on a region-derived
+    * table, view materialized, stats read pre- and post-expiration
+    * (keepLast=1 — content of sn1/sn2 pruned, names kept as refusal
+    * evidence), and the SQL CALL must report the identical row the
+    * Scala entry reads. All counts are fixture constants (3 commits of
+    * the constant 5-row region), so the oracle is a VALUES replay. */
+  private def metaChangelogStats: QFn = (s, d) => {
+    import s.implicits._
+    val (_, wh) = demoDirs(d)
+    val cat = new GraftCatalog(wh)
+    cat.createNamespace("nyc")
+    val t = "chst_" + java.util.UUID.randomUUID.toString.take(8)
+    val region = graft.Tables.region(s, d)
+    val base = Files.createTempDirectory(
+      Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+      "meta_chst")
+    cat.createTable("nyc", t, region.schema)
+    (1 to 3).foreach { i =>
+      region.limit(i).coalesce(1).write.parquet(base.resolve(s"r$i").toString)
+      cat.registerFiles("nyc", t, Seq(base.resolve(s"r$i")))
+    }
+    cat.syncChangelogView(s, "nyc", t)
+    val pre = cat.changelogViewStats("nyc", t)
+    cat.expireSnapshots("nyc", t, keepLast = 1) // boundary = snapshot 2
+    val post = cat.changelogViewStats("nyc", t)
+    // the SQL surface: the CALL must report the same row the Scala
+    // entry reads
+    val cname = "gchst_" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+    val callRow = try
+      s.sql(s"CALL $cname.system.changelog_stats('nyc.$t')").head()
+    finally unregisterCatalog(s, cname)
+    val callMatches =
+      callRow.getInt(0) == post.materializedDirs &&
+      callRow.getInt(1) == post.prunedDirs &&
+      callRow.getLong(2) == post.liveFiles &&
+      callRow.getLong(3) == post.liveBytes &&
+      callRow.getLong(4) == post.prunedThroughSnapshot &&
+      callRow.getLong(5) == post.maxSnapshot
+    Seq(
+      ("materialized_all", pre.materializedDirs.toLong,
+        pre.materializedDirs == 3 && pre.prunedDirs == 0 &&
+          pre.liveBytes > 0L && pre.liveFiles > 0L &&
+          pre.prunedThroughSnapshot == 0L && pre.maxSnapshot == 3L),
+      ("pruned_storage", post.prunedDirs.toLong,
+        post.materializedDirs == 3 && post.prunedDirs == 2 &&
+          post.prunedThroughSnapshot == 2L && post.maxSnapshot == 3L &&
+          post.liveBytes < pre.liveBytes && post.liveBytes > 0L),
+      ("sql_call_matches", callRow.getLong(4), callMatches))
+      .toDF("phase", "n", "invariant_ok")
+      .orderBy("phase") // total key: phase strings are unique
+  }
+
   /** meta_file_skip: manifest-style file skipping observable end-to-end —
     * a table of two disjoint-range files is scanned with a predicate that
     * can only hit one; the report shows files pruned vs scanned and that
@@ -1802,6 +1862,7 @@ object Meta {
     "meta_bloom_skip"  -> metaBloomSkip,
     "meta_changelog"   -> metaChangelog,
     "meta_changelog_sync" -> metaChangelogSync,
+    "meta_changelog_stats" -> metaChangelogStats,
     "meta_snapshots"   -> metaSnapshots,
     "meta_files"       -> metaFiles,
     "meta_time_travel" -> metaTimeTravel,
@@ -2059,6 +2120,12 @@ object Meta {
         |  (2, CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT)))
         |  v(wave, n_inserts, n_deletes, mirror_rows)
         |ORDER BY wave""".stripMargin,
+    // observability constants: 3 materialized snapshot dirs, 2 pruned by
+    // the keepLast=1 expire (boundary snapshot 2), and the SQL CALL row
+    // equal to the Scala entry (its n = the pruned-through boundary id)
+    "meta_changelog_stats" -> probeOracle("n", Seq(
+      "materialized_all" -> 3L, "pruned_storage" -> 2L,
+      "sql_call_matches" -> 2L)),
     // the scattered-id layout makes range stats blind by construction
     // (16 residue-class files, each spanning the id domain); the point-
     // lookup row counts replay over raw lineitem at the max id
