@@ -555,21 +555,29 @@ private[catalog] class GraftSqlTable(cat: GraftCatalog, catName: String,
       override def build(): RowLevelOperation = new RowLevelOperation with SupportsDelta {
         override def command(): RowLevelOperation.Command = info.command()
 
-        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        // the delta's derivation base is the snapshot the REWRITE SCAN
+        // read — captured when Spark creates that scan, not when the
+        // write builder appears later in planning (a commit landing in
+        // between would otherwise slip under the base-validation)
+        @volatile private var scanBase: Option[Long] = None
+
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+          scanBase = Some(cat.loadTable(ns, tbl).currentSnapshotId)
           GraftSqlTable.this.rawScanBuilder(options) // never prune a rewrite scan
+        }
 
         override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
           identityCols.toArray.map(
             org.apache.spark.sql.connector.expressions.Expressions.column)
 
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): DeltaWriteBuilder = {
-          // the delta's derivation base: the rewrite scan and this write
-          // builder are created by the same plan, so the state observed
-          // HERE is the state the changed-row tuples are derived from —
-          // the commit carries it so a racing overwrite (compaction,
-          // CoW DML) refuses loudly instead of landing a delete whose
-          // tuples reference replaced files (GraftCatalog.validateDeltaBase)
-          val deriveBase = cat.loadTable(ns, tbl).currentSnapshotId
+          // the commit carries the scan-time base so a racing overwrite
+          // (compaction, CoW DML) refuses loudly instead of landing a
+          // delete whose tuples reference replaced files
+          // (GraftCatalog.validateDeltaBase); fall back to now only if
+          // Spark somehow built the write before any scan
+          val deriveBase = scanBase.getOrElse(
+            cat.loadTable(ns, tbl).currentSnapshotId)
           val ts = Stamp.next()
           val dataDir = Paths.get(cat.warehouse, ns, tbl, "data", s"mor-data-$ts")
           val delDir = Paths.get(cat.warehouse, ns, tbl, "data", s"mor-delete-$ts")
