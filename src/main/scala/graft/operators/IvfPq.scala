@@ -691,24 +691,6 @@ object IvfPq {
       // outside the collected union, and the pruned read would silently
       // lose those candidates. Blocks free when the frame is GC'd.
       .localCheckpoint()
-    // DRIVER-CEILING GATE (W1): stage 2's shortlist fetch collects
-    // ≤ batch × shortlistK (neighbor, cell) pairs and the re-rank
-    // broadcasts the ranked batch — O(batch) driver memory, the right
-    // shape for the streaming micro-batches this serves (the result IS
-    // a driver-bounded per-row top-1 the caller collects anyway). A
-    // corpus-wide NN-graph build routed through here would bottleneck
-    // on that collect: that shape is q_vec_knn_join / q_vec_knn_join_cells
-    // (graft.queries.Extensions, L62/L67), whose per-query windows carry
-    // NO driver fetch. Refuse loudly instead of degrading silently.
-    val batchRows = ranked.count()
-    val maxBatch = sys.props.get("graft.augment.maxBatch")
-      .map(_.toLong).getOrElse(65536L)
-    require(batchRows <= maxBatch,
-      s"augmentTop1 batch has $batchRows rows > graft.augment.maxBatch=" +
-        s"$maxBatch — this entry point is O(batch) on the driver by " +
-        "design (micro-batch augmentation); route corpus-scale batches " +
-        "through the kNN join (q_vec_knn_join / q_vec_knn_join_cells), " +
-        "which has no driver fetch")
     // per-QUERY asymmetric LUT as a column (the FAISS ADC table):
     // lut[m][k] = dot(qe[m·sub .. (m+1)·sub), cbook[m][k]) with the
     // SAME double arithmetic in the SAME index-ordered fold as
@@ -737,8 +719,32 @@ object IvfPq {
     // so the collect is a ≤k-long driver fetch). The CODES are the
     // cheap 8-byte side — a wide batch saturating the union reads the
     // full code width, never the raw vectors (stage 2 below).
-    val probedUnion = byCell.select("cell").distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
+    // ONE action serves both the probed-cell union AND the W1 driver-
+    // ceiling gate: countDistinct(query_id) is the batch row count
+    // (every valid embedding ranks ≥1 cell), collect_set(cell) the ≤k
+    // union — no extra job rides the hot streaming-trigger path.
+    val probeAgg = byCell.agg(
+      countDistinct(col("query_id")).as("nq"),
+      collect_set(col("cell")).as("cells")).head()
+    val batchRows = probeAgg.getLong(0)
+    // DRIVER-CEILING GATE (W1): stage 2's shortlist fetch collects
+    // ≤ batch × shortlistK (neighbor, cell) pairs and the re-rank
+    // broadcasts the ranked batch — O(batch) driver memory, the right
+    // shape for the streaming micro-batches this serves (the result IS
+    // a driver-bounded per-row top-1 the caller collects anyway). A
+    // corpus-wide NN-graph build routed through here would bottleneck
+    // on that collect: that shape is q_vec_knn_join / q_vec_knn_join_cells
+    // (graft.queries.Extensions, L62/L67), whose per-query windows carry
+    // NO driver fetch. Refuse loudly instead of degrading silently.
+    val maxBatch = sys.props.get("graft.augment.maxBatch")
+      .map(_.toLong).getOrElse(65536L)
+    require(batchRows <= maxBatch,
+      s"augmentTop1 batch has $batchRows rows > graft.augment.maxBatch=" +
+        s"$maxBatch — this entry point is O(batch) on the driver by " +
+        "design (micro-batch augmentation); route corpus-scale batches " +
+        "through the kNN join (q_vec_knn_join / q_vec_knn_join_cells), " +
+        "which has no driver fetch")
+    val probedUnion = probeAgg.getSeq[Long](1).sorted
     def emptyResult() =
       ranked.select(col("query_id"), col("query_id").as("neighbor_id"),
         lit(0.0).as("cos_sim")).limit(0)
