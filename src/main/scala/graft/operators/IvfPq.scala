@@ -527,6 +527,13 @@ object IvfPq {
     * snapshot log independently, and the raw store lands FIRST so a
     * crash between the two commits replays only the missing half — the
     * store is never behind the codes it re-ranks for. */
+  /** Deterministic seam INSIDE [[appendTagged]]'s torn window (after
+    * the raw commit, before the codes commit) — production leaves the
+    * no-op; crash-replay specs install a process halt here. A field,
+    * not a parameter, because the window sits two layers beneath the
+    * public entry points (appendCodes / appendCodesBatch). */
+  @volatile private[graft] var appendTornSeam: () => Unit = () => ()
+
   private def appendTagged(spark: SparkSession, cat: GraftCatalog,
                            ns: String, table: String,
                            cents: Seq[Seq[Float]],
@@ -545,6 +552,13 @@ object IvfPq {
       cat.registerFilesWithBlooms(spark, ns, rT, Seq(dir), Seq("vec_id"),
         operation = "append")
     }
+    // the TORN window the replay tag exists for: a crash here leaves the
+    // raw half committed and the codes half missing — a re-run of the
+    // same content computes the same tag, skips the raw commit, and
+    // lands only the codes. The seam lets specs make that crash
+    // deterministic (the compactIndex/buildIndex interleave convention —
+    // CrossJvmRaceSpec halts a real forked JVM in it).
+    appendTornSeam()
     if (committed(t)) cat.loadTable(ns, t)
     else {
       val dir = Paths.get(cat.warehouse, ns, t, "data", tag)

@@ -125,6 +125,50 @@ class CrossJvmRaceSpec extends SparkSpec {
     assert((910000L until 910008L).forall(ids))
   }
 
+  test("a process KILLED between the raw and codes commits heals on re-run — exactly once") {
+    // the torn-append crash story, cross-process: worker 1 is halted
+    // (Runtime.halt — no finally, no shutdown hooks) after its raw
+    // commit landed and before its codes commit; worker 2 re-runs the
+    // SAME content from a fresh JVM. The content-fingerprint replay tag
+    // must make the re-run commit ONLY the missing codes half — a blind
+    // re-commit would duplicate the raw rows and trip the re-rank sync
+    // guard on every later search.
+    val wh = freshWh()
+    val cat = new GraftCatalog(wh)
+    IvfPq.buildIndex(spark, cat, "vec", "emb", emb)
+    val before = cat.readTable(spark, "vec", "emb_ivfpq_codes").count()
+    val (rc1, _) = fork(Seq("append-codes-torn", wh, "vec", "emb", "920000", "9"))
+    assert(rc1 === 137, "torn worker must die at the halt seam")
+    // torn state on disk: raw half committed, codes half missing
+    val rawIds1 = cat.readTable(spark, "vec", "emb_ivfpq_raw")
+      .select("vec_id").as[Long].collect().toSet
+    assert((920000L until 920009L).forall(rawIds1), "raw half must have landed")
+    val codeIds1 = cat.readTable(spark, "vec", "emb_ivfpq_codes")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!(920000L until 920009L).exists(codeIds1), "codes half must be missing")
+    // the heal: same content, fresh process, same fingerprint tag
+    val (rc2, out2) = fork(Seq("append-codes", wh, "vec", "emb", "920000", "9"))
+    assert(rc2 === 0, s"healing re-run failed: $out2")
+    // exactly once on BOTH halves
+    val codes = cat.readTable(spark, "vec", "emb_ivfpq_codes")
+      .select("vec_id").as[Long].collect()
+    assert(codes.length === codes.distinct.length, "duplicate code rows after heal")
+    assert((920000L until 920009L).forall(codes.toSet), "codes half not healed")
+    assert(codes.length === before.toInt + 9)
+    val raw = cat.readTable(spark, "vec", "emb_ivfpq_raw")
+      .select("vec_id").as[Long].collect()
+    assert(raw.length === raw.distinct.length, "raw half was double-committed")
+    // and a search through the healed id serves without tripping the
+    // sync guard
+    val probe = cat.readTable(spark, "vec", "emb_ivfpq_raw")
+      .filter(col("vec_id") === 920004L)
+      .select("embedding").head().getSeq[Float](0)
+    assert(IvfPq.search(spark, cat, "vec", "emb",
+      cat.readTable(spark, "vec", "emb_ivfpq_raw")
+        .select(col("vec_id"), col("embedding")),
+      920004L, probe, k = 3).count() === 3)
+  }
+
   test("commit storm: 3 foreign processes + in-test writer, no lost or torn commit") {
     val wh = freshWh()
     val cat = new GraftCatalog(wh)

@@ -31,8 +31,15 @@ import org.apache.spark.sql.functions._
 object CrossJvmWorker {
 
   def main(args: Array[String]): Unit = args(0) match {
-    case "append-codes" =>
+    case mode @ ("append-codes" | "append-codes-torn") =>
       val Array(_, wh, ns, table, idStart, n) = args
+      // torn mode: HALT the whole process inside appendTagged's window
+      // between the raw and codes commits — Runtime.halt skips every
+      // finally/shutdown hook, the honest kill -9 shape. The committed
+      // raw half plus the missing codes half is exactly the state the
+      // content-fingerprint replay tag exists to heal.
+      if (mode == "append-codes-torn")
+        graft.operators.IvfPq.appendTornSeam = () => Runtime.getRuntime.halt(137)
       val spark = SparkSession.builder()
         .master("local[2]")
         .config("spark.sql.shuffle.partitions", "2")
