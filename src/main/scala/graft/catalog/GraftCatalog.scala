@@ -2423,17 +2423,32 @@ class GraftCatalog(val warehouse: String) {
     val target = md.resolve(s"v$next.json")
     val tmp = Files.createTempFile(md, s".v$next", ".json.tmp")
     Files.writeString(tmp, Serialization.write(meta))
-    // Claim the version slot with an exclusive create (O_EXCL) — rename(2)
-    // silently replaces an existing target, so ATOMIC_MOVE alone cannot
-    // detect a racing writer that already produced vN+1.
-    try Files.createFile(target)
+    // Claim the version slot AND publish the content in ONE atomic step:
+    // link(2) fails with EEXIST when the target exists (unlike rename(2),
+    // which silently replaces — the reason a plain ATOMIC_MOVE can't
+    // detect a racing writer). Because the link carries the full content,
+    // there is NO window in which a claimed-but-empty vN+1.json exists on
+    // disk — the previous two-step protocol (O_EXCL create, then move
+    // onto it) left exactly that window: a writer dying between the two
+    // steps wedged the table PERMANENTLY (every later claim hit the
+    // empty slot and conflicted forever), and a GC-paused writer's late
+    // REPLACE_EXISTING move could silently overwrite a different
+    // writer's committed version. A dead writer now leaves only its
+    // dot-prefixed tmp file — garbage, never a claim.
+    try Files.createLink(target, tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.deleteIfExists(tmp)
+      // Self-heal foreign empty-claim debris (a pre-upgrade crash, an
+      // external tool's torn copy): OUR protocol can no longer produce
+      // an empty target, so an empty one is definitionally dead — drop
+      // it and let the retry re-claim the slot. Non-empty targets are
+      // real committed versions: conflict normally.
+      try { if (Files.size(target) == 0) Files.deleteIfExists(target) }
+      catch { case _: java.io.IOException => () }
       throw new CommitConflictException(
         s"concurrent commit detected for ${meta.namespace}.${meta.name} v$next")
     }
-    Files.move(tmp, target,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(tmp)
     val hintTmp = Files.createTempFile(md, ".hint", ".tmp")
     Files.writeString(hintTmp, next.toString)
     Files.move(hintTmp, hintFile(meta.namespace, meta.name),

@@ -397,7 +397,7 @@ class GraftCatalogSpec extends SparkSpec {
       "a racing append's file vanished from the live state")
   }
 
-  test("completed racing commit is recovered from; in-flight claim is rejected") {
+  test("completed racing commit is recovered from; dead empty claim self-heals") {
     val (_, wh) = freshDirs()
     val cat = new GraftCatalog(wh.toString)
     cat.createTable("ns", "t", StructType(Seq(StructField("id", LongType))))
@@ -409,13 +409,22 @@ class GraftCatalogSpec extends SparkSpec {
       Files.readString(md.resolve("v1.json")))
     cat.append("ns", "t", Seq(DataFileMeta("/ok.parquet", 1L, 1L)))
     assert(Files.exists(md.resolve("v3.json")))
-    // an EMPTY claim file = a commit IN FLIGHT holding the next slot; a
-    // contender must conflict (and, with the holder never finishing,
-    // exhaust its retries)
+    // an EMPTY version file can only be DEBRIS (a pre-link-protocol
+    // crash between claim and content, an external tool's torn copy) —
+    // the link-based commit publishes claim AND content atomically, so
+    // nothing live ever holds an empty slot. The old two-step protocol
+    // wedged this table PERMANENTLY here (every contender conflicted on
+    // the empty claim until retries exhausted); now the contender heals
+    // the slot and commits into it.
     Files.createFile(md.resolve("v4.json"))
-    intercept[IllegalStateException] {
-      cat.append("ns", "t", Seq(DataFileMeta("/nope.parquet", 1L, 1L)))
-    }
+    cat.append("ns", "t", Seq(DataFileMeta("/ok2.parquet", 1L, 1L)))
+    assert(Files.size(md.resolve("v4.json")) > 0,
+      "the healed slot must hold the contender's committed version")
+    assert(cat.loadTable("ns", "t").snapshots.size === 2)
+    // crashed-writer tmp garbage (dot-prefixed) never blocks anything
+    Files.writeString(md.resolve(".v9garbage.json.tmp"), "torn")
+    cat.append("ns", "t", Seq(DataFileMeta("/ok3.parquet", 1L, 1L)))
+    assert(cat.loadTable("ns", "t").snapshots.size === 3)
   }
 
   test("position deletes: per-file row targeting, stacking, materialize") {
