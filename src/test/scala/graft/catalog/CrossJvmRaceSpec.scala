@@ -169,6 +169,56 @@ class CrossJvmRaceSpec extends SparkSpec {
       920004L, probe, k = 3).count() === 3)
   }
 
+  test("two processes syncing one changelog view: write-once survives, replay law holds") {
+    // the production CDC shape: two independent consumers (separate
+    // Spark apps) each call syncChangelogView on the same table — the
+    // atomic-rename publish must absorb the cross-PROCESS collision
+    // (same snapshot, deterministic content) leaving exactly one copy
+    // of every snapshot's rows, and the materialized view must satisfy
+    // the replay law: inserts minus deletes == the live table.
+    import org.apache.spark.sql.functions.col
+    val wh = freshWh()
+    val cat = new GraftCatalog(wh)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    cat.createTable("c", "t", df.schema)
+    val tmp = Files.createTempDirectory(Paths.get("/root/repo/target"), "xjvm_cl")
+    df.coalesce(1).write.parquet(tmp.resolve("r1").toString)
+    cat.registerFiles("c", "t", Seq(tmp.resolve("r1")))            // s1
+    graft.etl.Merge.deleteWherePos(spark, cat, "c", "t",
+      col("id") === 2L)                                            // s2
+    graft.etl.Merge.mergeIntoMor(spark, cat, "c", "t",
+      Seq((3L, "c2"), (9L, "z")).toDF("id", "v"), Seq("id"))       // s3
+    // two REAL processes race the sync; the in-test session joins in
+    val t1 = new Thread(() => {
+      val (rc, out) = fork(Seq("sync-changelog", wh, "c", "t"))
+      assert(rc === 0, s"foreign syncer 1 failed: $out")
+    })
+    val t2 = new Thread(() => {
+      val (rc, out) = fork(Seq("sync-changelog", wh, "c", "t"))
+      assert(rc === 0, s"foreign syncer 2 failed: $out")
+    })
+    t1.start(); t2.start()
+    cat.syncChangelogView(spark, "c", "t")
+    t1.join(300000); t2.join(300000)
+    assert(!t1.isAlive && !t2.isAlive, "a foreign syncer hung")
+    // exactly one materialized dir per snapshot, none torn
+    val stats = cat.changelogViewStats("c", "t")
+    assert(stats.materializedDirs === 3 && stats.prunedDirs === 0)
+    // replay law over the materialized view (the file stream's source
+    // of truth): fold inserts minus deletes == live state
+    val viewDir = Paths.get(wh, "c", "t", "changelogview")
+    val all = spark.read.option("recursiveFileLookup", "true")
+      .parquet(viewDir.toString)
+    val ins = all.filter(col("_change_type") === "insert")
+      .select("id", "v")
+    val del = all.filter(col("_change_type") === "delete")
+      .select("id", "v")
+    val folded = ins.exceptAll(del)
+    val live = cat.readTable(spark, "c", "t")
+    assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty,
+      "cross-process view sync broke the changelog replay law")
+  }
+
   test("commit storm: 3 foreign processes + in-test writer, no lost or torn commit") {
     val wh = freshWh()
     val cat = new GraftCatalog(wh)

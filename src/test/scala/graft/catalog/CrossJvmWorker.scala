@@ -71,6 +71,22 @@ object CrossJvmWorker {
           sys.exit(3)
       } finally spark.stop()
 
+    case "sync-changelog" =>
+      val Array(_, wh, ns, table) = args
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .appName("graft-crossjvm-syncer")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      try {
+        val cat = new GraftCatalog(wh)
+        cat.syncChangelogView(spark, ns, table)
+        println("OK")
+      } finally spark.stop()
+
     case "storm" =>
       val Array(_, wh, ns, table, n, file) = args
       val cat = new GraftCatalog(wh)
