@@ -28,8 +28,23 @@ object Tables {
   /** (SparkSession, sfDir) => DataFrame — the driver contract shape. */
   type QFn = (SparkSession, String) => DataFrame
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred parquet schema per (dir, table), cached like
+    * [[eventsTsUnit]]: schema inference re-reads footers on EVERY
+    * `spark.read.parquet` call (a driver-side footer read, plus a small
+    * inference job once a directory holds many part files) — pure
+    * metadata, identical on every call for the immutable test fixtures,
+    * and exactly what a production catalog would hand the reader. The
+    * DataFrame still scans the parquet files themselves on every
+    * action — only the schema lookup is cached, never data or results. */
+  private val schemas =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemas.getOrElseUpdate((dir, name),
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String)   = table(s, d, "region")
   def nation(s: SparkSession, d: String)   = table(s, d, "nation")
