@@ -61,7 +61,11 @@ object VectorMaintenance {
                    table: String,
                    interleave: () => Unit = () => ()): TableMeta = {
     val t = s"${table}_ivfpq_codes"
-    val k = cat.readTable(spark, ns, s"${table}_ivfpq_cells").count().toInt
+    // k = the committed cells-table ROW count — the manifest's per-file
+    // footer row counts already carry it exactly (the L19 metadata-only
+    // aggregate), so no Spark job scans k rows just to count them
+    val k = cat.loadTable(ns, s"${table}_ivfpq_cells")
+      .filesAsOf(None).map(_.rowCount).sum.toInt
     // pin the DERIVATION BASE and read AS OF it: the overwrite commit
     // carries the base snapshot id, so a streaming append racing this
     // compaction folds its files into the commit (no row lost whichever
@@ -74,56 +78,66 @@ object VectorMaintenance {
     val base = cat.loadTable(ns, t).currentSnapshotId
     // pre-compaction code files (for the raw purge's tombstone diff below)
     val codeFiles = cat.loadTable(ns, t).filesAsOf(Some(base))
-    val live = cat.readTable(spark, ns, t, asOf = Some(base))
-    val dir = Paths.get(cat.warehouse, ns, t, "data",
-      s"compact-${graft.catalog.Stamp.next()}")
-    live.repartitionByRange(k, col("cell"))
-      .sortWithinPartitions("cell", "vec_id")
-      .write.parquet(dir.toString)
-    interleave()
-    val meta = cat.registerFiles(ns, t, Seq(dir), operation = "overwrite",
-      baseSnapshotId = Some(base))
-    // the raw re-rank store pays down the same two debts when present:
-    // per-batch file accretion (re-cluster to ≤k cell files, restoring
-    // augmentation's pruning parity with the codes) and — the RTBF
-    // half — raw vectors of TOMBSTONED ids, which no search can surface
-    // (the shortlist excludes them) but which a right-to-be-forgotten
-    // deployment must physically purge: the semi-join keeps only ids
-    // still live in the compacted codes. One linear pass, off the hot
-    // probe path like the codes rewrite above.
-    val rT = graft.operators.IvfPq.rawTable(table)
-    if (cat.tableExists(ns, rT)) {
-      // the raw rewrite pins ITS OWN base the same way. The RTBF purge
-      // removes exactly the ids the codes table TOMBSTONED — physical
-      // rows in the pre-compaction code files minus the live (debt-
-      // applied) rows — via an anti-join, NEVER "ids not currently in
-      // codes": a concurrent appendCodes that has landed its raw half
-      // but not yet its codes half would look exactly like a tombstone
-      // to a keep-only-codes-live semi-join, and purging it would trip
-      // every later search's sync guard ("raw store fell behind")
-      // permanently. Orphan raw rows (a crashed append that never
-      // re-ran) survive as the documented harmless superset.
-      val doomed = {
-        val files = codeFiles.map(_.path)
-        if (files.isEmpty) live.select("vec_id").limit(0)
-        // SET difference (except, not exceptAll): an id is doomed only
-        // if NO live row carries it — a historical duplicate code row
-        // must not mark a live id as tombstoned
-        else spark.read.parquet(files: _*).select("vec_id")
-          .except(live.select("vec_id"))
-      }
-      val rawBase = cat.loadTable(ns, rT).currentSnapshotId
-      val rawDir = Paths.get(cat.warehouse, ns, rT, "data",
+    // persisted: the live (tombstone-applied) state feeds THREE passes —
+    // the range-boundary sketch, the rewrite shuffle, and the raw purge's
+    // except below — and each would otherwise re-read the files and
+    // re-fold the delete debt ("one linear pass" must mean one)
+    val live = cat.readTable(spark, ns, t, asOf = Some(base)).persist()
+    try {
+      val dir = Paths.get(cat.warehouse, ns, t, "data",
         s"compact-${graft.catalog.Stamp.next()}")
-      cat.readTable(spark, ns, rT, asOf = Some(rawBase))
-        .join(doomed, Seq("vec_id"), "left_anti")
-        .repartitionByRange(k, col("cell"))
+      live.repartitionByRange(k, col("cell"))
         .sortWithinPartitions("cell", "vec_id")
-        .write.parquet(rawDir.toString)
-      cat.registerFilesWithBlooms(spark, ns, rT, Seq(rawDir),
-        Seq("vec_id"), operation = "overwrite",
-        baseSnapshotId = Some(rawBase))
-    }
-    meta
+        .write.parquet(dir.toString)
+      interleave()
+      val meta = cat.registerFiles(ns, t, Seq(dir), operation = "overwrite",
+        baseSnapshotId = Some(base))
+      // the raw re-rank store pays down the same two debts when present:
+      // per-batch file accretion (re-cluster to ≤k cell files, restoring
+      // augmentation's pruning parity with the codes) and — the RTBF
+      // half — raw vectors of TOMBSTONED ids, which no search can surface
+      // (the shortlist excludes them) but which a right-to-be-forgotten
+      // deployment must physically purge: the semi-join keeps only ids
+      // still live in the compacted codes. One linear pass, off the hot
+      // probe path like the codes rewrite above.
+      val rT = graft.operators.IvfPq.rawTable(table)
+      if (cat.tableExists(ns, rT)) {
+        // the raw rewrite pins ITS OWN base the same way. The RTBF purge
+        // removes exactly the ids the codes table TOMBSTONED — physical
+        // rows in the pre-compaction code files minus the live (debt-
+        // applied) rows — via an anti-join, NEVER "ids not currently in
+        // codes": a concurrent appendCodes that has landed its raw half
+        // but not yet its codes half would look exactly like a tombstone
+        // to a keep-only-codes-live semi-join, and purging it would trip
+        // every later search's sync guard ("raw store fell behind")
+        // permanently. Orphan raw rows (a crashed append that never
+        // re-ran) survive as the documented harmless superset.
+        val doomed = {
+          val files = codeFiles.map(_.path)
+          if (files.isEmpty) live.select("vec_id").limit(0)
+          // SET difference (except, not exceptAll): an id is doomed only
+          // if NO live row carries it — a historical duplicate code row
+          // must not mark a live id as tombstoned
+          else spark.read.parquet(files: _*).select("vec_id")
+            .except(live.select("vec_id"))
+        }
+        val rawBase = cat.loadTable(ns, rT).currentSnapshotId
+        val rawDir = Paths.get(cat.warehouse, ns, rT, "data",
+          s"compact-${graft.catalog.Stamp.next()}")
+        // pinned before the range shuffle (the [[IvfPq.encode]] rationale):
+        // the boundary sketch would otherwise re-read the raw store and
+        // re-run the anti-join a second time
+        cat.readTable(spark, ns, rT, asOf = Some(rawBase))
+          .join(doomed, Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
+          .repartitionByRange(k, col("cell"))
+          .sortWithinPartitions("cell", "vec_id")
+          .write.parquet(rawDir.toString)
+        cat.registerFilesWithBlooms(spark, ns, rT, Seq(rawDir),
+          Seq("vec_id"), operation = "overwrite",
+          baseSnapshotId = Some(rawBase))
+      }
+      meta
+    } finally { live.unpersist(); () }
   }
 }

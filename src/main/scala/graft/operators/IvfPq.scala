@@ -359,10 +359,18 @@ object IvfPq {
   def encode(cents: Seq[Seq[Float]], model: ProductQuantizer.Model,
              emb: DataFrame): DataFrame = {
     val meta = emb.columns.filter(c => c != "vec_id" && c != "embedding")
+    // materialize the encoded rows ONCE before the range shuffle:
+    // repartitionByRange runs a boundary-SKETCH pass over its child
+    // before the real shuffle, so an un-pinned child evaluates the
+    // whole projection twice — and cellOf + packedCodes (k·dim + M·K·dim
+    // multiply-adds per row) ARE the encode cost. The checkpoint turns
+    // that into one expression pass + one cheap block re-read; blocks
+    // free when the frame is GC'd (the augmentTop1 convention).
     emb.select(col("vec_id") +:
         cellOf(emb.sparkSession, cents, col("embedding")).as("cell") +:
         ProductQuantizer.packedCodes(emb.sparkSession, model, col("embedding")).as("codes") +:
         meta.toIndexedSeq.map(col): _*)
+      .localCheckpoint(true)
       .repartitionByRange(cents.size, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
   }
@@ -384,9 +392,13 @@ object IvfPq {
   /** Rows of the RAW-VECTOR re-rank store: (vec_id, cell, embedding),
     * CELL-range-clustered exactly like the codes. */
   private def rawRows(cents: Seq[Seq[Float]], emb: DataFrame): DataFrame =
+    // pinned before the range shuffle for the same reason as [[encode]]:
+    // the boundary sketch would otherwise run cellOf over every row a
+    // second time
     emb.select(col("vec_id"),
         cellOf(emb.sparkSession, cents, col("embedding")).as("cell"),
         col("embedding"))
+      .localCheckpoint(true)
       .repartitionByRange(cents.size, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
 

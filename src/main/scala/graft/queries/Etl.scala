@@ -492,14 +492,32 @@ object Etl {
     TextIndex.buildIndex(s, cat, "txt2", "docs", docs, tok)
     val inc = cat.readTable(s, "txt", "docs_postings")
     val full = cat.readTable(s, "txt2", "docs_postings")
-    val nPostings = inc.count()
-    val incrementalEquiv = nPostings == full.count() &&
-      inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty
-    val stats = TextIndex.statsRow(s, cat, "txt", "docs").collect()(0)
-    val expect = docs.select(expr(s"size($tok)").as("len"))
-      .agg(count(lit(1)), sum(col("len"))).collect()(0)
-    val statsOk = stats.getLong(0) == expect.getLong(0) &&
-      stats.getLong(1) == expect.getLong(1)
+    // append-equivalence in ONE action (was 4 serial jobs: two counts +
+    // two exceptAll emptiness probes): tag each side with a unit weight,
+    // group by the full posting row, and compare per-row weights —
+    // multiset equality ⟺ no group with differing side counts (which
+    // subsumes the count equality the old first check tested), and
+    // Σ inc-weights is exactly inc.count(). Same shuffle the first
+    // exceptAll alone paid.
+    val cols = inc.columns.toSeq
+    val eqRow = inc.select(col("*"), lit(1L).as("__inc"), lit(0L).as("__full"))
+      .unionByName(
+        full.select(col("*"), lit(0L).as("__inc"), lit(1L).as("__full")))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("__inc")).as("ni"), sum(col("__full")).as("nf"))
+      .agg(sum(col("ni")).as("n_postings"),
+        max(when(col("ni") =!= col("nf"), 1L).otherwise(0L)).as("mismatch"))
+      .head()
+    val nPostings = eqRow.getLong(0)
+    val incrementalEquiv = eqRow.getLong(1) == 0L
+    // stats check: both one-row frames in ONE action via the pinned
+    // 1-row broadcast combine (the TextIndex.bm25Candidates convention)
+    val statsExpect = TextIndex.statsRow(s, cat, "txt", "docs")
+      .crossJoin(broadcast(docs.select(expr(s"size($tok)").as("len"))
+        .agg(count(lit(1)).as("e_docs"), sum(col("len")).as("e_len"))))
+      .head()
+    val statsOk = statsExpect.getLong(0) == statsExpect.getLong(2) &&
+      statsExpect.getLong(1) == statsExpect.getLong(3)
     val (kept, total) =
       TextIndex.termFiles(cat, "txt", "docs", Extensions.bm25Terms.take(1))
     val terms = Extensions.bm25Terms
@@ -510,7 +528,7 @@ object Etl {
       .filter(col("n_hits") > 0)
       .orderBy(desc("score"), asc("doc_id")).limit(10).collect().toSeq
     import s.implicits._
-    Seq((expect.getLong(0), nPostings, statsOk, incrementalEquiv,
+    Seq((statsExpect.getLong(2), nPostings, statsOk, incrementalEquiv,
         kept < total, viaIndex == viaScan))
       .toDF("n_docs", "n_postings", "stats_ok", "incremental_equiv",
         "pruned", "serve_parity")
@@ -641,7 +659,10 @@ object Etl {
         "semantically invisible")
     require(!rows.exists(r => r.getLong(0) % 13 == 5 && r.getLong(0) != probeId),
       "a deleted vector surfaced from the compacted index")
-    val nLive = cat.readTable(s, "vec", "emb_ivfpq_codes").count()
+    // post-compaction the codes table carries zero delete debt (gated
+    // above), so the live row count IS the manifest's footer row-count
+    // sum — the L19 metadata-only aggregate; no data scan needed
+    val nLive = meta.filesAsOf(None).map(_.rowCount).sum
     val nExpected = emb.filter(!doomed).count()
     require(nLive == nExpected,
       s"live codes $nLive != expected $nExpected after delete + compact")
