@@ -930,31 +930,48 @@ object Etl {
       .toDF("phase", "n").orderBy("phase")
   }
 
+  /** The pristine committed streaming-ingester state
+    * [[etlNeardupMaintain]] mutates (two landed batches + their index
+    * side tables over FIXED literal texts) — built once per JVM and
+    * cloned per run (the [[vecCompactFx]] convention; the maintenance
+    * pass under measure rewrites all three tables of the clone). */
+  private val neardupMaintFx = scala.collection.concurrent.TrieMap
+    .empty[String, java.nio.file.Path]
+
   private def etlNeardupMaintain: QFn = (s, _) => {
     import s.implicits._
     import graft.queries.Extensions.{docTokenSets, docBandRows}
     val base = Files.createTempDirectory(
       Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
       "etl_neardup_maint")
+    val fxWh = neardupMaintFx.getOrElseUpdate("static", {
+      val fxBase = Files.createTempDirectory(
+        Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+        "etl_neardup_maint_fx")
+      val c = new graft.catalog.GraftCatalog(fxBase.resolve("wh").toString)
+      val proto = Seq((0L, "x")).toDF("doc_id", "text")
+      c.createTable("maint", "docs", proto.schema)
+      c.createTable("maint", "docs_sigs", docBandRows(docTokenSets(proto)).schema)
+      c.createTable("maint", "docs_toks", docTokenSets(proto).schema)
+      def land(id: Int, rows: Seq[(Long, String)]): Unit = {
+        val df = rows.toDF("doc_id", "text")
+        val dir = fxBase.resolve(s"batch-$id")
+        df.write.parquet(dir.resolve("data").toString)
+        val sets = docTokenSets(df).localCheckpoint()
+        docBandRows(sets).write.parquet(dir.resolve("sigs").toString)
+        sets.write.parquet(dir.resolve("toks").toString)
+        c.registerFiles("maint", "docs", Seq(dir.resolve("data")))
+        c.registerFiles("maint", "docs_sigs", Seq(dir.resolve("sigs")))
+        c.registerFiles("maint", "docs_toks", Seq(dir.resolve("toks")))
+        ()
+      }
+      land(0, Seq((1L, MaintTextA), (2L, MaintTextB),
+        (4L, MaintTextA.replace("dawn", "mist"))))
+      land(1, Seq((5L, MaintTextC)))
+      fxBase.resolve("wh")
+    })
+    Fixtures.cloneWarehouse(s, fxWh, base.resolve("wh"))
     val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
-    val proto = Seq((0L, "x")).toDF("doc_id", "text")
-    cat.createTable("maint", "docs", proto.schema)
-    cat.createTable("maint", "docs_sigs", docBandRows(docTokenSets(proto)).schema)
-    cat.createTable("maint", "docs_toks", docTokenSets(proto).schema)
-    def land(id: Int, rows: Seq[(Long, String)]): Unit = {
-      val df = rows.toDF("doc_id", "text")
-      val dir = base.resolve(s"batch-$id")
-      df.write.parquet(dir.resolve("data").toString)
-      val sets = docTokenSets(df).localCheckpoint()
-      docBandRows(sets).write.parquet(dir.resolve("sigs").toString)
-      sets.write.parquet(dir.resolve("toks").toString)
-      cat.registerFiles("maint", "docs", Seq(dir.resolve("data")))
-      cat.registerFiles("maint", "docs_sigs", Seq(dir.resolve("sigs")))
-      cat.registerFiles("maint", "docs_toks", Seq(dir.resolve("toks")))
-    }
-    land(0, Seq((1L, MaintTextA), (2L, MaintTextB),
-      (4L, MaintTextA.replace("dawn", "mist"))))
-    land(1, Seq((5L, MaintTextC)))
     val before = cat.loadTable("maint", "docs").currentSnapshotId
     graft.etl.Maintenance.neardupMaintain(s, cat, "maint", "docs",
       sigsTable = Some("docs_sigs"), toksTable = Some("docs_toks"))
