@@ -1281,32 +1281,58 @@ object Meta {
     * − Σdeletes must equal the live row count. Oracled row-for-row
     * from raw region (keys AND names — a wrong-row delete breaks the
     * hash, not just a count). */
+  /** The 5-snapshot DML history [[metaChangelog]] and
+    * [[metaChangelogSync]] both read — initial append, position delete,
+    * equality delete, upsert, plain append over the constant region
+    * table — with its changelog VIEW pre-materialized (write-once), one
+    * per (JVM, sfDir). Both consumers only READ it, but each run still
+    * clones the warehouse ([[graft.queries.Fixtures.cloneWarehouse]])
+    * so the write-once view-healing path stays exercised per table and
+    * nothing ever mutates the shared pristine copy. */
+  private val changelogFx =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def changelogFixture(s: SparkSession, d: String): java.nio.file.Path =
+    changelogFx.synchronized {
+      changelogFx.getOrElseUpdate(d, {
+        import s.implicits._
+        val fxBase = Files.createTempDirectory(
+          Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+          "meta_chg_fx")
+        val cat = new GraftCatalog(fxBase.resolve("wh").toString)
+        cat.createNamespace("nyc")
+        val t = "chg"
+        val region = graft.Tables.region(s, d)
+        region.coalesce(1).write.parquet(fxBase.resolve("r0").toString)
+        cat.createTable("nyc", t, region.schema)
+        cat.registerFiles("nyc", t, Seq(fxBase.resolve("r0")))      // s1
+        graft.etl.Merge.deleteWherePos(s, cat, "nyc", t,
+          col("r_regionkey") === 0)                                  // s2
+        graft.etl.Merge.deleteWhereMor(s, cat, "nyc", t,
+          col("r_regionkey") === 1, Seq("r_regionkey"))              // s3
+        graft.etl.Merge.mergeIntoMor(s, cat, "nyc", t,
+          region.filter(col("r_regionkey") === 2)
+            .withColumn("r_name", concat(col("r_name"), lit("-v2"))),
+          Seq("r_regionkey"))                                        // s4
+        region.limit(0).unionByName(
+            Seq((9, "NEWLAND")).toDF("r_regionkey", "r_name")
+              .select(col("r_regionkey").cast("int"), col("r_name")))
+          .coalesce(1).write.parquet(fxBase.resolve("r5").toString)
+        cat.registerFiles("nyc", t, Seq(fxBase.resolve("r5")))       // s5
+        // pre-materialize the changelog view (write-once) so clones read
+        cat.syncChangelogView(s, "nyc", t)
+        fxBase.resolve("wh")
+      })
+    }
+
   private def metaChangelog: QFn = (s, d) => {
-    import s.implicits._
-    val (_, wh) = demoDirs(d)
-    val cat = new GraftCatalog(wh)
-    cat.createNamespace("nyc")
-    val t = "chg_" + java.util.UUID.randomUUID.toString.take(8)
-    val region = graft.Tables.region(s, d)
     val base = Files.createTempDirectory(
       Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
       "meta_chg")
-    region.coalesce(1).write.parquet(base.resolve("r0").toString)
-    cat.createTable("nyc", t, region.schema)
-    cat.registerFiles("nyc", t, Seq(base.resolve("r0")))          // s1
-    graft.etl.Merge.deleteWherePos(s, cat, "nyc", t,
-      col("r_regionkey") === 0)                                    // s2
-    graft.etl.Merge.deleteWhereMor(s, cat, "nyc", t,
-      col("r_regionkey") === 1, Seq("r_regionkey"))                // s3
-    graft.etl.Merge.mergeIntoMor(s, cat, "nyc", t,
-      region.filter(col("r_regionkey") === 2)
-        .withColumn("r_name", concat(col("r_name"), lit("-v2"))),
-      Seq("r_regionkey"))                                          // s4
-    region.limit(0).unionByName(
-        Seq((9, "NEWLAND")).toDF("r_regionkey", "r_name")
-          .select(col("r_regionkey").cast("int"), col("r_name")))
-      .coalesce(1).write.parquet(base.resolve("r5").toString)
-    cat.registerFiles("nyc", t, Seq(base.resolve("r5")))           // s5
+    graft.queries.Fixtures.cloneWarehouse(s, changelogFixture(s, d),
+      base.resolve("wh"))
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    val t = "chg"
     val last = cat.snapshots("nyc", t).map(_.id).max
     val chg = cat.readChangelog(s, "nyc", t, 0L, last)
     val counts = chg.groupBy("_change_type").count()
@@ -1336,30 +1362,14 @@ object Meta {
     * table, so the oracle is a literal replay). */
   private def metaChangelogSync: QFn = (s, d) => {
     import s.implicits._
-    val (_, wh) = demoDirs(d)
-    val cat = new GraftCatalog(wh)
-    cat.createNamespace("nyc")
-    val t = "chgs_" + java.util.UUID.randomUUID.toString.take(8)
-    val region = graft.Tables.region(s, d)
     val base = Files.createTempDirectory(
       Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
       "meta_chgs")
-    region.coalesce(1).write.parquet(base.resolve("r0").toString)
-    cat.createTable("nyc", t, region.schema)
-    cat.registerFiles("nyc", t, Seq(base.resolve("r0")))          // s1
-    graft.etl.Merge.deleteWherePos(s, cat, "nyc", t,
-      col("r_regionkey") === 0)                                    // s2
-    graft.etl.Merge.deleteWhereMor(s, cat, "nyc", t,
-      col("r_regionkey") === 1, Seq("r_regionkey"))                // s3
-    graft.etl.Merge.mergeIntoMor(s, cat, "nyc", t,
-      region.filter(col("r_regionkey") === 2)
-        .withColumn("r_name", concat(col("r_name"), lit("-v2"))),
-      Seq("r_regionkey"))                                          // s4
-    region.limit(0).unionByName(
-        Seq((9, "NEWLAND")).toDF("r_regionkey", "r_name")
-          .select(col("r_regionkey").cast("int"), col("r_name")))
-      .coalesce(1).write.parquet(base.resolve("r5").toString)
-    cat.registerFiles("nyc", t, Seq(base.resolve("r5")))           // s5
+    graft.queries.Fixtures.cloneWarehouse(s, changelogFixture(s, d),
+      base.resolve("wh"))
+    val cat = new GraftCatalog(base.resolve("wh").toString)
+    val t = "chg"
+    val region = graft.Tables.region(s, d)
     val ids = cat.snapshots("nyc", t).map(_.id).sorted
     val waves = Seq((0L, ids(2)), (ids(2), ids.last))
     var mirror = s.createDataFrame(
@@ -1373,10 +1383,30 @@ object Meta {
         .drop("_change_type", "_change_ordinal")
       mirror = mirror.unionByName(ins).exceptAll(del).localCheckpoint()
       val expected = cat.readTable(s, "nyc", t, asOf = Some(to))
-      require(mirror.exceptAll(expected).isEmpty &&
-          expected.exceptAll(mirror).isEmpty,
+      // ONE action per wave (was 5: two exceptAll emptiness probes +
+      // three counts): tag mirror/expected with unit weights, group by
+      // the full row, and compare per-row multiplicities — multiset
+      // equality ⟺ no group with differing side counts, and Σ mirror-
+      // weights is the mirror row count the output reports. The wave's
+      // insert/delete counts ride the SAME job through the checkpointed
+      // chg frame's type counts.
+      val regionCols = region.columns.toSeq
+      val eq = mirror.select(col("*"), lit(1L).as("__m"), lit(0L).as("__e"))
+        .unionByName(
+          expected.select(col("*"), lit(0L).as("__m"), lit(1L).as("__e")))
+        .groupBy(regionCols.map(col): _*)
+        .agg(sum(col("__m")).as("nm"), sum(col("__e")).as("ne"))
+        .agg(sum(col("nm")).as("mirror_rows"),
+          max(when(col("nm") =!= col("ne"), 1L).otherwise(0L)).as("mismatch"))
+        .crossJoin(broadcast(chg.groupBy()
+          .agg(sum(when(col("_change_type") === "insert", 1L)
+              .otherwise(0L)).as("n_ins"),
+            sum(when(col("_change_type") === "delete", 1L)
+              .otherwise(0L)).as("n_del"))))
+        .head()
+      require(eq.getLong(1) == 0L,
         s"wave ${i + 1}: mirror diverged from the source as of snapshot $to")
-      (i + 1, ins.count(), del.count(), mirror.count())
+      (i + 1, eq.getLong(2), eq.getLong(3), eq.getLong(0))
     }
     rows.toDF("wave", "n_inserts", "n_deletes", "mirror_rows")
       .orderBy("wave")
@@ -1393,22 +1423,39 @@ object Meta {
     * evidence), and the SQL CALL must report the identical row the
     * Scala entry reads. All counts are fixture constants (3 commits of
     * the constant 5-row region), so the oracle is a VALUES replay. */
+  /** The pristine 3-append + materialized-view state
+    * [[metaChangelogStats]] mutates (expiration prunes the clone's view
+    * storage) — one per (JVM, sfDir), cloned per run. */
+  private val changelogStatsFx =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
   private def metaChangelogStats: QFn = (s, d) => {
     import s.implicits._
-    val (_, wh) = demoDirs(d)
-    val cat = new GraftCatalog(wh)
-    cat.createNamespace("nyc")
-    val t = "chst_" + java.util.UUID.randomUUID.toString.take(8)
-    val region = graft.Tables.region(s, d)
+    val t = "chst"
+    val fxWh = changelogStatsFx.synchronized {
+      changelogStatsFx.getOrElseUpdate(d, {
+        val fxBase = Files.createTempDirectory(
+          Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+          "meta_chst_fx")
+        val c = new GraftCatalog(fxBase.resolve("wh").toString)
+        c.createNamespace("nyc")
+        val region = graft.Tables.region(s, d)
+        c.createTable("nyc", t, region.schema)
+        (1 to 3).foreach { i =>
+          region.limit(i).coalesce(1)
+            .write.parquet(fxBase.resolve(s"r$i").toString)
+          c.registerFiles("nyc", t, Seq(fxBase.resolve(s"r$i")))
+        }
+        c.syncChangelogView(s, "nyc", t)
+        fxBase.resolve("wh")
+      })
+    }
     val base = Files.createTempDirectory(
       Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
       "meta_chst")
-    cat.createTable("nyc", t, region.schema)
-    (1 to 3).foreach { i =>
-      region.limit(i).coalesce(1).write.parquet(base.resolve(s"r$i").toString)
-      cat.registerFiles("nyc", t, Seq(base.resolve(s"r$i")))
-    }
-    cat.syncChangelogView(s, "nyc", t)
+    graft.queries.Fixtures.cloneWarehouse(s, fxWh, base.resolve("wh"))
+    val wh = base.resolve("wh").toString
+    val cat = new GraftCatalog(wh)
     val pre = cat.changelogViewStats("nyc", t)
     cat.expireSnapshots("nyc", t, keepLast = 1) // boundary = snapshot 2
     val post = cat.changelogViewStats("nyc", t)
