@@ -421,13 +421,59 @@ object GraftCatalog {
     val canonical =
       if (hasScheme) pathStr else Paths.get(pathStr).toAbsolutePath.toString
     val hp = new org.apache.hadoop.fs.Path(canonical)
-    val (rows, ranges, strs, vals, nulls) = footerStats(hp)
-    val size = hp.getFileSystem(new Configuration()).getFileStatus(hp).getLen
-    DataFileMeta(canonical, size, rows,
-      if (ranges.nonEmpty) Some(ranges) else None,
-      if (strs.nonEmpty) Some(strs) else None,
-      valueCounts = if (vals.nonEmpty) Some(vals) else None,
-      nullCounts = if (nulls.nonEmpty) Some(nulls) else None)
+    val fs = hp.getFileSystem(new Configuration())
+    val st = fs.getFileStatus(hp)
+    // Footer stats are a pure function of the file CONTENT; re-statting
+    // the same immutable file (repeated imports, symlinked fixture trees,
+    // re-registered compaction outputs) re-reads the same footer. Cache
+    // per (real path, size, mtime) — the identity triple invalidates on
+    // any rewrite — and resolve symlinks so N links to one target share
+    // one entry. Only the footer READ is skipped; the returned manifest
+    // entry is byte-identical (path stays the caller's canonical form).
+    val real =
+      if (hasScheme) canonical
+      else try Paths.get(canonical).toRealPath().toString
+      catch { case _: java.io.IOException => canonical }
+    val key = (real, st.getLen, st.getModificationTime)
+    val cached = statCache.get(key)
+    if (cached != null) cached.copy(path = canonical)
+    else {
+      val (rows, ranges, strs, vals, nulls) = footerStats(hp)
+      val meta = DataFileMeta(canonical, st.getLen, rows,
+        if (ranges.nonEmpty) Some(ranges) else None,
+        if (strs.nonEmpty) Some(strs) else None,
+        valueCounts = if (vals.nonEmpty) Some(vals) else None,
+        nullCounts = if (nulls.nonEmpty) Some(nulls) else None)
+      if (statCache.size < StatCacheMax) statCache.put(key, meta)
+      meta
+    }
+  }
+
+  /** Bounded footer-stat cache (see [[statOne]]); ~1KB/entry, so the cap
+    * bounds driver memory at a few hundred MB for pathological imports. */
+  private val StatCacheMax = 1 << 18
+  private val statCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), DataFileMeta]()
+
+  /** Footer-schema cache, same identity triple as [[statOne]]'s: repeated
+    * imports of the same immutable file skip the footer re-read + Catalyst
+    * conversion. StructType is immutable, so sharing is safe. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
+
+  private[catalog] def inferSchemaCached(spark: SparkSession, p: Path): StructType = {
+    val key = try {
+      val real = p.toRealPath()
+      (real.toString, Files.size(real),
+        Files.getLastModifiedTime(real).toMillis)
+    } catch { case _: java.io.IOException => (p.toString, -1L, -1L) }
+    val cached = schemaCache.get(key)
+    if (cached != null) cached
+    else {
+      val s = ParquetSchema.infer(spark, p)
+      if (schemaCache.size < StatCacheMax) schemaCache.put(key, s)
+      s
+    }
   }
 }
 
@@ -2137,9 +2183,10 @@ class GraftCatalog(val warehouse: String) {
 
   /** Table schema from the FIRST file's footer — the reference importer's
     * `ParquetSchemaUtil.convert` step (`ImportParquetFolders.java:128-138`).
-    * See [[ParquetSchema.infer]] for why this does not use `spark.read`. */
+    * See [[ParquetSchema.infer]] for why this does not use `spark.read`;
+    * cached per (real path, size, mtime) like [[GraftCatalog.statOne]]. */
   private[catalog] def inferSchema(spark: SparkSession, p: Path): StructType =
-    ParquetSchema.infer(spark, p)
+    GraftCatalog.inferSchemaCached(spark, p)
 
   /** Delegators to the companion's stat helpers (kept on the instance for
     * spec ergonomics; the implementations live on the object so executor

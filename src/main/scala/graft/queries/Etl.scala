@@ -476,18 +476,19 @@ object Etl {
     * from the scan-based plan's matching-doc top-10 (serve parity on
     * the maintained index; q_text_bm25_indexed pins the memoized
     * full-build separately). */
-  /** The IMMUTABLE comparison halves of [[etlTextIndex]], one per (JVM,
-    * sfDir) — the vecRebuildFx convention: the fresh one-shot index the
-    * append-equivalence check compares against (never mutated), the
-    * scan-based BM25 top-10 the serve-parity check compares against,
-    * and the direct corpus aggregate the stats check compares against —
-    * all pure functions of the corpus. The MEASURED lifecycle (the 4/5
-    * build + 1/5 incremental append + every check) stays per-run. */
-  private case class TextIndexFx(cat: graft.catalog.GraftCatalog,
-                                 viaScan: Seq[org.apache.spark.sql.Row],
-                                 expectDocs: Long, expectLen: Long)
+  /** The IMMUTABLE comparison INDEX of [[etlTextIndex]], one per (JVM,
+    * sfDir) — the vecRebuildFx convention (a committed read-only index
+    * fixture, exactly like the fresh-index half of etl_vec_index_rebuild):
+    * the fresh one-shot txt2 index the append-equivalence check compares
+    * against is never mutated, so it is built once. The per-run MEASURED
+    * region carries everything else: the 4/5 build, the 1/5 incremental
+    * append, every check, AND the declared comparison computations the
+    * checks consume — the scan-based BM25 top-10 (serve parity) and the
+    * direct corpus aggregate (stats gate) are recomputed inside the timed
+    * region every run (round-16 verdict: memoizing those collected
+    * RESULTS crossed the measurement boundary). */
   private val textIndexFx = scala.collection.concurrent.TrieMap
-    .empty[String, TextIndexFx]
+    .empty[String, graft.catalog.GraftCatalog]
 
   private def etlTextIndex: QFn = (s, d) => {
     import graft.operators.TextIndex
@@ -498,25 +499,29 @@ object Etl {
     val tok = Extensions.tokensExpr
     val docs = Tables.spread(s, Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
-    val fx = textIndexFx.getOrElseUpdate(d, {
+    val fxCat = textIndexFx.getOrElseUpdate(d, {
       val fxBase = Files.createTempDirectory(
         Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
         "etl_text_index_fx")
       val c = new graft.catalog.GraftCatalog(fxBase.resolve("wh").toString)
       TextIndex.buildIndex(s, c, "txt2", "docs", docs, tok)
-      val scanTop = Extensions.bm25Scores(docs)
-        .filter(col("n_hits") > 0)
-        .orderBy(desc("score"), asc("doc_id")).limit(10).collect().toSeq
-      val expect = docs.select(expr(s"size($tok)").as("len"))
-        .agg(count(lit(1)), sum(col("len"))).head()
-      TextIndexFx(c, scanTop, expect.getLong(0), expect.getLong(1))
+      c
     })
+    // declared comparison computations, charged to every measured run:
+    // the scan-based BM25 top-10 the serve-parity column compares against
+    // and the direct corpus aggregate the stats gate compares against
+    val viaScan = Extensions.bm25Scores(docs)
+      .filter(col("n_hits") > 0)
+      .orderBy(desc("score"), asc("doc_id")).limit(10).collect().toSeq
+    val expect = docs.select(expr(s"size($tok)").as("len"))
+      .agg(count(lit(1)), sum(col("len"))).head()
+    val (expectDocs, expectLen) = (expect.getLong(0), expect.getLong(1))
     TextIndex.buildIndex(s, cat, "txt", "docs",
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), tok)
     TextIndex.appendDocs(s, cat, "txt", "docs",
       docs.filter(pmod(col("doc_id"), lit(5)) === 0), tok)
     val inc = cat.readTable(s, "txt", "docs_postings")
-    val full = fx.cat.readTable(s, "txt2", "docs_postings")
+    val full = fxCat.readTable(s, "txt2", "docs_postings")
     // append-equivalence in ONE action (was 4 serial jobs: two counts +
     // two exceptAll emptiness probes): tag each side with a unit weight,
     // group by the full posting row, and compare per-row weights —
@@ -536,10 +541,10 @@ object Etl {
     val nPostings = eqRow.getLong(0)
     val incrementalEquiv = eqRow.getLong(1) == 0L
     // stats check: the maintained index's summed deltas against the
-    // fixture's direct corpus aggregate (a pure function of the input)
+    // per-run direct corpus aggregate (computed above, inside the run)
     val stats = TextIndex.statsRow(s, cat, "txt", "docs").head()
-    val statsOk = stats.getLong(0) == fx.expectDocs &&
-      stats.getLong(1) == fx.expectLen
+    val statsOk = stats.getLong(0) == expectDocs &&
+      stats.getLong(1) == expectLen
     val (kept, total) =
       TextIndex.termFiles(cat, "txt", "docs", Extensions.bm25Terms.take(1))
     val terms = Extensions.bm25Terms
@@ -547,8 +552,8 @@ object Etl {
       .select(Extensions.bm25RankCols(terms.length): _*)
       .orderBy(desc("score"), asc("doc_id")).limit(10).collect().toSeq
     import s.implicits._
-    Seq((fx.expectDocs, nPostings, statsOk, incrementalEquiv,
-        kept < total, viaIndex == fx.viaScan))
+    Seq((expectDocs, nPostings, statsOk, incrementalEquiv,
+        kept < total, viaIndex == viaScan))
       .toDF("n_docs", "n_postings", "stats_ok", "incremental_equiv",
         "pruned", "serve_parity")
   }
@@ -765,11 +770,15 @@ object Etl {
     .empty[String, (String, graft.catalog.GraftCatalog)]
 
   /** The pristine STALE-index half of the rebuild scenario plus its
-    * fixture-derived scalars — built once per (JVM, sfDir), cloned per
-    * run (the [[vecCompactFx]] convention; the CALL mutates the clone). */
+    * fixture PARAMETERS — built once per (JVM, sfDir), cloned per run
+    * (the [[vecCompactFx]] convention; the CALL mutates the clone). The
+    * fixture carries only state and parameters (warehouse, k, the probe
+    * row); the declared COMPUTATIONS the gates consume — the brute-force
+    * ground-truth top-10 and the stale max occupancy — are recomputed
+    * inside every measured run (round-16 verdict: memoizing those
+    * results crossed the measurement boundary). */
   private case class RebuildStaleFx(wh: java.nio.file.Path, k: Int,
-                                    occStale: Long, probeId: Long,
-                                    probeVec: Seq[Float], brute: Set[Long])
+                                    probeId: Long, probeVec: Seq[Float])
   private val vecRebuildStaleFx = scala.collection.concurrent.TrieMap
     .empty[String, RebuildStaleFx]
 
@@ -809,9 +818,8 @@ object Etl {
     // appends under the old model — built once and CLONED per run
     // ([[Fixtures.cloneWarehouse]]): the CALL under measure overwrites
     // the clone, so every run still rebuilds from the identical drifted
-    // state. The fixture-derived scalars ride along: the probe row, the
-    // brute-force ground truth (one corpus scan), the stale max
-    // occupancy (a pure function of the pristine state), and k.
+    // state. The fixture carries only state + parameters (warehouse, k,
+    // the probe row); the gates' declared computations run per run below.
     val stale = vecRebuildStaleFx.getOrElseUpdate(d, {
       val fxBase = Files.createTempDirectory(
         Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
@@ -822,24 +830,10 @@ object Etl {
       // drift: the index grows under the stale model (the FAISS
       // contract — appends never retrain)
       IvfPq.appendCodes(s, c, "vec", "emb", cents0, model0, shifted)
-      val occ = c.readTable(s, "vec", "emb_ivfpq_codes")
-        .groupBy("cell").count().agg(max("count")).head().getLong(0)
-      // probe = the smallest shifted vec_id; ground truth = the
-      // brute-force top-10 over the combined corpus (bounded collect)
+      // probe = the smallest shifted vec_id (a fixture PARAMETER, like
+      // bm25Terms — not a computed result)
       val (pid, pvec) = ProductQuantizer.sampleRows(shifted).head
-      val dotc = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
-      val probeLit = typedLit(pvec)
-      val bruteTop = all.filter(col("vec_id") =!= pid)
-        .select(col("vec_id"),
-          (dotc(col("embedding"), probeLit) /
-            (sqrt(dotc(col("embedding"), col("embedding"))) *
-             sqrt(dotc(probeLit, probeLit)))).as("cs"))
-        .orderBy(desc("cs"), asc("vec_id")).limit(10)
-        .collect().map(_.getLong(0)).toSet
-      RebuildStaleFx(fxBase.resolve("wh"), cents0.size, occ, pid, pvec,
-        bruteTop)
+      RebuildStaleFx(fxBase.resolve("wh"), cents0.size, pid, pvec)
     })
     Fixtures.cloneWarehouse(s, stale.wh, base.resolve("wh"))
     // the stale index carries no delete debt (appends only), so the
@@ -851,9 +845,22 @@ object Etl {
     def maxOccupancy(c: graft.catalog.GraftCatalog): Long =
       c.readTable(s, "vec", "emb_ivfpq_codes")
         .groupBy("cell").count().agg(max("count")).head().getLong(0)
-    val occStale = stale.occStale
     val (probeId, probeVec) = (stale.probeId, stale.probeVec)
-    val brute = stale.brute
+    // declared comparison computations, charged to every measured run:
+    // the stale max occupancy (over the clone — byte-identical state)
+    // and the brute-force ground-truth top-10 (one corpus scan)
+    val occStale = maxOccupancy(cat)
+    val dotc = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val probeLit = typedLit(probeVec)
+    val brute = all.filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"),
+        (dotc(col("embedding"), probeLit) /
+          (sqrt(dotc(col("embedding"), col("embedding"))) *
+           sqrt(dotc(probeLit, probeLit)))).as("cs"))
+      .orderBy(desc("cs"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
     def recallOf(rows: Seq[org.apache.spark.sql.Row]): Long =
       rows.map(_.getLong(0)).count(brute).toLong
     // re-rank depth 2000 on every search in this scenario (stale,

@@ -590,15 +590,14 @@ object Streaming {
     * over the multi-snapshot layout drops candidates — all surface in
     * the top-10. In-query require: the summed stats deltas equal a
     * direct corpus aggregate (N and Σlen exact across 3 snapshots). */
-  /** Landing drops + corpus-aggregate scalars for
-    * [[stTextIndexMaintain]], one per (JVM, sfDir) — the [[landings]]
-    * convention (input only; the catalog itself starts EMPTY per run,
-    * so the measured tokenize+append micro-batches are unchanged). The
-    * direct corpus aggregate the stats gate compares against is a pure
-    * function of the input and rides along instead of re-tokenizing the
-    * whole corpus per bench iteration. */
+  /** Landing drops for [[stTextIndexMaintain]], one per (JVM, sfDir) —
+    * the [[landings]] convention (input only; the catalog itself starts
+    * EMPTY per run, so the measured tokenize+append micro-batches are
+    * unchanged). The direct corpus aggregate the stats gate compares
+    * against is recomputed inside every measured run (round-16 verdict:
+    * memoizing that result crossed the measurement boundary). */
   private val textMaintainFx = scala.collection.concurrent.TrieMap
-    .empty[String, (java.nio.file.Path, Long, Long)]
+    .empty[String, java.nio.file.Path]
 
   def stTextIndexMaintain: QFn = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
@@ -609,7 +608,7 @@ object Streaming {
     val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
     val tok = graft.queries.Extensions.tokensExpr
     val docs = graft.Tables.documents(s, d).select("doc_id", "text")
-    val (in, expectDocs, expectLen) = textMaintainFx.getOrElseUpdate(d, {
+    val in = textMaintainFx.getOrElseUpdate(d, {
       val fxBase = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
         "st_textidx_fx")
@@ -618,10 +617,13 @@ object Streaming {
         docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
           .write.parquet(inDir.resolve(s"b$i").toString)
       }
-      val expect = docs.select(expr(s"size($tok)").as("len"))
-        .agg(count(lit(1)), sum(col("len"))).collect()(0)
-      (inDir, expect.getLong(0), expect.getLong(1))
+      inDir
     })
+    // the stats gate's declared comparison computation — a direct corpus
+    // aggregate — charged to every measured run
+    val expect = docs.select(expr(s"size($tok)").as("len"))
+      .agg(count(lit(1)), sum(col("len"))).collect()(0)
+    val (expectDocs, expectLen) = (expect.getLong(0), expect.getLong(1))
     val q = withStatePartitions(s, 4)(s.readStream
       .schema(docs.schema)
       .option("recursiveFileLookup", "true")
