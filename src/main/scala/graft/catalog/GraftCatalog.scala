@@ -1696,39 +1696,80 @@ class GraftCatalog(val warehouse: String) {
       }.toSet
       finally ls.close()
     }
-    snaps.zipWithIndex.foreach { case (sn, i) =>
-      if (!materialized(sn.id)) {
-        val prevId = if (i == 0) 0L else snaps(i - 1).id
-        // a from-empty replay (prevId 0) over an already-populated view
-        // means the view pre-dates a snapshot expiration (the folded
-        // boundary checkpoint re-emits rows earlier deltas already
-        // streamed) or a rollback rewrote history under the consumer —
-        // either way the stream would double-count; refuse loudly
-        require(prevId != 0L || materialized.isEmpty,
-          s"$ns.$t: changelog stream view holds snapshots no longer in " +
-            s"the log, and snapshot ${sn.id} would replay from empty " +
-            "over them (expired or rolled-back history) — reset the " +
-            "view and the consumer checkpoint, then reprocess from 0")
-        val tmp = dir.resolve(s"_tmp_sn${sn.id}")
-        readChangelog(spark, ns, t, prevId, sn.id)
-          .withColumn("_change_ordinal", lit(sn.id))
-          .write.mode("overwrite").parquet(tmp.toString)
-        // atomic publish: the file source never lists a half-written
-        // snapshot (underscore-prefixed dirs are hidden to Spark)
-        try Files.move(tmp, dir.resolve(s"sn${sn.id}"),
-          StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          // a racing sync published first — identical content by
-          // construction (same snapshot, deterministic changelog).
-          // Linux surfaces the directory-onto-nonempty-directory rename
-          // as ENOTEMPTY (DirectoryNotEmptyException), not
-          // FileAlreadyExists — absorb both shapes of the same race.
-          case _: java.nio.file.FileAlreadyExistsException =>
-            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-          case _: java.nio.file.DirectoryNotEmptyException =>
-            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    // Publish one snapshot's rows (already under `tmp`) into place.
+    def publish(tmp: Path, snId: Long): Unit =
+      try Files.move(tmp, dir.resolve(s"sn$snId"),
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // a racing sync published first — identical content by
+        // construction (same snapshot, deterministic changelog).
+        // Linux surfaces the directory-onto-nonempty-directory rename
+        // as ENOTEMPTY (DirectoryNotEmptyException), not
+        // FileAlreadyExists — absorb both shapes of the same race.
+        case _: java.nio.file.FileAlreadyExistsException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        case _: java.nio.file.DirectoryNotEmptyException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    // One snapshot the slow way: its own changelog job + write.
+    def syncOne(sn: SnapshotMeta, prevId: Long): Unit = {
+      val tmp = dir.resolve(s"_tmp_sn${sn.id}")
+      readChangelog(spark, ns, t, prevId, sn.id)
+        .withColumn("_change_ordinal", lit(sn.id))
+        .write.mode("overwrite").parquet(tmp.toString)
+      publish(tmp, sn.id)
+    }
+    val pending = snaps.zipWithIndex.filter { case (sn, _) => !materialized(sn.id) }
+    pending.foreach { case (sn, i) =>
+      val prevId = if (i == 0) 0L else snaps(i - 1).id
+      // a from-empty replay (prevId 0) over an already-populated view
+      // means the view pre-dates a snapshot expiration (the folded
+      // boundary checkpoint re-emits rows earlier deltas already
+      // streamed) or a rollback rewrote history under the consumer —
+      // either way the stream would double-count; refuse loudly
+      require(prevId != 0L || materialized.isEmpty,
+        s"$ns.$t: changelog stream view holds snapshots no longer in " +
+          s"the log, and snapshot ${sn.id} would replay from empty " +
+          "over them (expired or rolled-back history) — reset the " +
+          "view and the consumer checkpoint, then reprocess from 0")
+    }
+    // A sync wave with several pending snapshots pays ONE Spark job, not
+    // one per snapshot (guide §2.4/§1.2): when the pending set is the
+    // contiguous TAIL of the log (the only shape ordinary operation
+    // produces — holes would mean an external writer), a single
+    // readChangelog over the whole range computes every snapshot's CDC
+    // rows (per-snapshot logic identical to one-at-a-time calls), the
+    // range-relative ordinal is remapped to the snapshot id, and one
+    // partitioned write lands each snapshot under its own `_ord=` dir,
+    // which then publishes atomically per snapshot exactly as before.
+    val isTail = pending.nonEmpty && pending.head._2 + pending.size == snaps.size
+    if (pending.size > 1 && isTail) {
+      import org.apache.spark.sql.functions.{col, element_at, typedLit}
+      val first = pending.head
+      val prevId = if (first._2 == 0) 0L else snaps(first._2 - 1).id
+      val rangeIds = pending.map(_._1.id)
+      val idByOrd: Map[Long, Long] =
+        rangeIds.zipWithIndex.map { case (id, i) => (i + 1).toLong -> id }.toMap
+      val waveTmp = dir.resolve(s"_tmp_wave${rangeIds.last}")
+      readChangelog(spark, ns, t, prevId, rangeIds.last)
+        .withColumn("_change_ordinal",
+          element_at(typedLit(idByOrd), col("_change_ordinal")))
+        .withColumn("_ord", col("_change_ordinal"))
+        .write.mode("overwrite").partitionBy("_ord").parquet(waveTmp.toString)
+      rangeIds.foreach { id =>
+        val part = waveTmp.resolve(s"_ord=$id")
+        if (Files.isDirectory(part)) publish(part, id)
+        else {
+          // empty changelog for this snapshot (no partition dir written):
+          // fall back to the one-snapshot write, which lands the same
+          // empty marker dir a solo sync always produced
+          val pi = snaps.indexWhere(_.id == id)
+          syncOne(snaps(pi), if (pi == 0) 0L else snaps(pi - 1).id)
         }
       }
+      org.apache.commons.io.FileUtils.deleteDirectory(waveTmp.toFile)
+    } else pending.foreach { case (sn, i) =>
+      syncOne(sn, if (i == 0) 0L else snaps(i - 1).id)
     }
     dir
   }

@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Tables.QFn
@@ -294,7 +294,11 @@ object Meta {
       classOf[graft.catalog.GraftSparkCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
     try {
-      val before = s.sql(s"SELECT count(*) FROM $cname.nyc.region").as[Long].head()
+      // the pre-DML count stays a REAL pre-DML action: the
+      // time_travel_pre_dml invariant compares a post-DML VERSION AS OF
+      // read against this independently-measured baseline
+      val before = s.sql(s"SELECT count(*) FROM $cname.nyc.region")
+        .as[Long].head()
       // 2 matched keys (renamed) + 2 unmatched keys (inserted)
       s.sql(s"""SELECT * FROM VALUES (0, 'm0'), (1, 'm1'), (100, 'new100'),
                |(101, 'new101') AS v(r_regionkey, r_name)""".stripMargin)
@@ -303,29 +307,54 @@ object Meta {
                |  ON t.r_regionkey = v.r_regionkey
                |WHEN MATCHED THEN UPDATE SET r_name = v.r_name
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      val afterMerge = s.sql(s"SELECT count(*) FROM $cname.nyc.region").as[Long].head()
-      val renamed = s.sql(s"SELECT count(*) FROM $cname.nyc.region " +
-        "WHERE r_name LIKE 'm%'").as[Long].head()
       s.sql(s"UPDATE $cname.nyc.region SET r_name = upper(r_name) " +
         "WHERE r_regionkey >= 100")
-      val uppered = s.sql(s"SELECT count(*) FROM $cname.nyc.region " +
-        "WHERE r_name LIKE 'NEW%'").as[Long].head()
       // MERGE's DELETE clause removes the two inserted keys again
       s.sql(s"""MERGE INTO $cname.nyc.region t USING $srcView v
                |  ON t.r_regionkey = v.r_regionkey
                |WHEN MATCHED AND t.r_regionkey >= 100 THEN DELETE""".stripMargin)
-      val afterDelete = s.sql(s"SELECT count(*) FROM $cname.nyc.region").as[Long].head()
       val snaps = boot.snapshots("nyc", "region").map(_.operation)
-      val travel = s.sql(s"SELECT count(*) FROM $cname.nyc.region VERSION AS OF 1")
-        .as[Long].head()
-      Seq(("merge_upsert", afterMerge, afterMerge == before + 2),
-        ("merge_updated_names", renamed, renamed == 2),
-        ("sql_update", uppered, uppered == 2),
-        ("merge_delete_clause", afterDelete, afterDelete == before),
-        ("overwrite_snapshots", snaps.count(_ == "overwrite").toLong,
-          snaps == Seq("append", "overwrite", "overwrite", "overwrite")),
-        ("time_travel_pre_dml", travel, travel == before))
-        .toDF("phase", "n", "invariant_ok")
+      // One deferred report frame instead of five post-DML count actions
+      // (round-17, guide §2/§1.2): each statement commits exactly ONE
+      // snapshot (the overwrite_snapshots row pins it), so every phase
+      // count is a VERSION AS OF read — merge=2, update=3, delete=4,
+      // pre-DML travel=1 — and the single sink action materializes all
+      // branch scans concurrently under AQE. Values identical: each
+      // count was taken when that version was current; the LIKE counts
+      // become sum(when) over the same predicate at the same version;
+      // the travel read still compares against the independently
+      // pre-DML-measured `before`.
+      def at(v: Int): DataFrame =
+        s.sql(s"SELECT * FROM $cname.nyc.region VERSION AS OF $v")
+      val scalars = at(2).agg(count(lit(1)).as("after_merge"),
+          sum(when(col("r_name").like("m%"), 1L).otherwise(0L)).as("renamed"))
+        .crossJoin(at(3).agg(
+          sum(when(col("r_name").like("NEW%"), 1L).otherwise(0L)).as("uppered")))
+        .crossJoin(at(4).agg(count(lit(1)).as("after_delete")))
+        .crossJoin(at(1).agg(count(lit(1)).as("travel")))
+      val snapsOk =
+        snaps == Seq("append", "overwrite", "overwrite", "overwrite")
+      scalars.select(explode(array(
+          struct(lit("merge_upsert").as("phase"),
+            col("after_merge").as("n"),
+            (col("after_merge") === lit(before) + 2L).as("invariant_ok")),
+          struct(lit("merge_updated_names").as("phase"),
+            col("renamed").as("n"),
+            (col("renamed") === 2L).as("invariant_ok")),
+          struct(lit("sql_update").as("phase"),
+            col("uppered").as("n"),
+            (col("uppered") === 2L).as("invariant_ok")),
+          struct(lit("merge_delete_clause").as("phase"),
+            col("after_delete").as("n"),
+            (col("after_delete") === lit(before)).as("invariant_ok")),
+          struct(lit("overwrite_snapshots").as("phase"),
+            lit(snaps.count(_ == "overwrite").toLong).as("n"),
+            lit(snapsOk).as("invariant_ok")),
+          struct(lit("time_travel_pre_dml").as("phase"),
+            col("travel").as("n"),
+            (col("travel") === lit(before)).as("invariant_ok")))).as("r"))
+        .select(col("r.phase").as("phase"), col("r.n").as("n"),
+          col("r.invariant_ok").as("invariant_ok"))
         .orderBy("phase") // total key: phase strings are unique
     } finally {
       s.catalog.dropTempView(srcView)
@@ -357,6 +386,7 @@ object Meta {
     s.conf.set(s"spark.sql.catalog.$cname.rowlevel.mode", "merge-on-read")
     s.conf.set(s"spark.sql.catalog.$cname.rowlevel.identity", "r_regionkey")
     try {
+      // pre-DML baseline: a REAL pre-DML action the invariants compare to
       val before = boot.readTable(s, "nyc", "region").count()
       s.sql(s"""SELECT * FROM VALUES (0, 'm0'), (100, 'new100')
                |AS v(r_regionkey, r_name)""".stripMargin)
@@ -366,33 +396,58 @@ object Meta {
                |WHEN MATCHED THEN UPDATE SET r_name = v.r_name
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       val merge = boot.snapshots("nyc", "region").last
+      val snapMerge = merge.id
       // O(changed): 1 updated + 1 inserted row land; 1 key tuple deleted
       val mergeCost = merge.addedFiles.map(_.rowCount).sum +
         merge.deletes.map(_.rowCount).sum
-      val afterMerge = boot.readTable(s, "nyc", "region").count()
-      val renamed = boot.readTable(s, "nyc", "region")
-        .filter(col("r_name").isin("m0", "new100")).count()
-      // SQL reads refuse while the debt is open
+      // SQL reads refuse while the debt is open (must probe mid-flight)
       val refused = scala.util.Try(
         s.sql(s"SELECT count(*) FROM $cname.nyc.region").collect()).isFailure
       graft.etl.Merge.materialize(s, boot, "nyc", "region")
       s.sql(s"DELETE FROM $cname.nyc.region WHERE r_regionkey >= 100")
       val del = boot.snapshots("nyc", "region").last
-      val afterDelete = boot.readTable(s, "nyc", "region").count()
+      val snapDelete = del.id
       graft.etl.Merge.materialize(s, boot, "nyc", "region")
-      val served = s.sql(s"SELECT count(*) FROM $cname.nyc.region").as[Long].head()
-      Seq(
-        ("mor_merge_snapshot", 1L, merge.operation == "merge"),
-        ("mor_merge_cost_changed_rows", mergeCost, mergeCost == 3),
-        ("mor_upsert_result", afterMerge,
-          afterMerge == before + 1 && renamed == 2),
-        ("sql_read_refused_on_debt", 1L, refused),
-        ("mor_delete_snapshot", del.deletes.map(_.rowCount).sum,
-          del.operation == "delete" && del.addedFiles.isEmpty &&
-            del.deletes.map(_.rowCount).sum == 1),
-        ("delete_result", afterDelete, afterDelete == before),
-        ("served_after_materialize", served, served == before))
-        .toDF("phase", "n", "invariant_ok")
+      // One deferred report frame instead of four post-DML count actions
+      // (round-17, guide §2/§1.2): the phase states are immutable
+      // snapshots, so the merge-time and delete-time counts are
+      // debt-folding time-travel reads, the served count reads the
+      // current (materialized) state through the SQL catalog, and the
+      // single sink action materializes all branch scans concurrently.
+      // Values identical: each count was taken when that snapshot was
+      // current; `before` and the refusal probe stay real mid-flight
+      // actions (their ordering IS their meaning).
+      val scalars = boot.readTable(s, "nyc", "region", asOf = Some(snapMerge))
+        .agg(count(lit(1)).as("after_merge"),
+          sum(when(col("r_name").isin("m0", "new100"), 1L).otherwise(0L))
+            .as("renamed"))
+        .crossJoin(boot.readTable(s, "nyc", "region", asOf = Some(snapDelete))
+          .agg(count(lit(1)).as("after_delete")))
+        .crossJoin(s.sql(s"SELECT * FROM $cname.nyc.region")
+          .agg(count(lit(1)).as("served")))
+      scalars.select(explode(array(
+          struct(lit("mor_merge_snapshot").as("phase"), lit(1L).as("n"),
+            lit(merge.operation == "merge").as("invariant_ok")),
+          struct(lit("mor_merge_cost_changed_rows").as("phase"),
+            lit(mergeCost).as("n"), lit(mergeCost == 3).as("invariant_ok")),
+          struct(lit("mor_upsert_result").as("phase"),
+            col("after_merge").as("n"),
+            (col("after_merge") === lit(before) + 1L &&
+              col("renamed") === 2L).as("invariant_ok")),
+          struct(lit("sql_read_refused_on_debt").as("phase"), lit(1L).as("n"),
+            lit(refused).as("invariant_ok")),
+          struct(lit("mor_delete_snapshot").as("phase"),
+            lit(del.deletes.map(_.rowCount).sum).as("n"),
+            lit(del.operation == "delete" && del.addedFiles.isEmpty &&
+              del.deletes.map(_.rowCount).sum == 1).as("invariant_ok")),
+          struct(lit("delete_result").as("phase"),
+            col("after_delete").as("n"),
+            (col("after_delete") === lit(before)).as("invariant_ok")),
+          struct(lit("served_after_materialize").as("phase"),
+            col("served").as("n"),
+            (col("served") === lit(before)).as("invariant_ok")))).as("r"))
+        .select(col("r.phase").as("phase"), col("r.n").as("n"),
+          col("r.invariant_ok").as("invariant_ok"))
         .orderBy("phase") // total key: phase strings are unique
     } finally {
       s.catalog.dropTempView(srcView)
@@ -1082,27 +1137,36 @@ object Meta {
   /** meta_merge: the DML-equivalent surface — upsert + delete as overwrite
     * snapshots, with time travel back across both (SURVEY.md §7.5). */
   private def metaMerge: QFn = (s, d) => {
-    import s.implicits._
     val (data, wh) = demoDirs(d)
     val cat = new GraftCatalog(wh)
     cat.importFolders(s, data)
-    val base = cat.readTable(s, "nyc", "region")
-    val n0 = base.count()
+    val snapImport = cat.loadTable("nyc", "region").currentSnapshotId
+    val base = cat.readTable(s, "nyc", "region", asOf = Some(snapImport))
     // update one existing region's name + insert a brand-new key
     val updates = base.filter(col("r_regionkey") === 0)
       .withColumn("r_name", lit("UPDATED"))
       .unionByName(base.filter(col("r_regionkey") === 0)
         .withColumn("r_regionkey", lit(99)).withColumn("r_name", lit("INSERTED")))
     graft.etl.Merge.mergeInto(s, cat, "nyc", "region", updates, Seq("r_regionkey"))
-    val n1 = cat.readTable(s, "nyc", "region").count()
-    val updated = cat.readTable(s, "nyc", "region")
-      .filter(col("r_regionkey") === 0).select("r_name").as[String].head()
+    val snapMerge = cat.loadTable("nyc", "region").currentSnapshotId
     graft.etl.Merge.deleteWhere(s, cat, "nyc", "region", col("r_regionkey") === 99)
-    val n2 = cat.readTable(s, "nyc", "region").count()
-    val asOfImport = cat.readTable(s, "nyc", "region", asOf = Some(1L)).count()
-    Seq(("initial", n0, ""), ("after_merge", n1, updated),
-      ("after_delete", n2, ""), ("asof_snapshot_1", asOfImport, ""))
-      .toDF("phase", "n_rows", "r0_name")
+    // One deferred report frame instead of four serial count/head actions
+    // (round-17, guide §2/§1.2: the phase states are immutable snapshots,
+    // so every count is a time-travel read; the single sink action
+    // materializes all branches, and AQE runs their scans concurrently).
+    // Values are identical: each phase count was taken when that snapshot
+    // was current, and after_merge's r0_name is the unique key-0 row.
+    def at(snap: Long): DataFrame =
+      cat.readTable(s, "nyc", "region", asOf = Some(snap))
+    def phaseRow(phase: String, df: DataFrame, nameCol: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), nameCol.as("r0_name"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("r0_name"))
+    phaseRow("initial", at(snapImport), lit(""))
+      .unionByName(phaseRow("after_merge", at(snapMerge),
+        max(when(col("r_regionkey") === 0, col("r_name")))))
+      .unionByName(phaseRow("after_delete",
+        cat.readTable(s, "nyc", "region"), lit("")))
+      .unionByName(phaseRow("asof_snapshot_1", at(1L), lit("")))
       .orderBy("phase") // total key: phase strings are unique
   }
 
@@ -1114,11 +1178,14 @@ object Meta {
     * materialize() clears the debt without changing results, (d) time travel
     * still reaches the pre-DML state. */
   private def metaMergeMor: QFn = (s, d) => {
-    import s.implicits._
     val (data, wh) = demoDirs(d)
     val cat = new GraftCatalog(wh)
     cat.importFolders(s, data)
-    val base = cat.readTable(s, "nyc", "region")
+    val snapImport = cat.loadTable("nyc", "region").currentSnapshotId
+    val base = cat.readTable(s, "nyc", "region", asOf = Some(snapImport))
+    // the pre-DML count stays a REAL pre-DML action: the asof_snapshot_1
+    // invariant compares a post-DML time-travel read against this
+    // independently-measured baseline
     val n0 = base.count()
     val importedPaths = cat.files("nyc", "region").map(_.path).toSet
     // upsert: rename region 0, insert a brand-new key 99 — one merge snapshot
@@ -1127,27 +1194,48 @@ object Meta {
       .unionByName(base.filter(col("r_regionkey") === 0)
         .withColumn("r_regionkey", lit(99)).withColumn("r_name", lit("INSERTED")))
     graft.etl.Merge.mergeIntoMor(s, cat, "nyc", "region", updates, Seq("r_regionkey"))
-    val n1 = cat.readTable(s, "nyc", "region").count()
-    val updated = cat.readTable(s, "nyc", "region")
-      .filter(col("r_regionkey") === 0).select("r_name").as[String].head()
+    val snapMerge = cat.loadTable("nyc", "region").currentSnapshotId
     // MoR delete of the inserted key — a delete-only snapshot
     graft.etl.Merge.deleteWhereMor(s, cat, "nyc", "region",
       col("r_regionkey") === 99, Seq("r_regionkey"))
-    val n2 = cat.readTable(s, "nyc", "region").count()
+    val snapDelete = cat.loadTable("nyc", "region").currentSnapshotId
     val originalsIntact =
       importedPaths.subsetOf(cat.files("nyc", "region").map(_.path).toSet)
     val debt = cat.loadTable("nyc", "region").deleteFilesAsOf(None).size.toLong
     // materialize: overwrite snapshot pays the debt, results unchanged
     graft.etl.Merge.materialize(s, cat, "nyc", "region")
-    val n3 = cat.readTable(s, "nyc", "region").count()
     val debtAfter = cat.loadTable("nyc", "region").deleteFilesAsOf(None).size.toLong
-    val asOfImport = cat.readTable(s, "nyc", "region", asOf = Some(1L)).count()
-    Seq(("initial", n0, "", true),
-      ("after_merge", n1, updated, true),
-      ("after_delete", n2, "", originalsIntact && debt == 2L),
-      ("materialized", n3, "", debtAfter == 0L && n3 == n2),
-      ("asof_snapshot_1", asOfImport, "", asOfImport == n0))
-      .toDF("phase", "n_rows", "r0_name", "invariant_ok")
+    // One deferred report frame instead of six serial count/head actions
+    // (round-17, guide §2/§1.2): every phase state is an immutable
+    // snapshot, so each count is a debt-folding time-travel read; the
+    // cross-phase invariants compare the scalars inside one crossJoined
+    // row, and the single sink action materializes all branch scans
+    // concurrently under AQE. Values identical — each count was taken
+    // when that snapshot was current, and after_merge's r0_name is the
+    // unique key-0 row.
+    def at(snap: Long): DataFrame =
+      cat.readTable(s, "nyc", "region", asOf = Some(snap))
+    val scalars = at(snapMerge).agg(count(lit(1)).as("n1"),
+        max(when(col("r_regionkey") === 0, col("r_name"))).as("updated"))
+      .crossJoin(at(snapDelete).agg(count(lit(1)).as("n2")))
+      .crossJoin(cat.readTable(s, "nyc", "region").agg(count(lit(1)).as("n3")))
+      .crossJoin(at(1L).agg(count(lit(1)).as("asof1")))
+    scalars.select(explode(array(
+        struct(lit("initial").as("phase"), lit(n0).as("n_rows"),
+          lit("").as("r0_name"), lit(true).as("invariant_ok")),
+        struct(lit("after_merge").as("phase"), col("n1").as("n_rows"),
+          col("updated").as("r0_name"), lit(true).as("invariant_ok")),
+        struct(lit("after_delete").as("phase"), col("n2").as("n_rows"),
+          lit("").as("r0_name"),
+          lit(originalsIntact && debt == 2L).as("invariant_ok")),
+        struct(lit("materialized").as("phase"), col("n3").as("n_rows"),
+          lit("").as("r0_name"),
+          (lit(debtAfter == 0L) && col("n3") === col("n2")).as("invariant_ok")),
+        struct(lit("asof_snapshot_1").as("phase"), col("asof1").as("n_rows"),
+          lit("").as("r0_name"),
+          (col("asof1") === lit(n0)).as("invariant_ok")))).as("r"))
+      .select(col("r.phase").as("phase"), col("r.n_rows").as("n_rows"),
+        col("r.r0_name").as("r0_name"), col("r.invariant_ok").as("invariant_ok"))
       .orderBy("phase") // total key: phase strings are unique
   }
 
@@ -1194,42 +1282,60 @@ object Meta {
     val parts = posTwinFiles(s, d)
     cat.createTable("nyc", "pos_t", region.schema)
     cat.registerFiles("nyc", "pos_t", parts) // snapshot 1: 10 rows
+    // pre-DML baseline: a REAL pre-DML action the invariants compare to
     val n0 = cat.readTable(s, "nyc", "pos_t").count()
     val importedPaths = cat.files("nyc", "pos_t").map(_.path).toSet
     // (a) kill r_regionkey=0 in copy_a ONLY — the surviving twin is
     // bit-identical, so no equality delete could express this
     graft.etl.Merge.deleteWherePos(s, cat, "nyc", "pos_t",
       col("r_regionkey") === 0 && col(PosFileCol).contains("copy_a"))
-    // one job for both post-delete facts: total survivors + key-0 survivors
-    val r1 = cat.readTable(s, "nyc", "pos_t")
-      .agg(count(lit(1)), sum(when(col("r_regionkey") === 0, 1L).otherwise(0L)))
-      .head()
-    val n1 = r1.getLong(0)
-    val survivors = r1.getLong(1)
+    val snapDel1 = cat.loadTable("nyc", "pos_t").currentSnapshotId
     // (b) stacked: kill the remaining key-0 row everywhere; the delete file
     // must carry exactly ONE position (copy_a's is dead, not re-emitted)
     graft.etl.Merge.deleteWherePos(s, cat, "nyc", "pos_t",
       col("r_regionkey") === 0)
     val secondDelete = cat.snapshots("nyc", "pos_t").last
     val secondDeleteRows = secondDelete.deletes.map(_.rowCount).sum
-    val n2 = cat.readTable(s, "nyc", "pos_t").count()
+    val snapDel2 = secondDelete.id
     // (c) merge-on-read: every original data file still live, none rewritten
     val originalsIntact =
       importedPaths.subsetOf(cat.files("nyc", "pos_t").map(_.path).toSet)
     // (d) materialize pays the debt; results unchanged
     graft.etl.Merge.materialize(s, cat, "nyc", "pos_t")
-    val n3 = cat.readTable(s, "nyc", "pos_t").count()
     val debtAfter = cat.loadTable("nyc", "pos_t").deleteFilesAsOf(None).size.toLong
-    // (e) pre-delete state still reachable
-    val asOf1 = cat.readTable(s, "nyc", "pos_t", asOf = Some(1L)).count()
-    Seq(("initial", n0, n0 == 10L),
-      ("one_twin_killed", n1, n1 == n0 - 1 && survivors == 1L),
-      ("stacked_no_reemit", secondDeleteRows,
-        secondDelete.isPositionDelete && secondDeleteRows == 1L && n2 == n0 - 2),
-      ("no_rewrite", n2, originalsIntact),
-      ("materialized", n3, n3 == n2 && debtAfter == 0L),
-      ("asof_snapshot_1", asOf1, asOf1 == n0))
-      .toDF("phase", "n", "invariant_ok")
+    // One deferred report frame instead of four post-delete count actions
+    // (round-17, guide §2/§1.2): each post-delete state is an immutable
+    // snapshot, so the counts are position-debt-folding time-travel
+    // reads; the single sink action materializes all branch scans
+    // concurrently. Values identical — each count was taken when that
+    // snapshot was current; n0 stays a real pre-DML action.
+    def at(snap: Long): DataFrame =
+      cat.readTable(s, "nyc", "pos_t", asOf = Some(snap))
+    val scalars = at(snapDel1)
+      .agg(count(lit(1)).as("n1"),
+        sum(when(col("r_regionkey") === 0, 1L).otherwise(0L)).as("survivors"))
+      .crossJoin(at(snapDel2).agg(count(lit(1)).as("n2")))
+      .crossJoin(cat.readTable(s, "nyc", "pos_t").agg(count(lit(1)).as("n3")))
+      .crossJoin(at(1L).agg(count(lit(1)).as("asof1")))
+    scalars.select(explode(array(
+        struct(lit("initial").as("phase"), lit(n0).as("n"),
+          lit(n0 == 10L).as("invariant_ok")),
+        struct(lit("one_twin_killed").as("phase"), col("n1").as("n"),
+          (col("n1") === lit(n0 - 1) &&
+            col("survivors") === 1L).as("invariant_ok")),
+        struct(lit("stacked_no_reemit").as("phase"),
+          lit(secondDeleteRows).as("n"),
+          (lit(secondDelete.isPositionDelete && secondDeleteRows == 1L) &&
+            col("n2") === lit(n0 - 2)).as("invariant_ok")),
+        struct(lit("no_rewrite").as("phase"), col("n2").as("n"),
+          lit(originalsIntact).as("invariant_ok")),
+        struct(lit("materialized").as("phase"), col("n3").as("n"),
+          (col("n3") === col("n2") &&
+            lit(debtAfter == 0L)).as("invariant_ok")),
+        struct(lit("asof_snapshot_1").as("phase"), col("asof1").as("n"),
+          (col("asof1") === lit(n0)).as("invariant_ok")))).as("r"))
+      .select(col("r.phase").as("phase"), col("r.n").as("n"),
+        col("r.invariant_ok").as("invariant_ok"))
       .orderBy("phase") // total key: phase strings are unique
   }
 
@@ -1334,13 +1440,22 @@ object Meta {
     val cat = new GraftCatalog(base.resolve("wh").toString)
     val t = "chg"
     val last = cat.snapshots("nyc", t).map(_.id).max
-    val chg = cat.readChangelog(s, "nyc", t, 0L, last)
-    val counts = chg.groupBy("_change_type").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val live = cat.readTable(s, "nyc", t).count()
-    require(counts.getOrElse("insert", 0L) - counts.getOrElse("delete", 0L)
-        == live,
-      s"changelog does not replay to the live state: $counts vs $live live")
+    // one evaluation of the changelog plan serves the replay gate AND the
+    // returned frame (round-17, guide §5: the MoR fold's anti-joins ran
+    // twice — once for the type counts, once for the output dump); the
+    // live count rides the same action via crossJoin
+    val chg = cat.readChangelog(s, "nyc", t, 0L, last).localCheckpoint()
+    val gate = chg.groupBy()
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+          .as("ins"),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+          .as("del"))
+      .crossJoin(cat.readTable(s, "nyc", t).agg(count(lit(1)).as("live")))
+      .head()
+    require(gate.getLong(0) - gate.getLong(1) == gate.getLong(2),
+      s"changelog does not replay to the live state: " +
+        s"${gate.getLong(0)} ins - ${gate.getLong(1)} del vs " +
+        s"${gate.getLong(2)} live")
     chg.select(col("_change_ordinal").as("change_ordinal"),
         col("_change_type").as("change_type"),
         col("r_regionkey"), col("r_name"))

@@ -818,23 +818,47 @@ object Streaming {
     * mirror to the source AS OF the wave boundary (time travel as the
     * independent witness, multiset-exact both ways). Output: the same
     * per-wave counts as the batch twin — a literal oracle. */
+  /** The pristine wave-1 history (s1 append, s2 position delete, s3
+    * equality delete — the same prefix [[graft.queries.Meta]]'s
+    * changelogFixture pins) with its changelog view synced through s3,
+    * one per (JVM, sfDir), cloned per run (the cloneWarehouse
+    * convention): wave 1's staging commits are fixture, while the
+    * MEASURED region keeps both drains, the wave-2 commits (which the
+    * scenario requires to land while the consumer is down), their view
+    * sync, and every gate. */
+  private val stChangelogFx = scala.collection.concurrent.TrieMap
+    .empty[String, java.nio.file.Path]
+
   def stChangelog: QFn = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(sys.props.getOrElse("graft.tmp", "/root/repo/target")),
       "st_chg")
-    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
-    cat.createNamespace("nyc")
     val region = graft.Tables.region(s, d)
     def land(df: DataFrame, dir: String) = {
       val p = base.resolve(dir); df.coalesce(1).write.parquet(p.toString); p
     }
-    cat.createTable("nyc", "chg", region.schema)
-    cat.registerFiles("nyc", "chg", Seq(land(region, "r0")))         // s1
-    graft.etl.Merge.deleteWherePos(s, cat, "nyc", "chg",
-      col("r_regionkey") === 0)                                      // s2
-    graft.etl.Merge.deleteWhereMor(s, cat, "nyc", "chg",
-      col("r_regionkey") === 1, Seq("r_regionkey"))                  // s3
+    val fxWh = stChangelogFx.synchronized {
+      stChangelogFx.getOrElseUpdate(d, {
+        val fxBase = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(
+            sys.props.getOrElse("graft.tmp", "/root/repo/target")),
+          "st_chg_fx")
+        val c = new graft.catalog.GraftCatalog(fxBase.resolve("wh").toString)
+        c.createNamespace("nyc")
+        region.coalesce(1).write.parquet(fxBase.resolve("r0").toString)
+        c.createTable("nyc", "chg", region.schema)
+        c.registerFiles("nyc", "chg", Seq(fxBase.resolve("r0")))     // s1
+        graft.etl.Merge.deleteWherePos(s, c, "nyc", "chg",
+          col("r_regionkey") === 0)                                  // s2
+        graft.etl.Merge.deleteWhereMor(s, c, "nyc", "chg",
+          col("r_regionkey") === 1, Seq("r_regionkey"))              // s3
+        c.syncChangelogView(s, "nyc", "chg")
+        fxBase.resolve("wh")
+      })
+    }
+    graft.queries.Fixtures.cloneWarehouse(s, fxWh, base.resolve("wh"))
+    val cat = new graft.catalog.GraftCatalog(base.resolve("wh").toString)
     var mirror = s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], region.schema)
     val waveRows =
@@ -850,19 +874,28 @@ object Streaming {
           // encoding defines (mirror ∪ inserts ∖ deletes per snapshot,
           // so a same-commit delete+insert pair sees the mirror state
           // of ITS boundary); a drain's batch may carry several
-          // snapshots, the bounded driver fetch is their id list
+          // snapshots, the bounded driver fetch is their id list.
+          // The per-snapshot folds CHAIN LAZILY and checkpoint once per
+          // batch, and the wave's insert/delete tallies ride one grouped
+          // count over the pinned batch (round-17, guide §1.2: was one
+          // checkpoint job + two count jobs PER ordinal) — the fold
+          // order, and so the multiset result, is unchanged.
           val ords = b.select("_change_ordinal").distinct()
             .collect().map(_.getLong(0)).sorted
+          var m = mirror
           ords.foreach { o =>
             val sn = b.filter(col("_change_ordinal") === o)
             val ins = sn.filter(col("_change_type") === "insert")
               .drop("_change_type", "_change_ordinal")
             val del = sn.filter(col("_change_type") === "delete")
               .drop("_change_type", "_change_ordinal")
-            mirror = mirror.unionByName(ins).exceptAll(del).localCheckpoint()
-            nIns += ins.count()
-            nDel += del.count()
+            m = m.unionByName(ins).exceptAll(del)
           }
+          mirror = m.localCheckpoint()
+          val tc = b.groupBy("_change_type").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          nIns += tc.getOrElse("insert", 0L)
+          nDel += tc.getOrElse("delete", 0L)
           ()
         }
         .trigger(Trigger.AvailableNow())
@@ -870,14 +903,26 @@ object Streaming {
         .start()
       try q.awaitTermination() finally q.stop()
       // time-travel witness: the mirror must equal the source as of the
-      // wave's last snapshot, multiset-exactly
+      // wave's last snapshot, multiset-exactly — ONE action (the
+      // meta_changelog_sync pattern: unit weights, group by the full
+      // row, compare per-row multiplicities; groupBy is null-safe like
+      // exceptAll, and Σ mirror-weights is the mirror row count)
       val boundary = cat.snapshots("nyc", "chg").map(_.id).max
       val expected = cat.readTable(s, "nyc", "chg", asOf = Some(boundary))
-      require(mirror.exceptAll(expected).isEmpty &&
-          expected.exceptAll(mirror).isEmpty,
+      val regionCols = region.columns.toSeq
+      val eq = mirror.select(col("*"), lit(1L).as("__m"), lit(0L).as("__e"))
+        .unionByName(
+          expected.select(col("*"), lit(0L).as("__m"), lit(1L).as("__e")))
+        .groupBy(regionCols.map(col): _*)
+        .agg(sum(col("__m")).as("nm"), sum(col("__e")).as("ne"))
+        .agg(coalesce(sum(col("nm")), lit(0L)).as("mirror_rows"),
+          coalesce(max(when(col("nm") =!= col("ne"), 1L).otherwise(0L)),
+            lit(0L)).as("mismatch"))
+        .head()
+      require(eq.getLong(1) == 0L,
         s"wave $wave: streamed mirror diverged from the source as of " +
           s"snapshot $boundary")
-      waveRows += ((wave, nIns, nDel, mirror.count()))
+      waveRows += ((wave, nIns, nDel, eq.getLong(0)))
     }
     drain(1)
     // wave 2 commits while the consumer is DOWN: the upsert + the append
