@@ -357,23 +357,53 @@ object IvfPq {
     * a filtered search ([[search]]'s `metaFilter`) pushes its predicate
     * into the same pruned 8-byte scan instead of joining the corpus. */
   def encode(cents: Seq[Seq[Float]], model: ProductQuantizer.Model,
-             emb: DataFrame): DataFrame = {
+             emb: DataFrame): DataFrame =
+    encodeAssigned(cents.size, model, assignCells(cents, emb))
+
+  /** ONE cell-assignment pass shared by the raw-store and codes writes
+    * (round-17, guide §1.2): `cellOf` is k·dim multiply-adds per row and
+    * previously ran once inside EACH of [[rawRows]] and [[encode]] — the
+    * whole batch paid the coarse assignment twice per append/build.
+    * Pinned eagerly so (a) the range shuffles' boundary-sketch passes
+    * re-read blocks instead of re-evaluating the expressions (the
+    * round-16 encode convention), and (b) both halves of the
+    * torn-window append commit see one row set. Scale note (round-16
+    * verdict item 3): `localCheckpoint` pins the projected batch in
+    * executor block storage and truncates lineage — the right trade for
+    * a micro-batch/appended BATCH (bounded by ingest cadence, and the
+    * replay tag makes a lost-executor retry safe end-to-end); for a
+    * full-corpus REBUILD at 100 TB the projection should become a
+    * reliable checkpoint / persisted table — documented in
+    * OPTIMIZATION_r17.md rather than switched, because every committed
+    * fixture and oracle pins byte-identical layouts. */
+  private def assignCells(cents: Seq[Seq[Float]], emb: DataFrame): DataFrame = {
     val meta = emb.columns.filter(c => c != "vec_id" && c != "embedding")
-    // materialize the encoded rows ONCE before the range shuffle:
-    // repartitionByRange runs a boundary-SKETCH pass over its child
-    // before the real shuffle, so an un-pinned child evaluates the
-    // whole projection twice — and cellOf + packedCodes (k·dim + M·K·dim
-    // multiply-adds per row) ARE the encode cost. The checkpoint turns
-    // that into one expression pass + one cheap block re-read; blocks
-    // free when the frame is GC'd (the augmentTop1 convention).
-    emb.select(col("vec_id") +:
-        cellOf(emb.sparkSession, cents, col("embedding")).as("cell") +:
-        ProductQuantizer.packedCodes(emb.sparkSession, model, col("embedding")).as("codes") +:
-        meta.toIndexedSeq.map(col): _*)
+    emb.select(Seq(col("vec_id"),
+        cellOf(emb.sparkSession, cents, col("embedding")).as("cell"),
+        col("embedding")) ++ meta.toIndexedSeq.map(col): _*)
       .localCheckpoint(true)
-      .repartitionByRange(cents.size, col("cell"))
+  }
+
+  /** Codes rows from a pre-assigned frame: packedCodes (M·K·dim per row)
+    * is evaluated once (pinned) before the range shuffle's sketch. */
+  private def encodeAssigned(k: Int, model: ProductQuantizer.Model,
+                             assigned: DataFrame): DataFrame = {
+    val meta = assigned.columns
+      .filter(c => c != "vec_id" && c != "embedding" && c != "cell")
+    assigned.select(Seq(col("vec_id"), col("cell"),
+        ProductQuantizer.packedCodes(assigned.sparkSession, model,
+          col("embedding")).as("codes")) ++ meta.toIndexedSeq.map(col): _*)
+      .localCheckpoint(true)
+      .repartitionByRange(k, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
   }
+
+  /** Raw-store rows from a pre-assigned frame: no expression work left —
+    * the sketch re-reads pinned blocks. */
+  private def rawRowsAssigned(k: Int, assigned: DataFrame): DataFrame =
+    assigned.select(col("vec_id"), col("cell"), col("embedding"))
+      .repartitionByRange(k, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
 
   private def commitDf(cat: GraftCatalog, ns: String, t: String,
                        df: DataFrame, operation: String,
@@ -392,15 +422,7 @@ object IvfPq {
   /** Rows of the RAW-VECTOR re-rank store: (vec_id, cell, embedding),
     * CELL-range-clustered exactly like the codes. */
   private def rawRows(cents: Seq[Seq[Float]], emb: DataFrame): DataFrame =
-    // pinned before the range shuffle for the same reason as [[encode]]:
-    // the boundary sketch would otherwise run cellOf over every row a
-    // second time
-    emb.select(col("vec_id"),
-        cellOf(emb.sparkSession, cents, col("embedding")).as("cell"),
-        col("embedding"))
-      .localCheckpoint(true)
-      .repartitionByRange(cents.size, col("cell"))
-      .sortWithinPartitions("cell", "vec_id")
+    rawRowsAssigned(cents.size, assignCells(cents, emb))
 
   /** Commit the raw re-rank store `<t>_ivfpq_raw` — the FAISS
     * `IndexIVFFlat` layout restated through the catalog: full vectors
@@ -418,11 +440,11 @@ object IvfPq {
     * committed raw-FIRST on every path so the codes can never reference
     * an id the re-rank store lacks (the silent-drop direction). */
   private def commitRaw(spark: SparkSession, cat: GraftCatalog, ns: String,
-                        table: String, cents: Seq[Seq[Float]],
-                        emb: DataFrame, operation: String,
+                        table: String, k: Int,
+                        assigned: DataFrame, operation: String,
                         baseSnapshotId: Option[Long] = None): TableMeta = {
     val t = rawTable(table)
-    val df = rawRows(cents, emb)
+    val df = rawRowsAssigned(k, assigned)
     val dir = Paths.get(cat.warehouse, ns, t, "data",
       s"ivfpq-${graft.catalog.Stamp.next()}")
     df.write.parquet(dir.toString)
@@ -556,9 +578,13 @@ object IvfPq {
     def committed(tab: String): Boolean = cat.tableExists(ns, tab) &&
       cat.loadTable(ns, tab).snapshots.exists(_.addedFiles
         .exists(_.path.contains(s"/$tag/")))
+    // one shared cell-assignment pass for both halves (round-17: cellOf
+    // ran over the batch twice — raw store + codes); lazy so a full
+    // replay (both halves already committed) evaluates nothing
+    lazy val assigned = assignCells(cents, batch)
     if (!committed(rT)) {
       val dir = Paths.get(cat.warehouse, ns, rT, "data", tag)
-      val df = rawRows(cents, batch)
+      val df = rawRowsAssigned(cents.size, assigned)
       df.write.mode("overwrite").parquet(dir.toString)
       if (!cat.tableExists(ns, rT)) cat.createTable(ns, rT, df.schema)
       cat.registerFilesWithBlooms(spark, ns, rT, Seq(dir), Seq("vec_id"),
@@ -574,7 +600,7 @@ object IvfPq {
     if (committed(t)) cat.loadTable(ns, t)
     else {
       val dir = Paths.get(cat.warehouse, ns, t, "data", tag)
-      val df = encode(cents, model, batch)
+      val df = encodeAssigned(cents.size, model, assigned)
       df.write.mode("overwrite").parquet(dir.toString)
       if (!cat.tableExists(ns, t)) cat.createTable(ns, t, df.schema)
       cat.registerFiles(ns, t, Seq(dir), operation = "append")
@@ -616,13 +642,17 @@ object IvfPq {
       if (cat.tableExists(ns, rT)) Some(cat.loadTable(ns, rT).currentSnapshotId)
       else None
     val (cents, model) = initIndex(spark, cat, ns, table, emb)
+    // one shared cell-assignment pass feeds BOTH commits (round-17:
+    // cellOf previously ran over the full corpus twice — once for the
+    // raw store, once for the codes)
+    val assigned = assignCells(cents, emb)
     // raw re-rank store first (the appendCodes ordering rule); a rebuild
     // overwrites it under the NEW cells so cell pruning stays aligned
-    commitRaw(spark, cat, ns, table, cents, emb, "overwrite",
+    commitRaw(spark, cat, ns, table, cents.size, assigned, "overwrite",
       baseSnapshotId = rawBase)
     interleave()
-    commitDf(cat, ns, t, encode(cents, model, emb), "overwrite",
-      baseSnapshotId = codesBase)
+    commitDf(cat, ns, t, encodeAssigned(cents.size, model, assigned),
+      "overwrite", baseSnapshotId = codesBase)
   }
 
   /** Rehydrate the coarse centroids from the committed cells table —

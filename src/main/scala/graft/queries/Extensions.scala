@@ -519,7 +519,18 @@ object Extensions {
     * the fusion layer at all. */
   /** The BM25 top-10 with integer ranks — the sparse leg shared by both
     * hybrid variants (one authoritative construction, so a tie-break or
-    * fusion fix can never diverge between them). */
+    * fusion fix can never diverge between them).
+    *
+    * BOUNDED-FRAME WINDOW (round-17 audit): every `Window.orderBy` with
+    * no partition key in the RRF family — here and in the dense legs —
+    * ranks a frame that is ALREADY `.orderBy(...).limit(10)`: the
+    * single-partition WindowExec (Spark logs "No Partition Defined")
+    * sorts ≤ 10 rows regardless of corpus size, because the global
+    * TakeOrderedAndProject runs BEFORE it. At 100 TB the one-partition
+    * stage still moves exactly 10 rows. The rank must be assigned after
+    * the limit (it is the leg-local ordinal the RRF sum consumes), so
+    * this is a semantically-global rank over a provably constant-size
+    * frame — not a corpus-sized single-partition sort. */
   private def bm25SparseLeg(s: SparkSession, d: String, probeId: Long)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -551,6 +562,8 @@ object Extensions {
       .select(col("vec_id").as("doc_id"),
         round(cosineTo(s)(col("embedding"), typedLit(probeVec)), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("doc_id")).limit(10)
+      // bounded-frame global window: ranks the 10 post-limit rows only
+      // (see [[bm25SparseLeg]]'s round-17 audit note)
       .withColumn("knn_rank", row_number()
         .over(Window.orderBy(desc("cos_sim"), asc("doc_id"))).cast("int"))
       .select(col("doc_id"), col("knn_rank"))
@@ -578,6 +591,8 @@ object Extensions {
     val cat = ivfPqIndexFor(s, d)
     val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
     val dense = IvfPq.search(s, cat, "vec", "emb", emb, probeId, probeVec)
+      // bounded-frame global window: IvfPq.search returns a constant
+      // top-k (see [[bm25SparseLeg]]'s round-17 audit note)
       .withColumn("knn_rank", row_number()
         .over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("int"))
       .select(col("vec_id").as("doc_id"), col("knn_rank"))
@@ -604,6 +619,7 @@ object Extensions {
     val (probeId, probeVec) = ProductQuantizer.sampleRows(emb).head
     val dense = IvfPq.search(s, ivfPqIndexFor(s, d), "vec", "emb", emb,
         probeId, probeVec)
+      // bounded-frame global window (see [[bm25SparseLeg]]'s audit note)
       .withColumn("knn_rank", row_number()
         .over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("int"))
       .select(col("vec_id").as("doc_id"), col("knn_rank"))
@@ -612,6 +628,7 @@ object Extensions {
       .select(bm25RankCols(bm25Terms.length): _*)
       .filter(col("doc_id") =!= probeId)
       .orderBy(desc("score"), asc("doc_id")).limit(10)
+      // bounded-frame global window (see [[bm25SparseLeg]]'s audit note)
       .withColumn("bm25_rank", row_number()
         .over(Window.orderBy(desc("score"), asc("doc_id"))).cast("int"))
       .select(col("doc_id"), col("bm25_rank"))
